@@ -1,0 +1,348 @@
+"""Analytical query layer (SURVEY §2.3-§2.6, §3.3).
+
+Re-expresses every analytics entry point of the reference's ClickHouse client
+(reference: src/clickhouse/client.py:73-235 and the views at
+src/setup/setup_clickhouse.py:247-295) as pure ``DataFrame -> DataFrame``
+functions over stock-shaped frames:
+
+- ``price``:  columns (symbol, trade_date, close_price, volume, amount, ...)
+- ``master``: columns (symbol, name, market, is_active, ...)
+
+Scale notes (100 TB discipline):
+- the dim side of every fact⋈dim join is broadcast explicitly — master is
+  ~5k rows in the reference and small in any realistic deployment;
+- per-symbol windows shuffle once on ``symbol`` and reuse that partitioning
+  for all window computations in the same query;
+- top-k is ``orderBy().limit()`` which Spark plans as TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows — no global sort);
+- the correlation pair join is capped (``max_symbols``) exactly like the
+  reference (reference: src/clickhouse/client.py:207-209) because an
+  uncapped self-join on date is a quadratic blow-up at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_sum(c: Column) -> Column:
+    """Order-independent money sum: accumulate in DECIMAL(18,2), emit
+    double. Float sums are partition-order-dependent; decimal accumulation
+    makes results bit-stable across engines and run-to-run (needed for
+    golden/oracle hashing, and the right call for money anyway)."""
+    return F.sum(c.cast("decimal(18,2)")).cast("double")
+
+
+def exact_avg(c: Column) -> Column:
+    """Order-independent mean built on :func:`exact_sum` (double / count
+    is a single deterministic IEEE op)."""
+    return exact_sum(c) / F.count(c)
+
+
+def get_stock_data(
+    price: DataFrame,
+    master: DataFrame,
+    symbols: list[str] | None = None,
+    start_date: str | None = None,
+    end_date: str | None = None,
+) -> DataFrame:
+    """Fact rows joined with dim names, dynamically filtered.
+
+    (reference: src/clickhouse/client.py:73-102 — J1 broadcast join, P7
+    dynamic predicate assembly, P8 IN-list, O2 deterministic sort.)
+    """
+    df = price
+    if symbols:
+        df = df.filter(F.col("symbol").isin(symbols))
+    if start_date:
+        df = df.filter(F.col("trade_date") >= F.lit(start_date))
+    if end_date:
+        df = df.filter(F.col("trade_date") <= F.lit(end_date))
+    return (
+        df.join(F.broadcast(master.select("symbol", "name", "market")), "symbol")
+        .orderBy("symbol", "trade_date")
+    )
+
+
+def market_summary(price: DataFrame, master: DataFrame, trade_date: str) -> DataFrame:
+    """Per-market stats for one day: count / avg close / sum volume / sum
+    amount, ordered by total amount desc.
+
+    (reference: src/clickhouse/client.py:104-121 — A1 + J1.)
+    """
+    return (
+        price.filter((F.col("trade_date") == F.lit(trade_date)) & (F.col("close_price") > 0))
+        .join(F.broadcast(master.select("symbol", "market")), "symbol")
+        .groupBy("market")
+        .agg(
+            F.count("*").alias("stock_count"),
+            exact_avg(F.col("close_price")).alias("avg_close_price"),
+            F.sum("volume").alias("total_volume"),
+            exact_sum(F.col("amount")).alias("total_amount"),
+        )
+        .orderBy(F.desc("total_amount"))
+    )
+
+
+def top_performers(
+    price: DataFrame,
+    master: DataFrame,
+    trade_date: str,
+    limit: int = 20,
+) -> DataFrame:
+    """Top day-over-day gainers on ``trade_date``.
+
+    Implements the *intent* of the reference (change vs previous trading
+    day): the window scans the full per-symbol history, THEN the result is
+    filtered to the target date. The reference filters the date inside the
+    CTE before ``lagInFrame``, so its prev_close is always NULL — a latent
+    bug we do not replicate (reference: src/clickhouse/client.py:123-150,
+    bug analysis in SURVEY §3.3).
+    """
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    return (
+        price.filter(F.col("close_price").isNotNull() & (F.col("close_price") > 0))
+        .withColumn("prev_close", F.lag("close_price", 1).over(w))
+        .filter((F.col("trade_date") == F.lit(trade_date)) & (F.col("prev_close") > 0))
+        .withColumn(
+            "change_pct",
+            (F.col("close_price") - F.col("prev_close")) / F.col("prev_close") * 100.0,
+        )
+        .join(F.broadcast(master.select("symbol", "name", "market")), "symbol")
+        .select(
+            "symbol", "name", "market", "close_price", "prev_close", "change_pct", "volume"
+        )
+        .orderBy(F.desc("change_pct"), "symbol")
+        .limit(limit)
+    )
+
+
+def calculate_returns(
+    price: DataFrame,
+    symbols: list[str] | None = None,
+    start_date: str | None = None,
+    end_date: str | None = None,
+) -> DataFrame:
+    """Daily and cumulative returns per symbol.
+
+    (reference: src/clickhouse/client.py:179-202 — W1 lag, W2 first_value
+    with an explicit unbounded frame, W3 arithmetic.)
+    """
+    df = price.filter(F.col("close_price").isNotNull() & (F.col("close_price") > 0))
+    if symbols:
+        df = df.filter(F.col("symbol").isin(symbols))
+    if start_date:
+        df = df.filter(F.col("trade_date") >= F.lit(start_date))
+    if end_date:
+        df = df.filter(F.col("trade_date") <= F.lit(end_date))
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        df.withColumn("prev_close", F.lag("close_price", 1).over(w))
+        .withColumn("first_close", F.first("close_price").over(w_all))
+        .withColumn("daily_return", F.col("close_price") / F.col("prev_close") - 1.0)
+        .withColumn("cumulative_return", F.col("close_price") / F.col("first_close") - 1.0)
+        .select(
+            "symbol", "trade_date", "close_price",
+            "daily_return", "cumulative_return",
+        )
+        .orderBy("symbol", "trade_date")
+    )
+
+
+def correlation_matrix(
+    price: DataFrame,
+    symbols: list[str],
+    start_date: str | None = None,
+    end_date: str | None = None,
+    max_symbols: int = 50,
+) -> DataFrame:
+    """Pairwise Pearson correlation of daily returns.
+
+    (reference: src/clickhouse/client.py:204-235 — CTE of lag-returns, J2
+    self-join on trade_date, A5 ``corr`` grouped by the symbol pair.)
+
+    The symbol cap is a deliberate cardinality guard kept from the
+    reference (reference: src/clickhouse/client.py:207-209): the self-join
+    produces |S|² × |dates| rows; at 100 TB an uncapped version must go
+    through a pivoted matrix path instead, not a pair join.
+    """
+    if len(symbols) > max_symbols:
+        symbols = sorted(symbols)[:max_symbols]
+    df = price.filter(F.col("symbol").isin(symbols) & (F.col("close_price") > 0))
+    if start_date:
+        df = df.filter(F.col("trade_date") >= F.lit(start_date))
+    if end_date:
+        df = df.filter(F.col("trade_date") <= F.lit(end_date))
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    returns = (
+        df.withColumn("prev_close", F.lag("close_price", 1).over(w))
+        .filter(F.col("prev_close").isNotNull() & (F.col("prev_close") > 0))
+        .select(
+            "symbol", "trade_date",
+            (F.col("close_price") / F.col("prev_close") - 1.0).alias("daily_return"),
+        )
+    )
+    a = returns.alias("a")
+    b = returns.alias("b")
+    return (
+        a.join(b, F.col("a.trade_date") == F.col("b.trade_date"))
+        .filter(F.col("a.symbol") < F.col("b.symbol"))
+        .groupBy(
+            F.col("a.symbol").alias("symbol_a"),
+            F.col("b.symbol").alias("symbol_b"),
+        )
+        # corr is rounded to 6 dp: its streaming co-moment accumulation is
+        # float-order-dependent, so raw values differ in the last ulps
+        # between engines/runs; n_days >= 3 drops degenerate pairs where
+        # corr is NULL/NaN (engines disagree on 1-point correlations)
+        .agg(
+            F.round(F.corr("a.daily_return", "b.daily_return"), 6).alias("correlation"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 3)
+        .orderBy("symbol_a", "symbol_b")
+    )
+
+
+def backtest_universe(
+    price: DataFrame,
+    master: DataFrame,
+    start_date: str,
+    min_market_cap: float = 0.0,
+) -> DataFrame:
+    """Symbols listed on/before ``start_date`` whose turnover qualifies.
+
+    (reference: src/clickhouse/client.py:152-177 — P9 null-tolerant
+    survivorship predicate, J4 semi-join via IN-subquery, A8 distinct.)
+    """
+    eligible = master.filter(
+        (F.col("is_active") == 1)
+        & (F.col("listing_date").isNull() | (F.col("listing_date") <= F.lit(start_date)))
+    )
+    qualifying = (
+        price.filter(
+            (F.col("trade_date") == F.lit(start_date))
+            & (F.col("close_price") * F.col("volume") > F.lit(min_market_cap))
+        )
+        .select("symbol")
+        .distinct()
+    )
+    return (
+        eligible.join(qualifying, "symbol", "left_semi")
+        .select("symbol", "name", "market")
+        .orderBy("symbol")
+    )
+
+
+def latest_prices(price: DataFrame, master: DataFrame) -> DataFrame:
+    """Most recent price row per symbol, with dim attributes.
+
+    Decorrelates the reference's correlated scalar subquery
+    (reference: src/setup/setup_clickhouse.py:267-283 — J3) into one
+    per-symbol window: one shuffle on symbol instead of a rescan per row.
+    Ties on trade_date are impossible for the (symbol, trade_date)-keyed
+    table; the ordering is still made total for deterministic output.
+    """
+    w = Window.partitionBy("symbol").orderBy(F.desc("trade_date"))
+    return (
+        price.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .join(F.broadcast(master.select("symbol", "name", "market")), "symbol")
+        .orderBy("symbol")
+    )
+
+
+def daily_market_summary(price: DataFrame) -> DataFrame:
+    """Whole-market daily rollup view.
+
+    (reference: src/setup/setup_clickhouse.py:252-264 — A6.)
+    """
+    return (
+        price.filter(F.col("close_price").isNotNull())
+        .groupBy("trade_date")
+        .agg(
+            F.count("*").alias("stock_count"),
+            exact_avg(F.col("close_price")).alias("avg_close"),
+            F.sum("volume").alias("total_volume"),
+            exact_sum(F.col("amount")).alias("total_amount"),
+        )
+        .orderBy("trade_date")
+    )
+
+
+def stock_count_stats(master: DataFrame) -> DataFrame:
+    """Active/delisted counts per market via conditional aggregation.
+
+    (reference: src/clickhouse/stock_master.py:255-276 — A2 countIf.)
+    """
+    return (
+        master.groupBy("market")
+        .agg(
+            F.count(F.when(F.col("is_active") == 1, 1)).alias("active_count"),
+            F.count(F.when(F.col("is_active") == 0, 1)).alias("delisted_count"),
+            F.count("*").alias("total_count"),
+        )
+        .orderBy("market")
+    )
+
+
+def delisted_report(master: DataFrame) -> DataFrame:
+    """Delisting stats per market: count + date range, most-delisted first.
+
+    (reference: scripts/sync_delisted_stocks.py:269-304 — A3.)
+    """
+    return (
+        master.filter(F.col("is_active") == 0)
+        .groupBy("market")
+        .agg(
+            F.count("*").alias("delisted_count"),
+            F.min("delisting_date").alias("earliest_delisting"),
+            F.max("delisting_date").alias("latest_delisting"),
+        )
+        .orderBy(F.desc("delisted_count"), "market")
+    )
+
+
+def table_info(price: DataFrame) -> DataFrame:
+    """Global fact-table stats: rows, date range, distinct symbols.
+
+    (reference: src/clickhouse/price_client.py:174-183,286-341 — A4/S13.)
+    """
+    return price.agg(
+        F.count("*").alias("row_count"),
+        F.min("trade_date").alias("min_date"),
+        F.max("trade_date").alias("max_date"),
+        F.countDistinct("symbol").alias("symbol_count"),
+    )
+
+
+def get_all_symbols(master: DataFrame, active_only: bool = True) -> DataFrame:
+    """Distinct symbol list — the helper the reference calls but never
+    defined (reference: scripts/sync_new_listings.py:114, drift list in
+    SURVEY §0)."""
+    df = master
+    if active_only:
+        df = df.filter(F.col("is_active") == 1)
+    return df.select("symbol").distinct().orderBy("symbol")
+
+
+def missing_dates_stats(price: DataFrame) -> DataFrame:
+    """Per-symbol coverage stats: first/last date, trading-day count, and
+    the span's calendar-day count — the 'missing dates' intent of the
+    stale check_stock_data statistics calls (reference:
+    scripts/check_stock_data.py:82-90, drift list in SURVEY §0)."""
+    return (
+        price.groupBy("symbol")
+        .agg(
+            F.min("trade_date").alias("first_date"),
+            F.max("trade_date").alias("last_date"),
+            F.count("*").alias("day_count"),
+        )
+        .withColumn(
+            "span_days", F.datediff(F.col("last_date"), F.col("first_date")) + 1
+        )
+        .orderBy("symbol")
+    )

@@ -1,0 +1,126 @@
+"""Event-stream operators (SURVEY §7 Phase 6): tumbling/sliding windows and
+sessionization over the ``events`` table, batch formulation.
+
+Structured Streaming variants live in ``streaming.jobs`` — same logical
+shapes with ``readStream`` + watermarks. In batch the windows are plain
+date_trunc/window groupBys: one shuffle on (window, keys), map-side partial
+aggregation, no state store needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _exact_sum(c: Column) -> Column:
+    """Order-independent money sum: decimal accumulate, double out."""
+    return F.sum(c.cast("decimal(18,2)")).cast("double")
+
+
+def tumbling_window(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "hour",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed tumbling windows via date_trunc: (window_start, keys) ->
+    count, exact sum, min/max.
+
+    ``duration`` is a date_trunc unit (minute/hour/day/week/month).
+    """
+    keys = keys or []
+    return (
+        df.groupBy(
+            F.date_trunc(duration, F.col(ts_col)).alias("window_start"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _exact_sum(F.col(value_col)).alias("total_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .orderBy("window_start", *keys)
+    )
+
+
+def sliding_window(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding windows via ``F.window`` (each event lands in
+    window/slide overlapping windows; Spark expands them without a UDF).
+
+    Returns (window_start, window_end, keys..., n_events, total_value).
+    """
+    keys = keys or []
+    win = F.window(F.col(ts_col), window_duration, slide_duration)
+    return (
+        df.groupBy(win.alias("w"), *[F.col(k) for k in keys])
+        .agg(
+            F.count("*").alias("n_events"),
+            _exact_sum(F.col(value_col)).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", *keys)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the user's
+    inter-event gap exceeds ``gap_minutes``.
+
+    Classic two-window formulation (lag -> boundary flag -> running sum =
+    session id): shuffles once on user, both windows reuse that
+    partitioning. Returns per-session rows: (user_id, session_id,
+    session_start, session_end, n_events, total_value).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # exact integer microseconds (unix_timestamp would truncate to seconds
+    # and mis-classify gaps within 1s of the boundary)
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_bounds = (
+        df.withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .withColumn(
+            "_new_session",
+            (
+                F.col("_prev_ts").isNull()
+                | (
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    - F.unix_micros(F.col("_prev_ts").cast("timestamp"))
+                    > gap_us
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        with_bounds.groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            _exact_sum(F.col("value")).alias("total_value"),
+        )
+        .orderBy(user_col, "session_id")
+    )

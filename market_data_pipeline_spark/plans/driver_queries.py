@@ -1,0 +1,855 @@
+"""The oracle-checked query surface over the driver's synthetic tables.
+
+Maps every operator family of SURVEY §2 (and the §7 Phase-6 extensions)
+onto the TPC-H-ish driver tables (FIXTURES.md §B): ``lineitem`` plays the
+``stock_price`` fact role through a derived per-(symbol, day) price series,
+``part`` plays ``stock_master``, ``events``/``documents``/``embeddings``
+drive the event-window / dedup / text / similarity operators.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable registered with a
+matching DuckDB oracle SQL string (where SQL-expressible). Determinism
+rules that make the hash-compare meaningful:
+
+- money sums/avgs accumulate in DECIMAL(18,2) on both sides (float sums
+  are partition-order-dependent);
+- ratio/return arithmetic uses the same IEEE expression tree on both
+  sides (deterministic per-row, no accumulation);
+- corr and cosine are rounded (6 dp) because their accumulation order is
+  engine-internal;
+- every top-k has a total order (explicit tiebreak columns);
+- integer-ish computed columns are BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import (
+    analytics,
+    dedup,
+    events as ev,
+    similarity,
+    text as tx,
+    upsert,
+    validate as val,
+)
+from market_data_pipeline_spark.operators.setops import union_relaxed
+from market_data_pipeline_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Derived frames: the stock-domain mapping over driver tables
+# ---------------------------------------------------------------------------
+
+
+def price_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(symbol, trading day) series derived from lineitem:
+    symbol = partkey, close = max extended price, volume = total quantity,
+    amount = total extended price. Mirrors the stock_price fact shape
+    (reference: src/clickhouse/price_client.py:78-96)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").cast("string").alias("symbol"),
+        F.to_date("l_shipdate").alias("trade_date"),
+    ).agg(
+        F.max("l_extendedprice").alias("close_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("long").alias("volume"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("amount"),
+    )
+
+
+PRICE_CTE = """
+price AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS symbol,
+         CAST(l_shipdate AS DATE)   AS trade_date,
+         MAX(l_extendedprice)       AS close_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)      AS volume,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+  FROM lineitem
+  GROUP BY 1, 2
+)"""
+
+
+def master_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol dimension derived from part, with deterministic
+    listing/delisting attributes mirroring stock_master
+    (reference: src/clickhouse/stock_master.py:18-30; invariant
+    is_active=0 <=> delisting_date set, FIXTURES.md A1)."""
+    p = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    return p.select(
+        pk.cast("string").alias("symbol"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("market"),
+        F.when(pk % 5 == 0, F.lit(None).cast("date"))
+        .otherwise(F.date_add(F.to_date(F.lit("1994-01-01")), (pk % 1000).cast("int")))
+        .alias("listing_date"),
+        F.when(pk % 10 == 0, F.date_add(F.to_date(F.lit("1999-06-30")), (pk % 300).cast("int")))
+        .otherwise(F.lit(None).cast("date"))
+        .alias("delisting_date"),
+        F.when(pk % 10 == 0, F.lit(0)).otherwise(F.lit(1)).cast("int").alias("is_active"),
+    )
+
+
+MASTER_CTE = """
+master AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS symbol,
+         p_name  AS name,
+         p_brand AS market,
+         CASE WHEN p_partkey % 5 = 0 THEN NULL
+              ELSE DATE '1994-01-01' + CAST(p_partkey % 1000 AS INTEGER) END AS listing_date,
+         CASE WHEN p_partkey % 10 = 0 THEN DATE '1999-06-30' + CAST(p_partkey % 300 AS INTEGER)
+              ELSE NULL END AS delisting_date,
+         CASE WHEN p_partkey % 10 = 0 THEN 0 ELSE 1 END AS is_active
+  FROM part
+)"""
+
+
+def market_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-level daily close series (dense enough for correlations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("symbol"),
+            F.to_date("l_shipdate").alias("trade_date"),
+        )
+        .agg(F.max("l_extendedprice").alias("close_price"))
+    )
+
+
+MARKET_SERIES_CTE = """
+mseries AS (
+  SELECT p.p_brand AS symbol,
+         CAST(l.l_shipdate AS DATE) AS trade_date,
+         MAX(l.l_extendedprice) AS close_price
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)"""
+
+# Fixed query parameters (chosen to have data at every scale factor).
+SUMMARY_DATE = "1998-06-05"
+STOCK_SYMBOLS = ["7", "42", "101", "157"]
+RETURN_SYMBOLS = ["3", "7", "21", "42", "101"]
+BRANDS = [f"Brand#{i}" for i in range(1, 26)]
+UNIVERSE_DATE = "1997-06-02"
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- A1/J1: per-market one-day summary -------------------------------------
+
+
+@query(
+    "a1_market_summary",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}
+SELECT m.market AS market,
+       COUNT(*) AS stock_count,
+       CAST(SUM(CAST(p.close_price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(p.close_price)
+           AS avg_close_price,
+       CAST(SUM(p.volume) AS BIGINT) AS total_volume,
+       CAST(SUM(CAST(p.amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+FROM price p JOIN master m USING (symbol)
+WHERE p.trade_date = DATE '{SUMMARY_DATE}' AND p.close_price > 0
+GROUP BY 1""",
+)
+def a1_market_summary(spark, sf_dir):
+    return analytics.market_summary(
+        price_frame(spark, sf_dir), master_frame(spark, sf_dir), SUMMARY_DATE
+    )
+
+
+# --- W1/W3/O1: top day-over-day gainers ------------------------------------
+
+
+@query(
+    "w1_top_performers",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE},
+lagged AS (
+  SELECT symbol, trade_date, close_price, volume,
+         lag(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_close
+  FROM price
+  WHERE close_price IS NOT NULL AND close_price > 0
+)
+SELECT l.symbol AS symbol, m.name AS name, m.market AS market,
+       l.close_price AS close_price, l.prev_close AS prev_close,
+       (l.close_price - l.prev_close) / l.prev_close * 100.0 AS change_pct,
+       l.volume AS volume
+FROM lagged l JOIN master m USING (symbol)
+WHERE l.trade_date = DATE '{SUMMARY_DATE}' AND l.prev_close > 0
+ORDER BY change_pct DESC, symbol
+LIMIT 20""",
+)
+def w1_top_performers(spark, sf_dir):
+    return analytics.top_performers(
+        price_frame(spark, sf_dir), master_frame(spark, sf_dir), SUMMARY_DATE, limit=20
+    )
+
+
+# --- W1/W2/W3: daily + cumulative returns ----------------------------------
+
+
+@query(
+    "w2_calculate_returns",
+    f"""WITH {PRICE_CTE}
+SELECT symbol, trade_date, close_price,
+       close_price / lag(close_price) OVER w - 1.0 AS daily_return,
+       close_price / first_value(close_price)
+           OVER (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) - 1.0
+           AS cumulative_return
+FROM price
+WHERE close_price IS NOT NULL AND close_price > 0
+  AND symbol IN ({",".join(f"'{s}'" for s in RETURN_SYMBOLS)})
+  AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1999-12-31'
+WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+ORDER BY symbol, trade_date""",
+)
+def w2_calculate_returns(spark, sf_dir):
+    return analytics.calculate_returns(
+        price_frame(spark, sf_dir),
+        symbols=RETURN_SYMBOLS,
+        start_date="1996-01-01",
+        end_date="1999-12-31",
+    )
+
+
+# --- J2/A5: pairwise correlation over brand-level series --------------------
+
+
+@query(
+    "a5_correlation_matrix",
+    f"""WITH {MARKET_SERIES_CTE},
+rets AS (
+  SELECT symbol, trade_date,
+         close_price / lag(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0
+             AS daily_return,
+         lag(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_close
+  FROM mseries
+  WHERE close_price > 0
+)
+SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+       ROUND(corr(a.daily_return, b.daily_return), 6) AS correlation,
+       COUNT(*) AS n_days
+FROM rets a JOIN rets b ON a.trade_date = b.trade_date AND a.symbol < b.symbol
+WHERE a.prev_close IS NOT NULL AND a.prev_close > 0
+  AND b.prev_close IS NOT NULL AND b.prev_close > 0
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3""",
+)
+def a5_correlation_matrix(spark, sf_dir):
+    return analytics.correlation_matrix(market_series(spark, sf_dir), BRANDS, max_symbols=50)
+
+
+# --- J3/W4: latest price row per symbol ------------------------------------
+
+
+@query(
+    "j3_latest_prices",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date DESC) AS rn
+  FROM price
+)
+SELECT r.symbol AS symbol, r.trade_date AS trade_date, r.close_price AS close_price,
+       r.volume AS volume, r.amount AS amount, m.name AS name, m.market AS market
+FROM ranked r JOIN master m USING (symbol)
+WHERE r.rn = 1""",
+)
+def j3_latest_prices(spark, sf_dir):
+    return analytics.latest_prices(price_frame(spark, sf_dir), master_frame(spark, sf_dir))
+
+
+# --- J4/P9/A8: backtest universe -------------------------------------------
+
+
+@query(
+    "j4_backtest_universe",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}
+SELECT m.symbol AS symbol, m.name AS name, m.market AS market
+FROM master m
+WHERE m.is_active = 1
+  AND (m.listing_date IS NULL OR m.listing_date <= DATE '{UNIVERSE_DATE}')
+  AND m.symbol IN (
+    SELECT symbol FROM price
+    WHERE trade_date = DATE '{UNIVERSE_DATE}' AND close_price * volume > 100000.0
+  )
+ORDER BY symbol""",
+)
+def j4_backtest_universe(spark, sf_dir):
+    return analytics.backtest_universe(
+        price_frame(spark, sf_dir),
+        master_frame(spark, sf_dir),
+        UNIVERSE_DATE,
+        min_market_cap=100000.0,
+    )
+
+
+# --- A6: daily whole-market rollup -----------------------------------------
+
+
+@query(
+    "a6_daily_market_summary",
+    f"""WITH {PRICE_CTE}
+SELECT trade_date,
+       COUNT(*) AS stock_count,
+       CAST(SUM(CAST(close_price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(close_price) AS avg_close,
+       CAST(SUM(volume) AS BIGINT) AS total_volume,
+       CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+FROM price
+WHERE close_price IS NOT NULL
+GROUP BY 1""",
+)
+def a6_daily_market_summary(spark, sf_dir):
+    return analytics.daily_market_summary(price_frame(spark, sf_dir))
+
+
+# --- A2: conditional aggregation -------------------------------------------
+
+
+@query(
+    "a2_stock_count_stats",
+    f"""WITH {MASTER_CTE}
+SELECT market,
+       COUNT(CASE WHEN is_active = 1 THEN 1 END) AS active_count,
+       COUNT(CASE WHEN is_active = 0 THEN 1 END) AS delisted_count,
+       COUNT(*) AS total_count
+FROM master
+GROUP BY 1""",
+)
+def a2_stock_count_stats(spark, sf_dir):
+    return analytics.stock_count_stats(master_frame(spark, sf_dir))
+
+
+# --- A3: delisted report ----------------------------------------------------
+
+
+@query(
+    "a3_delisted_report",
+    f"""WITH {MASTER_CTE}
+SELECT market,
+       COUNT(*) AS delisted_count,
+       MIN(delisting_date) AS earliest_delisting,
+       MAX(delisting_date) AS latest_delisting
+FROM master
+WHERE is_active = 0
+GROUP BY 1""",
+)
+def a3_delisted_report(spark, sf_dir):
+    return analytics.delisted_report(master_frame(spark, sf_dir))
+
+
+# --- A4/S13: global table stats --------------------------------------------
+
+
+@query(
+    "a4_table_info",
+    f"""WITH {PRICE_CTE}
+SELECT COUNT(*) AS row_count,
+       MIN(trade_date) AS min_date,
+       MAX(trade_date) AS max_date,
+       COUNT(DISTINCT symbol) AS symbol_count
+FROM price""",
+)
+def a4_table_info(spark, sf_dir):
+    return analytics.table_info(price_frame(spark, sf_dir))
+
+
+# --- A8: distinct symbol list ----------------------------------------------
+
+
+@query(
+    "a8_all_symbols",
+    f"""WITH {MASTER_CTE}
+SELECT DISTINCT symbol FROM master WHERE is_active = 1""",
+)
+def a8_all_symbols(spark, sf_dir):
+    return analytics.get_all_symbols(master_frame(spark, sf_dir))
+
+
+# --- S13: per-symbol coverage ----------------------------------------------
+
+
+@query(
+    "s13_symbol_coverage",
+    f"""WITH {PRICE_CTE}
+SELECT symbol,
+       MIN(trade_date) AS first_date,
+       MAX(trade_date) AS last_date,
+       COUNT(*) AS day_count,
+       CAST(date_diff('day', MIN(trade_date), MAX(trade_date)) AS INTEGER) + 1 AS span_days
+FROM price
+GROUP BY 1""",
+)
+def s13_symbol_coverage(spark, sf_dir):
+    return analytics.missing_dates_stats(price_frame(spark, sf_dir))
+
+
+# --- J1/P7/P8/O2: filtered fact-dim join -----------------------------------
+
+
+@query(
+    "j1_stock_data",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}
+SELECT p.symbol AS symbol, p.trade_date AS trade_date, p.close_price AS close_price,
+       p.volume AS volume, p.amount AS amount, m.name AS name, m.market AS market
+FROM price p JOIN master m USING (symbol)
+WHERE p.symbol IN ({",".join(f"'{s}'" for s in STOCK_SYMBOLS)})
+  AND p.trade_date >= DATE '1996-01-01' AND p.trade_date <= DATE '1999-12-31'
+ORDER BY symbol, trade_date""",
+)
+def j1_stock_data(spark, sf_dir):
+    return analytics.get_stock_data(
+        price_frame(spark, sf_dir),
+        master_frame(spark, sf_dir),
+        symbols=STOCK_SYMBOLS,
+        start_date="1996-01-01",
+        end_date="1999-12-31",
+    ).select("symbol", "trade_date", "close_price", "volume", "amount", "name", "market")
+
+
+# --- J5/U3: insert-if-absent anti-join -------------------------------------
+
+
+@query(
+    "j5_insert_if_absent",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}
+SELECT m.* FROM master m
+WHERE NOT EXISTS (
+  SELECT 1 FROM price p
+  WHERE p.symbol = m.symbol AND p.trade_date <= DATE '1995-06-30'
+)""",
+)
+def j5_insert_if_absent(spark, sf_dir):
+    existing = price_frame(spark, sf_dir).filter(F.col("trade_date") <= F.lit("1995-06-30"))
+    return upsert.insert_if_absent(existing, master_frame(spark, sf_dir), "symbol")
+
+
+# --- A10/W4: versioned dedup (latest order per customer) --------------------
+
+
+@query(
+    "a10_dedup_latest",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1""",
+)
+def a10_dedup_latest(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return upsert.dedup_latest(orders, "o_custkey", "o_orderdate", tiebreak=["o_orderkey"])
+
+
+# --- P2-P5/A9: validation chain --------------------------------------------
+
+DIRTY_CTE = """
+dirty AS (
+  SELECT CASE WHEN p_partkey % 3 = 0 THEN lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+              ELSE CAST(p_partkey AS VARCHAR) END AS symbol,
+         CASE WHEN p_partkey % 7 = 0 THEN '' ELSE p_name END AS name,
+         CASE WHEN p_partkey % 11 = 0 THEN DATE '1985-01-01'
+              ELSE DATE '1995-01-01' + CAST(p_partkey % 400 AS INTEGER) END AS delisting_date
+  FROM part
+)"""
+
+
+def dirty_frame(spark, sf_dir):
+    """Deterministically dirtied master batch: 2/3 bad symbols, 1/7 empty
+    names, 1/11 out-of-range dates — the dirtiness profile of crawled
+    batches (FIXTURES.md A3)."""
+    p = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    return p.select(
+        F.when(pk % 3 == 0, F.lpad(pk.cast("string"), 6, "0"))
+        .otherwise(pk.cast("string"))
+        .alias("symbol"),
+        F.when(pk % 7 == 0, F.lit("")).otherwise(F.col("p_name")).alias("name"),
+        F.when(pk % 11 == 0, F.to_date(F.lit("1985-01-01")))
+        .otherwise(F.date_add(F.to_date(F.lit("1995-01-01")), (pk % 400).cast("int")))
+        .alias("delisting_date"),
+    )
+
+
+@query(
+    "p2_validate_rows",
+    f"""WITH {DIRTY_CTE}
+SELECT DISTINCT symbol, name, delisting_date FROM dirty
+WHERE regexp_matches(symbol, '^[0-9]{{6}}$')
+  AND name IS NOT NULL AND length(trim(name)) > 0
+  AND delisting_date IS NOT NULL
+  AND delisting_date BETWEEN DATE '1990-01-01' AND current_date""",
+)
+def p2_validate_rows(spark, sf_dir):
+    valid, _ = val.validate_delisted(dirty_frame(spark, sf_dir))
+    return valid
+
+
+@query(
+    "p2_validate_stats",
+    f"""WITH {DIRTY_CTE}
+SELECT COUNT(*) AS input_count,
+       COUNT(CASE WHEN NOT regexp_matches(symbol, '^[0-9]{{6}}$') THEN 1 END)
+           AS valid_symbol_failed,
+       COUNT(CASE WHEN NOT (name IS NOT NULL AND length(trim(name)) > 0) THEN 1 END)
+           AS valid_name_failed,
+       COUNT(CASE WHEN NOT (delisting_date IS NOT NULL
+               AND delisting_date BETWEEN DATE '1990-01-01' AND current_date) THEN 1 END)
+           AS valid_date_failed,
+       COUNT(CASE WHEN regexp_matches(symbol, '^[0-9]{{6}}$')
+               AND name IS NOT NULL AND length(trim(name)) > 0
+               AND delisting_date IS NOT NULL
+               AND delisting_date BETWEEN DATE '1990-01-01' AND current_date THEN 1 END)
+           AS valid_count
+FROM dirty""",
+)
+def p2_validate_stats(spark, sf_dir):
+    _, stats = val.validate_delisted(dirty_frame(spark, sf_dir))
+    return stats
+
+
+# --- U1: relaxed union ------------------------------------------------------
+
+
+@query(
+    "u1_union_relaxed",
+    """SELECT CAST(c_custkey AS VARCHAR) AS entity_id, c_name AS name,
+       c_acctbal AS acctbal, c_mktsegment AS segment, CAST(NULL AS INTEGER) AS nation
+FROM customer
+UNION ALL
+SELECT CAST(s_suppkey AS VARCHAR) AS entity_id, s_name AS name,
+       s_acctbal AS acctbal, CAST(NULL AS VARCHAR) AS segment, s_nationkey AS nation
+FROM supplier""",
+)
+def u1_union_relaxed(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    return union_relaxed([cust, supp])
+
+
+# --- O1: top-k with total order --------------------------------------------
+
+
+@query(
+    "o1_topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25""",
+)
+def o1_topk_orders(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+# --- E1: tumbling event windows --------------------------------------------
+
+
+@query(
+    "e1_tumbling_window",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2""",
+)
+def e1_tumbling_window(spark, sf_dir):
+    return ev.tumbling_window(
+        load_table(spark, sf_dir, "events"), duration="hour", keys=["event_type"]
+    )
+
+
+# --- E2: sliding event windows ---------------------------------------------
+
+
+@query(
+    "e2_sliding_window",
+    """WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+), expanded AS (
+  SELECT ws AS window_start, event_type, value FROM b
+  UNION ALL
+  SELECT ws - INTERVAL '30 minutes' AS window_start, event_type, value FROM b
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1, 2, 3""",
+)
+def e2_sliding_window(spark, sf_dir):
+    return ev.sliding_window(
+        load_table(spark, sf_dir, "events"),
+        window_duration="1 hour",
+        slide_duration="30 minutes",
+        keys=["event_type"],
+    )
+
+
+# --- E3: sessionization -----------------------------------------------------
+
+
+@query(
+    "e3_sessionize",
+    """WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY 1, 2""",
+)
+def e3_sessionize(spark, sf_dir):
+    return ev.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# --- DD1: exact dedup -------------------------------------------------------
+
+
+@query(
+    "dd1_exact_dedup",
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY text""",
+)
+def dd1_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --- DD2: n-gram Jaccard near-dup pairs ------------------------------------
+
+
+@query(
+    "dd2_ngram_jaccard",
+    r"""WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh0 AS (
+  SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM sh0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.common,
+       p.common / (sa.sz + sb.sz - p.common) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.common / (sa.sz + sb.sz - p.common) >= 0.1""",
+)
+def dd2_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), group_col="lang", n=3, threshold=0.1
+    )
+
+
+# --- TX1: quality stats -----------------------------------------------------
+
+_EN_STOPS = ",".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+
+
+@query(
+    "tx1_quality_stats",
+    rf"""WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS char_count,
+       CAST(len(toks) AS INTEGER) AS token_count,
+       CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token,
+       CAST(len(list_filter(toks, x -> x IN ({_EN_STOPS}))) AS INTEGER) AS stop_count,
+       CAST(len(list_filter(toks, x -> x IN ({_EN_STOPS}))) AS DOUBLE) / len(toks)
+           AS stop_ratio,
+       CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS INTEGER)
+           AS punct_count,
+       CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+FROM t""",
+)
+def tx1_quality_stats(spark, sf_dir):
+    return tx.quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- TX2: token counting ----------------------------------------------------
+
+
+@query(
+    "tx2_token_counts",
+    rf"""SELECT doc_id,
+       CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{tx.TOKEN_PATTERN}')) AS INTEGER) AS bpe_ish_tokens
+FROM documents""",
+)
+def tx2_token_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+# --- TX3: language-ID heuristic --------------------------------------------
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+@query(
+    "tx3_detect_language",
+    rf"""WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+), scored AS (
+  SELECT doc_id,
+         {", ".join(f"CAST({_lang_score_sql(lang)} AS INTEGER) AS {lang}_score" for lang in tx.STOPWORDS)}
+  FROM t
+)
+SELECT doc_id,
+       CASE
+         {" ".join(f"WHEN {lang}_score = greatest({', '.join(f'{o}_score' for o in tx.STOPWORDS)}) AND {lang}_score > 0 THEN '{lang}'" for lang in tx.STOPWORDS)}
+         ELSE 'unknown'
+       END AS predicted_lang,
+       {", ".join(f"{lang}_score" for lang in tx.STOPWORDS)}
+FROM scored""",
+)
+def tx3_detect_language(spark, sf_dir):
+    return tx.detect_language(load_table(spark, sf_dir, "documents"))
+
+
+# --- K1/K2: embedding similarity search ------------------------------------
+
+_COSINE_SQL = """ROUND(
+  list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+  / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+   * sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(q.embedding, x -> CAST(x AS DOUBLE))))), 6)"""
+
+
+@query(
+    "k1_knn_topk",
+    f"""WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {_COSINE_SQL} AS cosine
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10""",
+)
+def k1_knn_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_batch(emb, emb.filter(F.col("vec_id") == 0), k=10).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@query(
+    "k2_knn_batch",
+    f"""WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {_COSINE_SQL} AS cosine
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+  WHERE e.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+)
+def k2_knn_batch(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_batch(emb, emb.filter(F.col("vec_id") < 5), k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle: hash-based sketches / approximate ops)
+# ---------------------------------------------------------------------------
+
+
+@query("dd3_minhash_lsh")
+def dd3_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs — xxhash64-based, not SQL-expressible in
+    DuckDB (different hash function); verified structurally by pytest."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("dd4_simhash_pairs")
+def dd4_simhash_pairs(spark, sf_dir):
+    fp = dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(fp, max_hamming=10)
+
+
+@query("tx4_fingerprint")
+def tx4_fingerprint(spark, sf_dir):
+    return tx.rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query("k3_knn_lsh")
+def k3_knn_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_lsh(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=6)

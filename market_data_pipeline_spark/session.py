@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Defaults chosen for correctness-vs-oracle and 100 TB-scale discipline:
+
+- **UTC session timezone**: timestamp values must hash-match a DuckDB oracle;
+  a local timezone would silently shift epoch values.
+- **AQE on**: runtime coalescing of shuffle partitions + skew-join splitting;
+  at 100 TB this is what turns a fixed ``spark.sql.shuffle.partitions`` into
+  a safe upper bound instead of a tuning cliff.
+- **Arrow on**: any pandas edge (tests, toPandas, pandas UDFs) moves by
+  columnar batch instead of pickled rows.
+- **Shuffle partitions**: small default for local test scale; production
+  entry points should set ``spark.sql.shuffle.partitions`` to ~2-3x total
+  cores and let AQE coalesce down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "market-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster is
+    configured; on a real cluster pass ``None`` with a pre-set master URL in
+    the environment and this is a no-op.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Parquet writer defaults: snappy is the read-speed sweet spot; at
+        # 100 TB switch to zstd for colder data via table properties.
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Row-group min/max based skipping relies on sorted-within-file
+        # layout written by storage.table; keep filter pushdown on.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # parquet TIMESTAMP(NANOS) (events.ts) is unreadable by default;
+        # read as long and convert in sources.catalog
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_URL"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,73 @@
+"""Parquet catalog over the driver's synthetic tables (TESTDATA.md).
+
+Replaces the reference's ClickHouse query bridge
+(reference: src/clickhouse/client.py:23-71): where the reference POSTs SQL
+text over HTTP and re-hydrates JSON rows into Polars, here ``spark.read``
+returns the DataFrame directly and Catalyst owns the plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table. Schema comes from the parquet footer — the
+    files are the contract (FIXTURES.md §B); we do not re-impose StructTypes
+    on read, so predicate pushdown and column pruning reach the scan.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark only
+    reads via ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py);
+    the long is converted back to a microsecond timestamp here (values are
+    µs-resolution, so the ns->µs division is lossless)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div, not float: double division rounds the ns value and
+        # shifts some timestamps by 1µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class Catalog:
+    """Lazy handle bundle for one scale-factor directory.
+
+    Each property returns a fresh DataFrame rooted at the parquet scan, so
+    every query builds its own pruned scan (no shared cached plan that would
+    defeat column pruning).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_NAMES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register all tables as temp views for spark.sql access
+        (reference views analog: src/setup/setup_clickhouse.py:247-295)."""
+        for name in TABLE_NAMES:
+            self.table(name).createOrReplaceTempView(name)

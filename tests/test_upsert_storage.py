@@ -1,0 +1,163 @@
+"""Tests for the stateful layer: upserts, set-based delisting updates,
+versioned dedup, guarded delete, and the ParquetTable emulation of
+ReplacingMergeTree semantics (SURVEY §1.3, §7 Phase 3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import upsert as U
+from market_data_pipeline_spark.storage.table import stock_master_table, stock_price_table
+
+D = dt.date
+TS = dt.datetime
+
+
+def master_rows():
+    return [
+        ("000001", "Alpha", "KOSPI", D(2000, 1, 1), None, 1, TS(2024, 1, 1), TS(2024, 1, 1)),
+        ("000002", "Beta", "KOSDAQ", D(2001, 1, 1), None, 1, TS(2024, 1, 1), TS(2024, 1, 1)),
+        ("000003", "Gone", "KOSPI", D(2002, 1, 1), D(2020, 5, 1), 0, TS(2024, 1, 1), TS(2024, 1, 1)),
+    ]
+
+
+MASTER_COLS = [
+    "symbol", "name", "market", "listing_date", "delisting_date", "is_active", "create_dt", "update_dt",
+]
+
+
+def master_df(spark):
+    return spark.createDataFrame(master_rows(), MASTER_COLS)
+
+
+def test_insert_if_absent(spark):
+    existing = master_df(spark)
+    incoming = spark.createDataFrame(
+        [
+            ("000002", "Beta-dup", "KOSDAQ", None, None, 1, TS(2024, 2, 1), TS(2024, 2, 1)),
+            ("000009", "New", "KONEX", None, None, 1, TS(2024, 2, 1), TS(2024, 2, 1)),
+        ],
+        "symbol string, name string, market string, listing_date date, "
+        "delisting_date date, is_active int, create_dt timestamp, update_dt timestamp",
+    )
+    out = U.insert_if_absent(existing, incoming, "symbol").collect()
+    assert [r.symbol for r in out] == ["000009"]
+
+
+def test_dedup_latest_keeps_max_version(spark):
+    df = spark.createDataFrame(
+        [
+            ("000001", "old", TS(2024, 1, 1)),
+            ("000001", "new", TS(2024, 3, 1)),
+            ("000002", "only", TS(2024, 1, 1)),
+        ],
+        ["symbol", "name", "update_dt"],
+    )
+    out = {r.symbol: r.name for r in U.dedup_latest(df, "symbol").collect()}
+    assert out == {"000001": "new", "000002": "only"}
+
+
+def test_dedup_latest_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k", 1, TS(2024, 1, 1)), ("k", 2, TS(2024, 1, 1))], ["symbol", "v", "update_dt"]
+    )
+    out = U.dedup_latest(df, "symbol", tiebreak=["v"]).collect()
+    assert out[0].v == 2  # max tiebreak wins, stable across replays
+
+
+def test_apply_delistings_branches(spark):
+    """The three branches of the reference's row loop, set-based
+    (reference: scripts/sync_delisted_stocks.py:131-187): update active,
+    skip already-delisted, insert unknown."""
+    master = master_df(spark)
+    delisted = spark.createDataFrame(
+        [
+            ("000001", "Alpha", "KOSPI", D(2024, 6, 1)),   # update
+            ("000003", "Gone", "KOSPI", D(2024, 6, 1)),    # skip (already delisted)
+            ("000007", "Phantom", "KONEX", D(2024, 6, 1)), # insert
+        ],
+        ["symbol", "name", "market", "delisting_date"],
+    )
+    updated, stats = U.apply_delistings(master, delisted)
+    rows = {r.symbol: r for r in updated.collect()}
+    st = stats.first()
+    assert (st.updated, st.inserted, st.skipped) == (1, 1, 1)
+    assert rows["000001"].is_active == 0 and rows["000001"].delisting_date == D(2024, 6, 1)
+    assert rows["000003"].delisting_date == D(2020, 5, 1)  # untouched
+    assert rows["000007"].is_active == 0 and rows["000007"].name == "Phantom"
+    assert rows["000002"].is_active == 1  # untouched active row survives
+    # invariant: is_active=0 <=> delisting_date set (FIXTURES.md A1)
+    for r in rows.values():
+        assert (r.is_active == 0) == (r.delisting_date is not None)
+
+
+def test_guarded_delete_refuses_unconditional(spark):
+    df = master_df(spark)
+    with pytest.raises(ValueError):
+        U.guarded_delete(df)
+
+
+def price_rows():
+    out = []
+    for i, sym in enumerate(["000001", "000002"]):
+        for d in range(1, 6):
+            out.append(
+                (sym, D(2024, 3, d), 100.0 + i + d, 1000 + d, 10_000 + d, TS(2024, 3, d), TS(2024, 3, d))
+            )
+    return out
+
+
+PRICE_COLS = ["symbol", "trade_date", "close_price", "volume", "amount", "create_dt", "update_dt"]
+
+
+def test_parquet_table_upsert_compact_delete(spark, tmp_path):
+    t = stock_price_table(spark, str(tmp_path / "price"))
+    df = spark.createDataFrame(price_rows(), PRICE_COLS)
+    t.overwrite(df)
+    assert t.read_raw().count() == 10
+
+    # insert-if-absent: one duplicate key + one new key -> only new appended
+    batch = spark.createDataFrame(
+        [
+            ("000001", D(2024, 3, 1), 999.0, 1, 1, TS(2024, 3, 9), TS(2024, 3, 9)),
+            ("000001", D(2024, 3, 9), 111.0, 1, 1, TS(2024, 3, 9), TS(2024, 3, 9)),
+        ],
+        PRICE_COLS,
+    )
+    assert t.upsert_absent(batch) == 1
+    assert t.read_raw().count() == 11
+
+    # versioned overwrite via append + read_current dedup
+    t.append(
+        spark.createDataFrame(
+            [("000001", D(2024, 3, 1), 555.0, 9, 9, TS(2024, 4, 1), TS(2024, 4, 1))], PRICE_COLS
+        )
+    )
+    cur = t.read_current()
+    row = cur.filter((F.col("symbol") == "000001") & (F.col("trade_date") == D(2024, 3, 1))).first()
+    assert row.close_price == 555.0
+    assert t.read_raw().count() == 12 and cur.count() == 11
+
+    # OPTIMIZE FINAL: physical rewrite drops the stale version
+    t.compact()
+    assert t.read_raw().count() == 11
+
+    # partition layout: monthly hive dirs exist
+    assert any(p.name.startswith("trade_month=") for p in (tmp_path / "price").iterdir())
+
+    # guarded delete of one symbol+range
+    remaining = U.guarded_delete(t.read_raw(), symbol="000002", start_date="2024-03-01", end_date="2024-03-03")
+    t.overwrite(remaining)
+    assert t.read_raw().filter(F.col("symbol") == "000002").count() == 2
+
+
+def test_master_table_replacing_semantics(spark, tmp_path):
+    t = stock_master_table(spark, str(tmp_path / "master"))
+    t.overwrite(master_df(spark))
+    # re-crawl upsert: same keys -> nothing inserted (idempotent daily rerun,
+    # reference: scripts/daily_stock_master_update.py:333-367)
+    assert t.upsert_absent(master_df(spark)) == 0
+    assert t.read_current().count() == 3
