@@ -35,19 +35,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingle_tokens(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>).
-
-    Pure built-in expression (split + sequence + transform) — stays in
-    whole-stage codegen, no UDF.
-    """
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
+def shingles_from_tokens(toks_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* token-array
+    column. Callers must stage the token array into a real column first
+    (see :func:`shingled`): if the split expression is passed in directly,
+    Catalyst inlines it into every per-gram element access and recomputes
+    the split n times per shingle — measured 40x slower."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks_col) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks_col, i, n), " "))
     return F.array_distinct(grams)
+
+
+def shingled(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, extra..., shingles: array<string>) with the tokenization staged
+    through a materialized column (two select stages — see
+    :func:`shingles_from_tokens` for why)."""
+    from market_data_pipeline_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df, id_col)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    staged = df.select(F.col(id_col), *[F.col(c) for c in extra_cols], toks.alias("_toks"))
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        shingles_from_tokens(F.col("_toks"), n).alias("shingles"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -71,12 +89,21 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, common, jaccard).
     """
     group = [group_col] if group_col else []
-    sh = (
-        df.select(
-            F.col(id_col), *group, F.explode(shingle_tokens(F.col(text_col), n)).alias("shingle")
-        )
-    )
-    sizes = sh.groupBy(id_col, *group).agg(F.count("*").alias("sz"))
+    # Two plan-shape decisions that matter at scale:
+    # - join/shuffle on the 8-byte shingle hash, not the shingle string
+    #   (same pair counts — xxhash64 collisions are negligible — far
+    #   cheaper exchange);
+    # - carry each doc's shingle count |A| on the exploded rows (it is
+    #   just size(shingles), known before explode) instead of computing a
+    #   separate sizes aggregate: that removes two extra joins AND makes
+    #   both self-join sides byte-identical subplans, so Spark shuffles
+    #   the shingle frame once and the other side is a ReusedExchange.
+    sh = shingled(df, id_col, text_col, n, extra_cols=tuple(group)).select(
+        F.col(id_col),
+        *group,
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("_s"),
+    ).select(F.col(id_col), *group, F.col("sz"), F.xxhash64(F.col("_s")).alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
     join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
@@ -84,19 +111,15 @@ def ngram_jaccard_pairs(
     )
     for g in group:
         join_cond = join_cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
-    common = (
+    return (
         a.join(b, join_cond)
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
         .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
@@ -104,6 +127,20 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "jaccard")
     )
+
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash parameters (odd 31-bit multiplier,
+    31-bit offset): h_i(x) = a_i * (x & 0x7fffffff) + b_i. Operands are
+    sized so the product stays < 2^62 — ANSI mode (Spark 4 default) makes
+    wrapping long arithmetic an error, so the hash must not overflow."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30) * 2 + 1, rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -114,23 +151,31 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signature per document: for hash function i, the minimum of
-    ``xxhash64(shingle, seed+i)`` over the doc's shingles.
+    """MinHash signature per document.
 
-    Implemented as one exploded frame + ``min_by``-free groupBy of
-    ``min(hash_i)`` columns — a single shuffle on doc_id, signature width
-    columns computed JVM-side.
+    Fully map-side: each shingle is xxhash64'd ONCE to a long, then the
+    ``num_hashes`` permutations are cheap wrapping multiply-adds over that
+    long (universal hashing) folded with ``array_min`` — no explode, no
+    shuffle, signature computed in a single pass per row. (The earlier
+    explode+groupBy formulation shuffled |docs|x|shingles| rows and hashed
+    each shingle string 64 times.)
     Returns (id_col, sig: array<bigint>).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingle_tokens(F.col(text_col), n)).alias("shingle")
+    params = _minhash_params(num_hashes, seed)
+    hashed = shingled(df, id_col, text_col, n).select(
+        F.col(id_col),
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")),
+        ).alias("_hs"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
-        for i in range(num_hashes)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("_hs"), lambda h: h * F.lit(a).cast("long") + F.lit(b).cast("long"))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
     ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
+    return hashed.select(F.col(id_col), *sig_cols).select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
@@ -197,28 +242,32 @@ def simhash(
 
     For each shingle hash, each bit position contributes +1/-1 to a
     per-document tally; the fingerprint sets bits with positive tally.
-    Expressed as explode → per-bit conditional sums → bit OR-fold; all
-    built-in expressions, one shuffle on doc_id.
+    Fully map-side: shingle hashes are a per-row array, each bit tally an
+    ``aggregate`` fold over it — no explode, no shuffle.
 
     Near-dup detection = hamming distance on fingerprints
     (``bit_count(fp_a ^ fp_b)``), typically via banding the 64 bits into
     4×16-bit keys for an equi-join — same shape as MinHash LSH.
     Returns (id_col, fingerprint: bigint).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingle_tokens(F.col(text_col), n)).alias("_sh")
-    ).select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("h"))
+    hashed = shingled(df, id_col, text_col, n).select(
+        F.col(id_col),
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("_hs"),
+    )
+
     # bit masks via shiftleft — a python literal 1 << 63 overflows long
     def mask(i: int):
         return F.shiftleft(F.lit(1).cast("long"), i)
 
-    aggs = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(mask(i)) != 0, 1).otherwise(-1)
+    tally_cols = [
+        F.aggregate(
+            F.col("_hs"),
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask(i)) != 0, 1).otherwise(-1),
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    tallies = sh.groupBy(id_col).agg(*aggs)
+    tallies = hashed.select(F.col(id_col), *tally_cols)
     fp = F.lit(0).cast("long")
     for i in range(bits):
         fp = fp.bitwiseOR(F.when(F.col(f"b{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long")))
