@@ -102,6 +102,232 @@ def knn_batch(
     )
 
 
+def normalized(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stage unit-normalized double vectors into a materialized ``_nvec``
+    column (plus the id and any extras).
+
+    Pair-wise cosine over N vectors touches each vector ~N times; dividing
+    by the norm once per row up front turns every subsequent cosine into a
+    plain dot product. Materializing through a projection stops Catalyst
+    from inlining (and so recomputing) the normalization into each use.
+    """
+    dd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.select(F.col(id_col), *[F.col(c) for c in extra_cols], dd.alias("_dvec"))
+    n = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_dvec"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.transform(F.col("_dvec"), lambda x: x / n).alias("_nvec"),
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    cosine(a, b) >= threshold.
+
+    Correctness baseline: O(N^2) self comparison with per-row staged norms
+    (each norm computed once, not once per pair). At 100 TB use
+    :func:`cosine_near_dup_lsh`, which prunes the quadratic join with
+    sign-LSH band buckets; this exact form is for modest N (dedup within a
+    shard/bucket) and as the oracle for the approximate path. The cosine is
+    dot(a,b)/(|a|*|b|) over sequentially-accumulated doubles — the same
+    expression shape DuckDB's list_dot_product produces, so the rounded
+    value hash-matches the SQL oracle.
+    Returns (vec_a, vec_b, cosine) ordered by (vec_a, vec_b).
+    """
+    dd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = embeddings.select(F.col(id_col), dd.alias("_dvec")).select(
+        F.col(id_col), F.col("_dvec"), _norm(F.col("_dvec")).alias("_n")
+    )
+    a = staged.select(
+        F.col(id_col).alias("vec_a"), F.col("_dvec").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = staged.select(
+        F.col(id_col).alias("vec_b"), F.col("_dvec").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def cosine_near_dup_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs: sign-LSH banding prunes the
+    candidate space, exact cosine confirms.
+
+    Each band hashes the vector to a ``band_planes``-bit sign bucket;
+    vectors colliding in ANY band become candidates (equi-join per band on
+    (band, bucket) — the quadratic blow-up is confined to same-bucket
+    groups, expected size N / 2^band_planes per band). High-cosine pairs
+    collide in some band with probability 1 - (1 - p^band_planes)^n_bands,
+    p = 1 - angle/pi. No UDFs; one shuffle on the band key.
+    Returns (vec_a, vec_b, cosine) with cosine >= threshold.
+    """
+    nv = normalized(embeddings, id_col, vec_col)
+    planes = random_hyperplanes(dim, n_bands * band_planes, seed)
+    band_cols = []
+    for bnd in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(band_planes):
+            proj = _dot(F.col("_nvec"), F.array(*[F.lit(float(x)) for x in planes[bnd * band_planes + i]]))
+            bucket = bucket.bitwiseOR(
+                F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            )
+        band_cols.append(F.struct(F.lit(bnd).alias("band"), bucket.alias("bucket")).alias(f"_b{bnd}"))
+    banded = nv.select(
+        F.col(id_col), F.col("_nvec"), F.explode(F.array(*band_cols)).alias("_band")
+    ).select(F.col(id_col), F.col("_nvec"), F.col("_band.band").alias("_bd"), F.col("_band.bucket").alias("_bk"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._bd") == F.col("b._bd"))
+            & (F.col("a._bk") == F.col("b._bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("a._nvec").alias("_va"),
+            F.col("b._nvec").alias("_vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        cand.select("vec_a", "vec_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Inverted-file index: assign every vector to its nearest centroid by
+    cosine (deterministic ties: lowest centroid id).
+
+    Centroids are broadcast (small by construction), so the scoring cross
+    join is map-side; the argmax window partitions by vector id, which the
+    scored stream is already clustered on (each input row fans out to its
+    |centroids| scores within the same partition), so AQE coalesces the
+    exchange cheaply.
+    Returns (id_col, centroid_id, cosine).
+    """
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("_cvec")
+    )
+    sim = cosine(F.col(vec_col), F.col("_cvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = embeddings.crossJoin(F.broadcast(c)).select(
+        F.col(id_col), F.col(centroid_id_col), sim.alias("cosine")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.col(centroid_id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF approximate nearest neighbors: corpus is partitioned into
+    ``n_centroids`` inverted lists by nearest centroid; each query probes
+    its ``n_probe`` closest centroids' lists and ranks exactly within them.
+
+    Centroids are the first ``n_centroids`` corpus vectors by id —
+    deterministic so the result is oracle-checkable. (Production would run
+    k-means — e.g. pyspark.ml.clustering.KMeans — over a sample; the index
+    shape and probe path are identical.) Scale: the cross join is only
+    |corpus| x n_centroids against a broadcast side; the probe join is an
+    equi-join on centroid id, i.e. each query scans ~n_probe/n_centroids of
+    the corpus instead of all of it.
+    Returns (query_id, vec_id, cosine, rank).
+    """
+    centroids = embeddings.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col("centroid_id")
+    )
+    corpus = embeddings.join(assigned, id_col)
+
+    # probe list: top n_probe centroids per query
+    c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec"))
+    qsim = cosine(F.col("_qvec"), F.col("_cvec"))
+    if round_digits is not None:
+        qsim = F.round(qsim, round_digits)
+    qw = Window.partitionBy(query_id_col).orderBy(F.desc("_qcsim"), F.col("centroid_id"))
+    probes = (
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+        .crossJoin(F.broadcast(c))
+        .select(F.col(query_id_col), F.col("_qvec"), F.col("centroid_id"), qsim.alias("_qcsim"))
+        .withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, "_qvec", "centroid_id")
+    )
+
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(F.col(query_id_col), F.col(id_col), sim.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = random.Random(seed)

@@ -826,9 +826,102 @@ def k2_knn_batch(spark, sf_dir):
     )
 
 
+# --- DD5: exact embedding-cosine near-dup pairs -----------------------------
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two list columns, rounded to 6 dp (matches the
+    Spark side's sequential-double accumulation bit-for-bit)."""
+    da = f"list_transform({a}, x -> CAST(x AS DOUBLE))"
+    db = f"list_transform({b}, x -> CAST(x AS DOUBLE))"
+    return (
+        f"ROUND(list_dot_product({da}, {db}) / "
+        f"(sqrt(list_dot_product({da}, {da})) * sqrt(list_dot_product({db}, {db}))), 6)"
+    )
+
+
+@query(
+    "dd5_cosine_near_dup",
+    f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+ORDER BY vec_a, vec_b""",
+)
+def dd5_cosine_near_dup(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# --- K4: IVF approximate nearest neighbors ----------------------------------
+
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 4
+
+
+@query(
+    "k4_knn_ivf",
+    f"""WITH c AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}
+), q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.centroid_id
+           ) AS rn
+    FROM q, c)
+  WHERE rn <= {_IVF_PROBE}
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.embedding')} DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e, c)
+  WHERE rn = 1
+), scored AS (
+  SELECT p.query_id, e.vec_id, {_cos_sql('e.embedding', 'q.embedding')} AS cosine
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.centroid_id = a.centroid_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+)
+def k4_knn_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_centroids=_IVF_CENTROIDS,
+        n_probe=_IVF_PROBE,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle: hash-based sketches / approximate ops)
 # ---------------------------------------------------------------------------
+
+
+@query("dd6_cosine_near_dup_lsh")
+def dd6_cosine_near_dup_lsh(spark, sf_dir):
+    """Sign-LSH-banded near-dup pairs — random-hyperplane bucketing is not
+    reproducible in DuckDB SQL; recall vs the exact dd5 pairs is asserted
+    in pytest instead."""
+    return similarity.cosine_near_dup_lsh(
+        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4, n_bands=16, band_planes=4
+    )
 
 
 @query("dd3_minhash_lsh")

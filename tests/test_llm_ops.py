@@ -155,3 +155,64 @@ def test_sessionize_gap_split(spark):
     u7 = [r for r in out if r.user_id == 7]
     assert [(r.session_id, r.n_events) for r in u7] == [(1, 2), (2, 1)]
     assert len([r for r in out if r.user_id == 8]) == 1
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Two tight clusters plus an outlier: ids 0-2 near +x, 10-12 near +y."""
+    rows = []
+    for i, eps in [(0, 0.0), (1, 0.01), (2, -0.02)]:
+        rows.append((i, [1.0, eps, 0.0, 0.0]))
+    for i, eps in [(10, 0.0), (11, 0.015), (12, -0.01)]:
+        rows.append((i, [eps, 1.0, 0.0, 0.0]))
+    rows.append((20, [0.0, 0.0, 1.0, 0.0]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_near_dup_exact(clustered_emb):
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in SIM.cosine_near_dup_pairs(clustered_emb, threshold=0.99).collect()
+    }
+    assert set(pairs) == {(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12)}
+    assert all(v >= 0.99 for v in pairs.values())
+
+
+def test_cosine_near_dup_lsh_recall(clustered_emb):
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.cosine_near_dup_pairs(clustered_emb, threshold=0.99).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.cosine_near_dup_lsh(
+            clustered_emb, dim=4, threshold=0.99, n_bands=8, band_planes=2
+        ).collect()
+    }
+    # every LSH pair is a true pair (cosine confirmed); recall is high on
+    # tight clusters
+    assert approx <= exact
+    assert len(approx) >= len(exact) - 1
+
+
+def test_knn_ivf_matches_bruteforce_on_clusters(clustered_emb):
+    # centroids = vec_id < 3 (all in cluster A) still routes cluster-B
+    # queries through their best available centroid; with n_probe covering
+    # all centroids the search is exhaustive and must equal brute force
+    q = clustered_emb.filter(F.col("vec_id") == 0)
+    ivf = SIM.knn_ivf(clustered_emb, q, k=3, n_centroids=3, n_probe=3)
+    bf = SIM.knn_batch(clustered_emb, q, k=3)
+    assert [(r.vec_id, r.rank) for r in ivf.orderBy("rank").collect()] == [
+        (r.vec_id, r.rank) for r in bf.orderBy("rank").collect()
+    ]
+
+
+def test_ivf_assign_deterministic_ties(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (5, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    cents = emb.filter(F.col("vec_id") < 2)
+    out = {r.vec_id: r.centroid_id for r in SIM.ivf_assign(emb, cents).collect()}
+    # identical cosines -> lowest centroid id wins everywhere
+    assert out == {0: 0, 1: 0, 5: 0}
