@@ -914,6 +914,62 @@ def k4_knn_ivf(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _media(spark, sf_dir):
+    from market_data_pipeline_spark.operators import multimodal as mm
+
+    return mm.synthetic_media_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+@query("mm1_image_stats")
+def mm1_image_stats(spark, sf_dir):
+    """Arrow-batched decode + per-image pixel stats (binary media columns
+    are not DuckDB-expressible; determinism asserted in pytest)."""
+    from market_data_pipeline_spark.operators import multimodal as mm
+
+    return mm.image_stats(_media(spark, sf_dir)).orderBy("media_id")
+
+
+@query("mm2_resize_roundtrip")
+def mm2_resize_roundtrip(spark, sf_dir):
+    """Resize every image to 16x16 then re-extract stats — exercises the
+    full media encode->decode->transform->encode loop distributed."""
+    from market_data_pipeline_spark.operators import multimodal as mm
+
+    resized = mm.resize_images(_media(spark, sf_dir), 16, 16)
+    return mm.image_stats(resized).orderBy("media_id")
+
+
+@query("mm3_frame_sample")
+def mm3_frame_sample(spark, sf_dir):
+    """Every-2nd-frame video sampling; returns frame rows minus the binary
+    payload (stable schema for the driver's hash)."""
+    from market_data_pipeline_spark.operators import multimodal as mm
+
+    frames = mm.sample_frames(_media(spark, sf_dir), every_k=2)
+    return frames.select(
+        "media_id", "frame_idx", F.length("content").alias("n_bytes")
+    ).orderBy("media_id", "frame_idx")
+
+
+@query("mm4_image_knn")
+def mm4_image_knn(spark, sf_dir):
+    """Image near-dup path: grid-pooled embeddings -> cosine top-k — the
+    multimodal feature extractor feeding the similarity operators."""
+    from market_data_pipeline_spark.operators import multimodal as mm
+
+    emb = mm.image_grid_features(_media(spark, sf_dir), grid=4).withColumnRenamed(
+        "media_id", "vec_id"
+    )
+    return similarity.knn_batch(emb, emb.filter(F.col("vec_id") < 9), k=3)
+
+
+@query("mm5_audio_stats")
+def mm5_audio_stats(spark, sf_dir):
+    from market_data_pipeline_spark.operators import multimodal as mm
+
+    return mm.audio_stats(_media(spark, sf_dir)).orderBy("media_id")
+
+
 @query("dd6_cosine_near_dup_lsh")
 def dd6_cosine_near_dup_lsh(spark, sf_dir):
     """Sign-LSH-banded near-dup pairs — random-hyperplane bucketing is not
