@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_data_pipeline_spark.operators import (
@@ -912,6 +912,62 @@ def k4_knn_ivf(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle: hash-based sketches / approximate ops)
 # ---------------------------------------------------------------------------
+
+
+# --- ST: structured streaming run to completion -----------------------------
+
+
+@query(
+    "st1_streaming_tumbling",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2""",
+)
+def st1_streaming_tumbling(spark, sf_dir):
+    """The tumbling window executed THROUGH Structured Streaming
+    (readStream -> watermark -> window agg -> memory sink, availableNow)
+    and hash-checked against the same DuckDB oracle as the batch e1 —
+    stream/batch parity is part of the contract."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    stream = sj.streaming_tumbling(
+        sj.read_events_stream(spark, sf_dir), duration="1 hour", keys=["event_type"]
+    )
+    return sj.run_stream_to_memory(stream, "st1_sink")
+
+
+@query("st2_streaming_user_totals")
+def st2_streaming_user_totals(spark, sf_dir):
+    """applyInPandasWithState running per-user totals over the whole events
+    backfill (single batch here, so the emitted update rows ARE the final
+    states). Rows-only: arbitrary-stateful output is not SQL-expressible."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    stream = sj.running_user_totals(sj.read_events_stream(spark, sf_dir))
+    out = sj.run_stream_to_memory(stream, "st2_sink", output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("events_total"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
+
+
+@query("st3_streaming_sessions")
+def st3_streaming_sessions(spark, sf_dir):
+    """Built-in session_window sessionization over the stream; boundaries
+    equal the batch e3_sessionize operator (asserted in tests)."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    stream = sj.streaming_sessionize(sj.read_events_stream(spark, sf_dir))
+    return sj.run_stream_to_memory(stream, "st3_sink").orderBy(
+        "user_id", "session_start"
+    )
 
 
 def _media(spark, sf_dir):

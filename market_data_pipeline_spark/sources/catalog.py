@@ -38,6 +38,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reads via ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py);
     the long is converted back to a microsecond timestamp here (values are
     µs-resolution, so the ns->µs division is lossless)."""
+    if name == "events":
+        # defensive for externally-built sessions (the driver's verify may
+        # construct its own SparkSession without this conf; it is a runtime
+        # SQL conf, so setting it here is allowed and idempotent)
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div, not float: double division rounds the ns value and

@@ -1,0 +1,295 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY §2.9: its "daily batch" is a scheduled
+whole-job rerun), so these are the §7 Phase-6 extensions: the same logical
+windows as ``operators.events`` re-expressed as streams, plus the two
+genuinely streaming-only pieces — an ``applyInPandasWithState`` arbitrary
+stateful operator and a ``foreachBatch`` incremental upsert sink.
+
+Design rules:
+
+- **Identical aggregation expressions as batch.** ``streaming_tumbling``
+  reuses the decimal-accumulated sums of ``operators.events``, so a stream
+  run to completion hash-matches the batch (and hence the DuckDB oracle).
+  That parity is asserted in tests and exposed as query-surface entries.
+- **Watermarks bound state.** Every windowed agg takes a watermark: on an
+  unbounded production stream that is what lets Spark drop finalized
+  window state instead of holding every window forever. (The run-to-
+  completion helpers use ``complete`` output mode, where results do not
+  depend on the watermark — late data is still correct there.)
+- **availableNow for backfill.** ``run_stream_to_memory`` executes the
+  stream with ``Trigger.AvailableNow`` — the production pattern for
+  "replay the lake through the streaming topology, then keep tailing".
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from market_data_pipeline_spark.operators.events import _exact_sum
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the driver's events parquet.
+
+    The file source needs an explicit schema; it is taken from the parquet
+    footer via a throwaway batch read (cheap — footer only). ``ts`` is
+    TIMESTAMP(NANOS) stored, read as long (see session.py nanosAsLong) and
+    converted with integer µs division exactly like the batch catalog.
+    ``max_files_per_trigger`` splits the backfill into multiple
+    micro-batches (used by tests to prove cross-batch state).
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file source's basePath must be a directory; events.parquet is a
+    # single file in the driver layout, so stream the directory with a
+    # glob filter selecting only it
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def streaming_tumbling(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming tumbling window: same outputs as the batch
+    ``operators.events.tumbling_window`` (window_start, keys..., n_events,
+    total_value, min/max) so the two plans are interchangeable."""
+    keys = keys or []
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), duration).alias("w"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _exact_sum(F.col(value_col)).alias("total_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "total_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def streaming_sliding(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sliding window, batch-parity with
+    ``operators.events.sliding_window``."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration, slide_duration).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _exact_sum(F.col(value_col)).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based session windows via the built-in ``session_window`` —
+    the streaming-native form of ``operators.events.sessionize`` (which
+    assigns ordinal ids with lag+cumsum; same session boundaries).
+
+    Note ``session_window.end`` is last-event-time + gap by definition, so
+    ``session_end`` here is max(ts) per session, emitted separately to
+    match the batch operator's schema.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w")
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            _exact_sum(F.col(value_col)).alias("total_value"),
+        )
+        .select(
+            user_col, "session_start", "session_end", "n_events", "total_value"
+        )
+    )
+
+
+# --- arbitrary stateful processing -----------------------------------------
+
+USER_STATE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("events_total", T.LongType()),
+        T.StructField("value_total", T.DoubleType()),
+        T.StructField("last_seen", T.TimestampType()),
+    ]
+)
+
+USER_STATE = T.StructType(
+    [
+        T.StructField("events_total", T.LongType()),
+        T.StructField("value_total", T.DoubleType()),
+        T.StructField("last_seen_us", T.LongType()),
+    ]
+)
+
+
+def running_user_totals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Arbitrary stateful operator (``applyInPandasWithState``): per-user
+    running event count / value total / last-seen, updated every
+    micro-batch.
+
+    This is the shape Spark's built-in windows can't express — unbounded
+    per-key running state emitted on every update (device counters,
+    per-user quotas, online feature stores). State is a single fixed-width
+    row per user, so the state store stays O(|users|) regardless of event
+    volume; the watermark lets Spark GC idle keys with event-time timeouts
+    in a production variant (NoTimeout here: the driver tables are finite).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            events_total, value_total, last_us = state.get
+        else:
+            events_total, value_total, last_us = 0, 0.0, 0
+        for pdf in pdfs:
+            events_total += len(pdf)
+            value_total += float(pdf["value"].sum())
+            # normalize to µs regardless of whether pandas materialized
+            # datetime64[ns] or datetime64[us]
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            last_us = max(last_us, int(ts_us.max()))
+        state.update((events_total, value_total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "events_total": [events_total],
+                "value_total": [round(value_total, 2)],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(user_col), F.col(ts_col), F.col(value_col))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATE_OUTPUT,
+            stateStructType=USER_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- execution helpers ------------------------------------------------------
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run a streaming frame to completion (Trigger.AvailableNow) into a
+    memory sink and return the sink table as a batch DataFrame.
+
+    The backfill pattern: replay everything currently in the lake through
+    the streaming topology, then stop. A production deployment keeps the
+    same code with a processing-time trigger + durable checkpointLocation.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_upsert_to_table(
+    stream_df: DataFrame,
+    table,
+    timeout_sec: int = 300,
+) -> None:
+    """foreachBatch sink: insert-if-absent each micro-batch into a
+    ``storage.table.ParquetTable`` — the streaming edition of the
+    reference's daily insert-if-absent batch
+    (reference: scripts/daily_stock_master_update.py:258-294), with the
+    left-anti dedup running per micro-batch instead of per day.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.upsert_absent(batch_df)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
