@@ -1,0 +1,201 @@
+"""End-to-end ingest pipelines — the reference's two batch entry points
+re-expressed as set-based Spark jobs (SURVEY §3.1, §3.2).
+
+Where the reference loops rows and issues per-row point queries
+(reference: scripts/sync_delisted_stocks.py:131-187,
+src/clickhouse/stock_master.py:144-192), every step here is one
+DataFrame job: normalize -> validate -> left-anti upsert / outer-join
+update -> write. Idempotence is the core correctness property — the daily
+batch re-runs the full crawl every day (reference:
+scripts/daily_stock_master_update.py:333-367) and must insert nothing the
+second time.
+
+Driver-side collects in this module touch only *stats* (single-row
+aggregates for the run report), never data rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.functions.normalize import (
+    normalize_delisted,
+    normalize_new_listings,
+    to_canonical_master,
+)
+from market_data_pipeline_spark.operators.setops import union_relaxed
+from market_data_pipeline_spark.operators.upsert import apply_delistings
+from market_data_pipeline_spark.operators.validate import (
+    name_rule,
+    symbol_rule,
+    validate,
+    validate_delisted,
+)
+from market_data_pipeline_spark.sources.krx import backup_parquet
+from market_data_pipeline_spark.storage.table import ParquetTable
+
+
+def with_audit_cols(df: DataFrame, now: dt.datetime | None = None) -> DataFrame:
+    """F10 — create_dt/update_dt writer columns; ``now`` is injectable so
+    golden outputs are deterministic (SURVEY §7 hard-point 5)."""
+    ts = F.lit(now) if now is not None else F.current_timestamp()
+    out = df
+    if "create_dt" not in df.columns:
+        out = out.withColumn("create_dt", ts.cast("timestamp"))
+    return out.withColumn("update_dt", ts.cast("timestamp"))
+
+
+def update_listed_stocks(
+    master: ParquetTable,
+    per_market_listings: dict[str, DataFrame],
+    now: dt.datetime | None = None,
+) -> int:
+    """§3.1 step 1 — merge per-market listing frames (each with at least
+    (symbol, name)), canonicalize, validate, insert-if-absent
+    (reference: scripts/daily_stock_master_update.py:45-116).
+
+    Returns the number of newly inserted symbols.
+    """
+    canon = [
+        to_canonical_master(df, market=mkt) for mkt, df in per_market_listings.items()
+    ]
+    merged = union_relaxed(canon)
+    valid, _stats = validate(
+        merged, [symbol_rule(), name_rule()], dedup_keys=["symbol"]
+    )
+    return master.upsert_absent(with_audit_cols(valid, now))
+
+
+def sync_new_listings(
+    master: ParquetTable,
+    raw_listings: DataFrame,
+    now: dt.datetime | None = None,
+) -> int:
+    """§3.1 step 2 — normalized crawl output -> canonical master rows ->
+    insert-if-absent. Replaces the reference's per-row point-query loop
+    (reference: src/clickhouse/stock_master.py:144-192) with one anti-join.
+    """
+    norm = normalize_new_listings(raw_listings)
+    rows = norm.select(
+        F.col("company_code").alias("symbol"),
+        F.trim(F.col("company_name")).alias("name"),
+        F.col("market"),
+        F.col("listing_date_parsed").alias("listing_date"),
+        F.lit(None).cast("date").alias("delisting_date"),
+        F.lit(1).cast("int").alias("is_active"),
+    )
+    valid, _stats = validate(rows, [symbol_rule(), name_rule()], dedup_keys=["symbol"])
+    return master.upsert_absent(with_audit_cols(valid, now))
+
+
+def sync_delisted_stocks(
+    master: ParquetTable,
+    raw_delisted: DataFrame,
+    backup_dir: str | None = None,
+    force: bool = False,
+    now: dt.datetime | None = None,
+) -> dict:
+    """§3.2 — the richest dataflow: idempotence gate, normalization,
+    validation chain, set-based master update, timestamped backup, report
+    (reference: scripts/sync_delisted_stocks.py:219-267).
+
+    Returns the run-report dict (small driver-side stats only).
+    """
+    # idempotence gate (reference :103-117): skip if delisted data exists
+    existing_delisted = (
+        master.read_current().filter(F.col("is_active") == 0).limit(1).count()
+        if master.exists()
+        else 0
+    )
+    if existing_delisted and not force:
+        return {"gate_skipped": True, "reason": "delisted data present; use force=True"}
+
+    norm = normalize_delisted(raw_delisted)
+    shaped = norm.select(
+        F.col("company_code").alias("symbol"),
+        F.trim(F.col("company_name")).alias("name"),
+        F.col("market"),
+        F.col("delisting_date_parsed").alias("delisting_date"),
+    )
+    valid, vstats = validate_delisted(shaped)
+
+    updated, ustats = apply_delistings(
+        master.read_current() if master.exists() else _empty_master(master, valid),
+        with_audit_cols(valid, now).drop("create_dt"),
+    )
+    # materialize the stats BEFORE overwriting: their plans scan the
+    # pre-overwrite master files, which the stage-and-swap replaces
+    report = {  # single-row aggregates only
+        **vstats.collect()[0].asDict(),
+        **ustats.collect()[0].asDict(),
+        "gate_skipped": False,
+    }
+    master.overwrite(with_audit_cols(updated, now))
+
+    if backup_dir:
+        backup_parquet(valid, backup_dir, "delisted_valid", timestamp=now)
+    return report
+
+
+def _empty_master(master: ParquetTable, like: DataFrame) -> DataFrame:
+    from market_data_pipeline_spark.schemas import STOCK_MASTER
+
+    return like.sparkSession.createDataFrame([], STOCK_MASTER)
+
+
+def delisted_report(master: ParquetTable) -> DataFrame:
+    """§3.2 report — per-market delisted counts + date range
+    (reference: scripts/sync_delisted_stocks.py:269-304; A3)."""
+    return (
+        master.read_current()
+        .filter(F.col("is_active") == 0)
+        .groupBy("market")
+        .agg(
+            F.count("*").alias("delisted_count"),
+            F.min("delisting_date").alias("earliest"),
+            F.max("delisting_date").alias("latest"),
+        )
+        .orderBy(F.desc("delisted_count"), "market")
+    )
+
+
+def run_daily_update(
+    master: ParquetTable,
+    per_market_listings: dict[str, DataFrame],
+    raw_new_listings: DataFrame,
+    raw_delisted: DataFrame,
+    backup_dir: str | None = None,
+    now: dt.datetime | None = None,
+) -> dict:
+    """The full daily batch (reference:
+    scripts/daily_stock_master_update.py:333-367): listed-stock upsert,
+    new-listing sync, delisted sync, compaction ("OPTIMIZE FINAL"), stats.
+
+    Safe to re-run: every step is insert-if-absent or a keyed overwrite.
+    """
+    inserted_listed = update_listed_stocks(master, per_market_listings, now)
+    inserted_new = sync_new_listings(master, raw_new_listings, now)
+    delisted_stats = sync_delisted_stocks(
+        master, raw_delisted, backup_dir=backup_dir, force=True, now=now
+    )
+    master.compact()
+
+    counts = (
+        master.read_current()
+        .agg(
+            F.count("*").alias("total"),
+            F.count(F.when(F.col("is_active") == 1, 1)).alias("active"),
+            F.count(F.when(F.col("is_active") == 0, 1)).alias("delisted"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    return {
+        "inserted_listed": inserted_listed,
+        "inserted_new_listings": inserted_new,
+        "delisted_sync": delisted_stats,
+        **counts,
+    }

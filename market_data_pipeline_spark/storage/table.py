@@ -96,9 +96,14 @@ class ParquetTable:
         self._write(df, "overwrite", path=tmp)
         shutil.rmtree(self.path, ignore_errors=True)
         os.rename(tmp, self.path)
+        # drop Spark's cached file listing for this path — later reads in
+        # the same session would otherwise reference the replaced part
+        # files (FAILED_READ_FILE.FILE_NOT_EXIST)
+        self.spark.catalog.refreshByPath(self.path)
 
     def append(self, df: DataFrame) -> None:
         self._write(df, "append")
+        self.spark.catalog.refreshByPath(self.path)
 
     def upsert_absent(self, incoming: DataFrame) -> int:
         """Insert-if-absent append (reference:
