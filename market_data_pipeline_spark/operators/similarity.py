@@ -148,10 +148,12 @@ def cosine_near_dup_pairs(
     value hash-matches the SQL oracle.
     Returns (vec_a, vec_b, cosine) ordered by (vec_a, vec_b).
     """
+    from market_data_pipeline_spark.operators.util import ensure_parallelism
+
     dd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    staged = embeddings.select(F.col(id_col), dd.alias("_dvec")).select(
-        F.col(id_col), F.col("_dvec"), _norm(F.col("_dvec")).alias("_n")
-    )
+    staged = ensure_parallelism(embeddings, id_col).select(
+        F.col(id_col), dd.alias("_dvec")
+    ).select(F.col(id_col), F.col("_dvec"), _norm(F.col("_dvec")).alias("_n"))
     a = staged.select(
         F.col(id_col).alias("vec_a"), F.col("_dvec").alias("_va"), F.col("_n").alias("_na")
     )

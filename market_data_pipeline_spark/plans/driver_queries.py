@@ -914,6 +914,131 @@ def k4_knn_ivf(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# --- F-series: scalar normalization chain over a crawl-shaped frame ---------
+
+_RAW_STRINGS_CTE = """
+rawstr AS (
+  SELECT p_partkey AS id,
+         CASE WHEN p_partkey % 4 = 0
+              THEN 'A' || lpad(CAST(p_partkey % 1000000 AS VARCHAR), 6, '0')
+              ELSE lpad(CAST(p_partkey % 1000000 AS VARCHAR), 6, '0') END AS code_raw,
+         CASE WHEN p_partkey % 3 = 0
+              THEN strftime(DATE '2020-01-01' + CAST(p_partkey % 1000 AS INTEGER), '%Y.%m.%d')
+              WHEN p_partkey % 3 = 1
+              THEN strftime(DATE '2020-01-01' + CAST(p_partkey % 1000 AS INTEGER), '%Y-%m-%d')
+              ELSE strftime(DATE '2020-01-01' + CAST(p_partkey % 1000 AS INTEGER), '%Y%m%d')
+         END AS date_raw,
+         CASE WHEN p_partkey % 5 = 0
+              THEN CAST(p_partkey % 90 AS VARCHAR) || ',' ||
+                   lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0') || '원'
+              ELSE CAST((p_partkey % 9000) + 100 AS VARCHAR) || '원' END AS price_raw,
+         CASE WHEN p_partkey % 7 = 0 THEN '' ELSE p_name END AS name_raw
+  FROM part
+)"""
+
+
+def _raw_strings_frame(spark, sf_dir):
+    """Crawl-shaped dirty strings built deterministically from part: mixed
+    date formats, Korean-number prices, letter-prefixed codes, empty names
+    (the §1.2 crawler intermediate profile)."""
+    p = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    d = F.date_add(F.to_date(F.lit("2020-01-01")), (pk % 1000).cast("int"))
+    code6 = F.lpad((pk % 1000000).cast("string"), 6, "0")
+    return p.select(
+        pk.alias("id"),
+        F.when(pk % 4 == 0, F.concat(F.lit("A"), code6)).otherwise(code6).alias("code_raw"),
+        F.when(pk % 3 == 0, F.date_format(d, "yyyy.MM.dd"))
+        .when(pk % 3 == 1, F.date_format(d, "yyyy-MM-dd"))
+        .otherwise(F.date_format(d, "yyyyMMdd"))
+        .alias("date_raw"),
+        F.when(
+            pk % 5 == 0,
+            F.concat(
+                (pk % 90).cast("string"),
+                F.lit(","),
+                F.lpad((pk % 1000).cast("string"), 3, "0"),
+                F.lit("원"),
+            ),
+        )
+        .otherwise(F.concat(((pk % 9000) + 100).cast("string"), F.lit("원")))
+        .alias("price_raw"),
+        F.when(pk % 7 == 0, F.lit("")).otherwise(F.col("p_name")).alias("name_raw"),
+    )
+
+
+@query(
+    "f1_normalize_chain",
+    f"""WITH {_RAW_STRINGS_CTE}
+SELECT id,
+       substr(regexp_replace(code_raw, '[^0-9]', '', 'g'), 1, 6) AS symbol,
+       CASE WHEN length(regexp_replace(date_raw, '[^0-9]', '', 'g')) = 8
+            THEN CAST(try_strptime(regexp_replace(date_raw, '[^0-9]', '', 'g'), '%Y%m%d') AS DATE)
+       END AS parsed_date,
+       TRY_CAST(NULLIF(regexp_replace(price_raw, '[^0-9.]', '', 'g'), '') AS DOUBLE) AS price,
+       NULLIF(name_raw, '') AS name
+FROM rawstr""",
+)
+def f1_normalize_chain(spark, sf_dir):
+    """F1/F2/F3/F7/F8 in one pass: digit strip + 6-char slice, multiformat
+    date parse, Korean-number parse, empty->null — the full §2.8 scalar
+    normalization surface, hash-checked against DuckDB."""
+    from market_data_pipeline_spark.functions import normalize as N
+
+    raw = _raw_strings_frame(spark, sf_dir)
+    return raw.select(
+        "id",
+        N.clean_symbol(F.col("code_raw")).alias("symbol"),
+        N.parse_multiformat_date(F.col("date_raw")).alias("parsed_date"),
+        N.parse_korean_number(F.col("price_raw")).alias("price"),
+        N.empty_to_null(F.col("name_raw")).alias("name"),
+    )
+
+
+# --- A7: per-market crawl distribution --------------------------------------
+
+
+@query(
+    "a7_market_counts",
+    f"""WITH {MASTER_CTE}
+SELECT market, COUNT(*) AS n
+FROM master
+GROUP BY 1""",
+)
+def a7_market_counts(spark, sf_dir):
+    """A7 — groupBy(market).count() distribution report (reference:
+    src/crawlers/krx_delisted_crawler.py:389-391)."""
+    return master_frame(spark, sf_dir).groupBy("market").agg(F.count("*").alias("n"))
+
+
+# --- F9/S13: month-bucket partition histogram -------------------------------
+
+
+@query(
+    "f9_month_buckets",
+    f"""WITH {PRICE_CTE}
+SELECT strftime(trade_date, '%Y%m') AS trade_month,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT symbol) AS BIGINT) AS n_symbols
+FROM price
+GROUP BY 1""",
+)
+def f9_month_buckets(spark, sf_dir):
+    """F9 + S13 — the toYYYYMM partition bucketing used for table layout,
+    as a partition-size introspection query (reference:
+    src/clickhouse/price_client.py:93,286-341)."""
+    from market_data_pipeline_spark.functions.normalize import month_bucket
+
+    return (
+        price_frame(spark, sf_dir)
+        .groupBy(month_bucket(F.col("trade_date")).alias("trade_month"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("symbol").alias("n_symbols"),
+        )
+    )
+
+
 # --- ST: structured streaming run to completion -----------------------------
 
 

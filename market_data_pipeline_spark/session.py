@@ -38,6 +38,10 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode runs all 32 executor threads inside the driver JVM —
+        # the 1g default heap OOMs under concurrent joins. Only effective
+        # at JVM launch (fresh process); harmless no-op afterwards.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
