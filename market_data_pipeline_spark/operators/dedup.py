@@ -88,32 +88,36 @@ def ngram_jaccard_pairs(
     feed its candidates here for verification.
     Returns (doc_a, doc_b, common, jaccard).
     """
+    from market_data_pipeline_spark.operators.util import pairs_within_groups
+
     group = [group_col] if group_col else []
-    # Two plan-shape decisions that matter at scale:
-    # - join/shuffle on the 8-byte shingle hash, not the shingle string
-    #   (same pair counts — xxhash64 collisions are negligible — far
-    #   cheaper exchange);
+    # Plan-shape decisions that matter at scale:
+    # - bucket on the 8-byte shingle hash, not the shingle string (same
+    #   pair counts — xxhash64 collisions are negligible — far cheaper
+    #   exchange);
     # - carry each doc's shingle count |A| on the exploded rows (it is
-    #   just size(shingles), known before explode) instead of computing a
-    #   separate sizes aggregate: that removes two extra joins AND makes
-    #   both self-join sides byte-identical subplans, so Spark shuffles
-    #   the shingle frame once and the other side is a ReusedExchange.
-    sh = shingled(df, id_col, text_col, n, extra_cols=tuple(group)).select(
-        F.col(id_col),
-        *group,
-        F.size("shingles").alias("sz"),
-        F.explode("shingles").alias("_s"),
-    ).select(F.col(id_col), *group, F.col("sz"), F.xxhash64(F.col("_s")).alias("shingle"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
-        F.col("a.shingle") == F.col("b.shingle")
+    #   just size(shingles), known before explode), so no separate sizes
+    #   aggregate + joins;
+    # - generate pairs with a single groupBy-on-bucket (see
+    #   pairs_within_groups) instead of a self-join, so the shingling
+    #   pipeline executes once.
+    # explode_outer + isNotNull, not explode: see pairs_within_groups for
+    # why (the inferred non-empty filter re-evaluates the HOF shingle
+    # expression row-by-row, interpreted)
+    sh = (
+        shingled(df, id_col, text_col, n, extra_cols=tuple(group))
+        .select(
+            F.col(id_col),
+            *group,
+            F.size("shingles").alias("sz"),
+            F.explode_outer("shingles").alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .select(F.col(id_col), *group, F.col("sz"), F.xxhash64(F.col("_s")).alias("shingle"))
     )
-    for g in group:
-        join_cond = join_cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    pairs = pairs_within_groups(sh, [*group, "shingle"], id_col, ["sz"])
     return (
-        a.join(b, join_cond)
-        .groupBy(
+        pairs.groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             F.col("a.sz").alias("sz_a"),
@@ -192,43 +196,38 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs via LSH banding over MinHash.
 
     The signature is cut into ``bands`` bands of ``num_hashes // bands``
-    rows; documents collide if any band hashes equal. The pair set comes
-    from a self-equi-join on (band_id, band_hash) — the classic
-    shuffle-friendly formulation: at 100 TB the only shuffle keys are
-    16-byte band buckets, and skew (a viral duplicate cluster) is bounded
-    per-band and AQE-splittable.
+    rows; documents collide if any band hashes equal. Pairs come from ONE
+    shuffle on the 16-byte (band_id, band_hash) bucket key
+    (pairs_within_groups) — the signature pipeline executes once, and at
+    100 TB the exchange carries only (id, band, hash) rows.
 
     Returns (doc_a, doc_b, n_bands_matched) — verify candidates with
     :func:`ngram_jaccard_pairs` or estimate similarity from the signature.
     """
+    from market_data_pipeline_spark.operators.util import pairs_within_groups
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
     band_cols = []
     for b in range(bands):
         band = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
         band_cols.append(F.struct(F.lit(b).alias("band_id"), F.xxhash64(band).alias("bh")))
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
-    ).select(
-        F.col(id_col),
-        F.col("bucket.band_id").alias("band_id"),
-        F.col("bucket.bh").alias("band_hash"),
-    )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # explode_outer: the inferred-filter trap again — the band array embeds
+    # the full minhash signature expression (see pairs_within_groups)
+    buckets = (
+        sig.select(F.col(id_col), F.explode_outer(F.array(*band_cols)).alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("bucket.band_id").alias("band_id"),
+            F.col("bucket.bh").alias("band_hash"),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_bands_matched"))
     )
+    pairs = pairs_within_groups(buckets, ["band_id", "band_hash"], id_col)
+    return pairs.groupBy(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+    ).agg(F.count("*").alias("n_bands_matched"))
 
 
 def simhash(
@@ -286,35 +285,34 @@ def simhash_near_pairs(
 
     Returns (doc_a, doc_b, hamming).
     """
+    from market_data_pipeline_spark.operators.util import pairs_within_groups
+
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    bands = fingerprints.select(
-        F.col(id_col),
-        F.col("fingerprint"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.shiftright(F.col("fingerprint"), i * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "fingerprint", "b.band_id", "b.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    bands = (
+        fingerprints.select(
+            F.col(id_col),
+            F.col("fingerprint"),
+            F.explode_outer(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_id"),
+                            F.shiftright(F.col("fingerprint"), i * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("b"),
         )
-        .select(
+        .filter(F.col("b").isNotNull())
+        .select(id_col, "fingerprint", "b.band_id", "b.band_val")
+    )
+    pairs = pairs_within_groups(bands, ["band_id", "band_val"], id_col, ["fingerprint"])
+    return (
+        pairs.select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             F.bit_count(

@@ -114,8 +114,12 @@ def normalized(
     plain dot product. Materializing through a projection stops Catalyst
     from inlining (and so recomputing) the normalization into each use.
     """
+    from market_data_pipeline_spark.operators.util import ensure_parallelism
+
     dd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    staged = df.select(F.col(id_col), *[F.col(c) for c in extra_cols], dd.alias("_dvec"))
+    staged = ensure_parallelism(df, id_col).select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], dd.alias("_dvec")
+    )
     n = F.sqrt(
         F.aggregate(
             F.transform(F.col("_dvec"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
@@ -190,7 +194,14 @@ def cosine_near_dup_lsh(
     (band, bucket) — the quadratic blow-up is confined to same-bucket
     groups, expected size N / 2^band_planes per band). High-cosine pairs
     collide in some band with probability 1 - (1 - p^band_planes)^n_bands,
-    p = 1 - angle/pi. No UDFs; one shuffle on the band key.
+    p = 1 - angle/pi. No UDFs.
+
+    Plan shape (the part that matters at 100 TB): the band self-join and
+    the pair dedup carry ONLY (id, band, bucket) — 24 bytes/row — never
+    the vectors; both self-join sides are the same subplan so Spark
+    shuffles the banded frame once (ReusedExchange). The vectors rejoin
+    only for the deduped candidate set, which is orders of magnitude
+    smaller than the banded candidate multiset.
     Returns (vec_a, vec_b, cosine) with cosine >= threshold.
     """
     nv = normalized(embeddings, id_col, vec_col)
@@ -204,26 +215,25 @@ def cosine_near_dup_lsh(
                 F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
             )
         band_cols.append(F.struct(F.lit(bnd).alias("band"), bucket.alias("bucket")).alias(f"_b{bnd}"))
-    banded = nv.select(
-        F.col(id_col), F.col("_nvec"), F.explode(F.array(*band_cols)).alias("_band")
-    ).select(F.col(id_col), F.col("_nvec"), F.col("_band.band").alias("_bd"), F.col("_band.bucket").alias("_bk"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    from market_data_pipeline_spark.operators.util import pairs_within_groups
+
+    # explode_outer: the band array embeds hyperplane dot products (HOFs);
+    # plain explode would re-run them in an interpreted inferred filter
+    banded = (
+        nv.select(F.col(id_col), F.explode_outer(F.array(*band_cols)).alias("_band"))
+        .filter(F.col("_band").isNotNull())
+        .select(F.col(id_col), F.col("_band.band").alias("_bd"), F.col("_band.bucket").alias("_bk"))
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a._bd") == F.col("b._bd"))
-            & (F.col("a._bk") == F.col("b._bk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        pairs_within_groups(banded, ["_bd", "_bk"], id_col)
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.col("a._nvec").alias("_va"),
-            F.col("b._nvec").alias("_vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    va = nv.select(F.col(id_col).alias("vec_a"), F.col("_nvec").alias("_va"))
+    vb = nv.select(F.col(id_col).alias("vec_b"), F.col("_nvec").alias("_vb"))
     sim = F.aggregate(
         F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
         F.lit(0.0),
@@ -232,7 +242,9 @@ def cosine_near_dup_lsh(
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
-        cand.select("vec_a", "vec_b", sim.alias("cosine"))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )

@@ -3,6 +3,62 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pairs_within_groups(
+    df: DataFrame,
+    group_keys: list[str],
+    id_col: str,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """All (a, b) member pairs with ``a.id < b.id`` within each group —
+    the bucket-join step shared by every LSH/banding dedup operator.
+
+    Implemented as ONE shuffle (groupBy the bucket key, collect members,
+    emit in-group combinations from the sorted member array) instead of a
+    self equi-join. The self-join formulation executes the upstream
+    pipeline twice — Catalyst broadcasts one side when it looks small,
+    which kills the ReusedExchange that would otherwise dedupe the two
+    identical subplans — and shuffles every exploded row twice. Here the
+    expensive upstream (shingling, signatures) runs exactly once.
+
+    Skew note: a hot bucket (viral duplicate cluster) produces its k^2
+    pairs inside one task either way — self-join or grouped — because the
+    bucket is one shuffle key; production pipelines cap bucket size
+    upstream (e.g. drop shingles whose document frequency explodes).
+
+    Returns one row per pair with struct columns ``a`` and ``b`` holding
+    (id_col, *payload_cols) each.
+    """
+    payload_cols = payload_cols or []
+    member = F.struct(F.col(id_col), *[F.col(c) for c in payload_cols])
+    grouped = df.groupBy(*[F.col(k) for k in group_keys]).agg(
+        # array_sort makes pair order deterministic regardless of
+        # collect_list's arrival order (struct sort = lexicographic by
+        # field, id first)
+        F.array_sort(F.collect_list(member)).alias("_m")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_m"), i + F.lit(2), F.size(F.col("_m"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(arr) > 0` filter whose predicate re-embeds the whole (higher-
+    # order-function) array expression; HOFs don't codegen, and the
+    # interpreted per-row predicate costs ~10x the projection itself.
+    # explode_outer infers nothing; the null rows (empty groups) are
+    # dropped by a cheap filter on the GENERATED column instead.
+    return (
+        grouped.select(*[F.col(k) for k in group_keys], F.explode_outer(pairs).alias("_p"))
+        .filter(F.col("_p").isNotNull())
+        .select(*group_keys, F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
 
 
 def ensure_parallelism(df: DataFrame, id_col: str | None = None) -> DataFrame:

@@ -1135,13 +1135,22 @@ def mm3_frame_sample(spark, sf_dir):
 @query("mm4_image_knn")
 def mm4_image_knn(spark, sf_dir):
     """Image near-dup path: grid-pooled embeddings -> cosine top-k — the
-    multimodal feature extractor feeding the similarity operators."""
+    multimodal feature extractor feeding the similarity operators.
+
+    The broadcast query side is generated from a PRE-FILTERED doc source:
+    mapInPandas blocks predicate pushdown, so filtering the generated
+    frame would re-run the whole Python media pipeline just to keep 3
+    rows; filtering the input runs the tiny pipeline instead."""
     from market_data_pipeline_spark.operators import multimodal as mm
 
+    docs = load_table(spark, sf_dir, "documents")
     emb = mm.image_grid_features(_media(spark, sf_dir), grid=4).withColumnRenamed(
         "media_id", "vec_id"
     )
-    return similarity.knn_batch(emb, emb.filter(F.col("vec_id") < 9), k=3)
+    q_emb = mm.image_grid_features(
+        mm.synthetic_media_from_docs(docs.filter(F.col("doc_id") < 9)), grid=4
+    ).withColumnRenamed("media_id", "vec_id")
+    return similarity.knn_batch(emb, q_emb, k=3)
 
 
 @query("mm5_audio_stats")
