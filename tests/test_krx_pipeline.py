@@ -182,3 +182,36 @@ def test_delisted_report(spark, master):
     assert rep[0].delisted_count == 3
     assert rep[0].earliest == dt.date(2023, 10, 25)
     assert rep[0].latest == dt.date(2023, 12, 31)
+
+
+def test_fdr_listing_source_injected(spark):
+    import pandas as pd
+
+    from market_data_pipeline_spark.sources.fdr import FdrListingSource
+
+    def fake(market):
+        if market == "ETF":
+            raise ConnectionError("fdr down")
+        return pd.DataFrame({"Code": ["005930", "000660"], "Name": ["Samsung", "Hynix"]})
+
+    src = FdrListingSource(spark, fetcher=fake)
+    frames = src.fetch_all()
+    assert set(frames) == {"KOSPI", "KOSDAQ", "KONEX"}  # ETF failure tolerated
+    rows = frames["KOSPI"].collect()
+    assert {r.symbol for r in rows} == {"005930", "000660"}
+    assert all(r.market == "KOSPI" for r in rows)
+
+
+def test_fdr_feeds_daily_pipeline(spark, tmp_path):
+    import pandas as pd
+
+    from market_data_pipeline_spark.sources.fdr import FdrListingSource
+
+    src = FdrListingSource(
+        spark,
+        fetcher=lambda m: pd.DataFrame({"Code": ["111111"], "Name": [f"Only-{m}"]}),
+    )
+    master = stock_master_table(spark, str(tmp_path / "m"))
+    n = PL.update_listed_stocks(master, src.fetch_all(markets=("KOSPI",)), now=NOW)
+    assert n == -1  # table created on first write
+    assert master.read_current().count() == 1
