@@ -1,0 +1,200 @@
+"""Property-based tests (hypothesis) for core operator invariants.
+
+Spark round-trips are expensive, so each property batches all generated
+examples into ONE DataFrame per hypothesis case where possible, and
+example counts are kept small (the point is edge-case discovery — unicode,
+empties, boundary dates — not volume).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.functions import normalize as N
+from market_data_pipeline_spark.operators.setops import union_relaxed
+from market_data_pipeline_spark.operators.upsert import dedup_latest, insert_if_absent
+
+SET = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# --- scalar normalization ----------------------------------------------------
+
+date_like = st.one_of(
+    st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2099, 12, 31)).map(
+        lambda d: d.strftime("%Y%m%d")
+    ),
+    st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2099, 12, 31)).map(
+        lambda d: d.strftime("%Y.%m.%d")
+    ),
+    st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2099, 12, 31)).map(
+        lambda d: d.strftime("%Y-%m-%d")
+    ),
+    st.text(alphabet="0123456789.-abc가나 ", max_size=12),
+)
+
+
+@SET
+@given(st.lists(date_like, min_size=1, max_size=30))
+def test_parse_multiformat_date_matches_python(spark, raws):
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(raws)], ["i", "raw"])
+    got = {
+        r.i: r.d
+        for r in df.select("i", N.parse_multiformat_date(F.col("raw")).alias("d")).collect()
+    }
+
+    def pyref(s: str):
+        digits = "".join(ch for ch in s if ch.isdigit())
+        if len(digits) != 8:
+            return None
+        try:
+            return dt.datetime.strptime(digits, "%Y%m%d").date()
+        except ValueError:
+            return None
+
+    for i, raw in enumerate(raws):
+        assert got[i] == pyref(raw), (raw, got[i], pyref(raw))
+
+
+@SET
+@given(st.lists(st.text(max_size=15), min_size=1, max_size=30))
+def test_clean_symbol_idempotent_and_digits_only(spark, raws):
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(raws)], ["i", "raw"])
+    once = df.select("i", N.clean_symbol(F.col("raw")).alias("c"))
+    twice = once.select("i", N.clean_symbol(F.col("c")).alias("c2"), "c")
+    for r in twice.collect():
+        assert r.c2 == r.c  # idempotent
+        assert r.c is None or (len(r.c) <= 6 and r.c.isdigit() or r.c == "")
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.from_regex(r"[0-9]{1,6}(,[0-9]{3})*(\.[0-9]{1,2})?원?", fullmatch=True),
+            st.text(alphabet="원abc가 ", max_size=6),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_parse_korean_number_matches_python(spark, raws):
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(raws)], "i: long, raw: string"
+    )
+    got = {
+        r.i: r.v
+        for r in df.select("i", N.parse_korean_number(F.col("raw")).alias("v")).collect()
+    }
+
+    def pyref(s):
+        if s is None:
+            return None
+        kept = "".join(ch for ch in s if ch.isdigit() or ch == ".")
+        if not kept:
+            return None
+        try:
+            return float(kept)
+        except ValueError:
+            return None  # e.g. multiple dots
+
+    for i, raw in enumerate(raws):
+        assert got[i] == pytest.approx(pyref(raw)) if pyref(raw) is not None else got[i] is None
+
+
+# --- versioned dedup ---------------------------------------------------------
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),                      # key
+            st.integers(0, 10),                     # version
+            st.integers(0, 100),                    # payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_latest_is_last_write_wins(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "update_dt", "payload"])
+    got = {
+        r.k: (r.update_dt, r.payload)
+        for r in dedup_latest(df, "k", "update_dt", tiebreak=["payload"]).collect()
+    }
+    # python reference: max by (version, payload) per key
+    ref = {}
+    for k, v, p in rows:
+        if k not in ref or (v, p) > ref[k]:
+            ref[k] = (v, p)
+    assert got == ref
+
+
+@SET
+@given(
+    st.lists(st.integers(0, 9), min_size=0, max_size=15),
+    st.lists(st.integers(0, 9), min_size=0, max_size=15),
+)
+def test_insert_if_absent_partitions_incoming(spark, existing_keys, incoming_keys):
+    existing = spark.createDataFrame(
+        [(k,) for k in existing_keys] or [(None,)], "k: int"
+    ).filter(F.col("k").isNotNull())
+    incoming = spark.createDataFrame(
+        [(k,) for k in incoming_keys] or [(None,)], "k: int"
+    ).filter(F.col("k").isNotNull())
+    out = {r.k for r in insert_if_absent(existing, incoming, "k").collect()}
+    assert out == set(incoming_keys) - set(existing_keys)
+
+
+# --- relaxed union -----------------------------------------------------------
+
+
+@SET
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=10),
+    st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32), min_size=1, max_size=10),
+)
+def test_union_relaxed_widens_int_and_double(spark, ints, floats):
+    a = spark.createDataFrame([(i, v) for i, v in enumerate(ints)], "id: long, x: long")
+    b = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(floats)], "id: long, x: double"
+    )
+    u = union_relaxed([a, b])
+    assert dict(u.dtypes)["x"] == "double"
+    assert u.count() == len(ints) + len(floats)
+
+
+# --- jaccard bounds ----------------------------------------------------------
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_jaccard_bounds_and_identity(spark, texts):
+    from market_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(df, group_col=None, n=3, threshold=0.0).collect()
+    for r in pairs:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.doc_a < r.doc_b
+    # identical texts (if any) must appear with jaccard 1.0
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if texts[i] == texts[j] and len(texts[i].split()) >= 3:
+                match = [r for r in pairs if r.doc_a == i and r.doc_b == j]
+                assert match and match[0].jaccard == 1.0
