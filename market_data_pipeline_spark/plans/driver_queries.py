@@ -1039,6 +1039,78 @@ def f9_month_buckets(spark, sf_dir):
     )
 
 
+# --- SMP/TX5/TX6: corpus sampling, vocabulary, length profile ----------------
+
+
+@query(
+    "smp1_hash_sample",
+    """SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+ORDER BY doc_id""",
+)
+def smp1_hash_sample(spark, sf_dir):
+    """Deterministic ~16% corpus sample by md5 prefix of the key — the
+    reproducible (engine-independent, rerun-stable) alternative to
+    rand()-based sampling for training-data splits. md5 hex prefix < '29'
+    selects 0x00-0x28 of 0x00-0xff."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.md5(F.col("doc_id").cast("string").cast("binary")) .substr(1, 2) < "29")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tx5_vocabulary",
+    r"""WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS freq
+FROM toks
+WHERE token <> ''
+GROUP BY 1
+ORDER BY freq DESC, token
+LIMIT 50""",
+)
+def tx5_vocabulary(spark, sf_dir):
+    """Corpus vocabulary top-50 — the wordcount shape: explode tokens, one
+    hash-agg shuffle with map-side partial aggregation, TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode_outer(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "tx6_length_histogram",
+    """SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY 1""",
+)
+def tx6_length_histogram(spark, sf_dir):
+    """Document-length profile in 100-char buckets — the quality-filter
+    calibration query of a corpus pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.floor(F.col("n_chars") / 100).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
 # --- ST: structured streaming run to completion -----------------------------
 
 

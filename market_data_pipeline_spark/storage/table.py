@@ -134,6 +134,39 @@ class ParquetTable:
         self.overwrite(self.read_raw().filter(~predicate))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed (and in-bucket sorted) managed parquet table.
+
+    Bucketing is the write-time contract that removes the shuffle from
+    every later equi-join/aggregation on ``bucket_cols``: two tables
+    bucketed the same way join with ZERO Exchange in the plan (asserted in
+    tests). This is the Spark analog of the reference's clustered
+    ``ORDER BY (symbol, trade_date)`` MergeTree layout
+    (reference: src/clickhouse/price_client.py:94-95) for the
+    co-located-join use case; at 100 TB, pre-bucketing the fact table by
+    symbol is what makes repeated symbol-joins/aggs cheap.
+
+    Requires saveAsTable (bucket metadata lives in the catalog, not the
+    files); pick ``num_buckets`` ≈ cluster cores × small factor, stable
+    across writers of the same table.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def stock_price_table(spark: SparkSession, path: str) -> ParquetTable:
     """The fact-table layout from the reference DDL
     (reference: src/clickhouse/price_client.py:78-96)."""

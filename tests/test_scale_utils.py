@@ -1,0 +1,82 @@
+"""Scale utilities: salted skew joins and bucketed co-located joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators.skew import salted_join
+from market_data_pipeline_spark.storage.table import write_bucketed
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (k=0 has 2000 rows), several cold ones
+    big = spark.range(2400).select(
+        F.when(F.col("id") < 2000, 0).otherwise((F.col("id") % 7).cast("long")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim-{i}") for i in range(7)], ["k", "label"]
+    )
+    return big, small
+
+
+def test_salted_join_matches_plain_join(skewed):
+    big, small = skewed
+    plain = big.join(small, ["k"]).select("k", "payload", "label")
+    salted = salted_join(big, small, on=["k"], salt_buckets=4).select(
+        "k", "payload", "label"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (99, "b")], ["k", "v"])
+    small = spark.createDataFrame([(1, "dim")], ["k", "label"])
+    out = {r.k: r.label for r in salted_join(big, small, ["k"], how="left").collect()}
+    assert out == {1: "dim", 99: None}
+
+
+def test_salted_join_spreads_hot_key(skewed):
+    big, small = skewed
+    salted = salted_join(big, small, on=["k"], salt_buckets=4)
+    # deterministic salt: same row -> same salt on recompute
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+    # the hot key's rows actually use multiple salt values
+    salts = (
+        big.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(4)).cast("int"),
+        )
+        .filter(F.col("k") == 0)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    facts = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") * 2).alias("x")
+    )
+    dims = spark.range(500).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") * 3).alias("y")
+    )
+    try:
+        write_bucketed(facts, "t_bucketed_facts", ["k"], num_buckets=8, sort_cols=["k"])
+        write_bucketed(dims, "t_bucketed_dims", ["k"], num_buckets=8, sort_cols=["k"])
+        fa = spark.table("t_bucketed_facts")
+        di = spark.table("t_bucketed_dims")
+        # disable broadcast so the join would otherwise shuffle
+        joined = fa.hint("merge").join(di, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        assert joined.count() == facts.join(dims, "k").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_facts")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_dims")
