@@ -1111,6 +1111,171 @@ def tx6_length_histogram(spark, sf_dir):
     )
 
 
+# --- J7: multi-table join chain (region -> nation -> customer -> orders -> lineitem)
+
+
+@query(
+    "j7_revenue_by_nation",
+    """SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY 1, 2""",
+)
+def j7_revenue_by_nation(spark, sf_dir):
+    """Five-table join chain with a selective date predicate — the
+    Catalyst join-planning showcase: region/nation/customer broadcast up
+    the chain, the orders date filter pushes to its scan, and only the
+    orders⋈lineitem join shuffles (on the biggest key)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("region", "nation")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --- E4: semi-structured JSON props ------------------------------------------
+
+
+@query(
+    "e4_json_props",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1""",
+)
+def e4_json_props(spark, sf_dir):
+    """Semi-structured extraction: the events props column is a JSON
+    string; get_json_object pulls $.k JVM-side (no UDF), bucketed agg."""
+    ev_df = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return ev_df.groupBy(
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+# --- SMP2: stratified deterministic sample -----------------------------------
+
+
+@query(
+    "smp2_stratified",
+    """SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20
+ORDER BY lang, doc_id""",
+)
+def smp2_stratified(spark, sf_dir):
+    """Per-stratum (language) deterministic sample of 20 docs: rank by the
+    md5 of the key inside each stratum — reproducible across engines and
+    reruns, unlike sampleBy. One shuffle on the stratum key."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# --- TX7: composed clean-corpus pipeline -------------------------------------
+
+
+@query(
+    "tx7_clean_corpus",
+    rf"""WITH t AS (
+  SELECT doc_id, lang, n_chars, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang, n_chars, text,
+         len(toks) AS token_count,
+         CAST(len(list_filter(toks, x -> x IN ({_EN_STOPS}))) AS DOUBLE) / len(toks)
+             AS stop_ratio
+  FROM t
+), dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM feat GROUP BY text
+)
+SELECT f.doc_id, f.lang, CAST(f.token_count AS BIGINT) AS token_count
+FROM feat f JOIN dedup d ON f.doc_id = d.doc_id
+WHERE f.token_count >= 10 AND f.n_chars >= 80 AND f.stop_ratio >= 0.01
+ORDER BY f.doc_id""",
+)
+def tx7_clean_corpus(spark, sf_dir):
+    """The composed training-data filter: tokenize -> quality features ->
+    exact-dedup (keep lowest id per text) -> thresholds. One pipeline, two
+    shuffles (dedup groupBy + final sort); the feature computation stays
+    in one projection pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        toks.alias("_toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        F.size("_toks").alias("token_count"),
+        (
+            F.size(F.filter(F.col("_toks"), lambda x: x.isin(*tx.STOPWORDS["en"]))).cast(
+                "double"
+            )
+            / F.size("_toks")
+        ).alias("stop_ratio"),
+    )
+    keep = feat.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        feat.join(keep.select("doc_id"), "doc_id")
+        .filter(
+            (F.col("token_count") >= 10)
+            & (F.col("n_chars") >= 80)
+            & (F.col("stop_ratio") >= 0.01)
+        )
+        .select("doc_id", "lang", F.col("token_count").cast("long").alias("token_count"))
+        .orderBy("doc_id")
+    )
+
+
 # --- ST: structured streaming run to completion -----------------------------
 
 
