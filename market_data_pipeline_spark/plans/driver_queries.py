@@ -1397,6 +1397,22 @@ def mm5_audio_stats(spark, sf_dir):
     return mm.audio_stats(_media(spark, sf_dir)).orderBy("media_id")
 
 
+@query("k5_knn_ivf_kmeans")
+def k5_knn_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with LEARNED centroids (pyspark.ml KMeans, fixed seed) —
+    the production index path; rows-only (MLlib cluster assignment is not
+    reproducible in DuckDB SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=_IVF_CENTROIDS)
+    return similarity.knn_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=_IVF_PROBE,
+        centroids=cents,
+    )
+
+
 @query("dd6_cosine_near_dup_lsh")
 def dd6_cosine_near_dup_lsh(spark, sf_dir):
     """Sign-LSH-banded near-dup pairs — random-hyperplane bucketing is not

@@ -216,3 +216,18 @@ def test_ivf_assign_deterministic_ties(spark):
     out = {r.vec_id: r.centroid_id for r in SIM.ivf_assign(emb, cents).collect()}
     # identical cosines -> lowest centroid id wins everywhere
     assert out == {0: 0, 1: 0, 5: 0}
+
+
+def test_kmeans_centroids_shape_and_ivf(clustered_emb):
+    cents = SIM.kmeans_centroids(clustered_emb, k=3)
+    rows = cents.collect()
+    assert {r.vec_id for r in rows} == {0, 1, 2}
+    assert all(len(r.embedding) == 4 for r in rows)
+    # learned centroids route the two clusters + outlier properly: ivf with
+    # full probe equals brute force
+    q = clustered_emb.filter(F.col("vec_id") == 10)
+    ivf = SIM.knn_ivf(clustered_emb, q, k=3, n_probe=3, centroids=cents)
+    bf = SIM.knn_batch(clustered_emb, q, k=3)
+    assert [(r.vec_id, r.rank) for r in ivf.orderBy("rank").collect()] == [
+        (r.vec_id, r.rank) for r in bf.orderBy("rank").collect()
+    ]
