@@ -29,6 +29,30 @@ TABLE_NAMES = (
 )
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Runtime SQL confs our query semantics depend on, set defensively
+    for externally-built sessions (the driver's verify may construct its
+    own SparkSession rather than ours):
+
+    - UTC session timezone — every date/timestamp result is hash-compared
+      against DuckDB, which evaluates in UTC; a local-TZ session would
+      silently shift epoch-derived values.
+    - nanosAsLong — events.ts is parquet TIMESTAMP(NANOS), unreadable
+      otherwise.
+
+    Both are runtime-settable; failures are swallowed (a locked-down conf
+    just leaves the session as-is).
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table. Schema comes from the parquet footer — the
     files are the contract (FIXTURES.md §B); we do not re-impose StructTypes
@@ -38,14 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reads via ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py);
     the long is converted back to a microsecond timestamp here (values are
     µs-resolution, so the ns->µs division is lossless)."""
-    if name == "events":
-        # defensive for externally-built sessions (the driver's verify may
-        # construct its own SparkSession without this conf; it is a runtime
-        # SQL conf, so setting it here is allowed and idempotent)
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+    ensure_session_defaults(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div, not float: double division rounds the ns value and

@@ -51,6 +51,9 @@ def read_events_stream(
     ``max_files_per_trigger`` splits the backfill into multiple
     micro-batches (used by tests to prove cross-batch state).
     """
+    from market_data_pipeline_spark.sources.catalog import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # the file source's basePath must be a directory; events.parquet is a
@@ -272,23 +275,33 @@ def stream_upsert_to_table(
     stream_df: DataFrame,
     table,
     timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """foreachBatch sink: insert-if-absent each micro-batch into a
     ``storage.table.ParquetTable`` — the streaming edition of the
     reference's daily insert-if-absent batch
     (reference: scripts/daily_stock_master_update.py:258-294), with the
     left-anti dedup running per micro-batch instead of per day.
+
+    With ``checkpoint_dir`` the source offsets are durable: a re-run
+    processes only files that arrived since the last run (incremental
+    ingest), and a crash resumes from the last committed batch. The
+    insert-if-absent write keeps the sink idempotent, so
+    at-least-once delivery from the checkpoint still yields exactly-once
+    table contents.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         table.upsert_absent(batch_df)
 
-    q = (
+    writer = (
         stream_df.writeStream.foreachBatch(sink)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.awaitTermination(timeout_sec)
     finally:

@@ -122,3 +122,31 @@ def test_stream_upsert_sink(spark, event_dir, tmp_path):
     # re-running the same backfill inserts nothing new (idempotent)
     SJ.stream_upsert_to_table(_read_stream(spark, event_dir), table)
     assert table.read_current().count() == 6
+
+
+def test_checkpointed_upsert_is_incremental(spark, event_dir, tmp_path):
+    """Durable offsets: re-running the same checkpointed stream after new
+    files land processes ONLY the new files (and stays idempotent)."""
+    import shutil
+
+    lake = tmp_path / "lake2"
+    lake.mkdir()
+    files = sorted(__import__("pathlib").Path(event_dir).glob("*.parquet"))
+    shutil.copy(files[0], lake / files[0].name)
+
+    table = ParquetTable(spark, str(tmp_path / "tbl"), key=["event_id"])
+    ckpt = str(tmp_path / "ckpt")
+
+    SJ.stream_upsert_to_table(_read_stream(spark, str(lake)), table, checkpoint_dir=ckpt)
+    assert table.read_current().count() == 3  # first file only
+
+    seen_batches = table.read_current().count()
+    # a new file lands; same checkpoint -> only it is processed
+    shutil.copy(files[1], lake / files[1].name)
+    SJ.stream_upsert_to_table(_read_stream(spark, str(lake)), table, checkpoint_dir=ckpt)
+    assert table.read_current().count() == 6
+
+    # third run with nothing new: no-op
+    SJ.stream_upsert_to_table(_read_stream(spark, str(lake)), table, checkpoint_dir=ckpt)
+    assert table.read_current().count() == 6
+    assert seen_batches == 3
