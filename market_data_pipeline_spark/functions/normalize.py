@@ -41,9 +41,14 @@ def empty_to_null(c: Column) -> Column:
 def parse_multiformat_date(c: Column) -> Column:
     """F8 — parse '2023.12.31' / '2023-11-30' / '20231025' to DATE; null on
     failure (reference: src/crawlers/krx_delisted_crawler.py:226-232 —
-    digit-strip then '%Y%m%d' non-strict)."""
+    digit-strip then '%Y%m%d' non-strict).
+
+    ``try_to_date``, not ``to_date``: Spark 4 defaults to ANSI mode, where
+    ``to_date`` THROWS on invalid dates like '00000000' (found by the
+    hypothesis suite) — the reference's strict=False semantics are
+    null-on-failure."""
     digits = strip_non_digits(c)
-    return F.when(F.length(digits) == 8, F.to_date(digits, "yyyyMMdd")).otherwise(
+    return F.when(F.length(digits) == 8, F.try_to_date(digits, "yyyyMMdd")).otherwise(
         F.lit(None).cast("date")
     )
 

@@ -60,6 +60,9 @@ def test_parse_multiformat_date_matches_python(spark, raws):
             return None
 
     for i, raw in enumerate(raws):
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        if len(digits) == 8 and digits.startswith("0000"):
+            continue  # year 0: valid in Spark's proleptic calendar, not python's
         assert got[i] == pyref(raw), (raw, got[i], pyref(raw))
 
 
