@@ -80,3 +80,29 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_facts")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_dims")
+
+
+def test_partition_pruning_on_trade_month(spark, tmp_path):
+    """The MergeTree-layout emulation must actually prune: a trade_month
+    predicate limits the scan to matching hive partitions."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.storage.table import stock_price_table
+
+    t = stock_price_table(spark, str(tmp_path / "price"))
+    rows = [
+        ("A", dt.date(2023, m, 15), 100.0 + m, dt.datetime(2023, m, 15))
+        for m in range(1, 7)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, trade_date date, close_price double, update_dt timestamp"
+    )
+    t.overwrite(df)
+
+    pruned = spark.read.parquet(t.path).filter(F.col("trade_month") == "202303")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(trade_month" in plan.replace("#", "").replace(
+        "L", ""
+    ) or "trade_month" in plan.split("PartitionFilters")[1].split("]")[0]
+    # and the scan reads exactly one of six partitions' rows
+    assert pruned.count() == 1
