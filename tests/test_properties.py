@@ -201,3 +201,53 @@ def test_jaccard_bounds_and_identity(spark, texts):
             if texts[i] == texts[j] and len(texts[i].split()) >= 3:
                 match = [r for r in pairs if r.doc_a == i and r.doc_b == j]
                 assert match and match[0].jaccard == 1.0
+
+
+# --- sessionization ----------------------------------------------------------
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                                  # user
+            st.integers(0, 360),                                # minutes offset
+            st.floats(0, 100, allow_nan=False, width=16),       # value
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_sessionize_matches_python_reference(spark, events):
+    from market_data_pipeline_spark.operators.events import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, float(v))
+        for i, (u, m, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = [
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, gap_minutes=30).collect()
+    ]
+
+    # python reference: sort per user, split on >30min gaps
+    ref = []
+    by_user: dict[int, list] = {}
+    for _, ts, u, v in rows:
+        by_user.setdefault(u, []).append(ts)
+    for u in sorted(by_user):
+        tss = sorted(by_user[u])
+        sess = [tss[0], tss[0], 1]  # start, end, count
+        for t in tss[1:]:
+            if (t - sess[1]).total_seconds() > 30 * 60:
+                ref.append((u, sess[0], sess[1], sess[2]))
+                sess = [t, t, 1]
+            else:
+                sess[1] = t
+                sess[2] += 1
+        ref.append((u, sess[0], sess[1], sess[2]))
+
+    assert got == ref
