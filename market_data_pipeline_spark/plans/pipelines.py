@@ -59,6 +59,8 @@ def update_listed_stocks(
 
     Returns the number of newly inserted symbols.
     """
+    if not per_market_listings:
+        return 0
     canon = [
         to_canonical_master(df, market=mkt) for mkt, df in per_market_listings.items()
     ]
