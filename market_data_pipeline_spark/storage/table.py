@@ -63,6 +63,14 @@ class ParquetTable:
 
     def _write(self, df: DataFrame, mode: str, path: str | None = None) -> None:
         df = self._with_partition(df)
+        if self.partition_col:
+            # cluster rows by their target partition before the partitioned
+            # write: without this every task writes a sliver into every
+            # month directory (tasks x months small files); with it each
+            # month becomes few large files sorted on (symbol, trade_date)
+            # — the MergeTree part layout, and what row-group min/max
+            # skipping needs. AQE splits any oversized month.
+            df = df.repartition(F.col(self.partition_col))
         writer = df.sortWithinPartitions(*self.sort_cols).write.mode(mode)
         if self.partition_col:
             writer = writer.partitionBy(self.partition_col)
@@ -132,6 +140,30 @@ class ParquetTable:
         src/clickhouse/price_client.py:249-273). Caller builds the
         predicate; unconditional deletes are refused upstream."""
         self.overwrite(self.read_raw().filter(~predicate))
+
+
+def migrate_csv_to_table(
+    spark: SparkSession,
+    csv_path: str,
+    table: ParquetTable,
+    schema=None,
+    header: bool = True,
+) -> int:
+    """S9 — legacy-store bulk load: CSV staging files -> the managed
+    parquet layout in one distributed pass.
+
+    The reference pages a legacy PostgreSQL table through 1000-row
+    offset/limit chunks into temp CSVs piped to clickhouse-client
+    (reference: src/setup/setup_clickhouse.py:122-245); in Spark the
+    pagination disappears — one partitioned read, one clustered write.
+    Returns the row count written.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    df = reader.schema(schema).csv(csv_path) if schema is not None else reader.option(
+        "inferSchema", "true"
+    ).csv(csv_path)
+    table.overwrite(df)
+    return table.read_raw().count()
 
 
 def write_bucketed(

@@ -161,3 +161,38 @@ def test_master_table_replacing_semantics(spark, tmp_path):
     # reference: scripts/daily_stock_master_update.py:333-367)
     assert t.upsert_absent(master_df(spark)) == 0
     assert t.read_current().count() == 3
+
+
+def test_migrate_csv_to_table(spark, tmp_path):
+    """S9 — CSV staging bulk load into the managed layout."""
+    import csv
+    import datetime as dt
+
+    from market_data_pipeline_spark.schemas import STOCK_PRICE
+    from market_data_pipeline_spark.storage.table import (
+        migrate_csv_to_table,
+        stock_price_table,
+    )
+
+    csv_dir = tmp_path / "staging"
+    csv_dir.mkdir()
+    with open(csv_dir / "chunk0.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([c.name for c in STOCK_PRICE.fields])
+        for i in range(5):
+            w.writerow(
+                [
+                    f"{i:06d}", "2023-03-15", 1.0, 2.0, 0.5, 1.5,
+                    100, 150, 1000, 0.01,
+                    "2023-03-15T18:00:00", "2023-03-15T18:00:00",
+                ]
+            )
+
+    t = stock_price_table(spark, str(tmp_path / "price"))
+    n = migrate_csv_to_table(spark, str(csv_dir), t, schema=STOCK_PRICE)
+    assert n == 5
+    cur = t.read_current()
+    assert cur.count() == 5
+    row = cur.filter(F.col("symbol") == "000003").collect()[0]
+    assert row.trade_date == dt.date(2023, 3, 15)
+    assert row.close_price == 1.5
