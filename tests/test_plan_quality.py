@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the physical plans the engine is designed
+to produce (broadcast dims, pushed filters, pruned scans, no stray
+sort-merge joins). A failure here means a Catalyst behavior change or an
+operator edit degraded the plan — catch it before it becomes a bench
+regression."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+from plan_audit import audit_plan  # noqa: E402
+
+from market_data_pipeline_spark.plans.driver_queries import QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    def get(name):
+        return audit_plan(QUERIES[name](spark, SF_DIR))
+
+    return get
+
+
+def test_market_summary_broadcasts_dim(plans):
+    facts = plans("a1_market_summary")
+    assert facts["bhj"] >= 2          # price⋈master and the brand dim
+    assert facts["smj"] == 0
+    assert facts["max_read_cols"] <= 4  # column pruning reaches the scan
+
+
+def test_stock_data_pushes_dynamic_predicates(plans):
+    facts = plans("j1_stock_data")
+    assert facts["pushed_scans"] >= 1  # date-range filter at the parquet scan
+    assert facts["smj"] == 0
+
+
+def test_revenue_chain_is_broadcast_only(plans):
+    facts = plans("j7_revenue_by_nation")
+    assert facts["bhj"] >= 3          # nation/region/customer-dim all broadcast
+    assert facts["smj"] == 0
+    assert facts["pushed_scans"] >= 4
+
+
+def test_correlation_self_join_shape(plans):
+    facts = plans("a5_correlation_matrix")
+    # the date self-join may be SMJ (both sides big at scale) — but the
+    # dim joins around it must stay broadcast
+    assert facts["bhj"] >= 2
+
+
+def test_latest_prices_no_extra_scans(plans):
+    facts = plans("j3_latest_prices")
+    # decorrelated max-date window: one fact scan + one dim scan only
+    assert facts["scans"] == 2
+    assert facts["smj"] == 0
+
+
+def test_topk_reads_minimal_columns(plans):
+    facts = plans("o1_topk_orders")
+    assert facts["scans"] == 1
+    assert facts["max_read_cols"] <= 4
+
+
+def test_ngram_jaccard_single_scan(plans):
+    facts = plans("dd2_ngram_jaccard")
+    # pairs_within_groups: the shingle pipeline must execute ONCE (one
+    # scan), not per self-join side
+    assert facts["scans"] == 1
