@@ -128,18 +128,66 @@ class ParquetTable:
             self.append(new_rows)
         return n
 
-    def compact(self) -> None:
-        """OPTIMIZE TABLE ... FINAL — rewrite keeping only latest
-        versions (reference: src/clickhouse/client.py:237-251)."""
+    # -- partition surgery ------------------------------------------------
+    def _partition_values(self, predicate=None) -> list[str]:
+        """Distinct partition values, optionally only those containing rows
+        matching ``predicate`` (partition pruning + row filter — the scan
+        reads only the partition column and predicate columns)."""
+        df = self.spark.read.parquet(self.path)
+        if predicate is not None:
+            df = df.filter(predicate)
+        return [str(r[0]) for r in df.select(self.partition_col).distinct().collect()]
+
+    def _rewrite_partition(self, value: str, transform) -> None:
+        """Stage-and-swap ONE hive partition directory through
+        ``transform(df) -> df`` (df excludes the partition column)."""
+        import shutil
+
+        pdir = os.path.join(self.path, f"{self.partition_col}={value}")
+        out = transform(self.spark.read.parquet(pdir))
+        tmp = pdir + ".stage.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.sortWithinPartitions(*self.sort_cols).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(pdir)
+        os.rename(tmp, pdir)
+        self.spark.catalog.refreshByPath(self.path)
+
+    def compact(self, partitions: list[str] | None = None) -> None:
+        """OPTIMIZE TABLE ... FINAL — keep only latest versions
+        (reference: src/clickhouse/client.py:237-251).
+
+        Partitioned tables compact per partition (``partitions`` limits it
+        to specific values, e.g. the months an ingest touched): correct
+        because the dedup key contains the partition-deriving column, so
+        versions of a key never span partitions — and only the affected
+        directories are rewritten, the 100 TB discipline the whole layout
+        exists for. Unpartitioned (dim) tables rewrite whole.
+        """
         if not self.version_col:
             return
-        self.overwrite(self.read_current())
+        if not self.partition_col:
+            self.overwrite(self.read_current())
+            return
+        for value in partitions if partitions is not None else self._partition_values():
+            self._rewrite_partition(
+                value, lambda df: dedup_latest(df, self.key, self.version_col)
+            )
 
     def delete_where(self, predicate) -> None:
-        """Guarded delete = read, anti-filter, overwrite (reference:
-        src/clickhouse/price_client.py:249-273). Caller builds the
-        predicate; unconditional deletes are refused upstream."""
-        self.overwrite(self.read_raw().filter(~predicate))
+        """Guarded delete (reference: src/clickhouse/price_client.py:249-273
+        — ALTER TABLE DELETE). Caller builds the predicate; unconditional
+        deletes are refused upstream.
+
+        Partitioned tables rewrite ONLY the partitions that contain
+        matching rows (found with a pruned scan); untouched month
+        directories keep their exact files. Unpartitioned tables rewrite
+        whole (they are small dims by construction).
+        """
+        if not self.partition_col:
+            self.overwrite(self.read_raw().filter(~predicate))
+            return
+        for value in self._partition_values(predicate):
+            self._rewrite_partition(value, lambda df: df.filter(~predicate))
 
 
 def migrate_csv_to_table(

@@ -196,3 +196,68 @@ def test_migrate_csv_to_table(spark, tmp_path):
     row = cur.filter(F.col("symbol") == "000003").collect()[0]
     assert row.trade_date == dt.date(2023, 3, 15)
     assert row.close_price == 1.5
+
+
+def test_delete_where_rewrites_only_affected_partitions(spark, tmp_path):
+    """Partition surgery: untouched month directories keep their exact
+    files (same inodes/mtimes) after a delete that targets one month."""
+    import datetime as dt
+    import os
+
+    from market_data_pipeline_spark.operators.upsert import guarded_delete
+    from market_data_pipeline_spark.storage.table import stock_price_table
+
+    t = stock_price_table(spark, str(tmp_path / "price"))
+    rows = [
+        (s, dt.date(2023, m, 15), 10.0 * m, dt.datetime(2023, m, 15))
+        for m in (1, 2, 3)
+        for s in ("000001", "000002")
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, trade_date date, close_price double, update_dt timestamp"
+    )
+    t.overwrite(df)
+
+    def files_of(month):
+        d = tmp_path / "price" / f"trade_month={month}"
+        return {f.name: os.stat(d / f.name).st_mtime_ns for f in d.iterdir()}
+
+    before_feb = files_of("202302")
+    t.delete_where(
+        (F.col("symbol") == "000001") & (F.col("trade_date") >= F.lit("2023-03-01"))
+    )
+    # march rewritten, february byte-untouched
+    assert files_of("202302") == before_feb
+    cur = t.read_raw()
+    assert cur.count() == 5
+    assert cur.filter(
+        (F.col("symbol") == "000001") & (F.col("trade_date") >= "2023-03-01")
+    ).count() == 0
+
+
+def test_compact_partition_selective(spark, tmp_path):
+    import datetime as dt
+
+    from market_data_pipeline_spark.storage.table import stock_price_table
+
+    t = stock_price_table(spark, str(tmp_path / "price"))
+    v1 = dt.datetime(2023, 1, 1, 9)
+    v2 = dt.datetime(2023, 1, 1, 18)
+    df = spark.createDataFrame(
+        [
+            ("000001", dt.date(2023, 1, 10), 1.0, v1),
+            ("000001", dt.date(2023, 1, 10), 2.0, v2),  # newer version, same key
+            ("000001", dt.date(2023, 2, 10), 3.0, v1),
+        ],
+        "symbol string, trade_date date, close_price double, update_dt timestamp",
+    )
+    t.overwrite(df)
+    assert t.read_raw().count() == 3
+
+    t.compact(partitions=["202301"])
+    raw = t.read_raw()
+    assert raw.count() == 2  # january deduped to the v2 row, february untouched
+    jan = raw.filter(F.col("trade_date") == "2023-01-10").collect()
+    assert len(jan) == 1 and jan[0].close_price == 2.0
+    # read_current was already correct before and after (dedup-on-read)
+    assert t.read_current().count() == 2
