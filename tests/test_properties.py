@@ -251,3 +251,81 @@ def test_sessionize_matches_python_reference(spark, events):
         ref.append((u, sess[0], sess[1], sess[2]))
 
     assert got == ref
+
+
+# --- delisting update branches (the §3.2 hard part) --------------------------
+
+
+@SET
+@given(
+    # master rows: (symbol 0-5, is_active)
+    st.lists(
+        st.tuples(st.integers(0, 5), st.booleans()),
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    # delisted batch: (symbol 0-7, day offset)
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 100)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_apply_delistings_branches_match_reference_semantics(spark, master_rows, delisted_rows):
+    from market_data_pipeline_spark.operators.upsert import apply_delistings
+
+    base = dt.date(2023, 1, 1)
+    master = spark.createDataFrame(
+        [
+            (
+                f"{s:06d}",
+                f"name-{s:06d}",
+                "KOSPI",
+                None,
+                None if active else dt.date(2020, 1, 1),
+                1 if active else 0,
+                dt.datetime(2022, 1, 1),
+                dt.datetime(2022, 1, 1),
+            )
+            for s, active in master_rows
+        ],
+        "symbol string, name string, market string, listing_date date, "
+        "delisting_date date, is_active int, create_dt timestamp, update_dt timestamp",
+    )
+    delisted = spark.createDataFrame(
+        [
+            (f"{s:06d}", f"dname-{s:06d}", "KOSDAQ", base + dt.timedelta(days=d))
+            for s, d in delisted_rows
+        ],
+        "symbol string, name string, market string, delisting_date date",
+    )
+    updated, stats = apply_delistings(master, delisted)
+    got = {r.symbol: r for r in updated.collect()}
+    st_row = stats.collect()[0]
+
+    master_by_sym = {f"{s:06d}": active for s, active in master_rows}
+    d_by_sym = {f"{s:06d}": base + dt.timedelta(days=d) for s, d in delisted_rows}
+
+    exp_updated = sum(1 for s, a in master_by_sym.items() if a and s in d_by_sym)
+    exp_inserted = sum(1 for s in d_by_sym if s not in master_by_sym)
+    exp_skipped = sum(1 for s, a in master_by_sym.items() if not a and s in d_by_sym)
+    assert (st_row.updated, st_row.inserted, st_row.skipped) == (
+        exp_updated,
+        exp_inserted,
+        exp_skipped,
+    )
+
+    # row count: every master symbol survives + pure inserts
+    assert set(got) == set(master_by_sym) | set(d_by_sym)
+    for s, r in got.items():
+        if s in master_by_sym and master_by_sym[s] and s in d_by_sym:
+            assert r.is_active == 0 and r.delisting_date == d_by_sym[s]  # updated
+            assert r.name == f"name-{s}"  # master attrs kept
+        elif s in master_by_sym and not master_by_sym[s]:
+            assert r.is_active == 0 and r.delisting_date == dt.date(2020, 1, 1)  # skip keeps old
+        elif s not in master_by_sym:
+            assert r.is_active == 0 and r.delisting_date == d_by_sym[s]  # insert
+            assert r.name == f"dname-{s}" and r.market == "KOSDAQ"
+        else:  # active master symbol not in batch: untouched
+            assert r.is_active == 1 and r.delisting_date is None
