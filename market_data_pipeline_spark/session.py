@@ -22,6 +22,23 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _export_pythonpath() -> None:
+    """Make this package importable by python worker/daemon processes.
+
+    The worker daemon is launched with the JVM's environment, not the
+    driver's ``sys.path``; the custom preloading daemon module
+    (``daemon_preload``) must be resolvable there. Must run before the JVM
+    starts (harmless no-op afterwards).
+    """
+    existing = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _REPO_ROOT + (os.pathsep + existing if existing else "")
+        )
+
 
 def get_spark(
     app_name: str = "market-data-pipeline-spark",
@@ -36,6 +53,7 @@ def get_spark(
     the environment and this is a no-op.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _export_pythonpath()
     builder = (
         SparkSession.builder.appName(app_name)
         # local mode runs all 32 executor threads inside the driver JVM —
@@ -61,6 +79,11 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) (events.ts) is unreadable by default;
         # read as long and convert in sources.catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Preload numpy/pandas/pyarrow in the worker daemon so forked
+        # workers inherit them copy-on-write: N chained Arrow-python
+        # stages x C cores = N*C workers, each otherwise paying the
+        # ~1-2s import chain on first spawn (see daemon_preload.py).
+        .config("spark.python.daemon.module", "market_data_pipeline_spark.daemon_preload")
     )
     if master is not None:
         builder = builder.master(master)
