@@ -332,3 +332,44 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- entity resolution -------------------------------------------------------
+
+
+def blocked_name_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked entity resolution: candidate duplicate pairs whose names are
+    within ``max_dist`` Levenshtein edits, compared only WITHIN a blocking
+    key (nation, market, first-token, ...).
+
+    The unblocked formulation is an O(N^2) cross join with a string-edit
+    predicate — a nested-loop plan no optimizer can save. Blocking turns it
+    into one groupBy shuffle on the block key plus in-group pair expansion
+    (``pairs_within_groups``), i.e. sum over blocks of k^2 instead of N^2;
+    block-size skew is the operator's knob, same as every LSH family op
+    here. ``F.levenshtein`` runs JVM-side in codegen.
+
+    Returns (block_col, id_a, id_b, edit_dist) with id_a < id_b.
+    """
+    from market_data_pipeline_spark.operators.util import pairs_within_groups
+
+    pairs = pairs_within_groups(
+        df.select(block_col, id_col, name_col), [block_col], id_col, [name_col]
+    )
+    return (
+        pairs.select(
+            F.col(block_col),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.levenshtein(F.col(f"a.{name_col}"), F.col(f"b.{name_col}"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

@@ -1,0 +1,194 @@
+"""Time-series analytics over the (symbol, trade_date) price series.
+
+Extends the reference's window surface (SURVEY §2.5: lag / first_value
+only — no sliding frames anywhere, `src/clickhouse/client.py:131,187-194`)
+with the rolling operators a market-data engine is actually asked for:
+moving averages, rolling volatility, drawdown, OHLC resampling, and a
+distributed as-of join. Everything is built-in window/agg functions —
+single shuffle on the partition key, whole-stage codegen, no UDFs.
+
+Determinism conventions (for the DuckDB oracle hash-compare):
+- rolling sums/averages accumulate in DECIMAL so sliding-frame
+  implementation differences (sequential fold vs segment tree) can't
+  change the float result;
+- variance-family results are rounded (they are accumulation-order
+  dependent in any engine);
+- per-row ratio arithmetic (drawdown) is plain IEEE and needs no rounding,
+  but tie-broken deterministically where it feeds an extremum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _series_window(partition_col: str, order_col: str) -> Window:
+    return Window.partitionBy(partition_col).orderBy(order_col)
+
+
+def sma(
+    df: DataFrame,
+    n: int,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Simple moving average over the trailing ``n`` rows (inclusive).
+
+    The windowed sum runs over DECIMAL(18,2): engines disagree on sliding-
+    frame float accumulation (Spark buffers sequentially, DuckDB uses a
+    segment tree), and decimal addition is exact under any order. Rows
+    earlier than the n-th average over the frame seen so far (standard
+    SQL ROWS semantics) — no null warm-up stripping, so the result is a
+    pure column add.
+    """
+    out_col = out_col or f"sma_{n}"
+    w = _series_window(partition_col, order_col).rowsBetween(-(n - 1), 0)
+    total = F.sum(F.col(value_col).cast("decimal(18,2)")).over(w)
+    cnt = F.count(value_col).over(w)
+    return df.withColumn(out_col, (total.cast("double") / cnt))
+
+
+def rolling_volatility(
+    df: DataFrame,
+    n: int,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rolling sample standard deviation of day-over-day returns over the
+    trailing ``n`` rows — the standard realized-volatility estimate.
+
+    Returns are per-row IEEE ratios (deterministic); the stddev is rounded
+    because every engine accumulates the variance in its own order.
+    Output adds ``ret`` (this row's return) and ``vol_{n}``.
+    """
+    w = _series_window(partition_col, order_col)
+    prev = F.lag(value_col).over(w)
+    ret = (F.col(value_col) / prev - 1).alias("ret")
+    frame = w.rowsBetween(-(n - 1), 0)
+    out = df.withColumn("ret", ret).withColumn(
+        f"vol_{n}", F.round(F.stddev_samp("ret").over(frame), round_digits)
+    )
+    return out
+
+
+def max_drawdown(
+    df: DataFrame,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key maximum drawdown: the most negative ``price/running_peak - 1``
+    over the series.
+
+    Running max is order-insensitive (max is associative+commutative), the
+    drawdown ratio is per-row IEEE, and the final min is exact — the only
+    rounding is cosmetic on the emitted ratio. One shuffle (the window
+    partition), one partial-aggregated groupBy on the same key, which
+    Catalyst schedules without a second exchange.
+    Returns (partition_col, max_drawdown) sorted by key.
+    """
+    w = _series_window(partition_col, order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = F.col(value_col) / F.max(value_col).over(w) - 1
+    return (
+        df.withColumn("_dd", dd)
+        .groupBy(partition_col)
+        .agg(F.round(F.min("_dd"), round_digits).alias("max_drawdown"))
+        .orderBy(partition_col)
+    )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    freq_col: Column,
+    value_col: str = "close_price",
+    volume_col: str | None = "volume",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """Downsample a price series to OHLC bars per (key, bucket).
+
+    ``freq_col`` is the bucket expression (e.g.
+    ``F.date_trunc('week', F.col('trade_date')).cast('date')``). Open and
+    close are the values at the bucket's first/last date via ``min_by`` /
+    ``max_by`` — a single hash aggregate, no window pass, deterministic
+    because (key, order_col) is unique per row.
+    """
+    aggs = [
+        F.min_by(value_col, order_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, order_col).alias("close"),
+    ]
+    if volume_col is not None:
+        aggs.append(
+            F.sum(F.col(volume_col).cast("decimal(18,2)")).cast("long").alias("volume")
+        )
+    return df.groupBy(F.col(partition_col), freq_col.alias("bucket")).agg(*aggs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: each left row picks up ``value_cols`` from the
+    latest right row with ``right_ts <= left_ts`` for the same key.
+
+    Spark has no ASOF JOIN operator; the naive formulations both fail at
+    scale — a range-predicate join degenerates to a per-key nested loop,
+    and "max(right_ts) per left row then equi-join back" scans the right
+    side twice. This is the single-shuffle union trick instead: tag the
+    two sides, union them, and carry the last non-null right value forward
+    over a (key, ts, side) window — right rows sort before left rows at
+    equal ts, so a same-timestamp right row is visible (at-or-before
+    semantics, matching DuckDB's ``ASOF JOIN ... ON right_ts <= left_ts``).
+    Cost is exactly one shuffle of |left|+|right| rows on the key; no
+    range explosion, no second scan. Left rows with no earlier right row
+    keep NULLs (ASOF LEFT JOIN semantics).
+
+    Right (on + right_ts) should be unique per row (true for the price
+    series' (symbol, trade_date)); with duplicates the in-bucket winner
+    would be arrival-order dependent.
+    """
+    left_cols = [c for c in left.columns if c not in (*on, left_ts)]
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *left_cols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *value_cols,
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *on,
+        F.col("_ts"),
+        F.col("_side"),
+        *left_cols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *on, F.col("_ts").alias(left_ts), *left_cols, *value_cols
+    )

@@ -1445,3 +1445,517 @@ def tx4_fingerprint(spark, sf_dir):
 def k3_knn_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_lsh(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=6)
+
+
+# ===========================================================================
+# Time-series analytics (operators/timeseries.py): rolling windows, OHLC
+# resampling, as-of join — the sliding-frame surface the reference lacks
+# (SURVEY §2.5 notes only lag/first_value appear there).
+# ===========================================================================
+
+from market_data_pipeline_spark.operators import timeseries as tseries  # noqa: E402
+
+_RET_IN = ",".join(f"'{s}'" for s in RETURN_SYMBOLS)
+_STOCK_IN = ",".join(f"'{s}'" for s in STOCK_SYMBOLS)
+QUARTER_ENDS = [
+    f"{y}-{md}"
+    for y in range(1995, 1999)
+    for md in ("03-31", "06-30", "09-30", "12-31")
+]
+
+
+def _ts_series(spark, sf_dir):
+    return price_frame(spark, sf_dir).filter(
+        F.col("symbol").isin(RETURN_SYMBOLS)
+        & F.col("close_price").isNotNull()
+        & (F.col("trade_date") >= "1996-01-01")
+        & (F.col("trade_date") <= "1998-12-31")
+    ).select("symbol", "trade_date", "close_price")
+
+
+@query(
+    "ts1_sma",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+)
+SELECT symbol, trade_date, close_price,
+       CAST(SUM(CAST(close_price AS DECIMAL(18,2))) OVER w5 AS DOUBLE)
+           / COUNT(close_price) OVER w5 AS sma_5,
+       CAST(SUM(CAST(close_price AS DECIMAL(18,2))) OVER w20 AS DOUBLE)
+           / COUNT(close_price) OVER w20 AS sma_20
+FROM sel
+WINDOW w5  AS (PARTITION BY symbol ORDER BY trade_date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       w20 AS (PARTITION BY symbol ORDER BY trade_date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY symbol, trade_date""",
+)
+def ts1_sma(spark, sf_dir):
+    """Trailing 5/20-row moving averages — decimal-accumulated window sums
+    so Spark's sequential frame buffer and DuckDB's segment tree can't
+    produce different floats."""
+    out = tseries.sma(tseries.sma(_ts_series(spark, sf_dir), 5), 20)
+    return out.orderBy("symbol", "trade_date")
+
+
+@query(
+    "ts2_volatility",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+),
+rets AS (
+  SELECT symbol, trade_date, close_price,
+         close_price / lag(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0 AS ret
+  FROM sel
+)
+SELECT symbol, trade_date, close_price, ret,
+       ROUND(stddev_samp(ret) OVER (PARTITION BY symbol ORDER BY trade_date
+                                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS vol_10
+FROM rets
+ORDER BY symbol, trade_date""",
+)
+def ts2_volatility(spark, sf_dir):
+    """Rolling 10-row realized volatility of daily returns (stddev rounded:
+    variance accumulation order is engine-internal)."""
+    return tseries.rolling_volatility(_ts_series(spark, sf_dir), 10).orderBy(
+        "symbol", "trade_date"
+    )
+
+
+@query(
+    "ts3_drawdown",
+    f"""WITH {PRICE_CTE},
+dd AS (
+  SELECT symbol,
+         close_price / MAX(close_price) OVER (PARTITION BY symbol ORDER BY trade_date
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+             AS _dd
+  FROM price WHERE close_price > 0
+)
+SELECT symbol, ROUND(MIN(_dd), 6) AS max_drawdown
+FROM dd GROUP BY symbol ORDER BY symbol""",
+)
+def ts3_drawdown(spark, sf_dir):
+    """Per-symbol maximum drawdown over the whole series: running max is
+    order-insensitive, the ratio is per-row IEEE, the min is exact."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price") > 0)
+    return tseries.max_drawdown(p)
+
+
+@query(
+    "ts4_weekly_ohlc",
+    f"""WITH {PRICE_CTE}
+SELECT symbol,
+       date_trunc('week', trade_date) AS bucket,
+       arg_min(close_price, trade_date) AS open_px,
+       MAX(close_price) AS high_px,
+       MIN(close_price) AS low_px,
+       arg_max(close_price, trade_date) AS close_px,
+       CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS BIGINT) AS volume
+FROM price
+WHERE symbol IN ({_STOCK_IN}) AND close_price IS NOT NULL
+GROUP BY 1, 2
+ORDER BY symbol, bucket""",
+)
+def ts4_weekly_ohlc(spark, sf_dir):
+    """Weekly OHLC resampling via min_by/max_by — one hash aggregate, no
+    window pass; deterministic because (symbol, trade_date) is unique."""
+    p = price_frame(spark, sf_dir).filter(
+        F.col("symbol").isin(STOCK_SYMBOLS) & F.col("close_price").isNotNull()
+    )
+    bars = tseries.resample_ohlc(
+        p, F.date_trunc("week", F.col("trade_date")).cast("date")
+    )
+    return bars.select(
+        "symbol",
+        "bucket",
+        F.col("open").alias("open_px"),
+        F.col("high").alias("high_px"),
+        F.col("low").alias("low_px"),
+        F.col("close").alias("close_px"),
+        "volume",
+    ).orderBy("symbol", "bucket")
+
+
+@query(
+    "ts5_asof_prices",
+    f"""WITH {PRICE_CTE},
+grid AS (
+  SELECT s.symbol, CAST(d.qend AS DATE) AS qend
+  FROM (VALUES {",".join(f"('{s}')" for s in STOCK_SYMBOLS)}) s(symbol)
+  CROSS JOIN (VALUES {",".join(f"('{d}')" for d in QUARTER_ENDS)}) d(qend)
+)
+SELECT g.symbol, g.qend, p.close_price AS asof_close
+FROM grid g
+ASOF LEFT JOIN (SELECT * FROM price WHERE close_price IS NOT NULL) p
+  ON g.symbol = p.symbol AND p.trade_date <= g.qend
+ORDER BY g.symbol, g.qend""",
+)
+def ts5_asof_prices(spark, sf_dir):
+    """Quarter-end as-of valuation: each (symbol, quarter-end) picks up the
+    latest close at-or-before that date via the single-shuffle union as-of
+    join (operators/timeseries.asof_join) — checked against DuckDB's native
+    ASOF LEFT JOIN."""
+    grid = spark.createDataFrame(
+        [(s, d) for s in STOCK_SYMBOLS for d in QUARTER_ENDS],
+        "symbol string, qend string",
+    ).select("symbol", F.to_date("qend").alias("qend"))
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull()).select(
+        "symbol", "trade_date", "close_price"
+    )
+    joined = tseries.asof_join(
+        grid, p, on=["symbol"], left_ts="qend", right_ts="trade_date",
+        value_cols=["close_price"],
+    )
+    return joined.select(
+        "symbol", "qend", F.col("close_price").alias("asof_close")
+    ).orderBy("symbol", "qend")
+
+
+# ===========================================================================
+# Ranking / grouping-set / pivot analytics: rank-per-group, ROLLUP, CUBE,
+# pivot, ntile deciles — grouping machinery beyond the reference's flat
+# GROUP BYs (SURVEY §2.4 "no grouping sets / cube / rollup").
+# ===========================================================================
+
+
+def _symbol_totals(spark, sf_dir):
+    p = price_frame(spark, sf_dir)
+    m = master_frame(spark, sf_dir)
+    return (
+        p.join(F.broadcast(m.select("symbol", "market")), "symbol")
+        .groupBy("market", "symbol")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_amount")
+        )
+    )
+
+
+_TOTALS_CTE = f"""totals AS (
+  SELECT m.market AS market, p.symbol AS symbol,
+         CAST(SUM(CAST(p.amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+  FROM price p JOIN master m USING (symbol)
+  GROUP BY 1, 2
+)"""
+
+
+@query(
+    "r1_top3_per_market",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}, {_TOTALS_CTE}
+SELECT market, symbol, total_amount,
+       CAST(ROW_NUMBER() OVER (PARTITION BY market ORDER BY total_amount DESC, symbol) AS BIGINT) AS rnk
+FROM totals
+QUALIFY rnk <= 3
+ORDER BY market, rnk""",
+)
+def r1_top3_per_market(spark, sf_dir):
+    """Top-3 symbols by turnover per market: rank-in-group via row_number
+    (total order: amount desc, symbol) — the grouped top-k the reference
+    does with a global sort+limit only."""
+    w = Window.partitionBy("market").orderBy(F.desc("total_amount"), "symbol")
+    return (
+        _symbol_totals(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("market", "rnk")
+    )
+
+
+@query(
+    "r2_rollup_market_year",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}
+SELECT m.market AS market, CAST(year(p.trade_date) AS BIGINT) AS yr,
+       CAST(SUM(p.volume) AS BIGINT) AS total_volume,
+       COUNT(*) AS n_rows
+FROM price p JOIN master m USING (symbol)
+GROUP BY ROLLUP(market, yr)
+ORDER BY market NULLS FIRST, yr NULLS FIRST""",
+)
+def r2_rollup_market_year(spark, sf_dir):
+    """ROLLUP(market, year): per-(market, year), per-market, and grand
+    totals in one pass — Spark plans it as a single expand+aggregate, no
+    per-level rescan."""
+    p = price_frame(spark, sf_dir)
+    m = master_frame(spark, sf_dir)
+    j = p.join(F.broadcast(m.select("symbol", "market")), "symbol").withColumn(
+        "yr", F.year("trade_date").cast("long")
+    )
+    return (
+        j.rollup("market", "yr")
+        .agg(F.sum("volume").alias("total_volume"), F.count("*").alias("n_rows"))
+        .orderBy(F.col("market").asc_nulls_first(), F.col("yr").asc_nulls_first())
+    )
+
+
+@query(
+    "r3_cube_flag_status",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+)
+def r3_cube_flag_status(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "r4_pivot_market_year",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE},
+j AS (
+  SELECT m.market AS market, year(p.trade_date) AS yr,
+         CAST(p.amount AS DECIMAL(18,2)) AS amt
+  FROM price p JOIN master m USING (symbol)
+)
+SELECT market,
+       CAST(SUM(amt) FILTER (WHERE yr = 1995) AS DOUBLE) AS "1995",
+       CAST(SUM(amt) FILTER (WHERE yr = 1996) AS DOUBLE) AS "1996",
+       CAST(SUM(amt) FILTER (WHERE yr = 1997) AS DOUBLE) AS "1997",
+       CAST(SUM(amt) FILTER (WHERE yr = 1998) AS DOUBLE) AS "1998"
+FROM j GROUP BY market ORDER BY market""",
+)
+def r4_pivot_market_year(spark, sf_dir):
+    """Wide pivot (market x year turnover) with an explicit value list —
+    the bounded-cardinality reshape; at scale the value list is what keeps
+    the schema finite and the plan a single aggregate."""
+    p = price_frame(spark, sf_dir)
+    m = master_frame(spark, sf_dir)
+    j = p.join(F.broadcast(m.select("symbol", "market")), "symbol").withColumn(
+        "yr", F.year("trade_date")
+    )
+    return (
+        j.groupBy("market")
+        .pivot("yr", [1995, 1996, 1997, 1998])
+        .agg(F.sum(F.col("amount").cast("decimal(18,2)")).cast("double"))
+        .orderBy("market")
+    )
+
+
+@query(
+    "r5_symbol_deciles",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}, {_TOTALS_CTE}
+SELECT symbol, total_amount,
+       CAST(NTILE(10) OVER (ORDER BY total_amount DESC, symbol) AS BIGINT) AS decile
+FROM totals
+ORDER BY symbol""",
+)
+def r5_symbol_deciles(spark, sf_dir):
+    """Turnover deciles across all symbols (ntile; single global window —
+    fine for a ~5k-symbol dimension, and the decile boundary rule is the
+    SQL-standard one both engines share)."""
+    w = Window.orderBy(F.desc("total_amount"), "symbol")
+    return (
+        _symbol_totals(spark, sf_dir)
+        .select("symbol", "total_amount", F.ntile(10).over(w).cast("long").alias("decile"))
+        .orderBy("symbol")
+    )
+
+
+# ===========================================================================
+# Entity resolution, composite joins, approximate aggregates, streaming
+# dedup / stream-static join.
+# ===========================================================================
+
+
+@query(
+    "er1_similar_supplier_names",
+    """SELECT a.s_nationkey AS s_nationkey,
+       a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+FROM supplier a
+JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+ORDER BY id_a, id_b""",
+)
+def er1_similar_supplier_names(spark, sf_dir):
+    """Blocked entity resolution: supplier-name near-matches within a
+    nation block (dedup.blocked_name_pairs) — one groupBy shuffle + in-block
+    pair expansion instead of the O(N^2) cross join the oracle spells."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return dedup.blocked_name_pairs(
+        sup, block_col="s_nationkey", id_col="s_suppkey", name_col="s_name", max_dist=2
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "j8_segment_top_orders",
+    """SELECT l.l_orderkey AS orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY 1, 2
+ORDER BY revenue DESC, orderkey
+LIMIT 10""",
+)
+def j8_segment_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customers broadcast into orders,
+    the date predicates push to both fact scans, and only orders⋈lineitem
+    shuffles; top-k plans as TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-03-15"
+    )
+    return (
+        li.join(
+            o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "apx1_approx_distinct",
+    """SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+)
+def apx1_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct counting, gated: emits the exact count plus
+    an in-Spark assertion column that the approximation (rsd=1%) lands
+    within 5% relative error — the oracle pins the exact value and the
+    bound, the sketch itself being engine-specific. At 100 TB the sketch
+    is the only affordable option (no shuffle-wide exact distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_apx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_apx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                < 0.05
+            ).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "apx2_price_quantiles",
+    """SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+)
+def apx2_price_quantiles(spark, sf_dir):
+    """Exact linear-interpolated quartiles per return flag (Spark
+    `percentile` == DuckDB `quantile_cont`, both SQL-standard type-7
+    interpolation). The approximate production path at scale is
+    percentile_approx (KLL-ish sketch), asserted against this in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("_q"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_q", 1), 6).alias("p25"),
+            F.round(F.element_at("_q", 2), 6).alias("p50"),
+            F.round(F.element_at("_q", 3), 6).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "st4_streaming_dedup",
+    """SELECT event_id, ts, user_id, event_type, value
+FROM events ORDER BY event_id""",
+)
+def st4_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup: the events stream unioned with itself (a
+    synthetic at-least-once source) passes dropDuplicatesWithinWatermark
+    and must reproduce the original rows exactly — the oracle is the
+    plain table."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    s1 = sj.read_events_stream(spark, sf_dir)
+    s2 = sj.read_events_stream(spark, sf_dir)
+    deduped = sj.streaming_dedup(s1.unionByName(s2), id_cols=["event_id"])
+    out = sj.run_stream_to_memory(
+        deduped.select("event_id", "ts", "user_id", "event_type", "value"),
+        "st4_sink",
+        output_mode="append",
+    )
+    return out.orderBy("event_id")
+
+
+@query(
+    "st5_stream_static_join",
+    """SELECT date_trunc('hour', e.ts) AS window_start,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2""",
+)
+def st5_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join (stateless: the dim is a batch frame
+    broadcast into every micro-batch) feeding a windowed aggregate —
+    hash-matched against the batch join+agg oracle."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    stream = sj.read_events_stream(spark, sf_dir).join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey")
+    )
+    agg = sj.streaming_tumbling(stream, duration="1 hour", keys=["segment"])
+    return sj.run_stream_to_memory(
+        agg.select("window_start", "segment", "n_events", "total_value"), "st5_sink"
+    )

@@ -162,6 +162,27 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication by key with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes its event time, so state is O(keys-per-watermark-
+    horizon) instead of O(all keys ever) — the at-least-once-source ->
+    exactly-once-rows repair stage of a streaming ingest path.
+
+    Append output mode (row stream, no aggregation), so it composes with a
+    downstream batch agg or a foreachBatch upsert sink.
+    """
+    id_cols = id_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
 # --- arbitrary stateful processing -----------------------------------------
 
 USER_STATE_OUTPUT = T.StructType(

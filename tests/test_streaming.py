@@ -150,3 +150,24 @@ def test_checkpointed_upsert_is_incremental(spark, event_dir, tmp_path):
     SJ.stream_upsert_to_table(_read_stream(spark, str(lake)), table, checkpoint_dir=ckpt)
     assert table.read_current().count() == 6
     assert seen_batches == 3
+
+
+def test_streaming_dedup_across_micro_batches(spark, event_dir):
+    # union the stream with itself -> every event_id arrives (at least)
+    # twice, split across micro-batches; the dedup must still emit each
+    # exactly once
+    doubled = _read_stream(spark, event_dir, max_files=1).unionByName(
+        _read_stream(spark, event_dir, max_files=1)
+    )
+    deduped = SJ.streaming_dedup(doubled, id_cols=["event_id"])
+    got = SJ.run_stream_to_memory(
+        deduped.select("event_id", "user_id", "value"),
+        "t_dedup",
+        output_mode="append",
+    )
+    rows = sorted((r.event_id, r.user_id, r.value) for r in got.collect())
+    want = sorted(
+        (r.event_id, r.user_id, r.value)
+        for r in spark.read.parquet(event_dir).collect()
+    )
+    assert rows == want

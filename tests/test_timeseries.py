@@ -1,0 +1,131 @@
+"""Unit tests for operators/timeseries.py and dedup.blocked_name_pairs
+against hand-computed fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import dedup as DD
+from market_data_pipeline_spark.operators import timeseries as TS
+
+
+def D(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [
+        ("A", D("2024-01-01"), 10.0, 100),
+        ("A", D("2024-01-02"), 20.0, 200),
+        ("A", D("2024-01-03"), 15.0, 300),
+        ("A", D("2024-01-08"), 30.0, 400),   # next ISO week
+        ("B", D("2024-01-01"), 50.0, 500),
+        ("B", D("2024-01-02"), 40.0, 600),
+    ]
+    return spark.createDataFrame(
+        rows, "symbol string, trade_date date, close_price double, volume long"
+    )
+
+
+def test_sma_trailing_rows(series):
+    out = {
+        (r.symbol, r.trade_date): r.sma_2
+        for r in TS.sma(series, 2).collect()
+    }
+    assert out[("A", D("2024-01-01"))] == 10.0          # warm-up: frame of 1
+    assert out[("A", D("2024-01-02"))] == 15.0          # (10+20)/2
+    assert out[("A", D("2024-01-03"))] == 17.5          # (20+15)/2
+    assert out[("B", D("2024-01-02"))] == 45.0
+
+
+def test_rolling_volatility_window(series):
+    out = {
+        (r.symbol, r.trade_date): (r.ret, r.vol_3)
+        for r in TS.rolling_volatility(series, 3).collect()
+    }
+    assert out[("A", D("2024-01-01"))] == (None, None)   # no prev, <2 rets
+    ret2, vol2 = out[("A", D("2024-01-02"))]
+    assert ret2 == 1.0 and vol2 is None                  # single return
+    ret3, vol3 = out[("A", D("2024-01-03"))]
+    assert ret3 == 15.0 / 20.0 - 1
+    # stddev_samp of [1.0, -0.25]
+    assert vol3 == pytest.approx(0.883883, abs=1e-6)
+
+
+def test_max_drawdown(series):
+    out = {r.symbol: r.max_drawdown for r in TS.max_drawdown(series).collect()}
+    # A: peaks 10,20,20,30 -> worst is 15/20-1 = -0.25
+    assert out["A"] == pytest.approx(-0.25)
+    # B: 50 then 40 -> -0.2
+    assert out["B"] == pytest.approx(-0.2)
+
+
+def test_resample_ohlc_weekly(series):
+    bars = {
+        (r.symbol, r.bucket): (r.open, r.high, r.low, r.close, r.volume)
+        for r in TS.resample_ohlc(
+            series, F.date_trunc("week", F.col("trade_date")).cast("date")
+        ).collect()
+    }
+    assert bars[("A", D("2024-01-01"))] == (10.0, 20.0, 10.0, 15.0, 600)
+    assert bars[("A", D("2024-01-08"))] == (30.0, 30.0, 30.0, 30.0, 400)
+    assert bars[("B", D("2024-01-01"))] == (50.0, 50.0, 40.0, 40.0, 1100)
+
+
+def test_asof_join_backward_semantics(spark, series):
+    left = spark.createDataFrame(
+        [
+            ("A", D("2023-12-31")),  # before any right row -> null
+            ("A", D("2024-01-02")),  # equal ts -> same-day row visible
+            ("A", D("2024-01-05")),  # between rows -> latest earlier (01-03)
+            ("C", D("2024-01-05")),  # key absent from right -> null
+        ],
+        "symbol string, asof date",
+    )
+    out = {
+        (r.symbol, r.asof): r.close_price
+        for r in TS.asof_join(
+            left,
+            series.select("symbol", "trade_date", "close_price"),
+            on=["symbol"],
+            left_ts="asof",
+            right_ts="trade_date",
+            value_cols=["close_price"],
+        ).collect()
+    }
+    assert out[("A", D("2023-12-31"))] is None
+    assert out[("A", D("2024-01-02"))] == 20.0
+    assert out[("A", D("2024-01-05"))] == 15.0
+    assert out[("C", D("2024-01-05"))] is None
+    assert len(out) == 4  # exactly one output row per left row
+
+
+def test_asof_join_keeps_left_payload(spark, series):
+    left = spark.createDataFrame(
+        [("A", D("2024-01-05"), "q1")], "symbol string, asof date, tag string"
+    )
+    row = TS.asof_join(
+        left,
+        series.select("symbol", "trade_date", "close_price"),
+        on=["symbol"],
+        left_ts="asof",
+        right_ts="trade_date",
+        value_cols=["close_price"],
+    ).collect()[0]
+    assert row.tag == "q1" and row.close_price == 15.0
+
+
+def test_blocked_name_pairs(spark):
+    rows = [
+        (1, 10, "Supplier#001"),
+        (1, 11, "Supplier#002"),   # dist 1 from #001
+        (1, 12, "Zupplier#999"),   # dist > 2 from both
+        (2, 20, "Supplier#001"),   # other block: never paired with block 1
+    ]
+    df = spark.createDataFrame(rows, "nat int, sid long, name string")
+    out = DD.blocked_name_pairs(df, "nat", "sid", "name", max_dist=2).collect()
+    assert [(r.id_a, r.id_b, r.edit_dist) for r in out] == [(10, 11, 1)]
