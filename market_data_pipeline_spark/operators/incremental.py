@@ -1,0 +1,66 @@
+"""Incremental aggregate maintenance: partial aggregates that merge.
+
+At 100 TB you do not recompute the daily market summary over the whole
+fact table every night — you aggregate the new partition into the same
+partial-aggregate shape and MERGE it with the stored rollup. That only
+works if every measure is algebraic (sum, count, min, max — and avg as
+sum/count, never stored as avg): the merge of partials must equal the
+direct aggregate, which is exactly what the oracle-checked ivm1 query
+asserts. This mirrors what Spark itself does map-side (partial_sum ->
+final merge); here the same discipline is applied ACROSS jobs/days
+instead of across tasks.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# The mergeable summary shape: keyed partial aggregates with only
+# algebraic measures. `avg` is intentionally absent — it is derived at
+# read time as sum/count.
+_MEASURES = ("n_rows", "sum_close", "sum_volume", "min_close", "max_close")
+
+
+def daily_summary_partial(price: DataFrame) -> DataFrame:
+    """Partial (mergeable) per-day market summary over any slice of the
+    price fact: counts, decimal-exact sums, min/max. Safe to compute per
+    ingest batch / per partition and store."""
+    return price.groupBy("trade_date").agg(
+        F.count("close_price").alias("n_rows"),
+        F.sum(F.col("close_price").cast("decimal(18,2)")).alias("sum_close"),
+        F.sum(F.col("volume").cast("decimal(18,2)")).alias("sum_volume"),
+        F.min("close_price").alias("min_close"),
+        F.max("close_price").alias("max_close"),
+    )
+
+
+def merge_partials(*partials: DataFrame) -> DataFrame:
+    """Merge any number of partial summaries into one: union + re-aggregate
+    with the measure-appropriate combiner (sums add, counts add, min/max
+    fold). Because every measure is algebraic, merge(partial(A),
+    partial(B)) == partial(A ∪ B) exactly — including the decimal sums,
+    which are order-insensitive."""
+    u = reduce(lambda a, b: a.unionByName(b), partials)
+    return u.groupBy("trade_date").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_close").alias("sum_close"),
+        F.sum("sum_volume").alias("sum_volume"),
+        F.min("min_close").alias("min_close"),
+        F.max("max_close").alias("max_close"),
+    )
+
+
+def finalize_summary(partial: DataFrame) -> DataFrame:
+    """Read-time projection of the stored partials into the user-facing
+    summary (derives avg from sum/count; casts decimals out)."""
+    return partial.select(
+        "trade_date",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("sum_close").cast("double") / F.col("n_rows")).alias("avg_close"),
+        F.col("sum_volume").cast("long").alias("total_volume"),
+        "min_close",
+        "max_close",
+    )

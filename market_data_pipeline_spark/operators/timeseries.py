@@ -192,3 +192,30 @@ def asof_join(
     return filled.filter(F.col("_side") == 1).select(
         *on, F.col("_ts").alias(left_ts), *left_cols, *value_cols
     )
+
+
+def sma_range_days(
+    df: DataFrame,
+    days: int,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Calendar-window moving average: trailing ``days`` DAYS (RANGE frame),
+    not trailing rows — on a series with gaps (weekends, halts) the two
+    are different operators, and the calendar one is what "30-day average"
+    means to a human. The frame is a rangeBetween over days-since-epoch
+    (Spark's RANGE frames need a numeric ordering); decimal accumulation
+    as in :func:`sma`.
+    """
+    out_col = out_col or f"sma_{days}d"
+    epoch_days = F.datediff(F.col(order_col), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(epoch_days)
+        .rangeBetween(-(days - 1), 0)
+    )
+    total = F.sum(F.col(value_col).cast("decimal(18,2)")).over(w)
+    cnt = F.count(value_col).over(w)
+    return df.withColumn(out_col, total.cast("double") / cnt)

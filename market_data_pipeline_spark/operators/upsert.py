@@ -133,3 +133,52 @@ def guarded_delete(
     for p in preds[1:]:
         keep = keep | ~p
     return df.filter(keep)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two snapshots of a keyed table: one row
+    per key that was added, removed, or changed, with the old/new values
+    of the compared columns.
+
+    The storage layer here rewrites immutable parquet snapshots (stage-
+    and-swap, see storage/table.py), so "what changed between yesterday's
+    table and today's" is a first-class maintenance question — this is the
+    set-based answer: a single full outer join on the key, change class
+    derived with null-safe comparisons (``eqNullSafe``: a NULL->value
+    transition IS a change). Unchanged keys are dropped as early as
+    possible so the output is |delta|, not |table|.
+
+    Returns (key..., change: added|removed|changed, old_<c>/new_<c> per
+    compared column).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    compare_cols = compare_cols or [c for c in old.columns if c not in keys]
+    o = old.select(*keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols]).withColumn(
+        "_in_old", F.lit(True)
+    )
+    n = new.select(*keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols]).withColumn(
+        "_in_new", F.lit(True)
+    )
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *keys,
+            "change",
+            *[c for p in compare_cols for c in (f"old_{p}", f"new_{p}")],
+        )
+    )

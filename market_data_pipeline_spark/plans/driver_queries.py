@@ -44,12 +44,23 @@ from market_data_pipeline_spark.sources.catalog import load_table
 # ---------------------------------------------------------------------------
 
 
-def price_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def price_frame(
+    spark: SparkSession, sf_dir: str, symbols: list[str] | None = None
+) -> DataFrame:
     """Per-(symbol, trading day) series derived from lineitem:
     symbol = partkey, close = max extended price, volume = total quantity,
     amount = total extended price. Mirrors the stock_price fact shape
-    (reference: src/clickhouse/price_client.py:78-96)."""
+    (reference: src/clickhouse/price_client.py:78-96).
+
+    ``symbols`` filters BEFORE the aggregation on the raw bigint key:
+    a post-agg filter on ``cast(l_partkey as string)`` passes through the
+    groupBy but the cast blocks parquet predicate pushdown, so the scan
+    reads every row group; ``l_partkey IN (...)`` reaches the footer stats
+    — at 100 TB that is the difference between scanning the table and
+    scanning the few row groups holding those keys."""
     li = load_table(spark, sf_dir, "lineitem")
+    if symbols is not None:
+        li = li.filter(F.col("l_partkey").isin([int(s) for s in symbols]))
     return li.groupBy(
         F.col("l_partkey").cast("string").alias("symbol"),
         F.to_date("l_shipdate").alias("trade_date"),
@@ -1465,9 +1476,8 @@ QUARTER_ENDS = [
 
 
 def _ts_series(spark, sf_dir):
-    return price_frame(spark, sf_dir).filter(
-        F.col("symbol").isin(RETURN_SYMBOLS)
-        & F.col("close_price").isNotNull()
+    return price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
         & (F.col("trade_date") >= "1996-01-01")
         & (F.col("trade_date") <= "1998-12-31")
     ).select("symbol", "trade_date", "close_price")
@@ -1564,8 +1574,8 @@ ORDER BY symbol, bucket""",
 def ts4_weekly_ohlc(spark, sf_dir):
     """Weekly OHLC resampling via min_by/max_by — one hash aggregate, no
     window pass; deterministic because (symbol, trade_date) is unique."""
-    p = price_frame(spark, sf_dir).filter(
-        F.col("symbol").isin(STOCK_SYMBOLS) & F.col("close_price").isNotNull()
+    p = price_frame(spark, sf_dir, symbols=STOCK_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
     )
     bars = tseries.resample_ohlc(
         p, F.date_trunc("week", F.col("trade_date")).cast("date")
@@ -1959,3 +1969,150 @@ def st5_stream_static_join(spark, sf_dir):
     return sj.run_stream_to_memory(
         agg.select("window_start", "segment", "n_events", "total_value"), "st5_sink"
     )
+
+
+# ===========================================================================
+# CDC snapshot diff, incremental aggregate maintenance, calendar RANGE
+# frames, event funnels.
+# ===========================================================================
+
+from market_data_pipeline_spark.operators import incremental as ivm  # noqa: E402
+
+
+@query(
+    "cdc1_snapshot_diff",
+    f"""WITH {MASTER_CTE},
+old AS (
+  SELECT symbol, name, market, is_active FROM master
+  WHERE CAST(symbol AS BIGINT) % 97 <> 0
+),
+new AS (
+  SELECT symbol, name,
+         CASE WHEN CAST(symbol AS BIGINT) % 31 = 0 THEN 'MOVED' ELSE market END AS market,
+         is_active
+  FROM master WHERE CAST(symbol AS BIGINT) % 89 <> 0
+)
+SELECT * FROM (
+  SELECT COALESCE(o.symbol, n.symbol) AS symbol,
+         CASE WHEN o.symbol IS NULL THEN 'added'
+              WHEN n.symbol IS NULL THEN 'removed'
+              WHEN NOT (o.name IS NOT DISTINCT FROM n.name
+                        AND o.market IS NOT DISTINCT FROM n.market
+                        AND o.is_active IS NOT DISTINCT FROM n.is_active)
+                   THEN 'changed' END AS change,
+         o.name AS old_name, n.name AS new_name,
+         o.market AS old_market, n.market AS new_market,
+         o.is_active AS old_is_active, n.is_active AS new_is_active
+  FROM old o FULL OUTER JOIN new n ON o.symbol = n.symbol
+) WHERE change IS NOT NULL
+ORDER BY symbol""",
+)
+def cdc1_snapshot_diff(spark, sf_dir):
+    """Change-data-capture between two deterministic snapshots of the
+    master dim (operators/upsert.snapshot_diff): one full outer join,
+    null-safe column compares, unchanged keys dropped."""
+    m = master_frame(spark, sf_dir)
+    pk = F.col("symbol").cast("bigint")
+    old = m.filter(pk % 97 != 0).select("symbol", "name", "market", "is_active")
+    new = (
+        m.filter(pk % 89 != 0)
+        .withColumn(
+            "market", F.when(pk % 31 == 0, F.lit("MOVED")).otherwise(F.col("market"))
+        )
+        .select("symbol", "name", "market", "is_active")
+    )
+    return upsert.snapshot_diff(
+        old, new, "symbol", ["name", "market", "is_active"]
+    ).orderBy("symbol")
+
+
+@query(
+    "ivm1_merged_summary",
+    f"""WITH {PRICE_CTE}
+SELECT trade_date,
+       CAST(COUNT(close_price) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(close_price AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(close_price) AS avg_close,
+       CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS BIGINT) AS total_volume,
+       MIN(close_price) AS min_close,
+       MAX(close_price) AS max_close
+FROM price
+GROUP BY 1
+ORDER BY 1""",
+)
+def ivm1_merged_summary(spark, sf_dir):
+    """Incremental view maintenance: the summary computed as
+    merge(partial(first half), partial(second half)) must equal the direct
+    aggregate the oracle computes — the algebraic-measures discipline that
+    makes nightly rollup maintenance O(new partition), not O(table)."""
+    p = price_frame(spark, sf_dir)
+    first = ivm.daily_summary_partial(p.filter(F.col("trade_date") < "1998-01-01"))
+    second = ivm.daily_summary_partial(p.filter(F.col("trade_date") >= "1998-01-01"))
+    return ivm.finalize_summary(ivm.merge_partials(first, second)).orderBy("trade_date")
+
+
+@query(
+    "ts6_range_avg",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+)
+SELECT symbol, trade_date, close_price,
+       CAST(SUM(CAST(close_price AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           / COUNT(close_price) OVER w AS sma_30d
+FROM sel
+WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+             RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY symbol, trade_date""",
+)
+def ts6_range_avg(spark, sf_dir):
+    """Trailing 30 CALENDAR days average (RANGE frame over days-since-
+    epoch) — on a gapped series this is a different operator from the
+    row-frame sma, and it is the one a human means by '30-day average'."""
+    return tseries.sma_range_days(_ts_series(spark, sf_dir), 30).orderBy(
+        "symbol", "trade_date"
+    )
+
+
+@query(
+    "e5_funnel_users",
+    """WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY 1
+)
+SELECT v.user_id, v.first_view, c.first_click,
+       c.first_click IS NOT NULL AS converted
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+ORDER BY v.user_id""",
+)
+def e5_funnel_users(spark, sf_dir):
+    """View→click conversion funnel: first view per user, then the first
+    click strictly after it. One scan — the per-user first-view comes from
+    a window over the same pass instead of the oracle's self-join."""
+    ev_df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v0 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev_df.withColumn("_v0", v0).filter(F.col("_v0").isNotNull())
+    per_user = staged.groupBy("user_id").agg(
+        F.min("_v0").alias("first_view"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("_v0")),
+                F.col("ts"),
+            )
+        ).alias("first_click"),
+    )
+    return per_user.select(
+        "user_id",
+        "first_view",
+        "first_click",
+        F.col("first_click").isNotNull().alias("converted"),
+    ).orderBy("user_id")

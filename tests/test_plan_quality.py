@@ -72,3 +72,44 @@ def test_ngram_jaccard_single_scan(plans):
     # pairs_within_groups: the shingle pipeline must execute ONCE (one
     # scan), not per self-join side
     assert facts["scans"] == 1
+
+
+def test_timeseries_single_scan_no_joins(plans):
+    # rolling windows: one fact scan, window shuffles only, key filter
+    # pushed to the scan (bigint IN-list, pre-aggregation)
+    for q in ("ts1_sma", "ts2_volatility"):
+        facts = plans(q)
+        assert facts["scans"] == 1
+        assert facts["smj"] == 0 and facts["bhj"] == 0
+        assert facts["pushed_scans"] == 1
+
+
+def test_asof_join_is_single_fact_scan(plans):
+    # the union as-of join must not re-scan or range-join: one parquet
+    # scan, no join operators at all
+    facts = plans("ts5_asof_prices")
+    assert facts["scans"] == 1
+    assert facts["smj"] == 0 and facts["bnlj"] == 0
+
+
+def test_blocked_pairs_single_scan(plans):
+    # blocked entity resolution = groupBy + in-group expansion; the
+    # self-join formulation would show scans == 2
+    facts = plans("er1_similar_supplier_names")
+    assert facts["scans"] == 1
+    assert facts["smj"] == 0
+
+
+def test_q3_shape_broadcasts_and_pushes(plans):
+    facts = plans("j8_segment_top_orders")
+    assert facts["bhj"] >= 2          # customer keys + orders side
+    assert facts["smj"] == 0
+    assert facts["pushed_scans"] >= 3  # segment + both date predicates
+
+
+def test_rollup_single_pass(plans):
+    # ROLLUP plans as one expand+aggregate over one fact scan (+ dim scan)
+    facts = plans("r2_rollup_market_year")
+    assert facts["scans"] == 2
+    assert facts["bhj"] >= 1
+    assert facts["smj"] == 0

@@ -129,3 +129,56 @@ def test_blocked_name_pairs(spark):
     df = spark.createDataFrame(rows, "nat int, sid long, name string")
     out = DD.blocked_name_pairs(df, "nat", "sid", "name", max_dist=2).collect()
     assert [(r.id_a, r.id_b, r.edit_dist) for r in out] == [(10, 11, 1)]
+
+
+def test_sma_range_days_calendar_window(spark):
+    # gapped series: rows at day 1, 2, 10 — a 3-row frame would always
+    # include all prior rows; the 5-DAY frame must exclude the gap
+    rows = [
+        ("A", D("2024-01-01"), 10.0),
+        ("A", D("2024-01-02"), 20.0),
+        ("A", D("2024-01-10"), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, trade_date date, close_price double")
+    out = {r.trade_date: r.sma_5d for r in TS.sma_range_days(df, 5).collect()}
+    assert out[D("2024-01-02")] == 15.0   # both rows inside 5 days
+    assert out[D("2024-01-10")] == 40.0   # gap: only itself
+
+
+def test_snapshot_diff_classes(spark):
+    from market_data_pipeline_spark.operators import upsert as UP
+
+    old = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", None), (4, "d", 0)],
+        "k int, name string, flag int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 1), (3, "c", 1), (4, "D", 0), (5, "e", 1)],
+        "k int, name string, flag int",
+    )
+    out = {r.k: r.change for r in UP.snapshot_diff(old, new, "k").collect()}
+    assert out == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    # k=2 unchanged -> absent; k=3 null->1 counts as change (eqNullSafe)
+
+
+def test_partial_merge_equals_direct(spark):
+    from market_data_pipeline_spark.operators import incremental as IVM
+
+    rows = [
+        ("A", D("2024-01-01"), 10.0, 100),
+        ("B", D("2024-01-01"), 30.0, 50),
+        ("A", D("2024-01-02"), 20.0, 200),
+    ]
+    price = spark.createDataFrame(
+        rows, "symbol string, trade_date date, close_price double, volume long"
+    )
+    direct = IVM.finalize_summary(IVM.daily_summary_partial(price))
+    split = IVM.finalize_summary(
+        IVM.merge_partials(
+            IVM.daily_summary_partial(price.filter(F.col("symbol") == "A")),
+            IVM.daily_summary_partial(price.filter(F.col("symbol") == "B")),
+        )
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, split.collect()))
+    d = {r.trade_date: r for r in split.collect()}
+    assert d[D("2024-01-01")].avg_close == 20.0 and d[D("2024-01-01")].n_rows == 2
