@@ -373,3 +373,71 @@ def blocked_name_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+# --- duplicate clustering ----------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a pair list: every node labeled with the
+    smallest node id reachable from it — the clustering step that turns
+    near-dup PAIRS (minhash/simhash/cosine candidates) into dedup GROUPS,
+    from which one canonical document per cluster survives.
+
+    Iterative min-label propagation ("large-star" style, undirected):
+    each round every node takes the min label in its neighborhood
+    (including its own), via one groupBy over the symmetrized edge list;
+    stop when no label changed. Rounds needed is the graph diameter
+    (near-dup clusters are shallow — a handful of rounds), and each round
+    is one shuffle of |E| rows, nothing driver-side but the convergence
+    flag. Labels are checkpointed through ``localCheckpoint`` each round
+    to cut the exponentially deepening lineage (a plan-size, not
+    correctness, concern).
+
+    Returns (node, component) — component = min node id in the cluster.
+    Isolated nodes (absent from pairs) are by definition their own
+    component and are not emitted; union them in from the corpus if a
+    total labeling is needed.
+    """
+    a, b = F.col(left_col), F.col(right_col)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iterations):
+        # candidate label per node: min over neighbors' current labels
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

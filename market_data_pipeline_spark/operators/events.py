@@ -124,3 +124,56 @@ def sessionize(
         )
         .orderBy(user_col, "session_id")
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    keys: list[str] | None = None,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Point-in-interval join at scale: each point row matched to the
+    interval rows with ``start_ts <= point_ts <= end_ts`` (and equal
+    ``keys``, if given).
+
+    The naive formulation is a range-predicate join, which Spark executes
+    as a (broadcast) nested loop — O(|points| x |intervals|) and a
+    guaranteed cliff. This rewrites it as an equi-join: intervals explode
+    to the fixed-width time buckets they overlap (``sequence`` over
+    truncated epochs — JVM-side, no UDF), points map to their single
+    bucket, the join runs hash-partitioned on (keys..., bucket), and the
+    exact range predicate filters the in-bucket candidates. Cost is
+    |points| + sum(interval spans / bucket) shuffled rows; pick ``bucket``
+    near the typical interval length so each interval explodes to O(1)
+    buckets. No dedup pass is needed: a point lives in exactly one bucket,
+    so each qualifying (point, interval) pair is produced exactly once.
+    """
+    keys = keys or []
+    secs = F.lit(_bucket_seconds(bucket))
+    p = points.withColumn(
+        "_bk", F.floor(F.unix_timestamp(F.col(point_ts)) / secs)
+    )
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts)) / secs),
+                F.floor(F.unix_timestamp(F.col(end_ts)) / secs),
+            )
+        ),
+    )
+    joined = p.join(iv, [*keys, "_bk"]).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("_bk")
+
+
+def _bucket_seconds(bucket: str) -> int:
+    n, unit = bucket.split()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        unit.rstrip("s")
+    ]
+    return int(n) * mult

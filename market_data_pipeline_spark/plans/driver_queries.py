@@ -2116,3 +2116,93 @@ def e5_funnel_users(spark, sf_dir):
         "first_click",
         F.col("first_click").isNotNull().alias("converted"),
     ).orderBy("user_id")
+
+
+# ===========================================================================
+# Duplicate clustering (pairs -> components) and scalable interval join.
+# ===========================================================================
+
+
+@query(
+    "dd7_dup_clusters",
+    """WITH RECURSIVE p AS (
+  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+  FROM supplier a
+  JOIN supplier b
+    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+  WHERE levenshtein(a.s_name, b.s_name) <= 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node, LEAST(node, MIN(r)) AS component
+FROM reach GROUP BY node ORDER BY node""",
+)
+def dd7_dup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate CLUSTERS via iterative min-label
+    propagation (dedup.connected_components); the oracle computes the same
+    components with a recursive-CTE transitive closure — affordable at
+    sf0.01, quadratic-in-cluster at scale, which is exactly why the
+    engine side iterates a per-round shuffle instead."""
+    sup = load_table(spark, sf_dir, "supplier")
+    pairs = dedup.blocked_name_pairs(
+        sup, block_col="s_nationkey", id_col="s_suppkey", name_col="s_name", max_dist=2
+    )
+    return dedup.connected_components(pairs, "id_a", "id_b").orderBy("node")
+
+
+@query(
+    "iv1_interval_join",
+    """WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, sn.session_start, sn.session_end
+FROM events e
+JOIN sessions sn
+  ON e.user_id = sn.user_id
+ AND e.ts >= sn.session_start AND e.ts <= sn.session_end
+ORDER BY e.event_id, sn.session_start""",
+)
+def iv1_interval_join(spark, sf_dir):
+    """Point-in-interval join done scalably: events matched back into their
+    user's session intervals through the time-bucketed equi-join
+    (events.interval_join) — the oracle states the naive range join. Every
+    event falls inside exactly one session interval of its user, so the
+    output is one row per event; the bucketed plan produces it with a
+    hash join instead of a nested loop."""
+    ev_df = load_table(spark, sf_dir, "events")
+    sessions = ev.sessionize(ev_df, gap_minutes=30).select(
+        "user_id", "session_start", "session_end"
+    )
+    out = ev.interval_join(
+        ev_df.select("event_id", F.col("user_id"), "ts"),
+        sessions,
+        point_ts="ts",
+        start_ts="session_start",
+        end_ts="session_end",
+        keys=["user_id"],
+        bucket="1 hour",
+    )
+    return out.select(
+        "event_id", "user_id", "session_start", "session_end"
+    ).orderBy("event_id", "session_start")

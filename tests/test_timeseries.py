@@ -182,3 +182,41 @@ def test_partial_merge_equals_direct(spark):
     assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, split.collect()))
     d = {r.trade_date: r for r in split.collect()}
     assert d[D("2024-01-01")].avg_close == 20.0 and d[D("2024-01-01")].n_rows == 2
+
+
+def test_connected_components_chain_and_isolated_pair(spark):
+    # chain 1-2-3-4 (diameter 3) plus pair (10, 11)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.component for r in DD.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_interval_join_boundaries(spark):
+    from market_data_pipeline_spark.operators import events as EV
+
+    T = dt.datetime
+    points = spark.createDataFrame(
+        [
+            (1, 7, T(2024, 1, 1, 10, 0)),    # == interval start (inclusive)
+            (2, 7, T(2024, 1, 1, 11, 30)),   # inside, crosses bucket boundary
+            (3, 7, T(2024, 1, 1, 12, 0)),    # == interval end (inclusive)
+            (4, 7, T(2024, 1, 1, 12, 1)),    # just after -> no match
+            (5, 8, T(2024, 1, 1, 10, 30)),   # other key -> other interval only
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (7, T(2024, 1, 1, 10, 0), T(2024, 1, 1, 12, 0)),
+            (8, T(2024, 1, 1, 10, 0), T(2024, 1, 1, 10, 45)),
+        ],
+        "user_id long, s timestamp, e timestamp",
+    )
+    out = EV.interval_join(
+        points, intervals, point_ts="ts", start_ts="s", end_ts="e",
+        keys=["user_id"], bucket="1 hour",
+    )
+    got = sorted((r.event_id, r.user_id) for r in out.collect())
+    assert got == [(1, 7), (2, 7), (3, 7), (5, 8)]
