@@ -2206,3 +2206,101 @@ def iv1_interval_join(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "session_start", "session_end"
     ).orderBy("event_id", "session_start")
+
+
+@query(
+    "dd8_dedup_corpus",
+    r"""WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh0 AS (
+  SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM sh0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jp AS (
+  SELECT p.doc_a, p.doc_b
+  FROM cand p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.common / (sa.sz + sb.sz - p.common) >= 0.1
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION
+  SELECT doc_b, doc_a FROM jp
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+), comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+ORDER BY d.doc_id""",
+)
+def dd8_dedup_corpus(spark, sf_dir):
+    """The end-to-end near-dup removal a training-data pipeline actually
+    ships: shingle-Jaccard pairs -> connected components -> keep the
+    min-id canonical doc per cluster, anti-join the rest out of the
+    corpus. Every stage is a prior oracle-checked operator; this query
+    checks their composition."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, group_col="lang", n=3, threshold=0.1)
+    cc = dedup.connected_components(pairs, "doc_a", "doc_b")
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "r6_rank_functions",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1998-01-01' AND trade_date <= DATE '1998-12-31'
+)
+SELECT symbol, trade_date, close_price,
+       ROUND(percent_rank() OVER (PARTITION BY symbol ORDER BY close_price), 6) AS pct_rank,
+       ROUND(cume_dist() OVER (PARTITION BY symbol ORDER BY close_price), 6) AS cume,
+       CAST(date_diff('day', trade_date,
+                      lead(trade_date) OVER (PARTITION BY symbol ORDER BY trade_date))
+            AS BIGINT) AS gap_days
+FROM sel
+ORDER BY symbol, trade_date""",
+)
+def r6_rank_functions(spark, sf_dir):
+    """Ranking-function coverage (percent_rank / cume_dist / lead): where
+    does each close sit in its symbol's yearly distribution, and how many
+    calendar days to the next trading day."""
+    p = price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
+        & (F.col("trade_date") >= "1998-01-01")
+        & (F.col("trade_date") <= "1998-12-31")
+    ).select("symbol", "trade_date", "close_price")
+    wv = Window.partitionBy("symbol").orderBy("close_price")
+    wd = Window.partitionBy("symbol").orderBy("trade_date")
+    return p.select(
+        "symbol",
+        "trade_date",
+        "close_price",
+        F.round(F.percent_rank().over(wv), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wv), 6).alias("cume"),
+        F.datediff(F.lead("trade_date").over(wd), F.col("trade_date"))
+        .cast("long")
+        .alias("gap_days"),
+    ).orderBy("symbol", "trade_date")
