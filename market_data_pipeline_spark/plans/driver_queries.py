@@ -2304,3 +2304,8 @@ def r6_rank_functions(spark, sf_dir):
         .cast("long")
         .alias("gap_days"),
     ).orderBy("symbol", "trade_date")
+
+
+# TPC-H-style extension queries register themselves into QUERIES/ORACLES on
+# import (kept in a separate module; the registry decorator lives here).
+from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

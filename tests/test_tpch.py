@@ -1,0 +1,75 @@
+"""TPC-H-style extension queries: DuckDB oracle parity at sf0.001 plus
+plan-shape assertions (dims broadcast, predicates pushed) — the same
+two-layer strategy as the rest of the suite (SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+from plan_audit import audit_plan  # noqa: E402
+
+from market_data_pipeline_spark.plans.driver_queries import ORACLES, QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+TPCH = sorted(name for name in QUERIES if name.startswith("tpch_"))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    return v
+
+
+def test_all_tpch_queries_registered():
+    assert len(TPCH) == 15
+    for name in TPCH:
+        assert name in ORACLES, f"{name} missing oracle"
+
+
+@pytest.mark.parametrize("name", TPCH)
+def test_tpch_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    ddf = duck.execute(ORACLES[name]).fetch_arrow_table()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(ddf.column_names)
+    drows = ddf.to_pylist()
+    assert len(srows) == len(drows)
+    skey = sorted(tuple(str(_norm(r[c])) for c in cols) for r in (x.asDict() for x in srows))
+    dkey = sorted(tuple(str(_norm(r[c])) for c in cols) for r in drows)
+    assert skey == dkey
+
+
+def test_q7_dims_broadcast(spark):
+    facts = audit_plan(QUERIES["tpch_q7_nation_volume"](spark, SF_DIR))
+    assert facts["bhj"] >= 2  # supplier-nation and customer-nation sides
+    assert facts["smj"] == 0
+
+
+def test_q6_filters_reach_scan(spark):
+    facts = audit_plan(QUERIES["tpch_q6_forecast_revenue"](spark, SF_DIR))
+    assert facts["pushed_scans"] >= 1
+    assert facts["scans"] == 1
+    assert facts["max_read_cols"] <= 4  # only shipdate/discount/quantity/extendedprice
+
+
+def test_q18_semi_join_broadcasts(spark):
+    facts = audit_plan(QUERIES["tpch_q18_large_volume_customers"](spark, SF_DIR))
+    assert facts["smj"] == 0
