@@ -33,6 +33,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/session so the first measured query doesn't pay startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    # warm the Arrow python workers too: the FIRST pandas-UDF stage of a
+    # session forks one worker per core (~5s on 32 cores even with the
+    # preloading daemon); that's session fixed cost, not query cost
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _noop(x: "pd.Series") -> "pd.Series":
+        return x
+
+    _noop.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    spark.range(0, 3200, 1, 32).select(pandas_udf(_noop, "long")("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     # best-of-2 per query: single-shot numbers on a busy box swing 3-4x
     # (GC, page cache, JIT); the min is the reproducible cost of the plan

@@ -157,31 +157,77 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document.
 
-    Fully map-side: each shingle is xxhash64'd ONCE to a long, then the
-    ``num_hashes`` permutations are cheap wrapping multiply-adds over that
-    long (universal hashing) folded with ``array_min`` — no explode, no
-    shuffle, signature computed in a single pass per row. (The earlier
-    explode+groupBy formulation shuffled |docs|x|shingles| rows and hashed
-    each shingle string 64 times.)
+    Fully map-side, fully Arrow-batched: ONE pandas UDF goes straight
+    from the text column to the signature — tokenize, build distinct
+    word n-grams, crc32 each gram to a 31-bit base hash, then apply all
+    ``num_hashes`` universal multiply-add permutations and their mins as
+    one numpy broadcast over the concatenated hash arrays. No explode,
+    no shuffle, no JVM higher-order functions.
+
+    Why not the JVM expression path: shingling via
+    ``transform(sequence(...), array_join(slice(...)))`` is interpreted
+    per element (HOF lambdas don't codegen) and measured ~10-15s per
+    full pass at 5k docs x ~50 shingles — the Python loop with C-backed
+    ``str.split``/``zlib.crc32`` is ~50x cheaper. MinHash needs a
+    deterministic base hash, not any particular one (no SQL oracle
+    constrains it — DuckDB couldn't reproduce xxhash64 either), so crc32
+    is as good as xxhash64 here. Jaccard-style operators that ARE
+    SQL-oracled (:func:`ngram_jaccard_pairs`) keep the JVM shingle path.
+
+    Documents with no shingles (fewer than ``n`` tokens) get a NULL
+    signature; downstream banding drops them (an empty document has no
+    content to near-match — an all-nulls signature would make every
+    empty doc collide with every other in every band, an accidental
+    quadratic).
     Returns (id_col, sig: array<bigint>).
     """
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from market_data_pipeline_spark.operators.util import ensure_parallelism
+
     params = _minhash_params(num_hashes, seed)
-    hashed = shingled(df, id_col, text_col, n).select(
-        F.col(id_col),
-        F.transform(
-            F.col("shingles"),
-            lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF).cast("long")),
-        ).alias("_hs"),
+    a_vec = np.asarray([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.asarray([b for _, b in params], dtype=np.int64)[:, None]
+
+    def sig(texts: pd.Series) -> pd.Series:
+        doc_hashes = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split() if isinstance(t, str) else []
+            if len(toks) >= n:
+                grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+                hs = np.fromiter(
+                    (zlib.crc32(g.encode("utf-8")) & 0x7FFFFFFF for g in grams),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+            else:
+                hs = None
+            lens[i] = 0 if hs is None else len(hs)
+            doc_hashes.append(hs)
+        out = [None] * len(texts)
+        nz = np.nonzero(lens)[0]
+        if len(nz):
+            flat = np.concatenate([doc_hashes[i] for i in nz])
+            vals = a_vec * flat[None, :] + b_vec        # (num_hashes, total)
+            offsets = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(vals, offsets, axis=1)  # (num_hashes, docs)
+            for j, i in enumerate(nz):
+                out[i] = mins[:, j]
+        return pd.Series(out)
+
+    sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    sig_udf = pandas_udf(sig, "array<long>")
+
+    staged = ensure_parallelism(df, id_col).select(
+        F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_t")
     )
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("_hs"), lambda h: h * F.lit(a).cast("long") + F.lit(b).cast("long"))
-        ).alias(f"h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return hashed.select(F.col(id_col), *sig_cols).select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    return staged.select(F.col(id_col), sig_udf(F.col("_t")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -207,7 +253,11 @@ def minhash_lsh_pairs(
     from market_data_pipeline_spark.operators.util import pairs_within_groups
 
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # NULL sigs (empty docs) must not band: xxhash64 folds a null slice to
+    # the seed, which would put every empty doc in one global bucket
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).filter(
+        F.col("sig").isNotNull()
+    )
     band_cols = []
     for b in range(bands):
         band = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
@@ -241,46 +291,73 @@ def simhash(
 
     For each shingle hash, each bit position contributes +1/-1 to a
     per-document tally; the fingerprint sets bits with positive tally.
-    Fully map-side: shingle hashes are a per-row array, each bit tally an
-    ``aggregate`` fold over it — no explode, no shuffle.
+
+    One Arrow-batched pandas UDF goes text -> fingerprint: tokenize,
+    distinct word n-grams, a 64-bit hash per gram (two crc32s — plain
+    and salted — packed into one word), then a fully vectorized
+    unpack-bits/segment-sum tally across the whole batch. Same rationale
+    as :func:`minhash_signatures`: the JVM shingling HOFs are
+    interpreted per element and dominated the runtime, and no SQL oracle
+    constrains the hash function — only per-run determinism matters
+    (crc32 is deterministic; Python's builtin ``hash`` is salted and
+    would NOT be).
+
+    Documents with no shingles keep fingerprint 0.
 
     Near-dup detection = hamming distance on fingerprints
     (``bit_count(fp_a ^ fp_b)``), typically via banding the 64 bits into
-    4×16-bit keys for an equi-join — same shape as MinHash LSH.
+    4x16-bit keys for an equi-join — same shape as MinHash LSH.
     Returns (id_col, fingerprint: bigint).
     """
-    hashed = shingled(df, id_col, text_col, n).select(
-        F.col(id_col),
-        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("_hs"),
-    )
+    import zlib
 
-    # Bit tallies fold 64 interpreted `aggregate` lambdas per row (HOFs
-    # don't codegen); an Arrow-batched numpy unpackbits tally is ~5x
-    # faster and bit-identical (integer-only — no float divergence). The
-    # shingle hashing itself stays JVM-side (xxhash64 above).
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    def tally(hs):
-        out = np.zeros(len(hs), dtype=np.int64)
-        for row_i, arr in enumerate(hs):
-            if arr is None or len(arr) == 0:
-                continue
-            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            # (n_shingles, 64) bit matrix, bit i in column i (LSB first)
-            bit_mat = (a[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-            votes = 2 * bit_mat.sum(axis=0, dtype=np.int64) - len(a)
-            fp = 0
-            for i in np.nonzero(votes > 0)[0]:
-                fp |= 1 << int(i)
-            # two's-complement wrap into int64 (python ints don't overflow)
-            out[row_i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+    from market_data_pipeline_spark.operators.util import ensure_parallelism
+
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+
+    def fp(texts: pd.Series) -> pd.Series:
+        hs_list = []
+        lens = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split() if isinstance(t, str) else []
+            if len(toks) >= n:
+                grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+                gb = [g.encode("utf-8") for g in grams]
+                hs = np.fromiter(
+                    ((zlib.crc32(b"\x01" + g) << 32) | zlib.crc32(g) for g in gb),
+                    dtype=np.uint64,
+                    count=len(gb),
+                )
+                lens[i] = len(hs)
+                hs_list.append(hs)
+            else:
+                hs_list.append(None)
+        out = np.zeros(len(texts), dtype=np.int64)
+        nz = np.nonzero(lens)[0]
+        if len(nz):
+            flat = np.concatenate([hs_list[i] for i in nz])
+            bit_mat = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            offsets = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            sums = np.add.reduceat(bit_mat, offsets, axis=0)       # (docs, 64)
+            votes = 2 * sums - lens[nz][:, None]
+            fps = ((votes > 0).astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nz] = fps.view(np.int64)
         return pd.Series(out)
 
-    tally.__annotations__ = {"hs": pd.Series, "return": pd.Series}
-    fp_udf = pandas_udf(tally, "long")
-    return hashed.select(F.col(id_col), fp_udf(F.col("_hs")).alias("fingerprint"))
+    fp.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    fp_udf = pandas_udf(fp, "long")
+
+    staged = ensure_parallelism(df, id_col).select(
+        F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_t")
+    )
+    return staged.select(F.col(id_col), fp_udf(F.col("_t")).alias("fingerprint"))
 
 
 def simhash_near_pairs(

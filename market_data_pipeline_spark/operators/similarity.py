@@ -202,18 +202,24 @@ def cosine_near_dup_lsh(
     collide in some band with probability 1 - (1 - p^band_planes)^n_bands,
     p = 1 - angle/pi.
 
-    Plan shape (the part that matters at 100 TB): the band bucketing and
-    pair dedup carry ONLY (id, band, bucket) — 24 bytes/row — never the
-    vectors, which rejoin only for the deduped candidate set; candidate
-    confirmation is an Arrow-vectorized numpy dot over the batch.
+    Plan shape (the part that matters at 100 TB): ONE shuffle of
+    (id, bands, vector) rows to their (band, bucket) groups; inside each
+    group a single numpy matmul confirms all pairs at once and emits only
+    the pairs that pass the threshold. Candidate pairs are never
+    materialized as rows — the classic LSH failure mode (candidate set
+    approaching all-pairs at permissive thresholds) then costs O(group²)
+    FLOPs in a vectorized matmul instead of O(group²) shuffled rows.
+    Cross-band duplicates are eliminated for free: a pair is emitted only
+    by the FIRST band whose buckets collide (both bucket arrays are in
+    the group), so no global dropDuplicates pass exists.
 
     Crossover note: sign-LSH amplification only prunes when the target
     cosine is high (collision prob p = 1 - angle/pi per plane). At
-    permissive thresholds (~0.4, p≈0.63) most pairs collide in some band
-    and the candidate set approaches all-pairs — there
-    :func:`cosine_near_dup_pairs` (exact) is strictly cheaper. Use this
-    variant for true near-dup thresholds (>=0.8) or N too large for the
-    quadratic exact path.
+    permissive thresholds (~0.4, p≈0.63) group sizes approach N/2^planes
+    with most pairs confirmed in-group — there
+    :func:`cosine_near_dup_pairs` (exact) does the same FLOPs without
+    the banding overhead. Use this variant for true near-dup thresholds
+    (>=0.8) or N too large for the quadratic exact path.
     Returns (vec_a, vec_b, cosine) with cosine >= threshold.
     """
     nv = normalized(embeddings, id_col, vec_col)
@@ -240,34 +246,41 @@ def cosine_near_dup_lsh(
     buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     bucket_udf = pandas_udf(buckets, "array<long>")
 
-    from market_data_pipeline_spark.operators.util import pairs_within_groups
+    digits = round_digits or 6
 
-    banded = (
-        nv.select(F.col(id_col), bucket_udf(F.col("_nvec")).alias("_bks"))
-        .select(F.col(id_col), F.posexplode_outer("_bks").alias("_bd", "_bk"))
-        .filter(F.col("_bk").isNotNull())
-    )
-    cand = (
-        pairs_within_groups(banded, ["_bd", "_bk"], id_col)
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
+    def confirm(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        vm = np.vstack(pdf["_nvec"].to_numpy())            # (n, dim)
+        bks = np.vstack(pdf["_bks"].to_numpy())            # (n, n_bands)
+        band = int(pdf["_bd"].iloc[0])
+        sims = vm @ vm.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        if len(ia):
+            # emit only where THIS band is the first colliding band —
+            # exact cross-band dedup without a global shuffle
+            first = (bks[ia] == bks[ib]).argmax(axis=1)
+            keep = first == band
+            ia, ib = ia[keep], ib[keep]
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame(
+            {"vec_a": a2, "vec_b": b2, "cosine": np.round(sims[ia, ib], digits)}
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+
+    banded = nv.select(
+        F.col(id_col), F.col("_nvec"), bucket_udf(F.col("_nvec")).alias("_bks")
+    ).select(
+        F.col(id_col),
+        F.col("_nvec"),
+        F.col("_bks"),
+        F.posexplode_outer("_bks").alias("_bd", "_bk"),
+    ).filter(F.col("_bk").isNotNull())
+    out = banded.groupBy("_bd", "_bk").applyInPandas(
+        confirm, "vec_a long, vec_b long, cosine double"
     )
-    va = nv.select(F.col(id_col).alias("vec_a"), F.col("_nvec").alias("_va"))
-    vb = nv.select(F.col(id_col).alias("vec_b"), F.col("_nvec").alias("_vb"))
-    # bulk confirm via the Arrow-vectorized dot: candidate volume is the
-    # dominant cost of banded LSH at permissive thresholds, and this is a
-    # threshold check, not an oracle-hashed value (see _dot_pandas)
-    sim = F.round(_dot_pandas(F.col("_va"), F.col("_vb")), round_digits or 6)
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("vec_a", "vec_b")
-    )
+    return out.orderBy("vec_a", "vec_b")
 
 
 def ivf_assign(
