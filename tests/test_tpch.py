@@ -38,7 +38,7 @@ def _norm(v):
 
 
 def test_all_tpch_queries_registered():
-    assert len(TPCH) == 15
+    assert len(TPCH) == 18
     for name in TPCH:
         assert name in ORACLES, f"{name} missing oracle"
 
