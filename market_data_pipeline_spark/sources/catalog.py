@@ -64,10 +64,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     µs-resolution, so the ns->µs division is lossless)."""
     ensure_session_defaults(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a plain (UTC-instant) TIMESTAMP whatever
+    the parquet stored: TIMESTAMP(NANOS) reads as bigint under nanosAsLong,
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ. The
+    session timezone is pinned to UTC, so the NTZ->TZ cast preserves the
+    wallclock values DuckDB hashes; watermarks/windows require TIMESTAMP."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         # integer div, not float: double division rounds the ns value and
         # shifts some timestamps by 1µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -62,10 +62,9 @@ def read_events_stream(
     reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    from market_data_pipeline_spark.sources.catalog import normalize_event_ts
+
+    return normalize_event_ts(reader.parquet(sf_dir))
 
 
 def streaming_tumbling(
