@@ -29,6 +29,15 @@ def sf_from_dir(d: str) -> float:
 
 
 def main() -> None:
+    # The driver parses stdout as JSON; anything the JVM launcher or a
+    # stray library prints to fd 1 breaks that (BENCH_r01 recorded
+    # "parsed": null despite an intact JSON line in the tail).  Redirect
+    # the OS-level stdout to stderr for the entire run and keep a dup of
+    # the real stdout for the single JSON line at the end.
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     spark = get_spark("mdps-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/session so the first measured query doesn't pay startup
@@ -59,17 +68,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_from_dir(SF_DIR),
+        }
     )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.dup2(real_stdout_fd, 1)
+    os.close(real_stdout_fd)
+    # sole stdout line of the whole process
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -112,9 +112,10 @@ def to_canonical_master(
     name_col: str = "name",
     market: str | None = None,
 ) -> DataFrame:
-    """P1 — canonical 6-column master projection with casts and literals
+    """P1 — canonical master projection with casts and literals
     (reference: scripts/daily_stock_master_update.py:88-95,
-    src/setup/load_stock_master_clickhouse.py:115-122)."""
+    src/setup/load_stock_master_clickhouse.py:115-122; delisting_reason
+    from the legacy richer schema, src/setup/setup_clickhouse.py:73-87)."""
     market_col = F.lit(market) if market is not None else F.col("market")
     return df.select(
         F.col(symbol_col).cast("string").alias("symbol"),
@@ -126,5 +127,6 @@ def to_canonical_master(
             else F.lit(None).cast("date")
         ).alias("listing_date"),
         F.lit(None).cast("date").alias("delisting_date"),
+        F.lit(None).cast("string").alias("delisting_reason"),
         F.lit(1).cast("int").alias("is_active"),
     )

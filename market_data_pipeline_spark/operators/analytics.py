@@ -329,6 +329,129 @@ def get_all_symbols(master: DataFrame, active_only: bool = True) -> DataFrame:
     return df.select("symbol").distinct().orderBy("symbol")
 
 
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    n: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) over a global total order WITHOUT a partition-less
+    window (``Window.orderBy`` with no partition sorts every row in one
+    task — the classic scale-killer).
+
+    Range-partitioned rank pattern: ``repartitionByRange`` on the order
+    columns makes every partition a contiguous slice of the total order;
+    ``row_number`` then ranks locally inside each partition (distributed
+    sort), and adding per-partition row-count offsets recovers the exact
+    global row number. The per-partition counts are the only driver-side
+    data — bounded by the partition count, never by the row count. The SQL
+    NTILE sizing rule (first N mod n buckets take one extra row) is applied
+    arithmetically, so the bucket assignment is bit-identical to
+    ``NTILE(n) OVER (ORDER BY ...)`` in any engine.
+
+    ``order_cols`` must define a TOTAL order (include a tiebreak key) or
+    bucket assignment at boundaries is nondeterministic. Two passes over
+    the input are avoided by local-checkpointing the range-partitioned
+    frame: the count pass materializes it, the ranking pass reuses the
+    blocks.
+    """
+    sess = df.sparkSession
+    p = num_partitions or sess.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *order_cols).localCheckpoint(eager=False)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    q, r = divmod(total, n)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    rn = F.row_number().over(w) + off_map[F.col("_pid")]
+    big = r * (q + 1)  # rows living in the (q+1)-sized leading buckets
+    if q == 0:
+        # fewer rows than buckets: NTILE gives row i bucket i
+        bucket = rn
+    else:
+        bucket = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
+            r + F.ceil((rn - big) / q)
+        )
+    return with_pid.withColumn(out_col, bucket.cast("long")).drop("_pid")
+
+
+def correlation_matrix_wide(
+    price: DataFrame,
+    symbols: list[str],
+    start_date: str | None = None,
+    end_date: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation via the pivoted-matrix path — the
+    scale escape hatch :func:`correlation_matrix`'s 50-symbol cap promises.
+
+    The pair-join form materializes |S|² × |dates| rows in the shuffle;
+    this path pivots returns to one row per date (S columns), assembles
+    them into vectors, and lets ``pyspark.ml.stat.Correlation`` compute the
+    full Pearson matrix in one distributed pass over sufficient statistics
+    (Gram-matrix accumulation; shuffle carries only partition-level S×S
+    partials). Output is the same (symbol_a, symbol_b, correlation, n_days)
+    pair shape, built from the S×S result — driver memory is O(S²) doubles,
+    fine into the tens of thousands of symbols; beyond that store the
+    matrix block-wise instead of exploding pairs.
+
+    Semantics note: the matrix path uses COMPLETE dates only (rows where
+    every symbol has a return) — listwise deletion — while the pair join
+    uses pairwise-complete observations. On a complete panel the two are
+    identical (asserted in tests); on ragged panels prefer the pair join
+    below the cap.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    symbols = sorted(symbols)
+    df = price.filter(F.col("symbol").isin(symbols) & (F.col("close_price") > 0))
+    if start_date:
+        df = df.filter(F.col("trade_date") >= F.lit(start_date))
+    if end_date:
+        df = df.filter(F.col("trade_date") <= F.lit(end_date))
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    returns = (
+        df.withColumn("prev_close", F.lag("close_price", 1).over(w))
+        .filter(F.col("prev_close").isNotNull() & (F.col("prev_close") > 0))
+        .select(
+            "symbol", "trade_date",
+            (F.col("close_price") / F.col("prev_close") - 1.0).alias("daily_return"),
+        )
+    )
+    wide = (
+        returns.groupBy("trade_date")
+        .pivot("symbol", symbols)  # explicit values: no discovery pass
+        .agg(F.first("daily_return"))
+        .dropna()
+    )
+    n_days = wide.count()
+    assembled = VectorAssembler(inputCols=symbols, outputCol="_v").transform(wide)
+    mat = Correlation.corr(assembled, "_v").head()[0].toArray()
+    pairs = [
+        (symbols[i], symbols[j], round(float(mat[i, j]), round_digits), n_days)
+        for i in range(len(symbols))
+        for j in range(i + 1, len(symbols))
+    ]
+    return price.sparkSession.createDataFrame(
+        pairs, "symbol_a string, symbol_b string, correlation double, n_days long"
+    ).orderBy("symbol_a", "symbol_b")
+
+
 def missing_dates_stats(price: DataFrame) -> DataFrame:
     """Per-symbol coverage stats: first/last date, trading-day count, and
     the span's calendar-day count — the 'missing dates' intent of the

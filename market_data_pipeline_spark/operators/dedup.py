@@ -75,6 +75,7 @@ def ngram_jaccard_pairs(
     group_col: str | None = "lang",
     n: int = 3,
     threshold: float = 0.1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -86,6 +87,14 @@ def ngram_jaccard_pairs(
     At 100 TB, ``group_col`` (language / source bucket) bounds the join
     fan-out; for unbounded corpora use :func:`minhash_lsh_pairs` first and
     feed its candidates here for verification.
+
+    ``max_doc_freq`` is the stop-shingle guard: a shingle occurring in
+    more than that many documents is dropped before pair expansion (its
+    bucket would emit df² pairs in one task while carrying no near-dup
+    signal). Dropped shingles reduce the observed |A∩B| but not |A|/|B|,
+    so reported Jaccard is a lower bound for affected pairs — standard
+    stop-shingle semantics. Audit dropped shingles with
+    ``util.bucket_overflow_stats``. Default None = exact (oracle mode).
     Returns (doc_a, doc_b, common, jaccard).
     """
     from market_data_pipeline_spark.operators.util import pairs_within_groups
@@ -115,7 +124,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("_s").isNotNull())
         .select(F.col(id_col), *group, F.col("sz"), F.xxhash64(F.col("_s")).alias("shingle"))
     )
-    pairs = pairs_within_groups(sh, [*group, "shingle"], id_col, ["sz"])
+    pairs = pairs_within_groups(
+        sh, [*group, "shingle"], id_col, ["sz"], max_group_size=max_doc_freq
+    )
     return (
         pairs.groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
@@ -238,6 +249,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding over MinHash.
 
@@ -246,6 +258,12 @@ def minhash_lsh_pairs(
     shuffle on the 16-byte (band_id, band_hash) bucket key
     (pairs_within_groups) — the signature pipeline executes once, and at
     100 TB the exchange carries only (id, band, hash) rows.
+
+    ``max_bucket_size`` caps a viral band bucket (a 10k-copy boilerplate
+    cluster would otherwise emit 10k² candidate pairs in one task);
+    oversized buckets are dropped before collection — members of a huge
+    duplicate cluster still pair up through their OTHER bands unless those
+    overflow too. Audit with ``util.bucket_overflow_stats``.
 
     Returns (doc_a, doc_b, n_bands_matched) — verify candidates with
     :func:`ngram_jaccard_pairs` or estimate similarity from the signature.
@@ -273,7 +291,9 @@ def minhash_lsh_pairs(
             F.col("bucket.bh").alias("band_hash"),
         )
     )
-    pairs = pairs_within_groups(buckets, ["band_id", "band_hash"], id_col)
+    pairs = pairs_within_groups(
+        buckets, ["band_id", "band_hash"], id_col, max_group_size=max_bucket_size
+    )
     return pairs.groupBy(
         F.col(f"a.{id_col}").alias("doc_a"),
         F.col(f"b.{id_col}").alias("doc_b"),
@@ -365,6 +385,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     band_bits: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs whose SimHash fingerprints agree on at least one
     16-bit band (necessary condition for hamming distance <= 3 with 4
@@ -397,7 +418,10 @@ def simhash_near_pairs(
         .filter(F.col("b").isNotNull())
         .select(id_col, "fingerprint", "b.band_id", "b.band_val")
     )
-    pairs = pairs_within_groups(bands, ["band_id", "band_val"], id_col, ["fingerprint"])
+    pairs = pairs_within_groups(
+        bands, ["band_id", "band_val"], id_col, ["fingerprint"],
+        max_group_size=max_bucket_size,
+    )
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("doc_a"),
@@ -420,6 +444,7 @@ def blocked_name_pairs(
     id_col: str,
     name_col: str,
     max_dist: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Blocked entity resolution: candidate duplicate pairs whose names are
     within ``max_dist`` Levenshtein edits, compared only WITHIN a blocking
@@ -437,7 +462,8 @@ def blocked_name_pairs(
     from market_data_pipeline_spark.operators.util import pairs_within_groups
 
     pairs = pairs_within_groups(
-        df.select(block_col, id_col, name_col), [block_col], id_col, [name_col]
+        df.select(block_col, id_col, name_col), [block_col], id_col, [name_col],
+        max_group_size=max_block_size,
     )
     return (
         pairs.select(

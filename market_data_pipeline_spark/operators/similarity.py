@@ -325,6 +325,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Learned IVF centroids via pyspark.ml KMeans (the production path;
     :func:`knn_ivf`'s default first-k-vectors centroids are the
@@ -332,14 +333,22 @@ def kmeans_centroids(
 
     Returns (id_col = 0..k-1, vec_col = array<double> centroid) — the
     same shape as a centroid frame sliced from the corpus, so it plugs
-    into ``knn_ivf(..., centroids=...)`` unchanged. At 100 TB, fit on a
-    sampled fraction (KMeans iterates over its input) and assign the full
-    corpus with the broadcast centroids.
+    into ``knn_ivf(..., centroids=...)`` unchanged.
+
+    ``sample_fraction`` fits on a seeded Bernoulli sample instead of the
+    full corpus: KMeans re-scans its input every iteration, so at 100 TB
+    fitting on the full data multiplies the whole-table scan by max_iter.
+    Centroid quality needs only a representative sample (k ≪ sample size);
+    the full corpus is still assigned exactly via the broadcast centroids.
+    The sample (and thus the index layout) is deterministic per seed.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    feats = embeddings.select(
+    src = embeddings
+    if sample_fraction is not None and sample_fraction < 1.0:
+        src = embeddings.sample(fraction=sample_fraction, seed=seed)
+    feats = src.select(
         array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
             "features"
         )

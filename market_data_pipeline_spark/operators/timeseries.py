@@ -141,6 +141,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    prune_right_to_left_keys: bool = False,
 ) -> DataFrame:
     """Backward as-of join: each left row picks up ``value_cols`` from the
     latest right row with ``right_ts <= left_ts`` for the same key.
@@ -160,7 +161,19 @@ def asof_join(
     Right (on + right_ts) should be unique per row (true for the price
     series' (symbol, trade_date)); with duplicates the in-bucket winner
     would be arrival-order dependent.
+
+    ``prune_right_to_left_keys=True`` semi-joins the right side down to the
+    left side's distinct keys before the union. When the left is a small
+    probe grid (a few symbols × a few dates) against a full fact series,
+    this turns "shuffle the whole table through the window" into "shuffle
+    only the probed keys' rows" — at 100× data the difference between
+    shuffling the table and shuffling a handful of series. Catalyst/AQE
+    broadcasts the key set when it is small; no hint is forced so a large
+    left degrades to a regular shuffled semi-join instead of a broadcast
+    blow-up.
     """
+    if prune_right_to_left_keys:
+        right = right.join(left.select(*on).distinct(), on, "left_semi")
     left_cols = [c for c in left.columns if c not in (*on, left_ts)]
     l = left.select(
         *on,

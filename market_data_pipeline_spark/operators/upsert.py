@@ -63,20 +63,32 @@ def apply_delistings(
     delisted rows (reference: scripts/sync_delisted_stocks.py:119-196 and
     src/clickhouse/stock_master.py:95-189 — J6 eliminated).
 
-    ``delisted`` columns: (symbol, name, market, delisting_date).
-    Returns ``(updated_master, stats)`` where stats has one row with
-    columns (updated, inserted, skipped):
+    ``delisted`` columns: (symbol, name, market, delisting_date[,
+    delisting_reason]). Returns ``(updated_master, stats)`` where stats has
+    one row with columns (updated, inserted, skipped):
 
-    - symbol in master and active      -> UPDATE delisting_date, is_active=0
+    - symbol in master and active      -> UPDATE delisting_date/reason, is_active=0
     - symbol in master, already delisted -> skip (keep existing row)
     - symbol not in master             -> INSERT as delisted row
+
+    ``delisting_reason`` (legacy richer schema, reference:
+    src/setup/setup_clickhouse.py:73-87) rides along when either side has
+    it; a master written before the column existed reads as all-null.
     """
+    d_reason = (
+        F.col("delisting_reason")
+        if "delisting_reason" in delisted.columns
+        else F.lit(None).cast("string")
+    )
     d = delisted.select(
         "symbol",
         F.col("name").alias("_d_name"),
         F.col("market").alias("_d_market"),
         F.col("delisting_date").alias("_d_date"),
+        d_reason.alias("_d_reason"),
     )
+    if "delisting_reason" not in master.columns:
+        master = master.withColumn("delisting_reason", F.lit(None).cast("string"))
     joined = master.join(d, "symbol", "full_outer")
     in_master = F.col("is_active").isNotNull()
     is_update = in_master & (F.col("is_active") == 1) & F.col("_d_date").isNotNull()
@@ -90,6 +102,9 @@ def apply_delistings(
         F.when(is_update | is_insert, F.col("_d_date"))
         .otherwise(F.col("delisting_date"))
         .alias("delisting_date"),
+        F.when(is_update | is_insert, F.coalesce(F.col("_d_reason"), F.col("delisting_reason")))
+        .otherwise(F.col("delisting_reason"))
+        .alias("delisting_reason"),
         F.when(is_update | is_insert, F.lit(0))
         .otherwise(F.col("is_active"))
         .cast("int")

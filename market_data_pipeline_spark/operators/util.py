@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -11,6 +11,7 @@ def pairs_within_groups(
     group_keys: list[str],
     id_col: str,
     payload_cols: list[str] | None = None,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """All (a, b) member pairs with ``a.id < b.id`` within each group —
     the bucket-join step shared by every LSH/banding dedup operator.
@@ -23,15 +24,31 @@ def pairs_within_groups(
     identical subplans — and shuffles every exploded row twice. Here the
     expensive upstream (shingling, signatures) runs exactly once.
 
-    Skew note: a hot bucket (viral duplicate cluster) produces its k^2
-    pairs inside one task either way — self-join or grouped — because the
-    bucket is one shuffle key; production pipelines cap bucket size
-    upstream (e.g. drop shingles whose document frequency explodes).
+    Skew note: a hot bucket (viral duplicate cluster, stop-shingle)
+    produces its k^2 pairs inside ONE task because the bucket is one
+    shuffle key. ``max_group_size`` is the production knob: buckets with
+    more members are dropped entirely BEFORE their members are collected —
+    the size check is a count over an unordered window on the same
+    partitioning (spillable; an oversized bucket streams through the
+    count and is filtered, it never materializes as an in-memory array,
+    and the upstream pipeline still executes exactly once since the
+    window and the groupBy share the exchange). Dropped buckets produce
+    no pairs; audit what was dropped with :func:`bucket_overflow_stats`.
+    Dropping hot buckets is the standard dedup-pipeline semantics — a
+    shingle shared by 10k documents carries no near-dup signal, only k^2
+    pair cost.
 
     Returns one row per pair with struct columns ``a`` and ``b`` holding
     (id_col, *payload_cols) each.
     """
     payload_cols = payload_cols or []
+    if max_group_size is not None:
+        w = Window.partitionBy(*[F.col(k) for k in group_keys])
+        df = (
+            df.withColumn("_gsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_gsz") <= max_group_size)
+            .drop("_gsz")
+        )
     member = F.struct(F.col(id_col), *[F.col(c) for c in payload_cols])
     grouped = df.groupBy(*[F.col(k) for k in group_keys]).agg(
         # array_sort makes pair order deterministic regardless of
@@ -58,6 +75,22 @@ def pairs_within_groups(
         grouped.select(*[F.col(k) for k in group_keys], F.explode_outer(pairs).alias("_p"))
         .filter(F.col("_p").isNotNull())
         .select(*group_keys, F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
+
+
+def bucket_overflow_stats(
+    df: DataFrame, group_keys: list[str], max_group_size: int
+) -> DataFrame:
+    """Audit companion to ``pairs_within_groups(max_group_size=...)``:
+    one row per OVERSIZED bucket with its member count, so pipelines can
+    log how much signal the cap discarded (the brief's rule: no silent
+    caps). Same single-shuffle shape as the pair generation; run it on the
+    same input when the audit is wanted.
+    """
+    return (
+        df.groupBy(*[F.col(k) for k in group_keys])
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > max_group_size)
     )
 
 

@@ -711,6 +711,49 @@ def dd2_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "dd9_ngram_jaccard_capped",
+    r"""WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh0 AS (
+  SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM sh0
+), dfreq AS (
+  SELECT lang, shingle, COUNT(*) AS df FROM sh GROUP BY 1, 2
+), kept AS (
+  SELECT s.* FROM sh s
+  JOIN dfreq d ON s.lang = d.lang AND s.shingle = d.shingle AND d.df <= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.common,
+       p.common / (sa.sz + sb.sz - p.common) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.common / (sa.sz + sb.sz - p.common) >= 0.1""",
+)
+def dd9_ngram_jaccard_capped(spark, sf_dir):
+    """dd2 with the stop-shingle guard engaged (max_doc_freq=3): shingles
+    shared by more than 3 documents are dropped before pair expansion —
+    the hot-bucket cap every production dedup pipeline ships, here pinned
+    against an oracle that spells the identical doc-frequency filter. The
+    |A|/|B| sizes still count ALL shingles, so jaccard is the documented
+    lower bound."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        group_col="lang", n=3, threshold=0.1, max_doc_freq=3,
+    )
+
+
 # --- TX1: quality stats -----------------------------------------------------
 
 _EN_STOPS = ",".join(f"'{w}'" for w in tx.STOPWORDS["en"])
@@ -1412,9 +1455,11 @@ def mm5_audio_stats(spark, sf_dir):
 def k5_knn_ivf_kmeans(spark, sf_dir):
     """IVF ANN with LEARNED centroids (pyspark.ml KMeans, fixed seed) —
     the production index path; rows-only (MLlib cluster assignment is not
-    reproducible in DuckDB SQL)."""
+    reproducible in DuckDB SQL). The fit runs on a seeded 25% sample —
+    KMeans re-scans its input per iteration, so sampling divides the
+    dominant cost by 4 while the full corpus is still assigned exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(emb, k=_IVF_CENTROIDS)
+    cents = similarity.kmeans_centroids(emb, k=_IVF_CENTROIDS, sample_fraction=0.25)
     return similarity.knn_ivf(
         emb,
         emb.filter(F.col("vec_id") < 5),
@@ -1614,9 +1659,15 @@ def ts5_asof_prices(spark, sf_dir):
         [(s, d) for s in STOCK_SYMBOLS for d in QUARTER_ENDS],
         "symbol string, qend string",
     ).select("symbol", F.to_date("qend").alias("qend"))
-    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull()).select(
-        "symbol", "trade_date", "close_price"
-    )
+    # symbols= pushes the key filter into the parquet scan itself (footer
+    # pruning — round 1 fed the FULL series through the as-of window for a
+    # 64-row grid, 8.1s at sf0.1). asof_join's prune_right_to_left_keys
+    # covers callers whose left keys aren't statically known; here the
+    # scan filter already is the prune, so the flag stays off and the plan
+    # stays join-free.
+    p = price_frame(spark, sf_dir, symbols=STOCK_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
+    ).select("symbol", "trade_date", "close_price")
     joined = tseries.asof_join(
         grid, p, on=["symbol"], left_ts="qend", right_ts="trade_date",
         value_cols=["close_price"],
@@ -1769,15 +1820,19 @@ FROM totals
 ORDER BY symbol""",
 )
 def r5_symbol_deciles(spark, sf_dir):
-    """Turnover deciles across all symbols (ntile; single global window —
-    fine for a ~5k-symbol dimension, and the decile boundary rule is the
-    SQL-standard one both engines share)."""
-    w = Window.orderBy(F.desc("total_amount"), "symbol")
-    return (
-        _symbol_totals(spark, sf_dir)
-        .select("symbol", "total_amount", F.ntile(10).over(w).cast("long").alias("decile"))
-        .orderBy("symbol")
+    """Turnover deciles across all symbols. NOT ``ntile`` over a global
+    ``Window.orderBy`` — that sorts every row in one task. Uses
+    analytics.global_ntile (range-partitioned local rank + exact offset
+    arithmetic), which reproduces the SQL-standard NTILE bucket rule
+    bit-for-bit while keeping the sort distributed; the only driver-side
+    data is one row count per range partition."""
+    bucketed = analytics.global_ntile(
+        _symbol_totals(spark, sf_dir),
+        order_cols=[F.desc("total_amount"), F.col("symbol")],
+        n=10,
+        out_col="decile",
     )
+    return bucketed.select("symbol", "total_amount", "decile").orderBy("symbol")
 
 
 # ===========================================================================
@@ -1868,28 +1923,48 @@ def j8_segment_top_orders(spark, sf_dir):
 FROM lineitem GROUP BY 1 ORDER BY 1""",
 )
 def apx1_approx_distinct(spark, sf_dir):
-    """HyperLogLog++ distinct counting, gated: emits the exact count plus
-    an in-Spark assertion column that the approximation (rsd=1%) lands
-    within 5% relative error — the oracle pins the exact value and the
-    bound, the sketch itself being engine-specific. At 100 TB the sketch
-    is the only affordable option (no shuffle-wide exact distinct)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """HyperLogLog++ distinct counting, gated: the exact count pins the
+    oracle, and an assertion column checks the sketch (rsd=1%) lands
+    within 5% relative error.
+
+    The exact and approximate counts are computed in SEPARATE aggregates
+    and joined on the 3-row result. Mixing them in one ``agg`` makes Spark
+    shuffle on (flag, partkey) and build+merge one ~16 KB HLL sketch PER
+    DISTINCT PAIR (~200k sketches at sf0.1 — this was 6.9s in round 1);
+    split, the sketch agg keeps one sketch per flag and the exact count is
+    a plain two-stage distinct. The production path at scale is
+    analytics-style sketch-only (``approx_distinct_counts`` below) with no
+    exact pass at all."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    exact = (
+        li.distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    apx = approx_distinct_counts(li, "l_returnflag", "l_partkey", rsd=0.01)
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_apx"),
-        )
+        exact.join(apx, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",
             (
-                F.abs(F.col("_apx") - F.col("exact_parts"))
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
                 / F.col("exact_parts")
                 < 0.05
             ).alias("approx_ok"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+def approx_distinct_counts(
+    df: DataFrame, key_col: str, value_col: str, rsd: float = 0.01
+) -> DataFrame:
+    """Production sketch-only distinct count: one HLL++ sketch per key,
+    map-side partials, no exact pass. This is the shape to run at 100 TB —
+    the exact countDistinct in apx1 exists only to pin the oracle."""
+    return df.groupBy(key_col).agg(
+        F.approx_count_distinct(value_col, rsd=rsd).alias("approx_parts")
     )
 
 

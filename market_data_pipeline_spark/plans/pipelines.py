@@ -87,6 +87,7 @@ def sync_new_listings(
         F.col("market"),
         F.col("listing_date_parsed").alias("listing_date"),
         F.lit(None).cast("date").alias("delisting_date"),
+        F.lit(None).cast("string").alias("delisting_reason"),
         F.lit(1).cast("int").alias("is_active"),
     )
     valid, _stats = validate(rows, [symbol_rule(), name_rule()], dedup_keys=["symbol"])
@@ -121,6 +122,11 @@ def sync_delisted_stocks(
         F.trim(F.col("company_name")).alias("name"),
         F.col("market"),
         F.col("delisting_date_parsed").alias("delisting_date"),
+        (
+            F.col("delisting_reason")
+            if "delisting_reason" in norm.columns
+            else F.lit(None).cast("string")
+        ).alias("delisting_reason"),
     )
     valid, vstats = validate_delisted(shaped)
 

@@ -756,6 +756,169 @@ def tpch_q21_suppliers_waiting(spark, sf_dir):
     )
 
 
+# --- Q2: minimum-cost supplier per part (adapted) -----------------------------
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """WITH cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l GROUP BY 1, 2)
+SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name, n.n_name AS nation,
+       p.p_partkey, CAST(ROUND(co.unit_cost, 6) AS DOUBLE) AS unit_cost
+FROM part p
+JOIN cost co ON co.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = co.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size = 9 AND p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+  AND co.unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                      JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+                      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                      WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100""",
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2's intent — for each qualifying part, the region's cheapest
+    supplier — adapted: no partsupp table, so the observed minimum unit
+    sale price per (part, supplier) from lineitem plays ps_supplycost.
+    The correlated MIN subquery decorrelates to a window min over
+    l_partkey on the ALREADY region-filtered cost frame (one shuffle on
+    partkey; the dims and region prune broadcast-side before it)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 9) & (F.col("p_type") == "PROMO")
+    ).select("p_partkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    regional = cost.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    best = regional.withColumn("_min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("_min_cost")
+    )
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            F.round("unit_cost", 6).cast("double").alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q11: important stock identification (adapted) ----------------------------
+
+
+@query(
+    "tpch_q11_important_stock",
+    f"""WITH val AS (
+  SELECT l.l_partkey, SUM({REV_SQL}) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_1'
+  GROUP BY 1)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM val
+WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+ORDER BY part_value DESC, l_partkey""",
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11's intent — parts representing a significant fraction of one
+    nation's stock value — with lineitem revenue standing in for
+    ps_supplycost*ps_availqty. The scalar total decorrelates to a
+    broadcast cross join of a 1-row aggregate over the SAME per-part
+    frame; the per-part agg is computed once and reused through a
+    localCheckpoint (two actions share the materialized partials
+    instead of re-scanning the fact)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("part_value"))
+        .localCheckpoint(eager=False)
+    )
+    total = val.agg((F.sum("part_value") * F.lit(0.001)).alias("_thresh"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_thresh"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# --- Q20: potential part promotion (adapted) ----------------------------------
+
+
+@query(
+    "tpch_q20_promotion_suppliers",
+    """SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_1'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+      AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 30)
+ORDER BY s_name""",
+)
+def tpch_q20_promotion_suppliers(spark, sf_dir):
+    """Q20's intent — suppliers heavily stocked in pattern-matched parts
+    — adapted: no partsupp.ps_availqty, so the qualifier is 'shipped
+    more than 30 units of some %gear% part in 1996'. The nested IN
+    chain becomes two semi joins: part filter broadcast into the fact,
+    HAVING-filtered (supp, part) agg, then semi join suppliers of one
+    nation against the qualifying supplier keys."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qualifying = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC2)).alias("sq"))
+        .filter(F.col("sq") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
 # --- Q22: idle high-balance customers (adapted) ------------------------------
 
 

@@ -31,6 +31,9 @@ from pyspark.sql.types import (
 
 # stock_master: symbol dimension, last-write-wins versioned by update_dt
 # (reference: src/clickhouse/stock_master.py:18-30 — ReplacingMergeTree(update_dt)).
+# delisting_reason comes from the richer legacy-schema variant (reference:
+# src/setup/setup_clickhouse.py:73-87) — the crawl parses it (RAW_DELISTED)
+# and the canonical table carries it end-to-end.
 STOCK_MASTER = StructType(
     [
         StructField("symbol", StringType(), False),
@@ -38,6 +41,7 @@ STOCK_MASTER = StructType(
         StructField("market", StringType(), False),
         StructField("listing_date", DateType(), True),
         StructField("delisting_date", DateType(), True),
+        StructField("delisting_reason", StringType(), True),
         StructField("is_active", IntegerType(), False),
         StructField("create_dt", TimestampType(), False),
         StructField("update_dt", TimestampType(), False),

@@ -53,15 +53,27 @@ def ensure_session_defaults(spark: SparkSession) -> None:
             pass
 
 
+def ping(spark: SparkSession) -> bool:
+    """Session liveness check — the ``clickhouse_client.ping()`` the
+    reference calls but never defined (reference:
+    scripts/sync_new_listings.py:183, SURVEY §0 drift list). True iff the
+    session can execute a trivial query end-to-end."""
+    try:
+        return spark.sql("SELECT 1 AS ok").collect()[0]["ok"] == 1
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table. Schema comes from the parquet footer — the
     files are the contract (FIXTURES.md §B); we do not re-impose StructTypes
     on read, so predicate pushdown and column pruning reach the scan.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark only
-    reads via ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py);
-    the long is converted back to a microsecond timestamp here (values are
-    µs-resolution, so the ns->µs division is lossless)."""
+    ``events.ts`` is normalized by :func:`normalize_event_ts`, which
+    handles both on-disk encodings the driver has produced: parquet
+    TIMESTAMP(NANOS) read as bigint under ``nanosAsLong`` (converted by
+    lossless integer ns->µs division) and TIMESTAMP(MICROS, non-UTC) read
+    as TIMESTAMP_NTZ (cast to instant under the UTC session)."""
     ensure_session_defaults(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -81,7 +93,19 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
         # shifts some timestamps by 1µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dtype == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # The NTZ->TZ cast reinterprets wallclock in the SESSION timezone.
+        # ensure_session_defaults pins it to UTC but swallows conf-set
+        # failures (locked-down session), which would silently shift every
+        # timestamp here — so verify, and convert through an explicit-TZ
+        # expression when the session isn't UTC instead of trusting the
+        # cast.
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz in ("UTC", "Etc/UTC", "GMT"):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            df = df.withColumn(
+                "ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"), tz)
+            )
     return df
 
 

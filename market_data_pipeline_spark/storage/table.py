@@ -132,11 +132,65 @@ class ParquetTable:
     def _partition_values(self, predicate=None) -> list[str]:
         """Distinct partition values, optionally only those containing rows
         matching ``predicate`` (partition pruning + row filter — the scan
-        reads only the partition column and predicate columns)."""
+        reads only the partition column and predicate columns).
+
+        The collect is bounded by PARTITION COUNT, not row count — months
+        of a price series number in the hundreds after decades; if a table
+        were ever partitioned by a high-cardinality column this would need
+        an iterator/limit, so keep partition columns coarse (that is also
+        what keeps file counts sane)."""
         df = self.spark.read.parquet(self.path)
         if predicate is not None:
             df = df.filter(predicate)
         return [str(r[0]) for r in df.select(self.partition_col).distinct().collect()]
+
+    def partition_stats(self) -> DataFrame:
+        """Per-partition operational report: on-disk bytes, file count, and
+        row count per partition directory — the ``system.parts`` report the
+        reference reads for its size summaries (reference:
+        src/clickhouse/price_client.py:286-341).
+
+        Bytes/file counts come from a driver-side directory listing (one
+        stat per data file — the same metadata a FileIndex scan lists
+        anyway, bounded by file count not row count); row counts come from
+        ONE Spark count grouped by the partition column, which parquet
+        answers from footer statistics without touching data pages.
+        Returns (partition value col, n_files, bytes, rows) sorted by the
+        partition value.
+        """
+        if not self.partition_col:
+            raise ValueError("partition_stats requires a partitioned table")
+        sizes: dict[str, tuple[int, int]] = {}
+        prefix = f"{self.partition_col}="
+        for entry in os.scandir(self.path):
+            if not (entry.is_dir() and entry.name.startswith(prefix)):
+                continue
+            value = entry.name[len(prefix):]
+            n_files = n_bytes = 0
+            for root, _dirs, files in os.walk(entry.path):
+                for fname in files:
+                    if fname.startswith(("_", ".")):
+                        continue
+                    n_files += 1
+                    n_bytes += os.stat(os.path.join(root, fname)).st_size
+            sizes[value] = (n_files, n_bytes)
+        rows = (
+            self.spark.read.parquet(self.path)
+            .groupBy(self.partition_col)
+            .count()
+            .collect()
+        )
+        data = [
+            (
+                str(r[self.partition_col]),
+                *sizes.get(str(r[self.partition_col]), (0, 0)),
+                r["count"],
+            )
+            for r in rows
+        ]
+        return self.spark.createDataFrame(
+            data, f"{self.partition_col} string, n_files long, bytes long, rows long"
+        ).orderBy(self.partition_col)
 
     def _rewrite_partition(self, value: str, transform) -> None:
         """Stage-and-swap ONE hive partition directory through

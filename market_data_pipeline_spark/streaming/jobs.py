@@ -46,12 +46,16 @@ def read_events_stream(
 
     The file source needs an explicit schema; it is taken from the parquet
     footer via a throwaway batch read (cheap — footer only). ``ts`` is
-    TIMESTAMP(NANOS) stored, read as long (see session.py nanosAsLong) and
-    converted with integer µs division exactly like the batch catalog.
+    normalized by ``normalize_event_ts`` exactly like the batch catalog —
+    it handles both driver encodings (TIMESTAMP(NANOS) read as bigint
+    under nanosAsLong, and TIMESTAMP_NTZ cast under the UTC session).
     ``max_files_per_trigger`` splits the backfill into multiple
     micro-batches (used by tests to prove cross-batch state).
     """
-    from market_data_pipeline_spark.sources.catalog import ensure_session_defaults
+    from market_data_pipeline_spark.sources.catalog import (
+        ensure_session_defaults,
+        normalize_event_ts,
+    )
 
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, "events.parquet")
@@ -62,8 +66,6 @@ def read_events_stream(
     reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    from market_data_pipeline_spark.sources.catalog import normalize_event_ts
-
     return normalize_event_ts(reader.parquet(sf_dir))
 
 

@@ -41,6 +41,11 @@ def audit_plan(df) -> dict:
         "shuffles": len(re.findall(r"\(\d+\) Exchange", p)),
         "scans": len(scans),
         "pushed_scans": len(pushed),
+        # a partition-less Window / global non-top-k sort plans as an
+        # Exchange SinglePartition — the one-task scale-killer pattern
+        "single_partition_exchanges": len(
+            re.findall(r"Exchange SinglePartition", p)
+        ),
         "max_read_cols": max(read_schemas, default=0),
         "codegen_spans": len(re.findall(r"WholeStageCodegen", p)),
     }

@@ -108,3 +108,78 @@ def test_broadcast_join_in_plan(price, master):
     (100 TB discipline: SURVEY §4)."""
     plan = A.market_summary(price, master, "2024-01-02")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --- scale-safe global ntile -------------------------------------------------
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    from pyspark.sql import Window
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"s{i:04d}", float(rng.randint(0, 500))) for i in range(237)]
+    df = spark.createDataFrame(rows, "symbol string, total double")
+    order = [F.desc("total"), F.col("symbol")]
+    expected = sorted(
+        map(
+            tuple,
+            df.select(
+                "symbol", F.ntile(7).over(Window.orderBy(*order)).cast("long").alias("b")
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            A.global_ntile(df, order, 7, out_col="b").select("symbol", "b").collect(),
+        )
+    )
+    # 237 rows / 7 buckets: 237 = 7*33 + 6 -> first 6 buckets get 34 rows;
+    # the arithmetic NTILE rule must be bit-identical to the window ntile
+    assert got == expected
+
+
+def test_global_ntile_fewer_rows_than_buckets(spark):
+    df = spark.createDataFrame([("a", 3.0), ("b", 2.0), ("c", 1.0)], "k string, v double")
+    out = {
+        r.k: r.b
+        for r in A.global_ntile(df, [F.desc("v"), F.col("k")], 10, out_col="b").collect()
+    }
+    assert out == {"a": 1, "b": 2, "c": 3}  # NTILE gives row i bucket i
+
+
+def test_global_ntile_empty_frame(spark):
+    df = spark.createDataFrame([], "k string, v double")
+    assert A.global_ntile(df, [F.desc("v")], 10).count() == 0
+
+
+# --- wide (pivoted-matrix) correlation ---------------------------------------
+
+
+def test_correlation_matrix_wide_matches_pair_join(spark):
+    import math
+
+    # complete panel: 4 symbols x 40 days, deterministic price paths
+    rows = []
+    for s in range(4):
+        px = 100.0
+        for d in range(40):
+            px *= 1.0 + 0.01 * math.sin(0.7 * d + s) + 0.002 * s
+            rows.append((f"w{s}", D(2024, 1, 1) + dt.timedelta(days=d), px))
+    price = spark.createDataFrame(rows, "symbol string, trade_date date, close_price double")
+    symbols = [f"w{s}" for s in range(4)]
+    pair = {
+        (r.symbol_a, r.symbol_b): (r.correlation, r.n_days)
+        for r in A.correlation_matrix(price, symbols).collect()
+    }
+    wide = {
+        (r.symbol_a, r.symbol_b): (r.correlation, r.n_days)
+        for r in A.correlation_matrix_wide(price, symbols).collect()
+    }
+    assert set(pair) == set(wide) and len(pair) == 6
+    for k in pair:
+        assert pair[k][1] == wide[k][1]  # same observation count
+        # same Pearson value modulo last-ulp accumulation differences
+        assert abs(pair[k][0] - wide[k][0]) <= 2e-6

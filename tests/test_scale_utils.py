@@ -106,3 +106,67 @@ def test_partition_pruning_on_trade_month(spark, tmp_path):
     ) or "trade_month" in plan.split("PartitionFilters")[1].split("]")[0]
     # and the scan reads exactly one of six partitions' rows
     assert pruned.count() == 1
+
+
+# --- hot-bucket cap (the 100 TB dedup robustness knob) ----------------------
+
+
+def test_pairs_within_groups_hot_bucket_cap(spark):
+    from market_data_pipeline_spark.operators.util import (
+        bucket_overflow_stats,
+        pairs_within_groups,
+    )
+
+    # adversarial viral bucket: 100 members would emit 4950 pairs in ONE
+    # task; the cap must drop the whole bucket while the cold bucket's
+    # pair still comes through
+    rows = [("hot", i) for i in range(100)] + [("cold", 1000), ("cold", 1001)]
+    df = spark.createDataFrame(rows, "bucket string, id long")
+
+    capped = pairs_within_groups(df, ["bucket"], "id", max_group_size=10).collect()
+    assert len(capped) == 1
+    assert (capped[0]["a"]["id"], capped[0]["b"]["id"]) == (1000, 1001)
+
+    # uncapped keeps the quadratic explosion (100*99/2 + 1)
+    assert pairs_within_groups(df, ["bucket"], "id").count() == 4951
+
+    # the audit reports exactly what the cap discarded
+    stats = bucket_overflow_stats(df, ["bucket"], 10).collect()
+    assert len(stats) == 1
+    assert stats[0]["bucket"] == "hot" and stats[0]["group_size"] == 100
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    from market_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc shares ONE viral shingle ("common words here"); all other
+    # shingles are unique per doc
+    docs = spark.createDataFrame(
+        [(i, f"common words here tail{i} x{i} y{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    uncapped = ngram_jaccard_pairs(
+        docs, group_col=None, n=3, threshold=0.01
+    ).count()
+    assert uncapped == 20 * 19 // 2  # viral bucket pairs everything
+
+    capped = ngram_jaccard_pairs(
+        docs, group_col=None, n=3, threshold=0.01, max_doc_freq=5
+    ).count()
+    assert capped == 0  # stop-shingle dropped, no other shared shingles
+
+
+def test_minhash_lsh_bucket_cap_drops_viral_band(spark):
+    from market_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    # 30 identical docs -> every band bucket has 30 members; a cap of 10
+    # suppresses all candidate pairs, uncapped emits 30*29/2
+    docs = spark.createDataFrame(
+        [(i, "the same exact boilerplate text repeated everywhere") for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_pairs(docs, num_hashes=16, bands=4).count() == 435
+    assert (
+        minhash_lsh_pairs(docs, num_hashes=16, bands=4, max_bucket_size=10).count()
+        == 0
+    )

@@ -104,6 +104,29 @@ def test_asof_join_backward_semantics(spark, series):
     assert len(out) == 4  # exactly one output row per left row
 
 
+def test_asof_join_prune_right_matches_unpruned(spark, series):
+    # prune_right_to_left_keys must change the PLAN (right side reduced to
+    # the probed keys), never the RESULT
+    left = spark.createDataFrame(
+        [("A", D("2024-01-05")), ("C", D("2024-01-05"))], "symbol string, asof date"
+    )
+    kwargs = dict(
+        on=["symbol"], left_ts="asof", right_ts="trade_date",
+        value_cols=["close_price"],
+    )
+    right = series.select("symbol", "trade_date", "close_price")
+    plain = sorted(map(tuple, TS.asof_join(left, right, **kwargs).collect()))
+    pruned = sorted(
+        map(
+            tuple,
+            TS.asof_join(
+                left, right, prune_right_to_left_keys=True, **kwargs
+            ).collect(),
+        )
+    )
+    assert plain == pruned
+
+
 def test_asof_join_keeps_left_payload(spark, series):
     left = spark.createDataFrame(
         [("A", D("2024-01-05"), "q1")], "symbol string, asof date, tag string"
