@@ -233,7 +233,14 @@ def minhash_signatures(
         return pd.Series(out)
 
     sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    sig_udf = pandas_udf(sig, "array<long>")
+    # asNondeterministic: the function IS deterministic, but the flag stops
+    # Catalyst from duplicating the evaluation. Without it, a downstream
+    # filter on the signature (the null-signature drop in banding) is
+    # pushed below the ensure_parallelism exchange and the UDF runs TWICE
+    # — and the first run sits on the pre-repartition single input
+    # partition, i.e. the whole corpus signs on ONE core (measured 6s of
+    # dd3's 6.6s at sf0.1; 1.5s after).
+    sig_udf = pandas_udf(sig, "array<long>").asNondeterministic()
 
     staged = ensure_parallelism(df, id_col).select(
         F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_t")
@@ -372,7 +379,8 @@ def simhash(
         return pd.Series(out)
 
     fp.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    fp_udf = pandas_udf(fp, "long")
+    # see minhash_signatures: prevents duplicate evaluation via pushdown
+    fp_udf = pandas_udf(fp, "long").asNondeterministic()
 
     staged = ensure_parallelism(df, id_col).select(
         F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_t")

@@ -244,7 +244,9 @@ def cosine_near_dup_lsh(
         return pd.Series(list(per_band.astype(np.int64)))
 
     buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    bucket_udf = pandas_udf(buckets, "array<long>")
+    # asNondeterministic: stop Catalyst duplicating the projection below a
+    # pushed filter (see dedup.minhash_signatures for the measured case)
+    bucket_udf = pandas_udf(buckets, "array<long>").asNondeterministic()
 
     digits = round_digits or 6
 

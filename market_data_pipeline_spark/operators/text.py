@@ -127,6 +127,189 @@ def fingerprint(
     return df.select(F.col(id_col), F.xxhash64(normalized).alias("fingerprint"))
 
 
+# Regexes kept to syntax shared by Java regex (Spark) and RE2/PCRE-lite
+# (DuckDB): no lookaround, no backrefs — identical matches on both engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Regex-based PII scrubbing: emails and phone-shaped digit runs are
+    replaced with typed placeholders — the first pass every training-data
+    pipeline runs over raw text. Map-only, all codegen (regexp_replace /
+    regexp_count), no shuffle.
+
+    This is the pattern layer only; a production deployment adds NER-model
+    passes behind the same (id, text) -> (id, text, counts) contract.
+    Returns (id_col, text redacted, n_emails, n_phones).
+    """
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        ).alias(text_col),
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (tf * ln(N / df), N = documents containing at least one token).
+
+    The canonical corpus-statistics shape: explode tokens -> per-(doc,
+    term) counts (one shuffle, map-side combined) -> per-term document
+    frequency (aggregates the already-distinct (doc, term) rows) -> score
+    join on term -> per-doc top-k window. The corpus size N is a 1-row
+    aggregate broadcast back as a cross join — no driver action, no
+    collect. Ranking uses the ROUNDED score (engines differ in ln()'s
+    last ulp; rounding first makes the top-k order engine-independent,
+    term as tiebreak).
+    Returns (id_col, term, tf, df, tfidf, rnk<=k).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")),
+                round_digits,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-length chunking step of an embedding/RAG ingestion
+    pipeline. Chunk starts stride by (chunk_tokens - overlap); the last
+    chunk is short rather than padded. Map-only: the token array is
+    staged once per row (see :func:`rolling_fingerprint` for why), chunk
+    generation is one posexplode — output rows ≈ input tokens / stride,
+    no shuffle.
+    Returns (id_col, chunk_idx, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
+    return (
+        staged.select(
+            F.col(id_col),
+            toks,
+            F.posexplode_outer(starts).alias("chunk_idx", "_start"),
+        )
+        .filter(F.col("_start").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(toks, F.col("_start"), chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(chunk_tokens), F.size(toks) - F.col("_start") + 1
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs — the concat-then-
+    chunk sequence packing of LLM pretraining loaders, made deterministic
+    and distributed.
+
+    A single global running sum would serialize on one task; instead
+    documents are sharded by an md5 prefix of the id (engine-independent,
+    rerun-stable — same idiom as the hash sampler) and packed WITHIN each
+    shard by a cumulative token sum over the (shard, id) order:
+    ``pack_no = (cumsum - n_tokens) // budget``. One shuffle on the shard
+    key; each shard's packs are independent, which is exactly how packing
+    shards across loader workers behaves in production. A document longer
+    than the budget occupies its pack and bleeds into the next — standard
+    greedy-concat semantics, not bin packing.
+    Returns (id_col, shard, n_tokens, pack_no).
+    """
+    from pyspark.sql import Window
+
+    shard = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 1)
+    staged = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return staged.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("pack_no"),
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_from: str = "cc",
+    test_from: str = "e6",
+) -> DataFrame:
+    """Deterministic 3-way split by md5 prefix of ``key_col``: hex bucket
+    00..(val_from) -> train (~80% at the defaults), ..(test_from) -> val
+    (~10%), rest -> test. Keying on a GROUP column (source, domain, url
+    host) keeps whole groups in one split — the leakage guard every
+    training pipeline needs; keying on the doc id gives an iid split.
+    Engine-independent and rerun-stable (no rand()), map-only.
+    Adds a ``split`` column.
+    """
+    h = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(h < val_from, "train").when(h < test_from, "val").otherwise("test"),
+    )
+
+
 def rolling_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 8
 ) -> DataFrame:

@@ -1459,7 +1459,9 @@ def k5_knn_ivf_kmeans(spark, sf_dir):
     KMeans re-scans its input per iteration, so sampling divides the
     dominant cost by 4 while the full corpus is still assigned exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(emb, k=_IVF_CENTROIDS, sample_fraction=0.25)
+    cents = similarity.kmeans_centroids(
+        emb, k=_IVF_CENTROIDS, sample_fraction=0.25, max_iter=5
+    )
     return similarity.knn_ivf(
         emb,
         emb.filter(F.col("vec_id") < 5),
@@ -2379,6 +2381,127 @@ def r6_rank_functions(spark, sf_dir):
         .cast("long")
         .alias("gap_days"),
     ).orderBy("symbol", "trade_date")
+
+
+# ===========================================================================
+# Corpus-preparation operators (round 2): TF-IDF, PII redaction, context
+# chunking, sequence packing, leakage-safe splits — the map-reduce shapes a
+# training-data pipeline runs between raw text and the loader.
+# ===========================================================================
+
+
+@query(
+    "tx8_tfidf_terms",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+            AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 5
+ORDER BY doc_id, rnk""",
+)
+def tx8_tfidf_terms(spark, sf_dir):
+    """Top-5 characteristic terms per document by TF-IDF. Ranking happens
+    on the ROUNDED score (ln() differs in the last ulp across engines) —
+    see operators/text.tfidf_top_terms for the shuffle budget."""
+    return tx.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5).orderBy(
+        "doc_id", "rnk"
+    )
+
+
+@query(
+    "tx9_redact_pii",
+    f"""SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{tx.EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{tx.PHONE_RE}', '[PHONE]', 'g') AS text,
+       CAST(len(regexp_extract_all(text, '{tx.EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{tx.PHONE_RE}')) AS INTEGER) AS n_phones
+FROM documents ORDER BY doc_id""",
+)
+def tx9_redact_pii(spark, sf_dir):
+    """Regex PII scrubbing (emails, phone-shaped digit runs) — map-only
+    codegen; the regexes are restricted to Java-regex ∩ RE2 syntax so the
+    oracle executes the identical patterns."""
+    return tx.redact_pii(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "ck1_chunk_documents",
+    r"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 48)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(t, start, start + 63), ' ') AS chunk_text,
+       CAST(least(64, len(t) - start + 1) AS BIGINT) AS n_tokens
+FROM starts
+ORDER BY doc_id, chunk_idx""",
+)
+def ck1_chunk_documents(spark, sf_dir):
+    """Context-length chunking: 64-token windows, 16-token overlap
+    (stride 48) — the RAG/embedding ingestion reshape. Map-only
+    posexplode; output rows ≈ tokens / stride."""
+    return tx.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "pk1_pack_sequences",
+    r"""WITH d AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 256.0) AS BIGINT) AS pack_no
+FROM d ORDER BY doc_id""",
+)
+def pk1_pack_sequences(spark, sf_dir):
+    """Sequence packing into 256-token budgets, sharded by md5 prefix so
+    the running sum distributes (one shuffle on the shard key, never a
+    global single-task window) — the concat-then-chunk loader shape."""
+    return tx.pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=256
+    ).orderBy("doc_id")
+
+
+@query(
+    "smp3_group_split",
+    """SELECT doc_id, source,
+       CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id""",
+)
+def smp3_group_split(spark, sf_dir):
+    """Leakage-safe train/val/test split keyed on the SOURCE group (every
+    document of a source lands in the same split), deterministic via md5
+    prefix — no rand(), rerun- and engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tx.train_val_test_split(docs, key_col="source")
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    )
 
 
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on

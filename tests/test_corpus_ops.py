@@ -1,0 +1,109 @@
+"""Corpus-preparation operators: PII redaction, TF-IDF, chunking,
+sequence packing, leakage-safe splits (round-2 additions)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import text as TX
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@example.co.uk or call +82 10-1234-5678 ok"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.redact_pii(df).collect()}
+    assert "[EMAIL]" in out[1].text and "[PHONE]" in out[1].text
+    assert "example" not in out[1].text and "1234" not in out[1].text
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert out[2].text == "no pii here at all"
+    assert out[2].n_emails == 0 and out[2].n_phones == 0
+
+
+def test_tfidf_top_terms_values(spark):
+    # 3 docs; "shared" in all (idf=0), "rare" only in doc 1
+    df = spark.createDataFrame(
+        [
+            (1, "shared rare rare"),
+            (2, "shared other"),
+            (3, "shared other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TX.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = {d: rows[0] for d, rows in by_doc.items()}
+    assert top1[1].term == "rare"
+    assert top1[1].tf == 2 and top1[1].df == 1
+    assert top1[1].tfidf == pytest.approx(round(2 * math.log(3 / 1), 6))
+    # idf of an everywhere-term is 0
+    shared = [r for r in out if r.term == "shared"]
+    assert all(r.tfidf == 0.0 for r in shared)
+
+
+def test_chunk_documents_stride_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    chunks = {r.chunk_idx: r for r in TX.chunk_documents(df, 4, 1).collect()}
+    # stride 3 over 10 tokens: starts 1,4,7,10
+    assert sorted(chunks) == [0, 1, 2, 3]
+    assert chunks[0].chunk_text == "t0 t1 t2 t3" and chunks[0].n_tokens == 4
+    assert chunks[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
+    assert chunks[3].chunk_text == "t9" and chunks[3].n_tokens == 1
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        TX.chunk_documents(df, 4, 4)
+
+
+def test_pack_sequences_greedy_invariant(spark):
+    docs = [(i, " ".join(["w"] * (7 + (i * 13) % 40))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = TX.pack_sequences(df, budget=50).collect()
+    # recompute the greedy concat assignment per shard in plain python
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        cum = by_shard.get(r.shard, 0) + r.n_tokens
+        by_shard[r.shard] = cum
+        assert r.pack_no == (cum - r.n_tokens) // 50
+        expected_shard = hashlib.md5(str(r.doc_id).encode()).hexdigest()[0]
+        assert r.shard == expected_shard
+
+
+def test_train_val_test_split_group_coherent(spark):
+    df = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(200)], "doc_id long, source string"
+    )
+    out = TX.train_val_test_split(df, key_col="source").collect()
+    per_source = {}
+    for r in out:
+        per_source.setdefault(r.source, set()).add(r.split)
+    # every group lands wholly in one split — the leakage guard
+    assert all(len(s) == 1 for s in per_source.values())
+    assert set().union(*per_source.values()) <= {"train", "val", "test"}
+
+
+def test_train_val_test_split_fractions(spark):
+    df = spark.createDataFrame([(i,) for i in range(3000)], "k long")
+    counts = {
+        r.split: r["count"]
+        for r in TX.train_val_test_split(df, key_col="k").groupBy("split").count().collect()
+    }
+    n = sum(counts.values())
+    assert n == 3000
+    assert 0.74 < counts["train"] / n < 0.85
+    assert 0.06 < counts["val"] / n < 0.14
+    assert 0.06 < counts["test"] / n < 0.14

@@ -38,7 +38,8 @@ def _norm(v):
 
 
 def test_all_tpch_queries_registered():
-    assert len(TPCH) == 18
+    # q1, q2, q4-q22 (q3's shape is registered as j8_segment_top_orders)
+    assert len(TPCH) == 21
     for name in TPCH:
         assert name in ORACLES, f"{name} missing oracle"
 
