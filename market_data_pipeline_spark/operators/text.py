@@ -180,7 +180,16 @@ def tfidf_top_terms(
         df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term"))
         .filter(F.col("term").isNotNull() & (F.col("term") != ""))
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds three consumers (itself, document frequency, corpus size N);
+    # without materialization Catalyst re-runs the scan+explode+aggregate
+    # per consumer — three passes over the corpus (plan audit showed 3
+    # scans). localCheckpoint materializes the (doc, term, tf) partials
+    # once; at cluster scale this is a persist() of the same frame.
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("_n"))
     scored = (

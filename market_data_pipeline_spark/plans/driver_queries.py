@@ -2048,6 +2048,29 @@ def st5_stream_static_join(spark, sf_dir):
     )
 
 
+@query(
+    "st6_stream_stream_join",
+    """SELECT v.event_id AS view_id, c.event_id AS click_id,
+       v.user_id AS user_id, v.ts AS view_ts, c.ts AS click_ts
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+ORDER BY view_id, click_id""",
+)
+def st6_stream_stream_join(spark, sf_dir):
+    """Stream-stream watermarked interval join (view→click attribution):
+    run to completion it must equal the batch interval self-join the
+    oracle spells. The time-range condition is what bounds the join
+    state — see streaming.jobs.streaming_view_click_join."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    joined = sj.streaming_view_click_join(sj.read_events_stream(spark, sf_dir))
+    out = sj.run_stream_to_memory(joined, "st6_sink", output_mode="append")
+    return out.orderBy("view_id", "click_id")
+
+
 # ===========================================================================
 # CDC snapshot diff, incremental aggregate maintenance, calendar RANGE
 # frames, event funnels.

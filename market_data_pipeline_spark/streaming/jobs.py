@@ -184,6 +184,56 @@ def streaming_dedup(
     )
 
 
+def streaming_view_click_join(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each click to the views by the
+    same user in the preceding ``attribution_window`` — the canonical
+    event-attribution shape (ad view→click, impression→conversion).
+
+    Both sides carry watermarks and the join condition carries an explicit
+    event-time range, which is what lets Spark BOUND the join state: a
+    buffered view can be dropped once the click-side watermark passes
+    view_ts + window (without the range the state grows forever). One
+    shuffle per side on the user key; matches emit append-mode as they
+    arrive. Run to completion over a finite lake, the result equals the
+    batch interval self-join — which is the oracle.
+    Returns (view_id, click_id, user_id, view_ts, click_ts).
+    """
+    views = (
+        events.filter(F.col(type_col) == "view")
+        .select(
+            F.col(id_col).alias("view_id"),
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col(type_col) == "click")
+        .select(
+            F.col(id_col).alias("click_id"),
+            F.col(user_col).alias("_c_user"),
+            F.col(ts_col).alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("_c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return views.join(clicks, cond, "inner").select(
+        "view_id", "click_id", "user_id", "view_ts", "click_ts"
+    )
+
+
 # --- arbitrary stateful processing -----------------------------------------
 
 USER_STATE_OUTPUT = T.StructType(
