@@ -59,7 +59,15 @@ _R1_COST = {
     "apx1_approx_distinct": 2.00, "ts5_asof_prices": 2.20,  # post-fix estimates
     "k5_knn_ivf_kmeans": 2.50, "st4_streaming_dedup": 2.70,
     "tpch_q21_suppliers_waiting": 2.91, "mm3_frame_sample": 3.02, "dd7_dup_clusters": 4.07,
-    "mm2_resize_roundtrip": 4.19, "dd8_dedup_corpus": 4.70, "dd3_minhash_lsh": 6.62,
+    "mm2_resize_roundtrip": 4.19, "dd8_dedup_corpus": 4.70,
+    # round-2 measurements / estimates
+    "dd3_minhash_lsh": 2.70, "dd4_simhash_pairs": 1.50,
+    "tx8_tfidf_terms": 0.97, "tx9_redact_pii": 0.87, "ck1_chunk_documents": 0.38,
+    "pk1_pack_sequences": 0.27, "smp3_group_split": 0.15,
+    "dd9_ngram_jaccard_capped": 1.22, "st6_stream_stream_join": 2.50,
+    "ts7_bollinger": 0.45, "ts8_rsi": 0.50, "r7_grouping_sets": 1.15,
+    "tpch_q2_min_cost_supplier": 1.00, "tpch_q11_important_stock": 0.80,
+    "tpch_q20_promotion_suppliers": 0.60,
 }
 
 

@@ -207,6 +207,80 @@ def asof_join(
     )
 
 
+def bollinger_bands(
+    df: DataFrame,
+    n: int = 20,
+    k: float = 2.0,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bollinger bands: trailing-n SMA ± k standard deviations.
+
+    One window pass computes both moments over the same frame (Catalyst
+    shares the WindowExec); the mean uses decimal accumulation (exact),
+    the deviation is rounded (variance accumulation is engine-order
+    dependent). Bands are emitted from the rounded deviation so
+    mid/upper/lower hash-match across engines.
+    Adds (sma_{n}, band_dev, upper_band, lower_band).
+    """
+    w = _series_window(partition_col, order_col).rowsBetween(-(n - 1), 0)
+    mean = F.sum(F.col(value_col).cast("decimal(18,2)")).over(w).cast(
+        "double"
+    ) / F.count(value_col).over(w)
+    dev = F.round(F.stddev_samp(F.col(value_col)).over(w), round_digits)
+    out = df.withColumn(f"sma_{n}", mean).withColumn("band_dev", dev)
+    return out.withColumn(
+        "upper_band", F.round(F.col(f"sma_{n}") + k * F.col("band_dev"), round_digits)
+    ).withColumn(
+        "lower_band", F.round(F.col(f"sma_{n}") - k * F.col("band_dev"), round_digits)
+    )
+
+
+def rsi(
+    df: DataFrame,
+    n: int = 14,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Relative Strength Index (simple-average Cutler variant): 100 -
+    100/(1+RS), RS = avg gain / avg loss over the trailing ``n`` price
+    changes. The Wilder original smooths recursively (not expressible as
+    a SQL window — and not verifiable against a SQL oracle); Cutler's
+    arithmetic-mean form is the standard window-function formulation and
+    shares its signal.
+
+    Two stacked windows on the SAME (key, order) partitioning: the lag
+    diff then the trailing averages — one shuffle total. Flat-price
+    stretches (avg loss = 0) emit RSI 100 by convention; rows with no
+    prior price emit NULL.
+    Adds ``rsi_{n}``.
+    """
+    w = _series_window(partition_col, order_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    diff = F.col(value_col) - F.lag(value_col).over(w)
+    staged = df.withColumn(
+        "_gain", F.when(diff > 0, diff).otherwise(F.lit(0.0))
+    ).withColumn("_loss", F.when(diff < 0, -diff).otherwise(F.lit(0.0))).withColumn(
+        "_has", diff.isNotNull().cast("int")
+    )
+    avg_gain = F.sum(F.col("_gain").cast("decimal(18,6)")).over(frame).cast(
+        "double"
+    ) / F.sum("_has").over(frame)
+    avg_loss = F.sum(F.col("_loss").cast("decimal(18,6)")).over(frame).cast(
+        "double"
+    ) / F.sum("_has").over(frame)
+    rsi_val = F.when(F.sum("_has").over(frame) == 0, F.lit(None).cast("double")).when(
+        avg_loss == 0, F.lit(100.0)
+    ).otherwise(100.0 - 100.0 / (1.0 + avg_gain / avg_loss))
+    return staged.withColumn(f"rsi_{n}", F.round(rsi_val, round_digits)).drop(
+        "_gain", "_loss", "_has"
+    )
+
+
 def sma_range_days(
     df: DataFrame,
     days: int,

@@ -1557,6 +1557,84 @@ def ts1_sma(spark, sf_dir):
 
 
 @query(
+    "ts7_bollinger",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+)
+SELECT symbol, trade_date, close_price,
+       CAST(SUM(CAST(close_price AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           / COUNT(close_price) OVER w AS sma_20,
+       ROUND(stddev_samp(close_price) OVER w, 6) AS band_dev,
+       ROUND(CAST(SUM(CAST(close_price AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(close_price) OVER w
+             + 2.0 * ROUND(stddev_samp(close_price) OVER w, 6), 6) AS upper_band,
+       ROUND(CAST(SUM(CAST(close_price AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(close_price) OVER w
+             - 2.0 * ROUND(stddev_samp(close_price) OVER w, 6), 6) AS lower_band
+FROM sel
+WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY symbol, trade_date""",
+)
+def ts7_bollinger(spark, sf_dir):
+    """Bollinger bands (20-row SMA ± 2σ): both moments in one window pass
+    on one shuffle; mean decimal-exact, deviation rounded (see
+    operators/timeseries.bollinger_bands)."""
+    return tseries.bollinger_bands(_ts_series(spark, sf_dir), n=20, k=2.0).orderBy(
+        "symbol", "trade_date"
+    )
+
+
+@query(
+    "ts8_rsi",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+),
+d AS (
+  SELECT symbol, trade_date, close_price,
+         close_price - lag(close_price) OVER
+             (PARTITION BY symbol ORDER BY trade_date) AS diff
+  FROM sel
+),
+g AS (
+  SELECT symbol, trade_date, close_price,
+         CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
+         CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss,
+         CASE WHEN diff IS NULL THEN 0 ELSE 1 END AS has
+  FROM d
+)
+SELECT symbol, trade_date, close_price,
+       ROUND(CASE
+         WHEN SUM(has) OVER w = 0 THEN NULL
+         WHEN CAST(SUM(CAST(loss AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                  / SUM(has) OVER w = 0 THEN 100.0
+         ELSE 100.0 - 100.0 / (1.0 +
+              (CAST(SUM(CAST(gain AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   / SUM(has) OVER w)
+            / (CAST(SUM(CAST(loss AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   / SUM(has) OVER w))
+       END, 6) AS rsi_14
+FROM g
+WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+ORDER BY symbol, trade_date""",
+)
+def ts8_rsi(spark, sf_dir):
+    """RSI-14 (Cutler simple-average variant — the Wilder recursion is
+    not SQL-window-expressible, see operators/timeseries.rsi): lag diff
+    plus trailing averages stacked on ONE (symbol, date) shuffle."""
+    return tseries.rsi(_ts_series(spark, sf_dir), n=14).orderBy(
+        "symbol", "trade_date"
+    )
+
+
+@query(
     "ts2_volatility",
     f"""WITH {PRICE_CTE},
 sel AS (
@@ -1768,6 +1846,39 @@ def r3_cube_flag_status(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "r7_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+)
+def r7_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — per-flag totals AND per-status totals in
+    ONE expand+aggregate pass (two independent groupBys would scan the
+    fact twice); completes the grouping-construct family next to
+    r2 ROLLUP / r3 CUBE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [[F.col("l_returnflag")], [F.col("l_linestatus")]],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
         .agg(
             F.count("*").alias("n_items"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))

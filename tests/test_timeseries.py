@@ -243,3 +243,35 @@ def test_interval_join_boundaries(spark):
     )
     got = sorted((r.event_id, r.user_id) for r in out.collect())
     assert got == [(1, 7), (2, 7), (3, 7), (5, 8)]
+
+
+def test_bollinger_bands_known_values(spark):
+    rows = [("A", D(f"2024-01-{d:02d}"), float(p)) for d, p in
+            enumerate([10, 12, 14, 12, 10], start=1)]
+    df = spark.createDataFrame(rows, "symbol string, trade_date date, close_price double")
+    out = {r.trade_date: r for r in TS.bollinger_bands(df, n=3, k=2.0).collect()}
+    import statistics
+    # day 3 frame = [10, 12, 14]
+    d3 = out[D("2024-01-03")]
+    assert d3.sma_3 == pytest.approx(12.0)
+    dev = round(statistics.stdev([10, 12, 14]), 6)
+    assert d3.band_dev == pytest.approx(dev)
+    assert d3.upper_band == pytest.approx(round(12.0 + 2 * dev, 6))
+    assert d3.lower_band == pytest.approx(round(12.0 - 2 * dev, 6))
+    # single-row frame: sample stddev undefined -> null bands
+    assert out[D("2024-01-01")].band_dev is None
+
+
+def test_rsi_known_values(spark):
+    # diffs: +2, +2, -1, -1 ; frame n=3 over diffs
+    rows = [("A", D(f"2024-01-{d:02d}"), float(p)) for d, p in
+            enumerate([10, 12, 14, 13, 12], start=1)]
+    df = spark.createDataFrame(rows, "symbol string, trade_date date, close_price double")
+    out = {r.trade_date: r.rsi_3 for r in TS.rsi(df, n=3).collect()}
+    assert out[D("2024-01-01")] is None          # no prior price
+    assert out[D("2024-01-02")] == 100.0         # only gains
+    # day 4: diffs in frame = [+2, +2, -1]: avg gain 4/3, avg loss 1/3
+    rs = (4 / 3) / (1 / 3)
+    assert out[D("2024-01-04")] == pytest.approx(round(100 - 100 / (1 + rs), 6))
+    # day 5: diffs [+2, -1, -1]: avg gain 2/3, avg loss 2/3 -> RSI 50
+    assert out[D("2024-01-05")] == pytest.approx(50.0)
