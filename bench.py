@@ -58,6 +58,8 @@ def main() -> None:
 
     # best-of-2 per query: single-shot numbers on a busy box swing 3-4x
     # (GC, page cache, JIT); the min is the reproducible cost of the plan
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         best = float("inf")
@@ -66,6 +68,11 @@ def main() -> None:
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop python-side DataFrame refs so the ContextCleaner can free
+        # localCheckpoint blocks between queries — without this the block
+        # manager grows monotonically over the 100+-query session and GC
+        # pressure inflates the late queries' timings
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     line = json.dumps(

@@ -1,0 +1,125 @@
+"""Declarative data-quality constraint checking ("Deequ-lite").
+
+Generalizes the reference's hard-coded validation chain (reference:
+scripts/sync_delisted_stocks.py:50-101 — fixed regex/name/date filters)
+into a declarative expectations report any table can run: row-level
+predicates are verified in ONE aggregation pass (conditional counts, no
+per-rule scan), uniqueness constraints in one two-level aggregate per key
+set, and everything comes back as a long-form report frame a pipeline can
+gate on or persist as a run audit.
+
+Scale: the row-rule pass is a single map-side-combined aggregate over one
+scan regardless of rule count; each uniqueness check is one shuffle on its
+key set. Nothing driver-side but the report itself (rows = #constraints).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A named row-level predicate that should hold for every row."""
+
+    name: str
+    predicate: Column
+
+
+def not_null(col: str) -> Expectation:
+    return Expectation(f"{col}_not_null", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Expectation:
+    return Expectation(
+        f"{col}_in_range", F.col(col).isNotNull() & F.col(col).between(lo, hi)
+    )
+
+
+def matches(col: str, pattern: str) -> Expectation:
+    return Expectation(
+        f"{col}_matches", F.col(col).isNotNull() & F.col(col).rlike(pattern)
+    )
+
+
+def in_set(col: str, values: list) -> Expectation:
+    return Expectation(f"{col}_in_set", F.col(col).isin(values))
+
+
+REPORT_SCHEMA = (
+    "constraint string, n_rows bigint, n_violations bigint, "
+    "pass_ratio double, passed boolean"
+)
+
+
+def check_constraints(
+    df: DataFrame,
+    expectations: list[Expectation],
+    unique_keys: list[list[str]] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Run all expectations; return the long-form report
+    (constraint, n_rows, n_violations, pass_ratio, passed).
+
+    Row-level expectations share ONE aggregation pass: the agg emits one
+    violation count per rule plus the row count, and the single result row
+    is unpivoted to report rows with an inline explode (driver never sees
+    data). Each ``unique_keys`` entry adds a uniqueness constraint
+    ``unique(k1,k2)`` whose violation count is rows minus distinct keys —
+    a separate two-phase aggregate per key set (distinct cardinality can't
+    ride the conditional-count pass without an Expand blow-up; see
+    apx1's round-1 lesson).
+    """
+    reports: list[DataFrame] = []
+    if expectations:
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.count(F.when(~e.predicate, 1)).alias(f"_v{i}")
+            for i, e in enumerate(expectations)
+        ]
+        row = df.agg(*aggs)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(e.name).alias("constraint"),
+                    F.col(f"_v{i}").alias("n_violations"),
+                )
+                for i, e in enumerate(expectations)
+            ]
+        )
+        long = row.select(
+            F.col("_n").alias("n_rows"), F.explode(entries).alias("_e")
+        ).select(
+            F.col("_e.constraint").alias("constraint"),
+            "n_rows",
+            F.col("_e.n_violations").alias("n_violations"),
+        )
+        reports.append(long)
+    for keys in unique_keys or []:
+        uniq = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("_d"),
+        ).select(
+            F.lit(f"unique({','.join(keys)})").alias("constraint"),
+            "n_rows",
+            (F.col("n_rows") - F.col("_d")).alias("n_violations"),
+        )
+        reports.append(uniq)
+    if not reports:
+        raise ValueError("no expectations or unique_keys given")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "constraint",
+        "n_rows",
+        "n_violations",
+        F.when(F.col("n_rows") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(1.0 - F.col("n_violations") / F.col("n_rows"), round_digits)
+        )
+        .alias("pass_ratio"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -2370,6 +2370,118 @@ def dd7_dup_clusters(spark, sf_dir):
 
 
 @query(
+    "dd10_dedup_keep_best",
+    """WITH RECURSIVE p AS (
+  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+  FROM supplier a
+  JOIN supplier b
+    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+  WHERE levenshtein(a.s_name, b.s_name) <= 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+)
+SELECT component, node AS keep_id,
+       CAST(s.s_acctbal AS DOUBLE) AS quality,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM comp JOIN supplier s ON s.s_suppkey = comp.node
+QUALIFY ROW_NUMBER() OVER (PARTITION BY component
+                           ORDER BY s.s_acctbal DESC, node) = 1
+ORDER BY component""",
+)
+def dd10_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection: duplicate clusters (connected
+    components over blocked name pairs) each keep their BEST member —
+    highest account balance, id tiebreak — instead of dd7/dd8's min-id
+    convention. This is the real pipeline semantics: when near-dups
+    collapse, keep the longest / highest-quality / most-recent document,
+    not an arbitrary one. One window over the component partitioning on
+    top of the CC labels."""
+    sup = load_table(spark, sf_dir, "supplier")
+    pairs = dedup.blocked_name_pairs(
+        sup, block_col="s_nationkey", id_col="s_suppkey", name_col="s_name", max_dist=2
+    )
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    joined = comp.join(
+        F.broadcast(sup.select("s_suppkey", "s_acctbal")),
+        comp.node == F.col("s_suppkey"),
+    )
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.desc("s_acctbal"), "node")
+    return (
+        joined.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keep_id"),
+            F.col("s_acctbal").cast("double").alias("quality"),
+            "cluster_size",
+        )
+        .orderBy("component")
+    )
+
+
+@query(
+    "dq1_lineitem_constraints",
+    """WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(*) FILTER (WHERE l_quantity IS NULL
+                             OR l_quantity < 1 OR l_quantity > 50) AS v_qty,
+         COUNT(*) FILTER (WHERE l_discount IS NULL
+                             OR l_discount < 0 OR l_discount > 0.1) AS v_disc,
+         COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS v_price,
+         COUNT(*) FILTER (WHERE l_returnflag IS NULL
+                             OR l_returnflag NOT IN ('A', 'N', 'R')) AS v_flag,
+         COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS v_uniq
+  FROM lineitem
+)
+SELECT "constraint", n_rows, n_violations,
+       CASE WHEN n_rows = 0 THEN 1.0
+            ELSE ROUND(1.0 - CAST(n_violations AS DOUBLE) / n_rows, 6) END
+           AS pass_ratio,
+       n_violations = 0 AS passed
+FROM (
+  SELECT 'l_quantity_in_range' AS "constraint", n_rows, v_qty AS n_violations FROM base
+  UNION ALL SELECT 'l_discount_in_range', n_rows, v_disc FROM base
+  UNION ALL SELECT 'l_extendedprice_not_null', n_rows, v_price FROM base
+  UNION ALL SELECT 'l_returnflag_in_set', n_rows, v_flag FROM base
+  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', n_rows, v_uniq FROM base
+)
+ORDER BY "constraint" """,
+)
+def dq1_lineitem_constraints(spark, sf_dir):
+    """Declarative data-quality report over the fact table — the
+    reference's validation chain generalized to one-pass declarative
+    expectations (operators/quality.check_constraints). Row rules share a
+    single aggregate scan; the uniqueness check is its own two-phase
+    aggregate."""
+    from market_data_pipeline_spark.operators import quality as dq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dq.check_constraints(
+        li,
+        [
+            dq.in_range("l_quantity", 1, 50),
+            dq.in_range("l_discount", 0.0, 0.1),
+            dq.not_null("l_extendedprice"),
+            dq.in_set("l_returnflag", ["A", "N", "R"]),
+        ],
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+    ).orderBy("constraint")
+
+
+@query(
     "iv1_interval_join",
     """WITH g AS (
   SELECT user_id, ts, value,

@@ -79,6 +79,11 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) (events.ts) is unreadable by default;
         # read as long and convert in sources.catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Long-lived sessions (the 100+-query bench, notebook use)
+        # accumulate localCheckpoint blocks and shuffle files whose cleanup
+        # waits on a driver JVM GC; force one periodically so the block
+        # manager doesn't balloon across hundreds of queries.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         # Preload numpy/pandas/pyarrow in the worker daemon so forked
         # workers inherit them copy-on-write: N chained Arrow-python
         # stages x C cores = N*C workers, each otherwise paying the

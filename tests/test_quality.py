@@ -1,0 +1,63 @@
+"""Declarative data-quality constraint checker (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from market_data_pipeline_spark.operators import quality as DQ
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A", "ok"),
+            (2, -5.0, "A", None),   # range violation, null name
+            (3, 20.0, "X", "ok"),   # set violation
+            (3, 30.0, "A", "ok"),   # duplicate key
+        ],
+        "k long, v double, flag string, name string",
+    )
+
+
+def test_row_rules_one_report_row_each(spark, frame):
+    rep = {
+        r.constraint: r
+        for r in DQ.check_constraints(
+            frame,
+            [
+                DQ.in_range("v", 0.0, 100.0),
+                DQ.in_set("flag", ["A", "B"]),
+                DQ.not_null("name"),
+            ],
+            unique_keys=[["k"]],
+        ).collect()
+    }
+    assert rep["v_in_range"].n_violations == 1
+    assert rep["flag_in_set"].n_violations == 1
+    assert rep["name_not_null"].n_violations == 1
+    assert rep["unique(k)"].n_violations == 1
+    assert all(r.n_rows == 4 for r in rep.values())
+    assert rep["v_in_range"].pass_ratio == 0.75
+    assert not rep["v_in_range"].passed
+
+
+def test_all_passing(spark, frame):
+    rep = DQ.check_constraints(frame, [DQ.not_null("k")]).collect()
+    assert len(rep) == 1 and rep[0].passed and rep[0].pass_ratio == 1.0
+
+
+def test_null_fails_range_and_matches(spark):
+    df = spark.createDataFrame([(None,), ("abc",)], "s string")
+    rep = {
+        r.constraint: r.n_violations
+        for r in DQ.check_constraints(
+            df, [DQ.matches("s", r"^[a-z]+$")]
+        ).collect()
+    }
+    assert rep["s_matches"] == 1  # null is a violation, 'abc' passes
+
+
+def test_requires_some_constraint(spark, frame):
+    with pytest.raises(ValueError):
+        DQ.check_constraints(frame, [])
