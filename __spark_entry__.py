@@ -65,7 +65,9 @@ _R1_COST = {
     "tx8_tfidf_terms": 0.97, "tx9_redact_pii": 0.87, "ck1_chunk_documents": 0.38,
     "pk1_pack_sequences": 0.27, "smp3_group_split": 0.15,
     "dd9_ngram_jaccard_capped": 1.22, "st6_stream_stream_join": 2.50,
-    "ts7_bollinger": 0.45, "ts8_rsi": 0.50, "r7_grouping_sets": 1.15,
+    "ts7_bollinger": 0.45, "ts8_rsi": 0.50, "ts9_rolling_corr": 0.90,
+    "r7_grouping_sets": 1.15, "dq1_lineitem_constraints": 0.80,
+    "dd10_dedup_keep_best": 4.00,
     "tpch_q2_min_cost_supplier": 1.00, "tpch_q11_important_stock": 0.80,
     "tpch_q20_promotion_suppliers": 0.60,
 }

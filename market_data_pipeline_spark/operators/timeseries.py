@@ -281,6 +281,58 @@ def rsi(
     )
 
 
+def rolling_pair_corr(
+    returns: DataFrame,
+    pairs: list[tuple[str, str]],
+    n: int = 30,
+    key_col: str = "symbol",
+    order_col: str = "trade_date",
+    value_col: str = "daily_return",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Trailing-n rolling Pearson correlation for an explicit list of
+    key pairs — the pairs-trading / hedging-ratio monitor.
+
+    Each pair's two series equi-join on the order column, then one
+    window partitioned by (key_a, key_b): many pairs parallelize across
+    the pair partitioning, never a global window. The pair list is a
+    deliberate guard (same rationale as the 50-symbol correlation cap):
+    all-pairs rolling correlation is quadratic — derive candidate pairs
+    first (e.g. cosine/LSH over return vectors), then monitor the
+    shortlist here. Correlation is rounded: its co-moment accumulation is
+    engine-order dependent.
+    Returns (key_a, key_b, order_col, corr_{n}).
+    """
+    keys = {k for p in pairs for k in p}
+    base = returns.filter(F.col(key_col).isin(list(keys)))
+    a = base.select(
+        F.col(key_col).alias("key_a"),
+        F.col(order_col),
+        F.col(value_col).alias("_ra"),
+    )
+    b = base.select(
+        F.col(key_col).alias("key_b"),
+        F.col(order_col),
+        F.col(value_col).alias("_rb"),
+    )
+    pair_df = returns.sparkSession.createDataFrame(pairs, "key_a string, key_b string")
+    joined = (
+        a.join(F.broadcast(pair_df), "key_a")
+        .join(b, ["key_b", order_col])
+    )
+    w = (
+        Window.partitionBy("key_a", "key_b")
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    return joined.select(
+        "key_a",
+        "key_b",
+        F.col(order_col),
+        F.round(F.corr("_ra", "_rb").over(w), round_digits).alias(f"corr_{n}"),
+    )
+
+
 def sma_range_days(
     df: DataFrame,
     days: int,

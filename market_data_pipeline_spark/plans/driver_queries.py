@@ -1635,6 +1635,58 @@ def ts8_rsi(spark, sf_dir):
 
 
 @query(
+    "ts9_rolling_corr",
+    f"""WITH {MARKET_SERIES_CTE},
+rets AS (
+  SELECT symbol, trade_date,
+         close_price / lag(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0
+             AS daily_return,
+         lag(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_close
+  FROM mseries
+  WHERE close_price > 0
+),
+sel AS (
+  SELECT symbol, trade_date, daily_return FROM rets
+  WHERE prev_close IS NOT NULL AND prev_close > 0
+),
+p(key_a, key_b) AS (VALUES ('Brand#1', 'Brand#2'), ('Brand#3', 'Brand#4')),
+j AS (
+  SELECT p.key_a, p.key_b, a.trade_date,
+         a.daily_return AS ra, b.daily_return AS rb
+  FROM p
+  JOIN sel a ON a.symbol = p.key_a
+  JOIN sel b ON b.symbol = p.key_b AND b.trade_date = a.trade_date
+)
+SELECT key_a, key_b, trade_date,
+       ROUND(corr(ra, rb) OVER w, 6) AS corr_20
+FROM j
+WINDOW w AS (PARTITION BY key_a, key_b ORDER BY trade_date
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY key_a, key_b, trade_date""",
+)
+def ts9_rolling_corr(spark, sf_dir):
+    """Trailing-20-day rolling correlation for an explicit pair shortlist
+    (pairs-trading monitor): per-pair window partitioning, so many pairs
+    parallelize and no global window exists — see
+    operators/timeseries.rolling_pair_corr for the quadratic guard."""
+    ms = market_series(spark, sf_dir).filter(F.col("close_price") > 0)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    rets = (
+        ms.withColumn("prev_close", F.lag("close_price").over(w))
+        .filter(F.col("prev_close").isNotNull() & (F.col("prev_close") > 0))
+        .select(
+            "symbol",
+            "trade_date",
+            (F.col("close_price") / F.col("prev_close") - 1.0).alias("daily_return"),
+        )
+    )
+    out = tseries.rolling_pair_corr(
+        rets, pairs=[("Brand#1", "Brand#2"), ("Brand#3", "Brand#4")], n=20
+    )
+    return out.orderBy("key_a", "key_b", "trade_date")
+
+
+@query(
     "ts2_volatility",
     f"""WITH {PRICE_CTE},
 sel AS (

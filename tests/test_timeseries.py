@@ -275,3 +275,25 @@ def test_rsi_known_values(spark):
     assert out[D("2024-01-04")] == pytest.approx(round(100 - 100 / (1 + rs), 6))
     # day 5: diffs [+2, -1, -1]: avg gain 2/3, avg loss 2/3 -> RSI 50
     assert out[D("2024-01-05")] == pytest.approx(50.0)
+
+
+def test_rolling_pair_corr(spark):
+    # A and B perfectly anti-correlated, A and C perfectly correlated
+    rows = []
+    for d, x in enumerate([0.01, -0.02, 0.03, -0.01, 0.02], start=1):
+        rows.append(("A", D(f"2024-01-{d:02d}"), x))
+        rows.append(("B", D(f"2024-01-{d:02d}"), -x))
+        rows.append(("C", D(f"2024-01-{d:02d}"), 2 * x))
+    rets = spark.createDataFrame(
+        rows, "symbol string, trade_date date, daily_return double"
+    )
+    out = {
+        (r.key_a, r.key_b, r.trade_date): r.corr_3
+        for r in TS.rolling_pair_corr(
+            rets, pairs=[("A", "B"), ("A", "C")], n=3
+        ).collect()
+    }
+    assert out[("A", "B", D("2024-01-01"))] is None       # 1-point frame
+    assert out[("A", "B", D("2024-01-03"))] == -1.0
+    assert out[("A", "C", D("2024-01-05"))] == 1.0
+    assert len(out) == 10  # 5 dates x 2 pairs, nothing else
