@@ -227,6 +227,44 @@ class ParquetTable:
                 value, lambda df: dedup_latest(df, self.key, self.version_col)
             )
 
+    def compact_files(
+        self, target_bytes: int = 128 * 1024 * 1024, partitions: list[str] | None = None
+    ) -> dict[str, int]:
+        """Small-file compaction: rewrite partitions whose data is split
+        across more files than ``ceil(bytes / target_bytes)`` into that
+        many ~target-size files — the job ClickHouse's background merges
+        do implicitly, made explicit for parquet. Append-heavy ingest
+        (micro-batches, daily crawls) accumulates slivers; small files
+        cost a task + a footer read each at scan time, so at 100 TB the
+        file count IS a performance dimension.
+
+        Only oversized-file-count partitions are rewritten (others keep
+        their exact bytes); the rewrite goes through repartitionByRange on
+        the sort columns + in-file sort, preserving the clustered layout
+        row-group skipping relies on. Returns {partition: new_file_count}
+        for the rewritten partitions.
+        """
+        import math
+
+        if not self.partition_col:
+            raise ValueError("compact_files requires a partitioned table")
+        rewritten: dict[str, int] = {}
+        stats = {r[self.partition_col]: r for r in self.partition_stats().collect()}
+        for value, row in stats.items():
+            if partitions is not None and value not in partitions:
+                continue
+            want = max(1, math.ceil(row["bytes"] / target_bytes))
+            if row["n_files"] <= want:
+                continue
+            self._rewrite_partition(
+                value,
+                lambda df, n=want: df.repartitionByRange(
+                    n, *[F.col(c) for c in self.sort_cols]
+                ),
+            )
+            rewritten[value] = want
+        return rewritten
+
     def delete_where(self, predicate) -> None:
         """Guarded delete (reference: src/clickhouse/price_client.py:249-273
         — ALTER TABLE DELETE). Caller builds the predicate; unconditional

@@ -109,3 +109,26 @@ def test_ping(spark):
     from market_data_pipeline_spark.sources.catalog import ping
 
     assert ping(spark) is True
+
+
+def test_compact_files_merges_slivers(spark, tmp_path):
+    t = stock_price_table(spark, str(tmp_path / "price"))
+    # 6 appends -> >=6 sliver files in one month directory
+    for d in range(1, 7):
+        t.append(
+            spark.createDataFrame(
+                [("000001", D(2024, 1, d), float(d), TS(2024, 1, d), TS(2024, 1, d))],
+                "symbol string, trade_date date, close_price double, "
+                "create_dt timestamp, update_dt timestamp",
+            )
+        )
+    before = {r.trade_month: r.n_files for r in t.partition_stats().collect()}
+    assert before["202401"] >= 6
+    rewritten = t.compact_files(target_bytes=1 << 30)  # everything fits one file
+    assert rewritten == {"202401": 1}
+    after = {r.trade_month: (r.n_files, r.rows) for r in t.partition_stats().collect()}
+    assert after["202401"] == (1, 6)
+    # data intact
+    assert t.read_raw().count() == 6
+    # second run is a no-op
+    assert t.compact_files(target_bytes=1 << 30) == {}
