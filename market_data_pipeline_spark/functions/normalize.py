@@ -117,10 +117,20 @@ def to_canonical_master(
     src/setup/load_stock_master_clickhouse.py:115-122; delisting_reason
     from the legacy richer schema, src/setup/setup_clickhouse.py:73-87)."""
     market_col = F.lit(market) if market is not None else F.col("market")
+
+    def opt_str(col: str):
+        return (
+            empty_to_null(F.trim(F.col(col)))
+            if col in df.columns
+            else F.lit(None)
+        ).cast("string")
+
     return df.select(
         F.col(symbol_col).cast("string").alias("symbol"),
         F.trim(F.col(name_col)).cast("string").alias("name"),
         market_col.cast("string").alias("market"),
+        opt_str("sector").alias("sector"),
+        opt_str("industry").alias("industry"),
         (
             F.col("listing_date").cast("date")
             if "listing_date" in df.columns

@@ -71,9 +71,12 @@ def apply_delistings(
     - symbol in master, already delisted -> skip (keep existing row)
     - symbol not in master             -> INSERT as delisted row
 
-    ``delisting_reason`` (legacy richer schema, reference:
-    src/setup/setup_clickhouse.py:73-87) rides along when either side has
-    it; a master written before the column existed reads as all-null.
+    The legacy richer-schema columns (sector / industry /
+    delisting_reason, reference: src/setup/setup_clickhouse.py:73-87)
+    ride along when either side has them; a master written before the
+    columns existed reads as all-null. sector/industry are preserved from
+    the master (the delisted crawl doesn't carry them); delisting_reason
+    is taken from the crawl on update/insert.
     """
     d_reason = (
         F.col("delisting_reason")
@@ -87,8 +90,9 @@ def apply_delistings(
         F.col("delisting_date").alias("_d_date"),
         d_reason.alias("_d_reason"),
     )
-    if "delisting_reason" not in master.columns:
-        master = master.withColumn("delisting_reason", F.lit(None).cast("string"))
+    for c in ("sector", "industry", "delisting_reason"):
+        if c not in master.columns:
+            master = master.withColumn(c, F.lit(None).cast("string"))
     joined = master.join(d, "symbol", "full_outer")
     in_master = F.col("is_active").isNotNull()
     is_update = in_master & (F.col("is_active") == 1) & F.col("_d_date").isNotNull()
@@ -98,6 +102,8 @@ def apply_delistings(
         "symbol",
         F.coalesce(F.col("name"), F.col("_d_name"), F.lit("Unknown")).alias("name"),
         F.coalesce(F.col("market"), F.col("_d_market"), F.lit(default_listing_market)).alias("market"),
+        F.col("sector"),
+        F.col("industry"),
         F.col("listing_date"),
         F.when(is_update | is_insert, F.col("_d_date"))
         .otherwise(F.col("delisting_date"))

@@ -81,10 +81,15 @@ def sync_new_listings(
     (reference: src/clickhouse/stock_master.py:144-192) with one anti-join.
     """
     norm = normalize_new_listings(raw_listings)
+    industry = (
+        F.col("industry") if "industry" in norm.columns else F.lit(None)
+    ).cast("string")
     rows = norm.select(
         F.col("company_code").alias("symbol"),
         F.trim(F.col("company_name")).alias("name"),
         F.col("market"),
+        F.lit(None).cast("string").alias("sector"),
+        industry.alias("industry"),
         F.col("listing_date_parsed").alias("listing_date"),
         F.lit(None).cast("date").alias("delisting_date"),
         F.lit(None).cast("string").alias("delisting_reason"),

@@ -31,14 +31,18 @@ from pyspark.sql.types import (
 
 # stock_master: symbol dimension, last-write-wins versioned by update_dt
 # (reference: src/clickhouse/stock_master.py:18-30 — ReplacingMergeTree(update_dt)).
-# delisting_reason comes from the richer legacy-schema variant (reference:
-# src/setup/setup_clickhouse.py:73-87) — the crawl parses it (RAW_DELISTED)
-# and the canonical table carries it end-to-end.
+# sector/industry/delisting_reason come from the richer legacy-schema variant
+# (reference: src/setup/setup_clickhouse.py:73-87): delisting_reason is parsed
+# from the delisted crawl (RAW_DELISTED), industry from the new-listing crawl
+# (RAW_NEW_LISTING) and FDR listings, sector from FDR listings where provided —
+# all nullable, absent sources simply leave nulls.
 STOCK_MASTER = StructType(
     [
         StructField("symbol", StringType(), False),
         StructField("name", StringType(), False),
         StructField("market", StringType(), False),
+        StructField("sector", StringType(), True),
+        StructField("industry", StringType(), True),
         StructField("listing_date", DateType(), True),
         StructField("delisting_date", DateType(), True),
         StructField("delisting_reason", StringType(), True),

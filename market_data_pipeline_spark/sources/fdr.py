@@ -24,8 +24,15 @@ from pyspark.sql import functions as F
 MARKETS = ("KOSPI", "KOSDAQ", "KONEX", "ETF")
 
 # fdr.StockListing column names -> canonical (reference renames Code/Name,
-# scripts/daily_stock_master_update.py:82-85)
-LISTING_RENAME = {"Code": "symbol", "Name": "name", "Symbol": "symbol"}
+# scripts/daily_stock_master_update.py:82-85; Sector/Industry feed the
+# legacy richer master schema, reference src/setup/setup_clickhouse.py:73-87)
+LISTING_RENAME = {
+    "Code": "symbol",
+    "Name": "name",
+    "Symbol": "symbol",
+    "Sector": "sector",
+    "Industry": "industry",
+}
 
 
 def _default_fetcher(market: str) -> pd.DataFrame:
@@ -57,9 +64,9 @@ class FdrListingSource:
     def fetch_market(self, market: str) -> DataFrame:
         pdf = self.fetcher(market)
         pdf = pdf.rename(columns={k: v for k, v in LISTING_RENAME.items() if k in pdf.columns})
-        cols = [c for c in ("symbol", "name") if c in pdf.columns]
-        if len(cols) < 2:
+        if not {"symbol", "name"} <= set(pdf.columns):
             raise ValueError(f"listing frame for {market} lacks symbol/name: {list(pdf.columns)}")
+        cols = [c for c in ("symbol", "name", "sector", "industry") if c in pdf.columns]
         sdf = self.spark.createDataFrame(pdf[cols].astype(str))
         return sdf.withColumn("market", F.lit(market))
 

@@ -132,3 +132,46 @@ def test_compact_files_merges_slivers(spark, tmp_path):
     assert t.read_raw().count() == 6
     # second run is a no-op
     assert t.compact_files(target_bytes=1 << 30) == {}
+
+
+def test_sync_new_listings_carries_industry(spark, tmp_path):
+    from market_data_pipeline_spark.plans.pipelines import sync_new_listings
+    from market_data_pipeline_spark.schemas import RAW_NEW_LISTING
+
+    master = stock_master_table(spark, str(tmp_path / "master"))
+    raw = spark.createDataFrame(
+        [
+            (
+                "새회사", "111111", "2024.03.02", "KOSPI", "NEW", "전자부품",
+                "500원", "10,000원", "100억", "부품", "1,000,000", "증권사",
+                "대한민국", "1", "KOSPI",
+            )
+        ],
+        RAW_NEW_LISTING,
+    )
+    inserted = sync_new_listings(master, raw, now=TS(2024, 3, 3))
+    assert inserted == -1  # fresh-table bootstrap (upsert_absent contract)
+    row = master.read_current().collect()[0]
+    assert row.industry == "전자부품"
+    assert row.sector is None  # new-listing crawl has no sector source
+    assert "sector" in master.read_current().columns
+
+
+def test_fdr_source_carries_sector_industry(spark):
+    import pandas as pd
+
+    from market_data_pipeline_spark.sources.fdr import FdrListingSource
+
+    def fetcher(market):
+        return pd.DataFrame(
+            {
+                "Code": ["000001"],
+                "Name": ["Co"],
+                "Sector": ["Tech"],
+                "Industry": ["Semis"],
+            }
+        )
+
+    out = FdrListingSource(spark, fetcher=fetcher).fetch_market("KOSPI")
+    row = out.collect()[0]
+    assert (row.sector, row.industry, row.market) == ("Tech", "Semis", "KOSPI")
