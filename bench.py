@@ -67,22 +67,34 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 2)
         # drop python-side DataFrame refs so the ContextCleaner can free
         # localCheckpoint blocks between queries — without this the block
         # manager grows monotonically over the 100+-query session and GC
         # pressure inflates the late queries' timings
         gc.collect()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
+    # Truncation defense (BENCH_r02 recorded "parsed": null because the
+    # driver's tail capture clipped the head of the 113-entry line):
+    # summary fields FIRST, per-family subtotals next, per-query dict last;
+    # compact separators + 2-decimal times keep the whole line well under a
+    # 4 KiB tail buffer so it parses end-to-end.
+    families: dict[str, float] = {}
+    for name, t in timings.items():
+        fam = re.match(r"[a-z]+", name).group(0)
+        families[fam] = round(families.get(fam, 0.0) + t, 2)
     line = json.dumps(
         {
             "metric": "total_query_wall_time",
             "value": total,
             "unit": "sec",
-            "queries": timings,
             "sf": sf_from_dir(SF_DIR),
-        }
+            "n_queries": len(timings),
+            "families": families,
+            "queries": timings,
+        },
+        separators=(",", ":"),
     )
     sys.stdout.flush()
     sys.stderr.flush()

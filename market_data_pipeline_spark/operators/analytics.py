@@ -438,8 +438,15 @@ def correlation_matrix_wide(
         .pivot("symbol", symbols)  # explicit values: no discovery pass
         .agg(F.first("daily_return"))
         .dropna()
+        .localCheckpoint(eager=True)  # count + corr fit share ONE pivot exec
     )
     n_days = wide.count()
+    if n_days == 0:
+        # no complete dates survive listwise deletion: Correlation.corr on
+        # an empty frame head()s to None — return the empty pair frame
+        return price.sparkSession.createDataFrame(
+            [], "symbol_a string, symbol_b string, correlation double, n_days long"
+        )
     assembled = VectorAssembler(inputCols=symbols, outputCol="_v").transform(wide)
     mat = Correlation.corr(assembled, "_v").head()[0].toArray()
     pairs = [

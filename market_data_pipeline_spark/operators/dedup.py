@@ -494,6 +494,7 @@ def connected_components(
     left_col: str = "doc_a",
     right_col: str = "doc_b",
     max_iterations: int = 20,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Connected components over a pair list: every node labeled with the
     smallest node id reachable from it — the clustering step that turns
@@ -514,16 +515,35 @@ def connected_components(
     Isolated nodes (absent from pairs) are by definition their own
     component and are not emitted; union them in from the corpus if a
     total labeling is needed.
+
+    The symmetrized edge list is ``localCheckpoint``-ed ONCE before the
+    loop: without it every round's neighbor-min join re-executes the
+    whole upstream pair pipeline (shingling → bucket shuffle → pair
+    explode) from the parquet scan — "re-shingle the corpus D times"
+    where D is the cluster diameter, the dominant cost at scale. After
+    the checkpoint each round shuffles |E| materialized rows only.
+
+    Convergence audit: the per-round changed-label counts are recorded on
+    the returned DataFrame's ``._cc_audit`` attribute as
+    ``{"rounds": [...], "converged": bool}``. A pathological corpus-wide
+    near-dup cluster (diameter > max_iterations) is thereby detected, not
+    silently iterated past: non-convergence logs a warning, and
+    ``require_converged=True`` raises instead.
     """
+    import logging
+
     a, b = F.col(left_col), F.col(right_col)
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))
         .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    changed_per_round: list[int] = []
+    converged = False
     for _ in range(max_iterations):
         # candidate label per node: min over neighbors' current labels
         neighbor_min = (
@@ -545,10 +565,23 @@ def connected_components(
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
+        changed_per_round.append(changed)
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            "connected_components did not converge within "
+            f"{max_iterations} iterations (changed per round: "
+            f"{changed_per_round}); labels may span a cluster of diameter "
+            f"> {max_iterations} — raise max_iterations or investigate a "
+            "pathological whole-corpus near-dup cluster"
+        )
+        if require_converged:
+            raise RuntimeError(msg)
+        logging.getLogger(__name__).warning(msg)
+    labels._cc_audit = {"rounds": changed_per_round, "converged": converged}
     return labels

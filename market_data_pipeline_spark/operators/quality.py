@@ -46,7 +46,12 @@ def matches(col: str, pattern: str) -> Expectation:
 
 
 def in_set(col: str, values: list) -> Expectation:
-    return Expectation(f"{col}_in_set", F.col(col).isin(values))
+    # isNotNull guard: for NULL, isin() yields NULL and ~NULL is NULL, so a
+    # bare isin silently PASSES null rows — diverging from the documented
+    # every-row semantics and the sibling in_range/matches rules.
+    return Expectation(
+        f"{col}_in_set", F.col(col).isNotNull() & F.col(col).isin(values)
+    )
 
 
 REPORT_SCHEMA = (

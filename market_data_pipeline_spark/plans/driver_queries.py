@@ -1356,11 +1356,20 @@ def st1_streaming_tumbling(spark, sf_dir):
     return sj.run_stream_to_memory(stream, "st1_sink")
 
 
-@query("st2_streaming_user_totals")
+@query(
+    "st2_streaming_user_totals",
+    """SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS events_total,
+       ROUND(SUM(value), 2) AS value_total,
+       MAX(ts) AS last_seen
+FROM events
+GROUP BY user_id""",
+)
 def st2_streaming_user_totals(spark, sf_dir):
     """applyInPandasWithState running per-user totals over the whole events
-    backfill (single batch here, so the emitted update rows ARE the final
-    states). Rows-only: arbitrary-stateful output is not SQL-expressible."""
+    backfill. The FINAL state per user (max events_total across the
+    update-mode emissions) is a plain groupBy total, so it IS
+    SQL-expressible and hash-checked against DuckDB."""
     from market_data_pipeline_spark.streaming import jobs as sj
 
     stream = sj.running_user_totals(sj.read_events_stream(spark, sf_dir))
@@ -1374,10 +1383,33 @@ def st2_streaming_user_totals(spark, sf_dir):
     )
 
 
-@query("st3_streaming_sessions")
+@query(
+    "st3_streaming_sessions",
+    """WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, session_id""",
+)
 def st3_streaming_sessions(spark, sf_dir):
     """Built-in session_window sessionization over the stream; boundaries
-    equal the batch e3_sessionize operator (asserted in tests)."""
+    equal the batch e3_sessionize operator (same 30-min-gap oracle SQL,
+    minus the ordinal session_id the streaming form doesn't emit)."""
     from market_data_pipeline_spark.streaming import jobs as sj
 
     stream = sj.streaming_sessionize(sj.read_events_stream(spark, sf_dir))
@@ -1494,9 +1526,26 @@ def dd4_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(fp, max_hamming=10)
 
 
-@query("tx4_fingerprint")
+@query(
+    "tx4_fingerprint",
+    r"""SELECT doc_id,
+       md5(lower(trim(text))) AS fingerprint,
+       CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens
+FROM documents""",
+)
 def tx4_fingerprint(spark, sf_dir):
-    return tx.rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+    """Content fingerprint: md5 of normalized text (the exact-dup key)
+    plus whitespace token count — md5 exists in both Spark and DuckDB so
+    this is hash-checked end-to-end. The winnowing rolling min-span-hash
+    sketch (tx.rolling_fingerprint, Spark xxhash64 — not SQL-expressible)
+    stays pytest-covered as tx4's scale variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.size(F.split(norm, r"\s+")).alias("n_tokens"),
+    )
 
 
 @query("k3_knn_lsh")
@@ -2630,6 +2679,73 @@ def dd8_dedup_corpus(spark, sf_dir):
     checks their composition."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, group_col="lang", n=3, threshold=0.1)
+    cc = dedup.connected_components(pairs, "doc_a", "doc_b")
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dd8_capped_dedup_corpus",
+    r"""WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh0 AS (
+  SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM sh0
+), dfreq AS (
+  SELECT lang, shingle, COUNT(*) AS df FROM sh GROUP BY 1, 2
+), kept AS (
+  SELECT s.* FROM sh s
+  JOIN dfreq d ON s.lang = d.lang AND s.shingle = d.shingle AND d.df <= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jp AS (
+  SELECT p.doc_a, p.doc_b
+  FROM cand p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE p.common / (sa.sz + sb.sz - p.common) >= 0.1
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION
+  SELECT doc_b, doc_a FROM jp
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+), comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+ORDER BY d.doc_id""",
+)
+def dd8_capped_dedup_corpus(spark, sf_dir):
+    """dd8's end-to-end near-dup removal on the SCALE-SAFE path: the
+    stop-shingle cap (max_doc_freq=3) is engaged before pair expansion,
+    so a shingle shared by the whole corpus can never explode the
+    candidate join — this is the shape the pipeline ships at 100 TB,
+    benched as a first-class query rather than only the uncapped oracle
+    mode. The oracle spells the identical doc-frequency filter, so the
+    capped composition is hash-checked end-to-end too."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, group_col="lang", n=3, threshold=0.1, max_doc_freq=3
+    )
     cc = dedup.connected_components(pairs, "doc_a", "doc_b")
     drop = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

@@ -658,10 +658,10 @@ def tpch_q5_local_supplier(spark, sf_dir):
 @query(
     "tpch_q12_delay_priority",
     """SELECT delay_bucket,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-           AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+           AS BIGINT) AS low_line_count
 FROM (SELECT o.o_orderpriority,
              CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY THEN 'ON_TIME'
                   WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY THEN 'LATE'

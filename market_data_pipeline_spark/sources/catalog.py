@@ -103,8 +103,12 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
         if tz in ("UTC", "Etc/UTC", "GMT"):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
+            # The cast interpreted wallclock W in session tz X, yielding
+            # instant W - offset(X); from_utc_timestamp adds offset(X) back
+            # so the stored wallclock is preserved as a UTC instant.
+            # (to_utc_timestamp would subtract it AGAIN -> W - 2*offset.)
             df = df.withColumn(
-                "ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"), tz)
+                "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz)
             )
     return df
 

@@ -67,7 +67,15 @@ class FdrListingSource:
         if not {"symbol", "name"} <= set(pdf.columns):
             raise ValueError(f"listing frame for {market} lacks symbol/name: {list(pdf.columns)}")
         cols = [c for c in ("symbol", "name", "sector", "industry") if c in pdf.columns]
-        sdf = self.spark.createDataFrame(pdf[cols].astype(str))
+        # Null-safe str conversion: .astype(str) would stringify NaN/None to
+        # the literals "nan"/"None", which empty_to_null never nulls — real
+        # listings (ETFs, KONEX) frequently have missing sector/industry.
+        clean = pdf[cols].copy()
+        for c in cols:
+            clean[c] = clean[c].map(lambda v: None if pd.isna(v) else str(v))
+        sdf = self.spark.createDataFrame(
+            clean, schema=", ".join(f"{c} string" for c in cols)
+        )
         return sdf.withColumn("market", F.lit(market))
 
     def fetch_all(self, markets=MARKETS) -> dict[str, DataFrame]:
