@@ -108,6 +108,10 @@ _COST = {
     "dd10_dedup_keep_best": 3.50,
     "tpch_q2_min_cost_supplier": 1.00, "tpch_q11_important_stock": 0.80,
     "tpch_q20_promotion_suppliers": 0.60,
+    # round-3 additions (estimates from sf0.01 oracle-check wall times)
+    "tpch_q3_shipping_priority": 0.70, "tx10_repetition_stats": 0.60,
+    "shf1_shuffle_shards": 0.50, "sd1_semantic_dedup": 0.80,
+    "dc1_decontaminate": 1.20,
 }
 
 

@@ -585,3 +585,68 @@ def connected_components(
         logging.getLogger(__name__).warning(msg)
     labels._cc_audit = {"rounds": changed_per_round, "converged": converged}
     return labels
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Train/test decontamination by word n-gram overlap: flag every
+    corpus document sharing at least ``min_overlap`` distinct n-grams with
+    ANY benchmark text (the GPT-3 appendix-C / PaLM-style contamination
+    rule, collapsed over benchmark identity).
+
+    Scale shape: the benchmark's distinct shingle-hash set is tiny
+    relative to a 100 TB corpus (eval suites are MBs), so it BROADCASTS —
+    the corpus side is then a map-only shingle-explode + broadcast-hash
+    semi-match + per-doc count, one shuffle total (the per-doc groupBy).
+    Shingles travel as 8-byte xxhash64 keys, never as strings. If a
+    benchmark ever outgrows the broadcast threshold, drop the
+    ``F.broadcast`` hint and the identical plan runs as a shuffled
+    equi-join.
+
+    Returns one row per corpus doc — (id, n_shingles, n_overlap,
+    overlap_frac, contaminated) — so the caller filters or audits; docs
+    with zero overlap are present with n_overlap = 0.
+    """
+    sh = shingled(corpus, id_col, text_col, n)
+    base = sh.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
+    ex = (
+        sh.select(F.col(id_col), F.explode_outer("shingles").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(F.col(id_col), F.xxhash64(F.col("_s")).alias("_h"))
+    )
+    bench_set = (
+        shingled(benchmark, bench_id_col, bench_text_col, n)
+        .select(F.explode_outer("shingles").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(F.xxhash64(F.col("_s")).alias("_h"))
+        .distinct()
+    )
+    overlap = (
+        ex.join(F.broadcast(bench_set), "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        base.join(overlap, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.col("n_shingles").cast("double"),
+            ).alias("overlap_frac"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -546,3 +546,85 @@ def knn_lsh(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings by nearest centroid, then inside
+    each cluster drop every vector having a semantic near-duplicate
+    (rounded cosine >= threshold) with a smaller id.
+
+    The whole-corpus pairwise problem is confined to clusters: the scan
+    shuffles ONCE on centroid id, and each cluster's pairs are confirmed
+    in a single Arrow-batched numpy gram matrix (V @ V.T over unit rows) —
+    candidate pairs never materialize as rows. At 100 TB this is exactly
+    the SemDeDup recipe: pick n_clusters so the expected cluster size
+    keeps the per-group quadratic in memory (k ~ N/5000), fit centroids on
+    a sample (pass ``centroids=kmeans_centroids(..., sample_fraction=)``),
+    and assignment stays a broadcast cross join. Default centroids are the
+    first ``n_clusters`` corpus vectors by id — deterministic, so the
+    result is oracle-checkable end-to-end; the learned path plugs in with
+    identical plan shape.
+
+    Keep-rule determinism: survivor = lowest id among mutual near-dups
+    (``dup_of`` = min smaller-id near-dup, NULL for kept rows). Cosines
+    round to ``round_digits`` before the threshold on both the Spark and
+    oracle sides (see cosine_near_dup_pairs for why 6 dp absorbs BLAS
+    accumulation-order ULPs).
+    Returns (id_col, centroid_id, dup_of, keep) ordered by id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_clusters)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col("centroid_id")
+    )
+    dd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = embeddings.select(F.col(id_col), dd.alias("_dvec")).join(assigned, id_col)
+
+    thr, rd = float(threshold), round_digits
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id_sort", kind="mergesort")
+        ids = pdf["_id_sort"].to_numpy()
+        V = np.vstack(pdf["_dvec"].to_numpy())
+        V = V / np.sqrt((V * V).sum(axis=1, keepdims=True))
+        C = V @ V.T
+        if rd is not None:
+            C = np.round(C, rd)
+        # strictly-lower-triangular near-dup mask: row i dups of j < i
+        mask = np.tril(C >= thr, k=-1)
+        has_dup = mask.any(axis=1)
+        dup_of = np.where(has_dup, ids[mask.argmax(axis=1)], 0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "centroid_id": pdf["centroid_id"].to_numpy(),
+                "dup_of": pd.array(
+                    [int(d) if h else None for d, h in zip(dup_of, has_dup)],
+                    dtype="Int64",
+                ),
+                "keep": ~has_dup,
+            }
+        )
+
+    out = (
+        vecs.withColumnRenamed(id_col, "_id_sort")
+        .groupBy("centroid_id")
+        .applyInPandas(
+            dedup_cluster,
+            f"vec_id {id_type}, centroid_id long, dup_of {id_type}, keep boolean",
+        )
+    )
+    return out.withColumnRenamed("vec_id", id_col).orderBy(id_col)

@@ -342,3 +342,94 @@ def rolling_fingerprint(
         F.array_min(span_hashes).alias("min_span_hash"),
         F.size(span_hashes).alias("n_spans"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv:2112.11446 appendix A1.1), word-n-gram flavor: fraction of
+    duplicate token bigrams and the share of the single most repeated
+    bigram / token. High values mark boilerplate and degenerate
+    machine-generated text — the standard pretraining quality filter.
+
+    Map-only: all measures are per-document higher-order-function
+    expressions over one staged token array — no shuffle, no UDF. The
+    top-gram count is O(distinct x total) per document, bounded in
+    practice by document length (the same per-doc budget any in-memory
+    quality filter assumes); documents are processed independently so the
+    pass scales linearly with the corpus.
+    Returns (id, n_tokens, n_2grams, dup_2gram_frac, top_2gram_frac,
+    top_token_frac) with NULL fractions for degenerate (<=1 token) docs.
+    """
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    # guard, don't greatest(): sequence(1, 0) yields a DESCENDING [1, 0]
+    # whose i=0 would crash slice (1-indexed)
+    idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, 2), " "))
+    staged = staged.select(F.col(id_col), t, bigrams.alias("_bg"))
+    bg = F.col("_bg")
+
+    def top_count(arr: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda g: F.size(F.filter(arr, lambda x: x == g)),
+            )
+        )
+
+    n_tok = F.size(t)
+    n_bg = F.size(bg)
+    return staged.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_bg.cast("long").alias("n_2grams"),
+        F.when(
+            n_bg > 0,
+            1.0 - F.size(F.array_distinct(bg)) / n_bg.cast("double"),
+        ).alias("dup_2gram_frac"),
+        F.when(n_bg > 0, top_count(bg) / n_bg.cast("double")).alias("top_2gram_frac"),
+        F.when(n_tok > 0, top_count(t) / n_tok.cast("double")).alias("top_token_frac"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export:
+    order the corpus by ``md5(seed:key)`` (a reproducible pseudo-random
+    permutation — re-running with the same seed yields byte-identical
+    shards, unlike rand()) and deal it into ``n_shards`` equal shards with
+    a stable position inside each shard.
+
+    Plan shape: the global order is realized by
+    :func:`..analytics.global_ntile`'s range-partitioned rank (never a
+    partition-less window); the within-shard position is a window
+    partitioned by shard — n_shards-way parallelism by construction,
+    which matches the export sink exactly (one writer task per shard
+    emitting rows in pos order).
+    Returns (key, shard 1..n_shards, pos 1..shard_size).
+    """
+    from pyspark.sql import Window
+
+    from market_data_pipeline_spark.operators.analytics import global_ntile
+
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string")).cast("binary")
+    )
+    hashed = df.select(F.col(key_col), h.alias("_h"))
+    sharded = global_ntile(
+        hashed, [F.col("_h"), F.col(key_col)], n_shards, out_col="shard"
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return sharded.select(
+        F.col(key_col),
+        F.col("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -2918,6 +2918,162 @@ def smp3_group_split(spark, sf_dir):
     )
 
 
+# --- DC1: train/test decontamination -----------------------------------------
+
+
+@query(
+    "dc1_decontaminate",
+    r"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh0 AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM sh0
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh WHERE doc_id % 20 <> 0 GROUP BY 1
+), ov AS (
+  SELECT s.doc_id, COUNT(*) AS n_overlap
+  FROM sh s JOIN bench b USING (shingle)
+  WHERE s.doc_id % 20 <> 0 GROUP BY 1
+)
+SELECT z.doc_id,
+       CAST(z.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CASE WHEN z.n_shingles > 0
+            THEN COALESCE(o.n_overlap, 0) / CAST(z.n_shingles AS DOUBLE) END
+           AS overlap_frac,
+       COALESCE(o.n_overlap, 0) >= 2 AS contaminated
+FROM sizes z LEFT JOIN ov o USING (doc_id)
+ORDER BY z.doc_id""",
+)
+def dc1_decontaminate(spark, sf_dir):
+    """Train/test decontamination: every 20th document plays the held-out
+    benchmark; the rest of the corpus is screened for 3-gram overlap
+    against the benchmark's (broadcast) distinct shingle set — the GPT-3
+    appendix-C contamination rule as a broadcast semi-match + one per-doc
+    count shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(corpus, benchmark, n=3, min_overlap=2).orderBy(
+        "doc_id"
+    )
+
+
+# --- SD1: SemDeDup-style semantic dedup --------------------------------------
+
+_SD_CLUSTERS = 16
+_SD_THRESHOLD = 0.4
+
+
+@query(
+    "sd1_semantic_dedup",
+    f"""WITH c AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {_SD_CLUSTERS}
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.embedding')} DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e, c)
+  WHERE rn = 1
+), av AS (
+  SELECT a.vec_id, a.centroid_id, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id)
+), dups AS (
+  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+  FROM av a JOIN av b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_SD_THRESHOLD}
+  GROUP BY 1
+)
+SELECT av.vec_id, av.centroid_id, d.dup_of, d.dup_of IS NULL AS keep
+FROM av LEFT JOIN dups d USING (vec_id)
+ORDER BY av.vec_id""",
+)
+def sd1_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster, then drop in-cluster semantic near-dups keeping
+    the lowest id). Deterministic first-k centroids make the whole
+    pipeline — assignment argmax, in-cluster pair threshold, survivor
+    rule — oracle-checkable; kmeans centroids plug into the same operator
+    for the learned production index."""
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_SD_THRESHOLD,
+        n_clusters=_SD_CLUSTERS,
+    )
+
+
+# --- TX10: Gopher repetition filters -----------------------------------------
+
+
+@query(
+    "tx10_repetition_stats",
+    r"""WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bg
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(bg) AS BIGINT) AS n_2grams,
+  CASE WHEN len(bg) > 0
+       THEN 1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE) END
+      AS dup_2gram_frac,
+  CASE WHEN len(bg) > 0
+       THEN list_max(list_transform(list_distinct(bg),
+                                    g -> len(list_filter(bg, x -> x = g))))
+            / CAST(len(bg) AS DOUBLE) END AS top_2gram_frac,
+  CASE WHEN len(toks) > 0
+       THEN list_max(list_transform(list_distinct(toks),
+                                    g -> len(list_filter(toks, x -> x = g))))
+            / CAST(len(toks) AS DOUBLE) END AS top_token_frac
+FROM b ORDER BY doc_id""",
+)
+def tx10_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-bigram fraction,
+    most-repeated bigram/token share) — map-only higher-order-function
+    expressions, no UDF, no shuffle."""
+    return tx.repetition_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+# --- SHF1: deterministic global shuffle-shard --------------------------------
+
+
+@query(
+    "shf1_shuffle_shards",
+    """WITH h AS (
+  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hv FROM documents
+), s AS (
+  SELECT doc_id, hv,
+         CAST(NTILE(8) OVER (ORDER BY hv, doc_id) AS BIGINT) AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS BIGINT)
+           AS pos
+FROM s ORDER BY doc_id""",
+)
+def shf1_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + 8-way sharding for training export:
+    md5(seed:key) ordering realized via the range-partitioned exact-ntile
+    path (never a single-task global window); the within-shard position
+    matches the one-writer-per-shard export sink."""
+    return tx.shuffle_shards(
+        load_table(spark, sf_dir, "documents"), key_col="doc_id", n_shards=8
+    ).orderBy("doc_id")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -963,3 +963,44 @@ def tpch_q22_idle_balances(spark, sf_dir):
             F.sum(F.col("c_acctbal").cast(DEC2)).cast("double").alias("totacctbal"),
         )
     )
+
+
+# --- Q3: shipping priority (adapted: o_orderpriority for the missing
+# o_shippriority column) --------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10""",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """Unshipped-order revenue top-10: both date predicates push to their
+    scans (orders prunes pre-join, shipdate prunes the fact row groups);
+    the segment filter makes customer a small semi-join side; the final
+    top-10 is TakeOrderedAndProject, never a global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

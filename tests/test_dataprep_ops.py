@@ -1,0 +1,148 @@
+"""Round-3 additions: decontamination, SemDeDup-style semantic dedup,
+Gopher repetition stats, deterministic shuffle-sharding."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import dedup as DD
+from market_data_pipeline_spark.operators import similarity as SIM
+from market_data_pipeline_spark.operators import text as TX
+
+
+# --- decontaminate ----------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark plans here"),
+            # shares exactly one 3-gram ("quick brown fox") -> below min_overlap
+            (3, "a quick brown fox appears in private text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over cliffs")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in DD.decontaminate(corpus, bench, n=3, min_overlap=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # doc 1 shares "quick brown fox" + "brown fox jumps" + "fox jumps over"
+    assert out[1]["n_overlap"] == 3 and out[1]["contaminated"] is True
+    assert out[2]["n_overlap"] == 0 and out[2]["contaminated"] is False
+    assert out[3]["n_overlap"] == 1 and out[3]["contaminated"] is False
+    assert 0 < out[1]["overlap_frac"] <= 1.0
+
+
+def test_decontaminate_counts_distinct_shingles(spark):
+    # repeated benchmark phrase in one doc counts once (shingles are distinct)
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma and alpha beta gamma")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id long, text string")
+    row = DD.decontaminate(corpus, bench, n=3, min_overlap=1).collect()[0]
+    assert row["n_overlap"] == 1 and row["contaminated"] is True
+
+
+# --- semantic_dedup ---------------------------------------------------------
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    # two tight groups + one singleton; centroids = first 2 vectors
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (5, [0.99, 0.01, 0.0]),   # near-dup of 0
+        (7, [0.98, 0.02, 0.0]),   # near-dup of 0 and 5
+        (9, [0.0, 0.97, 0.1]),    # near-dup of 1
+        (11, [0.0, 0.0, 1.0]),    # orthogonal: assigned somewhere, kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in SIM.semantic_dedup(emb, threshold=0.9, n_clusters=2).collect()
+    }
+    assert out[0]["keep"] is True and out[0]["dup_of"] is None
+    assert out[5]["keep"] is False and out[5]["dup_of"] == 0
+    assert out[7]["keep"] is False and out[7]["dup_of"] == 0  # min smaller-id dup
+    assert out[9]["keep"] is False and out[9]["dup_of"] == 1
+    assert out[11]["keep"] is True
+    # survivors: exactly one per near-dup group
+    assert sorted(v["vec_id"] for v in out.values() if v["keep"]) == [0, 1, 11]
+
+
+def test_semantic_dedup_threshold_boundary(spark):
+    # cosine exactly at threshold counts as a dup (>=)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["keep"] for r in SIM.semantic_dedup(
+        emb, threshold=1.0, n_clusters=1).collect()}
+    assert out == {0: True, 1: False, 2: True}
+
+
+# --- repetition_stats -------------------------------------------------------
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "go go go go")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in TX.repetition_stats(docs).collect()}
+    # single token: no bigrams, fractions NULL except top_token_frac
+    assert out[1]["n_tokens"] == 1 and out[1]["n_2grams"] == 0
+    assert out[1]["dup_2gram_frac"] is None and out[1]["top_2gram_frac"] is None
+    assert out[1]["top_token_frac"] == 1.0
+    # "go go go go": 3 bigrams all "go go" -> dup frac 2/3, top frac 1
+    assert out[2]["n_2grams"] == 3
+    assert abs(out[2]["dup_2gram_frac"] - 2 / 3) < 1e-12
+    assert out[2]["top_2gram_frac"] == 1.0 and out[2]["top_token_frac"] == 1.0
+
+
+def test_repetition_stats_mixed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    row = TX.repetition_stats(docs).collect()[0]
+    # bigrams: "a b","b a","a b","b c" -> 4 total, 3 distinct
+    assert row["n_2grams"] == 4
+    assert abs(row["dup_2gram_frac"] - 0.25) < 1e-12
+    assert abs(row["top_2gram_frac"] - 0.5) < 1e-12
+    assert abs(row["top_token_frac"] - 0.4) < 1e-12
+
+
+# --- shuffle_shards ---------------------------------------------------------
+
+
+def test_shuffle_shards_balanced_permutation(spark):
+    docs = spark.range(0, 103).withColumnRenamed("id", "doc_id")
+    out = TX.shuffle_shards(docs, key_col="doc_id", n_shards=8).collect()
+    assert len(out) == 103
+    assert {r["doc_id"] for r in out} == set(range(103))
+    sizes = Counter(r["shard"] for r in out)
+    assert set(sizes) == set(range(1, 9))
+    # NTILE balance: sizes differ by at most 1, big buckets first
+    assert sorted(sizes.values(), reverse=True) == [sizes[s] for s in range(1, 9)]
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # pos is a contiguous 1..size sequence inside each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, sizes[s] + 1))
+
+
+def test_shuffle_shards_deterministic_and_seeded(spark):
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    a = sorted(map(tuple, TX.shuffle_shards(docs, "doc_id", 4).collect()))
+    b = sorted(map(tuple, TX.shuffle_shards(docs, "doc_id", 4).collect()))
+    assert a == b  # rerun-stable
+    c = sorted(map(tuple, TX.shuffle_shards(docs, "doc_id", 4, seed="99").collect()))
+    assert a != c  # seed actually permutes
