@@ -614,13 +614,24 @@ def decontaminate(
     Returns one row per corpus doc — (id, n_shingles, n_overlap,
     overlap_frac, contaminated) — so the caller filters or audits; docs
     with zero overlap are present with n_overlap = 0.
+
+    Single corpus scan: the per-doc shingle count rides the exploded rows
+    (it is size(shingles), known before explode), a LEFT join against the
+    broadcast set marks matches, and one per-doc groupBy recovers both
+    counts — the two-consumer form (separate sizes frame + inner join)
+    re-ran the shingle pipeline per consumer. explode_outer keeps
+    zero-shingle docs as a null row (the hash stays NULL, never joining)
+    so they surface with n_overlap = 0.
     """
     sh = shingled(corpus, id_col, text_col, n)
-    base = sh.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
-    ex = (
-        sh.select(F.col(id_col), F.explode_outer("shingles").alias("_s"))
-        .filter(F.col("_s").isNotNull())
-        .select(F.col(id_col), F.xxhash64(F.col("_s")).alias("_h"))
+    ex = sh.select(
+        F.col(id_col),
+        F.size("shingles").alias("_sz"),
+        F.explode_outer("shingles").alias("_s"),
+    ).select(
+        F.col(id_col),
+        F.col("_sz"),
+        F.when(F.col("_s").isNotNull(), F.xxhash64(F.col("_s"))).alias("_h"),
     )
     bench_set = (
         shingled(benchmark, bench_id_col, bench_text_col, n)
@@ -628,25 +639,23 @@ def decontaminate(
         .filter(F.col("_s").isNotNull())
         .select(F.xxhash64(F.col("_s")).alias("_h"))
         .distinct()
-    )
-    overlap = (
-        ex.join(F.broadcast(bench_set), "_h")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .withColumn("_m", F.lit(1))
     )
     return (
-        base.join(overlap, id_col, "left")
+        ex.join(F.broadcast(bench_set), "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("_sz").cast("long").alias("n_shingles"),
+            F.count("_m").alias("n_overlap"),
+        )
         .select(
             F.col(id_col),
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            "n_shingles",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
             F.when(
                 F.col("n_shingles") > 0,
-                F.coalesce(F.col("n_overlap"), F.lit(0))
-                / F.col("n_shingles").cast("double"),
+                F.col("n_overlap") / F.col("n_shingles").cast("double"),
             ).alias("overlap_frac"),
-            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
-                "contaminated"
-            ),
+            (F.col("n_overlap") >= min_overlap).alias("contaminated"),
         )
     )

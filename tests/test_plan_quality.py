@@ -113,3 +113,44 @@ def test_rollup_single_pass(plans):
     assert facts["scans"] == 2
     assert facts["bhj"] >= 1
     assert facts["smj"] == 0
+
+
+def test_decontaminate_broadcast_single_corpus_scan(plans):
+    # corpus side: one scan (shingle count rides the exploded rows);
+    # benchmark side: one scan feeding a broadcast; never a sort-merge
+    facts = plans("dc1_decontaminate")
+    assert facts["scans"] == 2
+    assert facts["bhj"] >= 1
+    assert facts["smj"] == 0
+    assert facts["max_read_cols"] <= 2
+
+
+def test_semantic_dedup_broadcast_assignment(plans):
+    # centroid scoring is a broadcast cross join (BNLJ against the tiny
+    # centroid set); the corpus never self-joins via SMJ and pairs are
+    # confirmed in-group (no pair-row materialization)
+    facts = plans("sd1_semantic_dedup")
+    assert facts["smj"] == 0
+    assert facts["scans"] <= 3
+    assert facts["max_read_cols"] <= 2
+
+
+def test_repetition_stats_map_only(plans):
+    facts = plans("tx10_repetition_stats")
+    assert facts["scans"] == 1
+    assert facts["max_read_cols"] <= 2
+    assert facts["smj"] == 0 and facts["bhj"] == 0
+
+
+def test_shuffle_shards_no_single_task_stage(plans):
+    # the global order must come from the range-partitioned ntile path,
+    # never an Exchange SinglePartition (one-task global window)
+    facts = plans("shf1_shuffle_shards")
+    assert facts["single_partition_exchanges"] == 0
+
+
+def test_tpch_q3_broadcasts_and_pushes(plans):
+    facts = plans("tpch_q3_shipping_priority")
+    assert facts["bhj"] >= 2
+    assert facts["smj"] == 0
+    assert facts["pushed_scans"] >= 3
