@@ -111,7 +111,9 @@ _COST = {
     # round-3 additions (estimates from sf0.01 oracle-check wall times)
     "tpch_q3_shipping_priority": 0.70, "tx10_repetition_stats": 0.60,
     "shf1_shuffle_shards": 0.50, "sd1_semantic_dedup": 0.80,
-    "dc1_decontaminate": 1.20,
+    "dc1_decontaminate": 1.20, "smp4_weighted_sample": 0.25,
+    "mix1_domain_quota": 0.40, "ts10_zscore_outliers": 0.60,
+    "e6_retention_cohorts": 0.50,
 }
 
 

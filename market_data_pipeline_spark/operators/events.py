@@ -177,3 +177,39 @@ def _bucket_seconds(bucket: str) -> int:
         unit.rstrip("s")
     ]
     return int(n) * mult
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: users are grouped by the ISO week of
+    their first activity; each cohort's distinct active users are counted
+    at every subsequent week offset — the classic cohort-retention matrix
+    in long form.
+
+    Two shuffles: the distinct (user, week) pass + min-week cohort agg
+    both hash on the user key (the second reuses the first's partitioning
+    under AQE), then one count-distinct shuffle on (cohort, offset). The
+    week offset is exact integer arithmetic on Monday-truncated dates, so
+    the result hash-matches any engine with ISO date_trunc.
+    Returns (cohort_week, week_offset, n_users).
+    """
+    weeks = events.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+    ).distinct()
+    first = weeks.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, user_col)
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -443,3 +443,66 @@ def shuffle_shards(
         F.col("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    prob: Column,
+    key_col: str = "doc_id",
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability ``prob`` (a per-row Column in [0, 1], e.g. a quality
+    score or length weight), decided by comparing an md5-derived uniform
+    against it — reproducible and engine-independent where rand(weight)
+    is neither. Map-only, no shuffle; the uniform is the first 6 md5 hex
+    digits of (seed:key) scaled by 16^-6, exact in double on any engine.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string")).cast("binary")
+    )
+    u = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") / F.lit(16777216.0)
+    return df.filter(u < prob)
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: str = "42",
+) -> DataFrame:
+    """Per-domain quota filling for training-data mixing: within each
+    group (source / domain / language), order documents by an md5-seeded
+    pseudo-random permutation and keep them while the cumulative size
+    stays within ``budget`` — the deterministic form of "sample each
+    domain down to its token allocation" (the DoReMi/Pile-style mixture
+    step, with the target weights expressed as per-domain budgets).
+
+    One shuffle on the group key; the running sum is a per-group window
+    (groups are independent, so parallelism = number of domains — at 100
+    TB domains are further split by a hash suffix exactly like
+    :func:`pack_sequences` shards). Deterministic per seed: re-running
+    selects byte-identical documents.
+    Returns (key, group, size, cum_size) for kept rows.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string")).cast("binary")
+    )
+    staged = df.select(
+        F.col(key_col), F.col(group_col), F.col(size_col), h.alias("_h")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(size_col).over(w)
+    return (
+        staged.withColumn("cum_size", cum.cast("long"))
+        .filter(F.col("cum_size") <= budget)
+        .select(key_col, group_col, size_col, "cum_size")
+    )

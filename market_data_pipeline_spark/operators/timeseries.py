@@ -358,3 +358,38 @@ def sma_range_days(
     total = F.sum(F.col(value_col).cast("decimal(18,2)")).over(w)
     cnt = F.count(value_col).over(w)
     return df.withColumn(out_col, total.cast("double") / cnt)
+
+
+def zscore_outliers(
+    df: DataFrame,
+    z_threshold: float = 2.5,
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    value_col: str = "close_price",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series daily-return z-score outlier detection: flag rows whose
+    return deviates from the series mean by >= ``z_threshold`` sample
+    standard deviations — the spike/bad-tick screen every market data
+    pipeline runs before training on the series.
+
+    One shuffle on the series key: the lag, the whole-partition mean/std
+    (frame-less window aggregates), and the z computation all share the
+    same partitioning. z is ROUNDED before thresholding on both engine
+    and oracle sides (variance accumulation order is engine-internal);
+    zero-variance series are excluded rather than emitting inf/NaN.
+    Returns (partition, order, value, ret, z) for |z| >= threshold.
+    """
+    w = _series_window(partition_col, order_col)
+    wp = Window.partitionBy(partition_col)
+    ret = F.col(value_col) / F.lag(value_col).over(w) - 1.0
+    staged = df.withColumn("ret", ret).filter(F.col("ret").isNotNull())
+    mu = F.mean("ret").over(wp)
+    sd = F.stddev_samp("ret").over(wp)
+    z = F.round((F.col("ret") - mu) / sd, round_digits)
+    return (
+        staged.withColumn("_sd", sd)
+        .withColumn("z", z)
+        .filter((F.col("_sd") > 0) & (F.abs(F.col("z")) >= z_threshold))
+        .select(partition_col, order_col, value_col, "ret", "z")
+    )

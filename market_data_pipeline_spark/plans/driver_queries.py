@@ -3074,6 +3074,125 @@ def shf1_shuffle_shards(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# --- SMP4: weighted Bernoulli sampling ---------------------------------------
+
+
+@query(
+    "smp4_weighted_sample",
+    """SELECT doc_id, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+      / 16777216.0 < least(1.0, n_chars / 400.0)
+ORDER BY doc_id""",
+)
+def smp4_weighted_sample(spark, sf_dir):
+    """Length-weighted deterministic Bernoulli sample (P(keep) ∝ n_chars,
+    capped at 1): the md5-uniform is exact in double on both engines, so
+    the selected set is engine-independent and rerun-stable — what
+    rand()-weighted sampling cannot give."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    return (
+        tx.weighted_sample(docs, keep_p, key_col="doc_id")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# --- MIX1: per-domain quota mixing -------------------------------------------
+
+
+@query(
+    "mix1_domain_quota",
+    """WITH sel AS (
+  SELECT doc_id, source, n_chars,
+         md5('42:' || CAST(doc_id AS VARCHAR)) AS hv
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_chars,
+         CAST(SUM(n_chars) OVER (
+              PARTITION BY source ORDER BY hv, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_size
+  FROM sel
+)
+SELECT doc_id, source, n_chars, cum_size
+FROM c WHERE cum_size <= 5000
+ORDER BY doc_id""",
+)
+def mix1_domain_quota(spark, sf_dir):
+    """Deterministic per-domain quota fill (training-data mixing): every
+    source contributes documents — chosen by a seeded md5 permutation —
+    until its 5000-char budget is exhausted. The distributed form of
+    'sample each domain to its token allocation'."""
+    return tx.domain_quota_sample(
+        load_table(spark, sf_dir, "documents"), budget=5000
+    ).orderBy("doc_id")
+
+
+# --- TS10: return z-score outliers -------------------------------------------
+
+
+@query(
+    "ts10_zscore_outliers",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+),
+rets AS (
+  SELECT symbol, trade_date, close_price,
+         close_price / lag(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0 AS ret
+  FROM sel
+),
+z AS (
+  SELECT symbol, trade_date, close_price, ret,
+         avg(ret) OVER (PARTITION BY symbol) AS mu,
+         stddev_samp(ret) OVER (PARTITION BY symbol) AS sd
+  FROM rets WHERE ret IS NOT NULL
+)
+SELECT symbol, trade_date, close_price, ret, ROUND((ret - mu) / sd, 6) AS z
+FROM z
+WHERE sd > 0 AND abs(ROUND((ret - mu) / sd, 6)) >= 2.0
+ORDER BY symbol, trade_date""",
+)
+def ts10_zscore_outliers(spark, sf_dir):
+    """Per-series return z-score spike screen (|z| >= 2, rounded before
+    thresholding so the flagged set is engine-independent)."""
+    return tseries.zscore_outliers(_ts_series(spark, sf_dir), 2.0).orderBy(
+        "symbol", "trade_date"
+    )
+
+
+# --- E6: weekly retention cohorts --------------------------------------------
+
+
+@query(
+    "e6_retention_cohorts",
+    """WITH weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1
+)
+SELECT f.cohort_week,
+       CAST(FLOOR(date_diff('day', f.cohort_week, w.week) / 7.0) AS BIGINT)
+           AS week_offset,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+FROM weeks w JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2""",
+)
+def e6_retention_cohorts(spark, sf_dir):
+    """Weekly cohort-retention matrix in long form (cohort = ISO week of
+    first activity; offsets are exact Monday-date arithmetic)."""
+    return ev.retention_cohorts(load_table(spark, sf_dir, "events")).orderBy(
+        "cohort_week", "week_offset"
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -146,3 +146,87 @@ def test_shuffle_shards_deterministic_and_seeded(spark):
     assert a == b  # rerun-stable
     c = sorted(map(tuple, TX.shuffle_shards(docs, "doc_id", 4, seed="99").collect()))
     assert a != c  # seed actually permutes
+
+
+# --- weighted_sample --------------------------------------------------------
+
+
+def test_weighted_sample_bounds_and_monotonic(spark):
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    assert TX.weighted_sample(docs, F.lit(0.0)).count() == 0
+    assert TX.weighted_sample(docs, F.lit(1.0)).count() == 200
+    lo = {r["doc_id"] for r in TX.weighted_sample(docs, F.lit(0.3)).collect()}
+    hi = {r["doc_id"] for r in TX.weighted_sample(docs, F.lit(0.7)).collect()}
+    # same per-key uniform: raising the probability only ADDS rows
+    assert lo <= hi
+    assert 30 <= len(lo) <= 90 and 100 <= len(hi) <= 180
+
+
+# --- domain_quota_sample ----------------------------------------------------
+
+
+def test_domain_quota_respects_budget(spark):
+    rows = [(i, "a" if i < 10 else "b", 30) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = TX.domain_quota_sample(df, budget=100, group_col="source",
+                                 size_col="n_chars", key_col="doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # 30-char docs against a 100 budget: exactly 3 kept per domain
+    for src in ("a", "b"):
+        kept = by_src[src]
+        assert len(kept) == 3
+        assert max(r["cum_size"] for r in kept) <= 100
+    big = TX.domain_quota_sample(df, budget=10_000, group_col="source",
+                                 size_col="n_chars", key_col="doc_id")
+    assert big.count() == 20  # budget above total keeps everything
+
+
+# --- zscore_outliers --------------------------------------------------------
+
+
+def test_zscore_flags_spike_and_skips_flat(spark):
+    import datetime as dt
+    from market_data_pipeline_spark.operators import timeseries as TS
+
+    base = dt.date(2020, 1, 1)
+    rows = []
+    for i in range(30):
+        # flat-ish series with one violent spike at i == 15
+        px = 100.0 + (i % 3) + (400.0 if i == 15 else 0.0)
+        rows.append(("SPIKY", base + dt.timedelta(days=i), px))
+        rows.append(("FLAT", base + dt.timedelta(days=i), 50.0))
+    df = spark.createDataFrame(rows, "symbol string, trade_date date, close_price double")
+    out = TS.zscore_outliers(df, z_threshold=2.5).collect()
+    syms = {r["symbol"] for r in out}
+    assert "FLAT" not in syms            # zero-variance series excluded
+    spike_days = [r["trade_date"] for r in out if r["symbol"] == "SPIKY"]
+    assert base + dt.timedelta(days=15) in spike_days  # the jump is flagged
+    assert all(abs(r["z"]) >= 2.5 for r in out)
+
+
+# --- retention_cohorts ------------------------------------------------------
+
+
+def test_retention_cohorts_offsets(spark):
+    import datetime as dt
+    from market_data_pipeline_spark.operators import events as EV
+
+    def t(d):  # Monday-based weeks: 2024-01-01 is a Monday
+        return dt.datetime(2024, 1, d, 12, 0, 0)
+
+    rows = [
+        (1, t(1)), (1, t(2)),   # u1 week0 twice
+        (1, t(9)),              # u1 week1
+        (2, t(3)),              # u2 week0 only
+        (3, t(10)), (3, t(22)), # u3 cohort week1, active offset 0 and 2
+    ]
+    ev_df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+           for r in EV.retention_cohorts(ev_df).collect()}
+    assert out[("2024-01-01", 0)] == 2   # u1, u2
+    assert out[("2024-01-01", 1)] == 1   # u1 returns
+    assert out[("2024-01-08", 0)] == 1   # u3's own cohort
+    assert out[("2024-01-08", 2)] == 1   # u3 two weeks later
+    assert len(out) == 4
