@@ -659,3 +659,36 @@ def decontaminate(
             (F.col("n_overlap") >= min_overlap).alias("contaminated"),
         )
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    fingerprint_col: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest dedup: drop arriving documents whose content
+    fingerprint already exists in the historical corpus — the streaming/
+    batch-append companion to :func:`exact_dedup` (dedup WITHIN a batch)
+    and the reason production pipelines keep a fingerprint store instead
+    of re-deduping the whole corpus per ingest.
+
+    Plan shape: fingerprints are computed map-side on BOTH frames (the
+    text never shuffles), then a LEFT ANTI join on the 8-byte hash —
+    at 100 TB the seen side is the fingerprint STORE (id + hash columns
+    only), which bucket-joins against the batch without touching
+    historical text. The default fingerprint is whitespace-normalized
+    lowercased md5 (not xxhash64) so the op is oracle-expressible;
+    pass ``fingerprint_col`` to swap the hash.
+    Returns the new-batch rows that survive, original columns intact.
+    """
+    if fingerprint_col is None:
+        fingerprint_col = F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").cast(
+                "binary"
+            )
+        )
+    new_fp = new_df.withColumn("_fp", fingerprint_col)
+    seen_fp = seen_df.select(fingerprint_col.alias("_fp"))
+    return new_fp.join(seen_fp, "_fp", "left_anti").drop("_fp")

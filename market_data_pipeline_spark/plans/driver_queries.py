@@ -3193,6 +3193,43 @@ def e6_retention_cohorts(spark, sf_dir):
     )
 
 
+# --- DD11: incremental-ingest dedup ------------------------------------------
+
+
+@query(
+    "dd11_incremental_dedup",
+    r"""WITH fp AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(array_to_string(
+             (string_split_regex(lower(trim(text)), '\s+'))[1:10], ' ')) AS fpr
+  FROM documents
+)
+SELECT n.doc_id, n.lang, n.source, n.n_chars
+FROM fp n
+WHERE n.doc_id % 5 = 0
+  AND NOT EXISTS (SELECT 1 FROM fp s
+                  WHERE s.doc_id % 5 <> 0 AND s.fpr = n.fpr)
+ORDER BY n.doc_id""",
+)
+def dd11_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: every 5th document plays the arriving
+    batch; survivors are the arrivals whose head fingerprint (first 10
+    tokens — the crawl-dedup 'same boilerplate head' key, exercising the
+    operator's pluggable fingerprint) is absent from the already-ingested
+    corpus. Left anti on the hash via the fingerprint-store pattern; text
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    head_fp = F.md5(F.array_join(F.slice(toks, 1, 10), " ").cast("binary"))
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+    seen = docs.filter(F.col("doc_id") % 5 != 0)
+    return (
+        dedup.incremental_dedup(new_batch, seen, fingerprint_col=head_fp)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -230,3 +230,39 @@ def test_retention_cohorts_offsets(spark):
     assert out[("2024-01-08", 0)] == 1   # u3's own cohort
     assert out[("2024-01-08", 2)] == 1   # u3 two weeks later
     assert len(out) == 4
+
+
+# --- incremental_dedup ------------------------------------------------------
+
+
+def test_incremental_dedup_drops_seen_content(spark):
+    seen = spark.createDataFrame(
+        [(1, "The quick brown fox"), (2, "other document")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the  QUICK brown   fox"),  # normalized dup of doc 1
+            (11, "a genuinely new document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.incremental_dedup(new, seen).collect()
+    assert [r["doc_id"] for r in out] == [11]
+    assert set(out[0].asDict()) == {"doc_id", "text"}  # original cols intact
+
+
+def test_incremental_dedup_custom_fingerprint(spark):
+    from pyspark.sql import functions as SF
+
+    seen = spark.createDataFrame([(1, "aaa bbb xyz")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(5, "aaa bbb DIFFERENT"), (6, "ccc ddd eee")], "doc_id long, text string"
+    )
+    two_tok = SF.md5(
+        SF.array_join(
+            SF.slice(SF.split(SF.lower(SF.trim(SF.col("text"))), r"\s+"), 1, 2), " "
+        ).cast("binary")
+    )
+    out = DD.incremental_dedup(new, seen, fingerprint_col=two_tok).collect()
+    assert [r["doc_id"] for r in out] == [6]  # doc 5 shares the 2-token head
