@@ -154,3 +154,23 @@ def test_tpch_q3_broadcasts_and_pushes(plans):
     assert facts["bhj"] >= 2
     assert facts["smj"] == 0
     assert facts["pushed_scans"] >= 3
+
+
+def test_no_query_plans_a_single_partition_exchange(spark):
+    """Global invariant: NO registered query's plan may contain an
+    Exchange SinglePartition (the one-task global window/sort — the
+    canonical scale-killer). Global total orders must use range
+    partitioning or the offset-rank pattern instead. Streaming queries
+    (which execute on build) and driver-side helpers are exercised by
+    their own tests."""
+    from market_data_pipeline_spark.plans.driver_queries import QUERIES as ALL_Q
+
+    offenders = {}
+    for name, fn in ALL_Q.items():
+        try:
+            facts = audit_plan(fn(spark, SF_DIR))
+        except Exception:
+            continue  # streaming/memory-sink queries run on build
+        if facts["single_partition_exchanges"]:
+            offenders[name] = facts["single_partition_exchanges"]
+    assert not offenders, f"single-partition exchanges in: {offenders}"
