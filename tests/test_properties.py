@@ -398,3 +398,69 @@ def test_pack_sequences_invariants(spark, budget, seed):
         last = seen_packs.get(r.shard, 0)
         assert r.pack_no >= last and (r.pack_no == 0 or True)
         seen_packs[r.shard] = r.pack_no
+
+
+# --- round-3 corpus-prep invariants ------------------------------------------
+
+
+@SET
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=12
+    )
+)
+def test_repetition_stats_matches_python_reference(spark, texts):
+    """Arrow Counter pass == a straight Python reference over arbitrary
+    (tiny-alphabet, repetition-heavy) texts, including empties and
+    whitespace-only strings."""
+    import re
+    from collections import Counter
+
+    from market_data_pipeline_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip().lower())
+        n = len(toks)
+        bgs = [f"{toks[j]} {toks[j+1]}" for j in range(n - 1)]
+        row = got[i]
+        assert row["n_tokens"] == n and row["n_2grams"] == len(bgs)
+        if bgs:
+            assert abs(row["dup_2gram_frac"] - (1 - len(set(bgs)) / len(bgs))) < 1e-12
+            assert (
+                abs(row["top_2gram_frac"] - max(Counter(bgs).values()) / len(bgs))
+                < 1e-12
+            )
+            assert 0.0 <= row["dup_2gram_frac"] < 1.0
+            assert 0.0 < row["top_2gram_frac"] <= 1.0
+        else:
+            assert row["dup_2gram_frac"] is None and row["top_2gram_frac"] is None
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=120),
+)
+def test_domain_quota_budget_invariants(spark, sizes, budget):
+    """For any sizes/budget: kept cum_size <= budget, kept set is a
+    prefix of the seeded permutation order (no doc kept after the first
+    dropped one), and the selection is rerun-stable."""
+    from market_data_pipeline_spark.operators.text import domain_quota_sample
+
+    rows = [(i, "g", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = domain_quota_sample(
+        df, budget=budget, group_col="source", size_col="n_chars", key_col="doc_id"
+    )
+    kept = sorted((r["cum_size"], r["doc_id"]) for r in out.collect())
+    assert all(c <= budget for c, _ in kept)
+    # cum sums of a prefix: consecutive cum_size deltas equal kept sizes
+    size_by_id = dict(enumerate(sizes))
+    prev = 0
+    for c, i in kept:
+        assert c - prev == size_by_id[i]
+        prev = c
+    again = sorted((r["cum_size"], r["doc_id"]) for r in out.collect())
+    assert kept == again
