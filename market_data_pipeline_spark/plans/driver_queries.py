@@ -3230,6 +3230,52 @@ def dd11_incremental_dedup(spark, sf_dir):
     )
 
 
+# --- R8: unpivot (wide -> long melt) -----------------------------------------
+
+
+@query(
+    "r8_unpivot_ohlc",
+    f"""WITH {PRICE_CTE},
+bars AS (
+  SELECT symbol,
+         date_trunc('week', trade_date) AS bucket,
+         arg_min(close_price, trade_date) AS open_px,
+         MAX(close_price) AS high_px,
+         MIN(close_price) AS low_px,
+         arg_max(close_price, trade_date) AS close_px
+  FROM price
+  WHERE symbol IN ({_STOCK_IN}) AND close_price IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT symbol, bucket, field, px
+FROM bars UNPIVOT (px FOR field IN (open_px, high_px, low_px, close_px))
+ORDER BY symbol, bucket, field""",
+)
+def r8_unpivot_ohlc(spark, sf_dir):
+    """Wide->long melt of the weekly OHLC bars (the inverse of the r4
+    pivot): Spark's native unpivot/stack — a map-only row expansion, no
+    shuffle beyond the upstream aggregate."""
+    p = price_frame(spark, sf_dir, symbols=STOCK_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
+    )
+    bars = tseries.resample_ohlc(
+        p, F.date_trunc("week", F.col("trade_date")).cast("date")
+    ).select(
+        "symbol",
+        "bucket",
+        F.col("open").alias("open_px"),
+        F.col("high").alias("high_px"),
+        F.col("low").alias("low_px"),
+        F.col("close").alias("close_px"),
+    )
+    return bars.unpivot(
+        ["symbol", "bucket"],
+        ["open_px", "high_px", "low_px", "close_px"],
+        "field",
+        "px",
+    ).orderBy("symbol", "bucket", "field")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
