@@ -128,3 +128,45 @@ def check_constraints(
         .alias("pass_ratio"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-form column profile: one row per profiled column with null
+    count, exact distinct count, and min/max (rendered as strings so the
+    output schema is uniform across column types) — the data-profiling
+    report a pipeline runs on first contact with a new table, companion
+    to the expectations API above.
+
+    One aggregate pass: Spark plans the multi-countDistinct as a single
+    Expand + aggregate (each input row fans out once per profiled
+    column), so the cost is one shuffle regardless of column count — no
+    per-column jobs, no driver loop. Keep profiled columns to stable
+    string renderings (integers, strings, dates) when hash-comparing
+    across engines; float formatting is engine-specific.
+    Returns (column, n_rows, n_nulls, n_distinct, min_value, max_value).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nulls_{c}"),
+            F.countDistinct(c).alias(f"_dist_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nulls_{c}").alias("n_nulls"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_value"),
+            F.col(f"_max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return (
+        one.select(F.explode(F.array(*rows)).alias("_p"))
+        .select("_p.*")
+        .orderBy("column")
+    )

@@ -3276,6 +3276,47 @@ def r8_unpivot_ohlc(spark, sf_dir):
     ).orderBy("symbol", "bucket", "field")
 
 
+# --- DP1: table column profile -----------------------------------------------
+
+
+@query(
+    "dp1_profile_lineitem",
+    """WITH base AS (SELECT l_orderkey, l_returnflag, l_shipdate FROM lineitem)
+SELECT p.* FROM (
+  SELECT 'l_orderkey' AS "column",
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+         CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+  FROM base
+  UNION ALL
+  SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+         MIN(l_returnflag), MAX(l_returnflag)
+  FROM base
+  UNION ALL
+  SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+         CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+         CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
+  FROM base
+) p ORDER BY "column" """,
+)
+def dp1_profile_lineitem(spark, sf_dir):
+    """First-contact data profile of the fact table (null/distinct/range
+    per column, long form) — one Expand+aggregate pass for all columns,
+    one shuffle total; see operators.quality.profile_columns."""
+    from market_data_pipeline_spark.operators.quality import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.col("l_shipdate").cast("date").alias("l_shipdate")
+    )
+    return profile_columns(li, ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

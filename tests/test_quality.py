@@ -61,3 +61,17 @@ def test_null_fails_range_and_matches(spark):
 def test_requires_some_constraint(spark, frame):
     with pytest.raises(ValueError):
         DQ.check_constraints(frame, [])
+
+
+def test_profile_columns_long_form(spark):
+    from market_data_pipeline_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, s string"
+    )
+    out = {r["column"]: r.asDict() for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
