@@ -393,3 +393,31 @@ def zscore_outliers(
         .filter((F.col("_sd") > 0) & (F.abs(F.col("z")) >= z_threshold))
         .select(partition_col, order_col, value_col, "ret", "z")
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: list[str],
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    suffix: str = "_filled",
+) -> DataFrame:
+    """Per-series forward fill (last observation carried forward): the
+    gap-repair step before return/indicator math on series with missing
+    observations (halted symbols, source outages).
+
+    ``last(col, ignorenulls=True)`` over an unbounded-preceding running
+    frame — one shuffle on the series key shared with every other
+    window op in this module; rows before a series' first observation
+    stay NULL (no back-fill, which would leak the future).
+    Adds ``<col><suffix>`` columns; original columns untouched.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
+    return out

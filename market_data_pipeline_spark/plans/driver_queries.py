@@ -3276,6 +3276,58 @@ def r8_unpivot_ohlc(spark, sf_dir):
     ).orderBy("symbol", "bucket", "field")
 
 
+# --- TS11: forward fill ------------------------------------------------------
+
+
+@query(
+    "ts11_forward_fill",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date,
+         CASE WHEN day(trade_date) % 7 = 0 THEN NULL ELSE close_price END
+             AS close_gapped
+  FROM price
+  WHERE symbol IN ({_RET_IN})
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+)
+SELECT symbol, trade_date, close_gapped,
+       last_value(close_gapped IGNORE NULLS) OVER (
+         PARTITION BY symbol ORDER BY trade_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled
+FROM sel ORDER BY symbol, trade_date""",
+)
+def ts11_forward_fill(spark, sf_dir):
+    """Forward fill over a deterministically gapped series (every
+    7th-day-of-month observation nulled): last-observation-carried-
+    forward per symbol, no back-fill — see timeseries.forward_fill."""
+    gapped = (
+        price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS)
+        .filter(
+            (F.col("trade_date") >= "1996-01-01")
+            & (F.col("trade_date") <= "1998-12-31")
+        )
+        .select(
+            "symbol",
+            "trade_date",
+            F.when(F.dayofmonth("trade_date") % 7 == 0, F.lit(None))
+            .otherwise(F.col("close_price"))
+            .alias("close_gapped"),
+        )
+    )
+    return (
+        tseries.forward_fill(
+            gapped, ["close_gapped"], suffix="_x"
+        )
+        .select(
+            "symbol",
+            "trade_date",
+            "close_gapped",
+            F.col("close_gapped_x").alias("close_filled"),
+        )
+        .orderBy("symbol", "trade_date")
+    )
+
+
 # --- DP1: table column profile -----------------------------------------------
 
 

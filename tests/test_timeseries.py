@@ -297,3 +297,31 @@ def test_rolling_pair_corr(spark):
     assert out[("A", "B", D("2024-01-03"))] == -1.0
     assert out[("A", "C", D("2024-01-05"))] == 1.0
     assert len(out) == 10  # 5 dates x 2 pairs, nothing else
+
+
+def test_forward_fill_carries_last_observation(spark):
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators.timeseries import forward_fill
+
+    base = dt.date(2020, 1, 1)
+    rows = [
+        ("A", base, None),                      # before first obs: stays NULL
+        ("A", base + dt.timedelta(days=1), 10.0),
+        ("A", base + dt.timedelta(days=2), None),
+        ("A", base + dt.timedelta(days=3), None),
+        ("A", base + dt.timedelta(days=4), 40.0),
+        ("B", base, 7.0),
+        ("B", base + dt.timedelta(days=1), None),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, trade_date date, px double")
+    out = {
+        (r["symbol"], str(r["trade_date"])): r["px_filled"]
+        for r in forward_fill(df, ["px"], order_col="trade_date").collect()
+    }
+    assert out[("A", "2020-01-01")] is None          # no back-fill
+    assert out[("A", "2020-01-02")] == 10.0
+    assert out[("A", "2020-01-03")] == 10.0
+    assert out[("A", "2020-01-04")] == 10.0
+    assert out[("A", "2020-01-05")] == 40.0
+    assert out[("B", "2020-01-02")] == 7.0           # fills don't cross series
