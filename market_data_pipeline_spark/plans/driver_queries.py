@@ -3276,6 +3276,47 @@ def r8_unpivot_ohlc(spark, sf_dir):
     ).orderBy("symbol", "bucket", "field")
 
 
+# --- ST7: streaming incremental-ingest dedup ---------------------------------
+
+
+@query(
+    "st7_streaming_ingest_dedup",
+    r"""WITH fp AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(array_to_string(
+             (string_split_regex(lower(trim(text)), '\s+'))[1:10], ' ')) AS fpr
+  FROM documents
+)
+SELECT n.doc_id, n.lang, n.source, n.n_chars
+FROM fp n
+WHERE n.doc_id % 5 = 0
+  AND NOT EXISTS (SELECT 1 FROM fp s
+                  WHERE s.doc_id % 5 <> 0 AND s.fpr = n.fpr)
+ORDER BY n.doc_id""",
+)
+def st7_streaming_ingest_dedup(spark, sf_dir):
+    """dd11's streaming twin: the arriving documents flow through
+    readStream and the SAME batch-built incremental_dedup operator (a
+    stream-static left-anti join against the fingerprint store is
+    stateless per micro-batch, so the operator composes unchanged).
+    Run to completion it must equal the batch anti-join — the identical
+    oracle. This is the continuous-ingest shape: files land, each
+    micro-batch drops already-seen content, survivors append."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    docs_stream = sj.read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    seen = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    head_fp = F.md5(F.array_join(F.slice(toks, 1, 10), " ").cast("binary"))
+    survivors = dedup.incremental_dedup(
+        docs_stream, seen, fingerprint_col=head_fp
+    ).select("doc_id", "lang", "source", "n_chars")
+    out = sj.run_stream_to_memory(survivors, "st7_sink", output_mode="append")
+    return out.orderBy("doc_id")
+
+
 # --- TS11: forward fill ------------------------------------------------------
 
 

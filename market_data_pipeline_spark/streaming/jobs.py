@@ -69,6 +69,27 @@ def read_events_stream(
     return normalize_event_ts(reader.parquet(sf_dir))
 
 
+def read_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the driver's documents parquet — the
+    continuous-ingest entry point for the corpus operators (schema from
+    the footer, same single-file glob trick as :func:`read_events_stream`).
+    Batch-built operators that are stream-safe (map-only projections,
+    stream-static joins like ``dedup.incremental_dedup``) compose onto
+    this frame unchanged."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "documents.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
+
+
 def streaming_tumbling(
     events: DataFrame,
     duration: str = "1 hour",

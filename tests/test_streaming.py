@@ -171,3 +171,32 @@ def test_streaming_dedup_across_micro_batches(spark, event_dir):
         for r in spark.read.parquet(event_dir).collect()
     )
     assert rows == want
+
+
+def test_streaming_ingest_dedup_equals_batch(spark, sf_dir):
+    """The stream-static incremental dedup must produce exactly the batch
+    anti-join's survivor set when run to completion."""
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.operators import dedup as DD
+    from market_data_pipeline_spark.sources.catalog import load_table
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    fp = F.md5(F.array_join(F.slice(toks, 1, 10), " ").cast("binary"))
+    seen = docs.filter(F.col("doc_id") % 5 != 0)
+
+    batch = DD.incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0), seen, fingerprint_col=fp
+    )
+    batch_ids = sorted(r["doc_id"] for r in batch.select("doc_id").collect())
+
+    stream = sj.read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    out = sj.run_stream_to_memory(
+        DD.incremental_dedup(stream, seen, fingerprint_col=fp).select("doc_id"),
+        "t_st7_sink",
+        output_mode="append",
+    )
+    stream_ids = sorted(r["doc_id"] for r in out.collect())
+    assert stream_ids == batch_ids and len(batch_ids) > 0
