@@ -40,8 +40,16 @@ def shingles_from_tokens(toks_col: Column, n: int = 3) -> Column:
     column. Callers must stage the token array into a real column first
     (see :func:`shingled`): if the split expression is passed in directly,
     Catalyst inlines it into every per-gram element access and recomputes
-    the split n times per shingle — measured 40x slower."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks_col) - (n - 1), F.lit(0)))
+    the split n times per shingle — measured 40x slower.
+
+    Documents shorter than ``n`` tokens yield an EMPTY shingle set via an
+    explicit guard — ``greatest(size - (n-1), 0)`` is NOT enough, because
+    ``sequence(1, 0)`` is DESCENDING ``[1, 0]`` in Spark and the i=0
+    element crashes 1-indexed ``slice`` (found by the hypothesis
+    reference-parity test on an empty document)."""
+    idx = F.when(
+        F.size(toks_col) >= n, F.sequence(F.lit(1), F.size(toks_col) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks_col, i, n), " "))
     return F.array_distinct(grams)
 

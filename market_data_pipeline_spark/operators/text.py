@@ -333,7 +333,11 @@ def rolling_fingerprint(
     # slower at sf0.1)
     staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(0)))
+    # guard, don't greatest(): sequence(1, 0) is DESCENDING [1, 0] and the
+    # i=0 element crashes 1-indexed slice (same trap as shingles_from_tokens)
+    idx = F.when(
+        F.size(toks) >= window, F.sequence(F.lit(1), F.size(toks) - (window - 1))
+    ).otherwise(F.array().cast("array<int>"))
     span_hashes = F.transform(
         idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " "))
     )

@@ -464,3 +464,95 @@ def test_domain_quota_budget_invariants(spark, sizes, budget):
         prev = c
     again = sorted((r["cum_size"], r["doc_id"]) for r in out.collect())
     assert kept == again
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=2,
+        max_size=10,
+    ),
+    st.floats(min_value=0.1, max_value=0.99),
+)
+def test_semantic_dedup_matches_numpy_reference(spark, vecs, threshold):
+    """semantic_dedup == an independent numpy re-implementation of the
+    SemDeDup rule (nearest-centroid assignment with rounded-cosine
+    argmax, then min-smaller-id in-cluster near-dup) for arbitrary
+    vectors and thresholds."""
+    import numpy as np
+
+    from market_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    n_clusters = min(2, len(vecs))
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["dup_of"], r["keep"])
+        for r in semantic_dedup(
+            emb, threshold=threshold, n_clusters=n_clusters
+        ).collect()
+    }
+
+    V = np.array(vecs, dtype=np.float32).astype(np.float64)
+    ids = list(range(len(vecs)))
+    C = V[:n_clusters]
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b)), 6
+        )
+
+    assign = {}
+    for i in ids:
+        scores = [(-cos(V[i], C[j]), j) for j in range(n_clusters)]
+        assign[i] = min(scores)[1]
+    expect = {}
+    for i in ids:
+        dups = [
+            j
+            for j in ids
+            if j < i and assign[j] == assign[i] and cos(V[i], V[j]) >= threshold
+        ]
+        expect[i] = (assign[i], min(dups) if dups else None, not dups)
+    assert got == expect
+
+
+@SET
+@given(
+    st.lists(st.text(alphabet="abc ", min_size=0, max_size=30), min_size=1, max_size=8),
+    st.lists(st.text(alphabet="abc ", min_size=0, max_size=30), min_size=1, max_size=4),
+)
+def test_decontaminate_matches_python_reference(spark, corpus_texts, bench_texts):
+    """decontaminate == a straight Python shingle-set implementation for
+    arbitrary tiny-alphabet texts (heavy shingle collisions by design)."""
+    import re
+
+    from market_data_pipeline_spark.operators.dedup import decontaminate
+
+    def sh(t):
+        toks = re.split(r"\s+", t.strip().lower())
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        list(enumerate(bench_texts)), "doc_id long, text string"
+    )
+    bset = set().union(*(sh(t) for t in bench_texts))
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["contaminated"])
+        for r in decontaminate(corpus, bench, n=3, min_overlap=2).collect()
+    }
+    for i, t in enumerate(corpus_texts):
+        s = sh(t)
+        ov = len(s & bset)
+        assert got[i] == (len(s), ov, ov >= 2)
