@@ -351,7 +351,7 @@ def rolling_fingerprint(
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Gopher-style repetition quality signals (Rae et al. 2021,
+    r"""Gopher-style repetition quality signals (Rae et al. 2021,
     arXiv:2112.11446 appendix A1.1), word-n-gram flavor: fraction of
     duplicate token bigrams and the share of the single most repeated
     bigram / token. High values mark boilerplate and degenerate

@@ -1,0 +1,98 @@
+"""Empty-input robustness sweep: every core operator must accept a
+0-row frame (empty streaming micro-batches, fully-filtered partitions,
+fresh tables are all routine at scale) and return an empty — or
+well-defined degenerate — result instead of crashing on head()[0] /
+np.min-of-empty / div-by-zero assumptions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import dedup as DD
+from market_data_pipeline_spark.operators import events as EV
+from market_data_pipeline_spark.operators import similarity as SIM
+from market_data_pipeline_spark.operators import text as TX
+from market_data_pipeline_spark.operators import timeseries as TS
+from market_data_pipeline_spark.operators.quality import profile_columns
+
+DOCS = "doc_id long, text string"
+EMB = "vec_id long, embedding array<float>"
+PRICE = "symbol string, trade_date date, close_price double"
+EVENTS = "user_id long, ts timestamp"
+
+
+@pytest.fixture(scope="module")
+def empty(spark):
+    def make(schema):
+        return spark.createDataFrame([], schema)
+
+    return make
+
+
+def test_dedup_ops_empty(spark, empty):
+    docs = empty(DOCS)
+    assert DD.exact_dedup(docs).count() == 0
+    assert DD.ngram_jaccard_pairs(docs, group_col=None).count() == 0
+    assert DD.minhash_lsh_pairs(docs).count() == 0
+    assert DD.decontaminate(docs, docs).count() == 0
+    # empty benchmark: nothing is contaminated, corpus passes through
+    one = spark.createDataFrame([(1, "a b c d")], DOCS)
+    out = DD.decontaminate(one, empty(DOCS)).collect()
+    assert len(out) == 1 and out[0]["n_overlap"] == 0
+    assert DD.incremental_dedup(docs, docs).count() == 0
+    # empty seen side: every arrival survives
+    assert DD.incremental_dedup(one, empty(DOCS)).count() == 1
+
+
+def test_connected_components_empty(spark, empty):
+    pairs = empty("doc_a long, doc_b long")
+    assert DD.connected_components(pairs).count() == 0
+
+
+def test_similarity_ops_empty(spark, empty):
+    vecs = empty(EMB)
+    assert SIM.cosine_near_dup_pairs(vecs).count() == 0
+    assert SIM.semantic_dedup(vecs, n_clusters=4).count() == 0
+    one = spark.createDataFrame([(0, [1.0, 0.0])], EMB)
+    # empty corpus, non-empty queries and vice versa
+    assert SIM.knn_bruteforce(vecs, [1.0, 0.0]).count() == 0
+    assert SIM.knn_batch(vecs, one).count() == 0
+    assert SIM.knn_batch(one, vecs).count() == 0
+
+
+def test_text_ops_empty(spark, empty):
+    docs = empty(DOCS)
+    assert TX.quality_stats(docs).count() == 0
+    assert TX.detect_language(docs).count() == 0
+    assert TX.repetition_stats(docs).count() == 0
+    assert TX.rolling_fingerprint(docs).count() == 0
+    assert TX.chunk_documents(docs).count() == 0
+    assert TX.pack_sequences(docs).count() == 0
+    assert TX.tfidf_top_terms(docs).count() == 0
+    assert TX.shuffle_shards(docs).count() == 0
+    assert TX.weighted_sample(docs, F.lit(1.0)).count() == 0
+    assert (
+        TX.domain_quota_sample(
+            empty("doc_id long, source string, n_chars long"), budget=10
+        ).count()
+        == 0
+    )
+
+
+def test_timeseries_ops_empty(spark, empty):
+    price = empty(PRICE)
+    assert TS.sma(price, 5).count() == 0
+    assert TS.zscore_outliers(price).count() == 0
+    assert TS.forward_fill(price, ["close_price"]).count() == 0
+    assert TS.max_drawdown(price).count() == 0
+
+
+def test_events_and_profile_empty(spark, empty):
+    assert EV.retention_cohorts(empty(EVENTS)).count() == 0
+    # profile of an empty table: one row per column, zero counts, null min/max
+    rows = {r["column"]: r.asDict() for r in profile_columns(empty(DOCS), ["doc_id", "text"]).collect()}
+    assert set(rows) == {"doc_id", "text"}
+    for r in rows.values():
+        assert r["n_rows"] == 0 and r["n_nulls"] == 0 and r["n_distinct"] == 0
+        assert r["min_value"] is None and r["max_value"] is None
