@@ -586,11 +586,27 @@ def semantic_dedup(
 
     if centroids is None:
         centroids = embeddings.filter(F.col(id_col) < n_clusters)
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
-        F.col(id_col), F.col("centroid_id")
-    )
     dd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    vecs = embeddings.select(F.col(id_col), dd.alias("_dvec")).join(assigned, id_col)
+    # assignment argmax inlined (same semantics as ivf_assign: rounded
+    # cosine, lowest-centroid-id tiebreak) with the vector CARRIED through
+    # the window — calling ivf_assign and re-joining embeddings for the
+    # vectors scans the full vector column twice (plan audit: 3 scans ->
+    # 2), which at 100 TB is a second pass over the widest column there is
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
+    )
+    sim = cosine(F.col("_dvec"), F.col("_cvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("centroid_id"))
+    vecs = (
+        embeddings.select(F.col(id_col), dd.alias("_dvec"))
+        .crossJoin(F.broadcast(c))
+        .select(F.col(id_col), F.col("_dvec"), F.col("centroid_id"), sim.alias("_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_dvec"), F.col("centroid_id"))
+    )
 
     thr, rd = float(threshold), round_digits
     id_type = embeddings.schema[id_col].dataType.simpleString()
