@@ -336,6 +336,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     round_digits: int | None = 6,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Inverted-file index: assign every vector to its nearest centroid by
     cosine (deterministic ties: lowest centroid id).
@@ -345,7 +346,12 @@ def ivf_assign(
     scored stream is already clustered on (each input row fans out to its
     |centroids| scores within the same partition), so AQE coalesces the
     exchange cheaply.
-    Returns (id_col, centroid_id, cosine).
+
+    ``keep_vec`` carries the vector column through the argmax so callers
+    that need vectors downstream (IVF probe, SemDeDup) don't re-join
+    ``embeddings`` — that re-join scans the full vector column (the
+    widest column in the table) a second time.
+    Returns (id_col, centroid_id, cosine[, vec_col]).
     """
     c = centroids.select(
         F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("_cvec")
@@ -353,8 +359,9 @@ def ivf_assign(
     sim = cosine(F.col(vec_col), F.col("_cvec"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
+    carry = [F.col(vec_col)] if keep_vec else []
     scored = embeddings.crossJoin(F.broadcast(c)).select(
-        F.col(id_col), F.col(centroid_id_col), sim.alias("cosine")
+        F.col(id_col), *carry, F.col(centroid_id_col), sim.alias("cosine")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.col(centroid_id_col))
     return (
@@ -435,10 +442,10 @@ def knn_ivf(
     """
     if centroids is None:
         centroids = embeddings.filter(F.col(id_col) < n_centroids)
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
-        F.col(id_col), F.col("centroid_id")
-    )
-    corpus = embeddings.join(assigned, id_col)
+    # keep_vec: one scan of the vector column, not assignment + re-join
+    corpus = ivf_assign(
+        embeddings, centroids, id_col, vec_col, keep_vec=True
+    ).select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
 
     # probe list: top n_probe centroids per query
     c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec"))
