@@ -213,3 +213,58 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    keys: list[str] | None = None,
+    bucket: str = "1 hour",
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """Interval-interval overlap join at scale: every (left, right) row
+    pair whose time ranges intersect (``l.start <= r.end AND r.start <=
+    l.end``, plus equal ``keys`` and any ``extra_condition``).
+
+    Same bucketing rewrite as :func:`interval_join`, with the
+    interval-interval twist: BOTH sides explode to their covering
+    buckets, so an overlapping pair can share several buckets. Instead
+    of a global dropDuplicates, each pair is emitted only from the
+    FIRST bucket both rows share — the bucket containing
+    ``greatest(l.start, r.start)``, i.e. the overlap's start — which is
+    computable row-locally inside the join. Cost stays
+    sum(spans/bucket) shuffled rows per side and the join is a pure
+    hash join; the naive range formulation nested-loops.
+    Returns left columns + right columns (caller aliases beforehand).
+    """
+    keys = keys or []
+    secs = F.lit(_bucket_seconds(bucket))
+
+    def exploded(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / secs),
+                    F.floor(F.unix_timestamp(F.col(e)) / secs),
+                )
+            ),
+        )
+
+    l = exploded(left, left_start, left_end)
+    r = exploded(right, right_start, right_end)
+    overlap_start_bucket = F.floor(
+        F.unix_timestamp(F.greatest(F.col(left_start), F.col(right_start))) / secs
+    )
+    cond = (
+        (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+        & (F.col("_bk") == overlap_start_bucket)
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    return l.join(r, [*keys, "_bk"]).filter(cond).drop("_bk")

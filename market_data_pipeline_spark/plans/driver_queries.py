@@ -3276,6 +3276,73 @@ def r8_unpivot_ohlc(spark, sf_dir):
     ).orderBy("symbol", "bucket", "field")
 
 
+# --- IV2: interval-overlap join (concurrent sessions) ------------------------
+
+
+@query(
+    "iv2_concurrent_sessions",
+    """WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s GROUP BY 1, 2
+)
+SELECT a.user_id AS user_a, a.session_start AS start_a,
+       b.user_id AS user_b, b.session_start AS start_b,
+       greatest(a.session_start, b.session_start) AS overlap_start,
+       least(a.session_end, b.session_end) AS overlap_end
+FROM sessions a JOIN sessions b
+  ON a.user_id < b.user_id
+ AND a.session_start <= b.session_end AND b.session_start <= a.session_end
+ORDER BY 1, 2, 3, 4""",
+)
+def iv2_concurrent_sessions(spark, sf_dir):
+    """Interval-interval overlap join: pairs of different users whose
+    30-minute-gap sessions intersect in time ("who was online
+    together"). The oracle states the naive range self-join; the engine
+    runs events.interval_overlap_join — both sides bucketed to covering
+    hours, hash join on the bucket, each pair emitted once from the
+    bucket holding the overlap's start. At 100 TB add a coarse grouping
+    key (shard/region) to the join to bound per-bucket fan-out."""
+    ev_df = load_table(spark, sf_dir, "events")
+    sess = ev.sessionize(ev_df, gap_minutes=30).select(
+        "user_id", "session_start", "session_end"
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_start").alias("start_a"),
+        F.col("session_end").alias("end_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_start").alias("start_b"),
+        F.col("session_end").alias("end_b"),
+    )
+    out = ev.interval_overlap_join(
+        a, b, "start_a", "end_a", "start_b", "end_b",
+        bucket="1 hour",
+        extra_condition=F.col("user_a") < F.col("user_b"),
+    )
+    return out.select(
+        "user_a",
+        "start_a",
+        "user_b",
+        "start_b",
+        F.greatest("start_a", "start_b").alias("overlap_start"),
+        F.least("end_a", "end_b").alias("overlap_end"),
+    ).orderBy("user_a", "start_a", "user_b", "start_b")
+
+
 # --- ST7: streaming incremental-ingest dedup ---------------------------------
 
 

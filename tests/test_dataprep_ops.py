@@ -266,3 +266,38 @@ def test_incremental_dedup_custom_fingerprint(spark):
     )
     out = DD.incremental_dedup(new, seen, fingerprint_col=two_tok).collect()
     assert [r["doc_id"] for r in out] == [6]  # doc 5 shares the 2-token head
+
+
+# --- interval_overlap_join --------------------------------------------------
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators import events as EV
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # A spans 3 hourly buckets and overlaps B in 2 of them -> still 1 row;
+    # C is disjoint
+    left = spark.createDataFrame(
+        [("A", t(1, 0), t(3, 30))], "lid string, ls timestamp, le timestamp"
+    )
+    right = spark.createDataFrame(
+        [("B", t(2, 15), t(5, 0)), ("C", t(6, 0), t(7, 0))],
+        "rid string, rs timestamp, re timestamp",
+    )
+    out = EV.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket="1 hour"
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in out] == [("A", "B")]
+
+    # boundary touch (end == start) counts as overlap, like the SQL <=
+    right2 = spark.createDataFrame(
+        [("D", t(3, 30), t(4, 0))], "rid string, rs timestamp, re timestamp"
+    )
+    out2 = EV.interval_overlap_join(
+        left, right2, "ls", "le", "rs", "re", bucket="1 hour"
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in out2] == [("A", "D")]
