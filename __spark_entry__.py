@@ -115,7 +115,8 @@ _COST = {
     "mix1_domain_quota": 0.40, "ts10_zscore_outliers": 0.60,
     "e6_retention_cohorts": 0.50, "dd11_incremental_dedup": 0.45,
     "r8_unpivot_ohlc": 0.45, "dp1_profile_lineitem": 0.55,
-    "ts11_forward_fill": 0.45, "st7_streaming_ingest_dedup": 1.50, "iv2_concurrent_sessions": 0.90,
+    "ts11_forward_fill": 0.45, "st7_streaming_ingest_dedup": 1.50, "iv2_concurrent_sessions": 0.90, "ts12_linear_trend": 0.50,
+    "ts13_market_beta": 1.10, "j9_salted_join": 0.50,
 }
 
 

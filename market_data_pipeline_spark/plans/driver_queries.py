@@ -3436,6 +3436,164 @@ def ts11_forward_fill(spark, sf_dir):
     )
 
 
+# --- TS12/TS13: regression aggregates (trend, market beta) -------------------
+
+
+@query(
+    "ts12_linear_trend",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol,
+         CAST(trade_date - DATE '1970-01-01' AS DOUBLE) AS x,
+         close_price AS y
+  FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(regr_slope(y, x), 6) AS slope,
+       ROUND(regr_intercept(y, x), 6) AS intercept,
+       ROUND(regr_r2(y, x), 6) AS r2
+FROM sel GROUP BY symbol ORDER BY symbol""",
+)
+def ts12_linear_trend(spark, sf_dir):
+    """Per-symbol OLS price trend via the native regression aggregates
+    (regr_slope/intercept/r2 over epoch-day x): one hash aggregate on the
+    series key, no window pass, no UDF. Rounded to 6dp — regression
+    moments accumulate in engine-internal order (same rule as corr)."""
+    s = _ts_series(spark, sf_dir).select(
+        "symbol",
+        F.datediff(F.col("trade_date"), F.lit("1970-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("close_price").alias("y"),
+    )
+    return (
+        s.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "ts13_market_beta",
+    f"""WITH {PRICE_CTE},
+idx AS (
+  SELECT trade_date,
+         CAST(SUM(CAST(close_price AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(close_price) AS idx_close
+  FROM price WHERE close_price IS NOT NULL GROUP BY 1
+),
+idx_ret AS (
+  SELECT trade_date,
+         idx_close / lag(idx_close) OVER (ORDER BY trade_date) - 1.0 AS mkt_ret
+  FROM idx
+),
+stk AS (
+  SELECT symbol, trade_date,
+         close_price / lag(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0 AS ret
+  FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+)
+SELECT s.symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(regr_slope(s.ret, i.mkt_ret), 6) AS beta,
+       ROUND(regr_intercept(s.ret, i.mkt_ret), 6) AS alpha,
+       ROUND(corr(s.ret, i.mkt_ret), 6) AS mkt_corr
+FROM stk s JOIN idx_ret i USING (trade_date)
+WHERE s.ret IS NOT NULL AND i.mkt_ret IS NOT NULL
+GROUP BY s.symbol ORDER BY s.symbol""",
+)
+def ts13_market_beta(spark, sf_dir):
+    """CAPM-style market beta: each symbol's daily returns regressed on
+    an equal-weight whole-market index's returns. The index is one
+    groupBy over the full price frame (decimal-exact average); the
+    per-date index-return series is tiny, so the join back to stock
+    returns broadcasts. Beta/alpha/corr round to 6dp (moment
+    accumulation order is engine-internal)."""
+    price = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    from market_data_pipeline_spark.operators.analytics import exact_avg
+
+    idx = price.groupBy("trade_date").agg(
+        exact_avg(F.col("close_price")).alias("idx_close")
+    )
+    iw = Window.orderBy("trade_date")
+    # the index series is |dates| rows — single-partition window is fine
+    # AFTER the aggregate shrinks it; broadcast the result to the join
+    idx_ret = idx.select(
+        "trade_date",
+        (F.col("idx_close") / F.lag("idx_close").over(iw) - 1.0).alias("mkt_ret"),
+    ).filter(F.col("mkt_ret").isNotNull())
+    sw = Window.partitionBy("symbol").orderBy("trade_date")
+    stk = (
+        _ts_series(spark, sf_dir)
+        .select(
+            "symbol",
+            "trade_date",
+            (F.col("close_price") / F.lag("close_price").over(sw) - 1.0).alias(
+                "ret"
+            ),
+        )
+        .filter(F.col("ret").isNotNull())
+    )
+    joined = stk.join(F.broadcast(idx_ret), "trade_date")
+    return (
+        joined.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.regr_slope("ret", "mkt_ret"), 6).alias("beta"),
+            F.round(F.regr_intercept("ret", "mkt_ret"), 6).alias("alpha"),
+            F.round(F.corr("ret", "mkt_ret"), 6).alias("mkt_corr"),
+        )
+        .orderBy("symbol")
+    )
+
+
+# --- J9: salted skew join, oracle-checked ------------------------------------
+
+
+@query(
+    "j9_salted_join",
+    """SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1""",
+)
+def j9_salted_join(spark, sf_dir):
+    """The skew-salting escape hatch proven value-identical to the plain
+    equi-join it replaces: orders (the would-be hot side) salted across
+    8 buckets, customer replicated 8x, grouped to per-segment totals.
+    Deterministic salt (xxhash64 of the row, not rand()) keeps reruns
+    and stage retries shuffle-identical — which is exactly what makes
+    the result oracle-checkable."""
+    from market_data_pipeline_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, on=["custkey"], salt_buckets=8)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("segment")
+    )
+
+
 # --- DP1: table column profile -----------------------------------------------
 
 

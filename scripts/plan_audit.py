@@ -42,13 +42,55 @@ def audit_plan(df) -> dict:
         "scans": len(scans),
         "pushed_scans": len(pushed),
         # a partition-less Window / global non-top-k sort plans as an
-        # Exchange SinglePartition — the one-task scale-killer pattern
+        # Exchange SinglePartition — the one-task scale-killer pattern.
+        # explain("formatted") moves the partitioning to an "Arguments:"
+        # detail line, so match both renderings (the bare regex alone
+        # silently under-counted formatted plans).
         "single_partition_exchanges": len(
             re.findall(r"Exchange SinglePartition", p)
-        ),
+        )
+        + len(re.findall(r"Arguments: SinglePartition", p)),
+        # the REFINED scale signal: a SinglePartition exchange whose child
+        # is a partial aggregate merges ONE partial row per upstream
+        # partition — the canonical (and scale-safe) global-agg plan. One
+        # sitting on anything else funnels actual data rows through one
+        # task. Only the latter is a defect.
+        "unbounded_single_partition": _unbounded_single_partition(p),
         "max_read_cols": max(read_schemas, default=0),
         "codegen_spans": len(re.findall(r"WholeStageCodegen", p)),
     }
+
+
+def _unbounded_single_partition(p: str) -> int:
+    """Count SinglePartition exchanges whose tree child is NOT an
+    aggregate (see audit_plan). Parses the formatted-explain tree: node
+    ids whose detail block says ``Arguments: SinglePartition``, then the
+    first tree line below the exchange's with deeper indentation."""
+    sp_ids = {
+        int(m.group(1))
+        for m in re.finditer(
+            r"^\((\d+)\) Exchange\n(?:[^\n(]*\n)*?Arguments: SinglePartition",
+            p,
+            re.M,
+        )
+    }
+    if not sp_ids:
+        return 0
+    tree = []
+    for line in p.splitlines():
+        m = re.search(r"^(.*?)(\w[\w]*(?: \w+)*) \((\d+)\)$", line.rstrip())
+        if m:
+            prefix, name, nid = m.group(1), m.group(2), int(m.group(3))
+            tree.append((len(prefix), name, nid))
+    count = 0
+    for i, (indent, name, nid) in enumerate(tree):
+        if nid in sp_ids:
+            child = next(
+                (t for t in tree[i + 1 :] if t[0] > indent), None
+            )
+            if child is None or "Aggregate" not in child[1]:
+                count += 1
+    return count
 
 
 def main() -> None:

@@ -159,12 +159,16 @@ def test_tpch_q3_broadcasts_and_pushes(plans):
 
 
 def test_no_query_plans_a_single_partition_exchange(spark):
-    """Global invariant: NO registered query's plan may contain an
-    Exchange SinglePartition (the one-task global window/sort — the
-    canonical scale-killer). Global total orders must use range
-    partitioning or the offset-rank pattern instead. Streaming queries
-    (which execute on build) and driver-side helpers are exercised by
-    their own tests."""
+    """Global invariant: NO registered query may funnel UNBOUNDED data
+    through an Exchange SinglePartition (the one-task global window/sort
+    — the canonical scale-killer). Global total orders must use range
+    partitioning or the offset-rank pattern instead. SinglePartition
+    exchanges whose input is post-aggregation (one partial row per
+    upstream partition for global aggs, or a group-cardinality-bounded
+    frame) are the canonical plan for those shapes and are allowed — the
+    audit's ``unbounded_single_partition`` makes the distinction.
+    Streaming queries (which execute on build) and driver-side helpers
+    are exercised by their own tests."""
     from market_data_pipeline_spark.plans.driver_queries import QUERIES as ALL_Q
 
     offenders = {}
@@ -173,6 +177,6 @@ def test_no_query_plans_a_single_partition_exchange(spark):
             facts = audit_plan(fn(spark, SF_DIR))
         except Exception:
             continue  # streaming/memory-sink queries run on build
-        if facts["single_partition_exchanges"]:
-            offenders[name] = facts["single_partition_exchanges"]
-    assert not offenders, f"single-partition exchanges in: {offenders}"
+        if facts["unbounded_single_partition"]:
+            offenders[name] = facts["unbounded_single_partition"]
+    assert not offenders, f"unbounded single-partition exchanges in: {offenders}"
