@@ -3594,6 +3594,79 @@ def j9_salted_join(spark, sf_dir):
     )
 
 
+# --- U4: intersect -----------------------------------------------------------
+
+
+@query(
+    "u4_intersect_symbols",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}
+SELECT symbol FROM master WHERE is_active = 1
+INTERSECT
+SELECT DISTINCT symbol FROM price WHERE volume > 0
+ORDER BY symbol""",
+)
+def u4_intersect_symbols(spark, sf_dir):
+    """Set intersection (completes the set-ops family alongside relaxed
+    union U1/U2 and anti-diff U3): active master symbols that actually
+    traded. Spark plans INTERSECT as a left-semi join over distincts —
+    both sides shuffle once on the key."""
+    active = master_frame(spark, sf_dir).filter(F.col("is_active") == 1).select(
+        "symbol"
+    )
+    traded = (
+        price_frame(spark, sf_dir).filter(F.col("volume") > 0).select("symbol")
+    )
+    return active.intersect(traded).orderBy("symbol")
+
+
+# --- A11: deterministic mode per group ---------------------------------------
+
+
+@query(
+    "a11_modal_priority",
+    """WITH counts AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, priority AS modal_priority, n AS n_orders
+FROM (
+  SELECT segment, priority, n,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY n DESC, priority) AS rn
+  FROM counts)
+WHERE rn = 1
+ORDER BY segment""",
+)
+def a11_modal_priority(spark, sf_dir):
+    """Deterministic per-group mode (most frequent order priority per
+    segment; lowest value wins count ties — F.mode's tie behavior is
+    unspecified, so the count+argmax-window form is the hash-checkable
+    one). Two shuffles: the count aggregate and the per-group argmax."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("n"), "priority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "segment",
+            F.col("priority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+        .orderBy("segment")
+    )
+
+
 # --- DP1: table column profile -----------------------------------------------
 
 
