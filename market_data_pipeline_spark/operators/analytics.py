@@ -240,17 +240,22 @@ def latest_prices(price: DataFrame, master: DataFrame) -> DataFrame:
     """Most recent price row per symbol, with dim attributes.
 
     Decorrelates the reference's correlated scalar subquery
-    (reference: src/setup/setup_clickhouse.py:267-283 — J3) into one
-    per-symbol window: one shuffle on symbol instead of a rescan per row.
-    Ties on trade_date are impossible for the (symbol, trade_date)-keyed
-    table; the ordering is still made total for deterministic output.
+    (reference: src/setup/setup_clickhouse.py:267-283 — J3) into a
+    sort-free per-symbol argmax AGGREGATE (``max_by(col, trade_date)``)
+    rather than a row_number window: an aggregate combines map-side, so
+    the shuffle carries one partial row per (symbol, map partition)
+    instead of every price row, and no per-partition sort exists. Ties
+    on trade_date are impossible for the (symbol, trade_date)-keyed
+    table, so max_by is deterministic here.
     """
-    w = Window.partitionBy("symbol").orderBy(F.desc("trade_date"))
+    latest = price.groupBy("symbol").agg(
+        F.max("trade_date").alias("trade_date"),
+        F.max_by("close_price", "trade_date").alias("close_price"),
+        F.max_by("volume", "trade_date").alias("volume"),
+        F.max_by("amount", "trade_date").alias("amount"),
+    )
     return (
-        price.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .join(F.broadcast(master.select("symbol", "name", "market")), "symbol")
+        latest.join(F.broadcast(master.select("symbol", "name", "market")), "symbol")
         .orderBy("symbol")
     )
 
