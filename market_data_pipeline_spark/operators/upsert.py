@@ -47,11 +47,21 @@ def dedup_latest(
     ReplacingMergeTree keeps an arbitrary row among equal versions; we
     instead make the ordering total via ``tiebreak`` columns (desc) so
     replayed compactions are byte-identical (required for golden tests).
+
+    Executed as a sort-free ``max_by`` argmax aggregate over the
+    (version, tiebreaks...) struct — all orderings are DESC, so the
+    lexicographic struct max IS the window's first row. An aggregate
+    combines map-side: the merge shuffle carries one partial row per
+    (key, map partition) instead of every version, and no per-partition
+    sort exists — this is the compaction read path, where that
+    difference is the whole job.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    order = [F.desc(version_col)] + [F.desc(t) for t in (tiebreak or [])]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    ord_key = F.struct(F.col(version_col), *[F.col(t) for t in (tiebreak or [])])
+    aggs = [
+        F.max_by(c, ord_key).alias(c) for c in df.columns if c not in keys
+    ]
+    return df.groupBy(*keys).agg(*aggs).select(*df.columns)
 
 
 def apply_delistings(

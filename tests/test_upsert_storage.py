@@ -261,3 +261,19 @@ def test_compact_partition_selective(spark, tmp_path):
     assert len(jan) == 1 and jan[0].close_price == 2.0
     # read_current was already correct before and after (dedup-on-read)
     assert t.read_current().count() == 2
+
+
+def test_dedup_latest_keeps_winning_rows_nulls(spark):
+    """The argmax-aggregate form of dedup_latest must return the WINNING
+    row's values verbatim — including its NULLs (max_by must not fall
+    back to an older non-null value; delisting_date is legitimately NULL
+    on the newest master row)."""
+    from market_data_pipeline_spark.operators.upsert import dedup_latest
+
+    df = spark.createDataFrame(
+        [("A", 1, "old"), ("A", 2, None), ("B", 1, None), ("B", 2, "new")],
+        "symbol string, update_dt int, name string",
+    )
+    out = {r["symbol"]: (r["update_dt"], r["name"])
+           for r in dedup_latest(df, "symbol").collect()}
+    assert out == {"A": (2, None), "B": (2, "new")}
