@@ -351,6 +351,13 @@ def ivf_assign(
     that need vectors downstream (IVF probe, SemDeDup) don't re-join
     ``embeddings`` — that re-join scans the full vector column (the
     widest column in the table) a second time.
+
+    The argmax is a sort-free ``max_by`` aggregate over the
+    (cosine, -centroid_id) struct (DESC cosine, lowest-id tiebreak):
+    each input row's |centroids| scores are produced inside one map task,
+    so the map-side partial aggregation collapses the fan-out back to ONE
+    row per vector before anything shuffles — the row_number window form
+    exchanged all |V|x|C| scored rows first.
     Returns (id_col, centroid_id, cosine[, vec_col]).
     """
     c = centroids.select(
@@ -363,12 +370,16 @@ def ivf_assign(
     scored = embeddings.crossJoin(F.broadcast(c)).select(
         F.col(id_col), *carry, F.col(centroid_id_col), sim.alias("cosine")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.col(centroid_id_col))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    ord_key = F.struct(F.col("cosine"), (-F.col(centroid_id_col)).alias("_negc"))
+    aggs = [
+        F.max_by(centroid_id_col, ord_key).alias(centroid_id_col),
+        F.max("cosine").alias("cosine"),
+    ]
+    if keep_vec:
+        aggs.append(F.max_by(vec_col, ord_key).alias(vec_col))
+    out = scored.groupBy(id_col).agg(*aggs)
+    cols = [id_col, centroid_id_col, "cosine", *([vec_col] if keep_vec else [])]
+    return out.select(*cols)
 
 
 def kmeans_centroids(
@@ -605,14 +616,18 @@ def semantic_dedup(
     sim = cosine(F.col("_dvec"), F.col("_cvec"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("centroid_id"))
+    # sort-free argmax (see ivf_assign): map-side partials collapse the
+    # |V|x|centroids| fan-out to one row per vector before the shuffle
+    ord_key = F.struct(F.col("_sim"), (-F.col("centroid_id")).alias("_negc"))
     vecs = (
         embeddings.select(F.col(id_col), dd.alias("_dvec"))
         .crossJoin(F.broadcast(c))
         .select(F.col(id_col), F.col("_dvec"), F.col("centroid_id"), sim.alias("_sim"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col("_dvec"), F.col("centroid_id"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by("_dvec", ord_key).alias("_dvec"),
+            F.max_by("centroid_id", ord_key).alias("centroid_id"),
+        )
     )
 
     thr, rd = float(threshold), round_digits
