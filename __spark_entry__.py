@@ -118,6 +118,7 @@ _COST = {
     "ts11_forward_fill": 0.45, "st7_streaming_ingest_dedup": 1.50, "iv2_concurrent_sessions": 0.90, "ts12_linear_trend": 0.50,
     "ts13_market_beta": 1.10, "j9_salted_join": 0.50,
     "u4_intersect_symbols": 0.55, "a11_modal_priority": 0.50,
+    "tx11_lm_quality": 0.80,
 }
 
 

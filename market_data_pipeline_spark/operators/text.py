@@ -510,3 +510,41 @@ def domain_quota_sample(
         .filter(F.col("cum_size") <= budget)
         .select(key_col, group_col, size_col, "cum_size")
     )
+
+
+def lm_quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style LM filter
+    with the corpus itself as the LM): each document's mean token
+    log-probability under the corpus unigram distribution. Gibberish and
+    rare-token-heavy documents score low; boilerplate scores high —
+    filter both tails.
+
+    Shape mirrors :func:`tfidf_top_terms`: one explode, the (term)
+    frequency table built with map-side combine, the corpus total as a
+    broadcast 1-row aggregate, one per-doc aggregate. The exploded token
+    frame feeds two consumers (vocab and scoring), so it is
+    localCheckpointed once — at cluster scale a persist() of the same
+    frame. The mean rounds to 6dp (averaging order is engine-internal;
+    ln() ULP differences are far below that).
+    Returns (id_col, n_tokens, avg_logprob).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .localCheckpoint(eager=False)
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        toks.join(vocab, "term")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("freq") / F.col("_n").cast("double"))), 6
+            ).alias("avg_logprob"),
+        )
+    )

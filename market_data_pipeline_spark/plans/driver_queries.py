@@ -3594,6 +3594,36 @@ def j9_salted_join(spark, sf_dir):
     )
 
 
+# --- TX11: unigram-LM quality score ------------------------------------------
+
+
+@query(
+    "tx11_lm_quality",
+    r"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), t2 AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), vocab AS (
+  SELECT term, COUNT(*) AS freq FROM t2 GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n FROM t2
+)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(v.freq / CAST(t.n AS DOUBLE))), 6) AS avg_logprob
+FROM t2 d JOIN vocab v USING (term) CROSS JOIN tot t
+GROUP BY d.doc_id ORDER BY d.doc_id""",
+)
+def tx11_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality filter with the corpus unigram distribution
+    as the LM: mean token log-probability per document (low = gibberish /
+    rare-token-heavy, high = boilerplate; filter both tails)."""
+    return tx.lm_quality_score(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 # --- U4: intersect -----------------------------------------------------------
 
 
