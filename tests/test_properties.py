@@ -556,3 +556,88 @@ def test_decontaminate_matches_python_reference(spark, corpus_texts, bench_texts
         s = sh(t)
         ov = len(s & bset)
         assert got[i] == (len(s), ov, ov >= 2)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, lspans, rspans):
+    """Bucketed pair-once overlap join == the naive O(n^2) reference for
+    arbitrary minute-granularity intervals, including zero-length spans
+    and starts/ends exactly on bucket boundaries (minute offsets land on
+    the hour-bucket edges by construction)."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators.events import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(spans):
+        return [
+            (i, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + d))
+            for i, (s, d) in enumerate(spans)
+        ]
+
+    lrows, rrows = mk(lspans), mk(rspans)
+    left = spark.createDataFrame(lrows, "lid long, ls timestamp, le timestamp")
+    right = spark.createDataFrame(rrows, "rid long, rs timestamp, re timestamp")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket="1 hour"
+        ).collect()
+    )
+    expect = sorted(
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re in rrows
+        if ls <= re and rs <= le
+    )
+    assert got == expect
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       min_value=-1e6, max_value=1e6)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_forward_fill_matches_pandas_ffill(spark, values):
+    import datetime as dt
+
+    import pandas as pd
+
+    from market_data_pipeline_spark.operators.timeseries import forward_fill
+
+    base = dt.date(2020, 1, 1)
+    rows = [
+        ("S", base + dt.timedelta(days=i), v) for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, trade_date date, px double")
+    got = [
+        r["px_filled"]
+        for r in forward_fill(df, ["px"], order_col="trade_date")
+        .orderBy("trade_date")
+        .collect()
+    ]
+    expect = [None if pd.isna(v) else v for v in pd.Series(values).ffill()]
+    assert got == expect
