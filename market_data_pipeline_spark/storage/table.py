@@ -116,10 +116,13 @@ class ParquetTable:
     def upsert_absent(self, incoming: DataFrame) -> int:
         """Insert-if-absent append (reference:
         scripts/daily_stock_master_update.py:258-294). Returns inserted
-        row count."""
+        row count — on the bootstrap path (table did not exist) the count
+        comes from the freshly WRITTEN table's parquet footers, a
+        metadata-only job (the earlier -1 sentinel leaked into run
+        reports as a bogus "inserted: -1")."""
         if not self.exists():
             self.overwrite(incoming)
-            return -1
+            return self.read_current().count()
         new_rows = insert_if_absent(self.read_current(), incoming, self.key)
         # cache-free two-action pattern is fine: the anti-join is cheap
         # relative to a full write, and count() runs on the same plan

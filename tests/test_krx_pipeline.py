@@ -213,5 +213,5 @@ def test_fdr_feeds_daily_pipeline(spark, tmp_path):
     )
     master = stock_master_table(spark, str(tmp_path / "m"))
     n = PL.update_listed_stocks(master, src.fetch_all(markets=("KOSPI",)), now=NOW)
-    assert n == -1  # table created on first write
+    assert n == 1  # bootstrap write reports the real row count
     assert master.read_current().count() == 1

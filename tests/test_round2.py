@@ -150,7 +150,7 @@ def test_sync_new_listings_carries_industry(spark, tmp_path):
         RAW_NEW_LISTING,
     )
     inserted = sync_new_listings(master, raw, now=TS(2024, 3, 3))
-    assert inserted == -1  # fresh-table bootstrap (upsert_absent contract)
+    assert inserted == 1  # bootstrap reports the written row count
     row = master.read_current().collect()[0]
     assert row.industry == "전자부품"
     assert row.sector is None  # new-listing crawl has no sector source
