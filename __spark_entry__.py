@@ -119,6 +119,10 @@ _COST = {
     "ts13_market_beta": 1.10, "j9_salted_join": 0.50,
     "u4_intersect_symbols": 0.55, "a11_modal_priority": 0.50,
     "tx11_lm_quality": 0.80,
+    # round-3 second pass (estimates from sf0.01 oracle-check wall times)
+    "tx12_bm25": 0.60, "dd12_crossdoc_ngram": 0.90, "k6_knn_graph": 1.40,
+    "j10_bloom_semi_join": 0.55, "ts14_ewma": 0.60,
+    "mix2_temperature_resample": 0.35,
 }
 
 

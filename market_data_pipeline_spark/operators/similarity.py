@@ -666,3 +666,106 @@ def semantic_dedup(
         )
     )
     return out.withColumnRenamed("vec_id", id_col).orderBy(id_col)
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH: for every vector, its top-k most
+    cosine-similar OTHER vectors (the all-to-all companion of
+    :func:`knn_batch`, which broadcasts a small query set).
+
+    Blocked exact all-pairs, same harness as
+    :func:`cosine_near_dup_pairs`: B(B+1)/2 block-pair shuffle groups,
+    one numpy matmul per group. Instead of thresholded pairs, each group
+    emits every source row's top-k WITHIN the group (np.argpartition —
+    O(n) per row, not a sort); a per-source window over the ≤ B*k
+    surviving candidates picks the global top-k. Candidate volume is
+    rows×B×k, never rows² — the window's partition (one source id) is
+    B*k rows, so no skew. At 100 TB this exact form runs within IVF/LSH
+    cells; the global graph goes through :func:`knn_ivf`.
+
+    Ranking uses the ROUNDED cosine with neighbor-id tiebreak (BLAS
+    accumulation order differs from SQL's — rounding first makes the
+    order engine-independent). Returns (src_id, nbr_id, cosine,
+    rank<=k) ordered by (src_id, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    dd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = embeddings.select(F.col(id_col).alias("_id"), dd.alias("_dvec")).withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int",
+    )
+    sa = staged.join(F.broadcast(block_pairs), F.col("_blk") == F.col("ba")).select(
+        "ba", "bb", F.lit("a").alias("_side"), "_id", "_dvec"
+    )
+    sb = staged.join(F.broadcast(block_pairs), F.col("_blk") == F.col("bb")).select(
+        "ba", "bb", F.lit("b").alias("_side"), "_id", "_dvec"
+    )
+    both = sa.unionByName(sb)
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    rd, kk = round_digits, k
+
+    def topk_block(key, pdf: "pd.DataFrame"):
+        a_rows = pdf[pdf["_side"] == "a"]
+        b_rows = pdf[pdf["_side"] == "b"]
+        if a_rows.empty or b_rows.empty:
+            return pd.DataFrame({"src_id": [], "nbr_id": [], "cosine": []})
+        A = np.vstack(a_rows["_dvec"].to_numpy())
+        B = np.vstack(b_rows["_dvec"].to_numpy())
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        C = (A @ B.T) / np.outer(na, nb)
+        if rd is not None:
+            C = np.round(C, rd)
+        ia = a_rows["_id"].to_numpy()
+        ib = b_rows["_id"].to_numpy()
+        frames = []
+        # per-group top-k for BOTH directions (a rows see b candidates,
+        # b rows see a candidates); the diagonal group covers one side
+        # only and masks self-pairs
+        sides = [(C, ia, ib)]
+        if key[0] != key[1]:
+            sides.append((C.T, ib, ia))
+        for M, src, nbr in sides:
+            Mm = M.copy()
+            if key[0] == key[1]:
+                np.fill_diagonal(Mm, -np.inf)
+            take = min(kk, Mm.shape[1])
+            idx = np.argpartition(-Mm, take - 1, axis=1)[:, :take]
+            rows = np.repeat(np.arange(Mm.shape[0]), take)
+            cols = idx.ravel()
+            vals = Mm[rows, cols]
+            keep = np.isfinite(vals)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "src_id": src[rows[keep]],
+                        "nbr_id": nbr[cols[keep]],
+                        "cosine": vals[keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    candidates = both.groupBy("ba", "bb").applyInPandas(
+        topk_block, f"src_id {id_type}, nbr_id {id_type}, cosine double"
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.col("nbr_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("src_id", "rank")
+    )

@@ -548,3 +548,219 @@ def lm_quality_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 (the
+    full-text-relevance counterpart of :func:`tfidf_top_terms`;
+    Robertson/Sparck-Jones with the Lucene non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Scale shape: the exploded token stream is filtered to the query's
+    terms BEFORE the (doc, term) aggregation, so the shuffle carries only
+    matching tokens (a handful of terms out of the corpus vocabulary —
+    at 100 TB this is the difference between shuffling every token and
+    shuffling a sliver). Corpus size N and average document length come
+    from one 1-row aggregate over per-doc lengths, broadcast back; df per
+    query term aggregates the already-tiny (doc, term) frame.
+
+    Determinism: each term's contribution is rounded to 6 dp and summed
+    as scaled BIGINT micro-units — float addition is not associative, so
+    summing doubles across terms would be partition-order-dependent;
+    integer micro-unit sums are exact and order-free. Ranking uses the
+    rounded score with id tiebreak.
+    Returns (id_col, n_terms, score) ordered by (score desc, id) top-k.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("_toks"),
+    )
+    stats = staged.select(F.size("_toks").cast("long").alias("_dl")).agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    qlit = [t.lower() for t in query_terms]
+    # dl rides along as a grouping key (functionally dependent on the doc
+    # id, so cardinality is unchanged) — this avoids a second full-corpus
+    # frame of per-doc lengths that would otherwise need a shuffle join
+    # (it could never be broadcast: one row per document).
+    tf = (
+        staged.select(
+            F.col(id_col), F.size("_toks").cast("long").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .filter(F.col("term").isin(qlit))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_c",
+            F.round(
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+                ),
+                6,
+            ),
+        )
+        .withColumn("_c_micro", F.round(F.col("_c") * 1e6).cast("long"))
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        (F.sum("_c_micro") / 1e6).alias("score"),
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    # no global-window single task); the rounded score + id tiebreak makes
+    # the cutoff deterministic
+    return scored.select(id_col, "n_terms", "score").orderBy(
+        F.desc("score"), F.col(id_col)
+    ).limit(k)
+
+
+def crossdoc_ngram_stats(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-corpus n-gram duplication: for each document,
+    the fraction of its distinct word n-grams that also appear in at
+    least one OTHER document (the Gopher-style "duplicated n-gram"
+    contamination signal, measured across documents rather than within
+    one — complements repetition_stats, which is within-doc).
+
+    Shape: one scan -> per-doc DISTINCT n-gram set (array_distinct before
+    explode, so a gram repeated inside a doc costs one row) -> per-gram
+    doc-count aggregate -> join back -> per-doc ratio. The shuffle key is
+    ``xxhash64(gram)``, not the gram string: a 5-gram averages ~30 bytes
+    and the hash is 8 — at 100 TB that is a 4x shuffle-width cut. The
+    gram string itself never leaves the map side. (A 64-bit collision
+    would merge two grams' doc-counts; at 10^10 distinct grams the
+    expected number of colliding PAIRS is ~3 — noise for a quality
+    signal.)
+    Returns (id_col, n_grams, n_dup_grams, dup_frac) one row per doc with
+    at least one n-gram.
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("_toks") - n + 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+        )
+    )
+    exploded = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(F.col(id_col), F.explode(grams).alias("_gram"))
+        .select(F.col(id_col), F.xxhash64("_gram").alias("_gh"))
+        .localCheckpoint(eager=False)  # feeds both the per-gram doc-count
+        # aggregate and the join back; one materialization, two consumers
+    )
+    gram_docs = exploded.groupBy("_gh").agg(F.count(F.lit(1)).alias("_docs"))
+    return (
+        exploded.join(gram_docs, "_gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_docs") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6),
+        )
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    temperature: float = 2.0,
+    scale: float = 1.0,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "42",
+) -> DataFrame:
+    """Temperature-flattened domain mixing WITH replacement: resample so
+    group g's share moves from p_g to p_g^(1/T) / Σ p^(1/T) (T>1
+    upsamples small domains — the multilingual/multi-domain mixing rule
+    of mT5/XLM-R — T=1 is a no-op, scale rescales the whole corpus).
+
+    Every document in group g is emitted floor(m_g) times plus one more
+    with probability frac(m_g), decided by the same md5-uniform idiom as
+    :func:`weighted_sample` — deterministic, engine-independent, no
+    rand(). m_g = scale * (target share / current share).
+
+    Shape: one tiny group-count aggregate joined back (broadcast — the
+    group cardinality is domains, not documents), then a map-only
+    ``explode(sequence(1, n_copies))``. Σ p^(1/T) accumulates in scaled
+    BIGINT nano-units (float sums are order-dependent); m_g rounds to
+    6 dp so both engines floor/frac the same value.
+    Returns (key, group, copy_idx >= 1), copies adjacent by source key.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    total = counts.agg(F.sum("_gn").alias("_tot"))
+    invt = 1.0 / temperature
+    share = F.col("_gn") / F.col("_tot").cast("double")
+    powed = counts.join(F.broadcast(total)).withColumn(
+        "_pw", F.round(F.pow(share, F.lit(invt)), 9)
+    )
+    denom = powed.agg(
+        (F.sum(F.round(F.col("_pw") * 1e9).cast("long")) / 1e9).alias("_sumpw")
+    )
+    mult = (
+        powed.join(F.broadcast(denom))
+        .withColumn(
+            "_m",
+            F.round(
+                F.lit(scale) * (F.col("_pw") / F.col("_sumpw")) / share, 6
+            ),
+        )
+        .select(group_col, "_m")
+    )
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string")).cast("binary")
+    )
+    u = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") / F.lit(16777216.0)
+    n_copies = (
+        F.floor("_m").cast("long")
+        + (u < (F.col("_m") - F.floor("_m"))).cast("long")
+    )
+    return (
+        df.join(F.broadcast(mult), group_col)
+        .withColumn("_n", n_copies)
+        .select(
+            F.col(key_col),
+            F.col(group_col),
+            # sequence(1, 0) defaults to step -1 and yields [1, 0] — guard
+            # zero-copy rows to NULL, which explode drops
+            F.explode(
+                F.when(
+                    F.col("_n") >= 1,
+                    F.sequence(F.lit(1).cast("long"), F.col("_n")),
+                )
+            ).alias("copy_idx"),
+        )
+    )

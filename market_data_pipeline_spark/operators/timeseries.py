@@ -421,3 +421,121 @@ def forward_fill(
     for c in cols:
         out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str = "close_price",
+    alpha: float = 0.2,
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series exponentially weighted moving average (pandas
+    ``ewm(alpha, adjust=True)`` semantics):
+
+        ewma_i = sum_{j<=i} (1-a)^(i-j) x_j / sum_{j<=i} (1-a)^(i-j)
+
+    The recurrence looks inherently sequential, but it has a closed form
+    over prefix sums: with q = 1-a and r_i the 0-based row number,
+
+        num_i = q^{r_i} * sum_{j<=i} x_j q^{-r_j}
+        den_i = q^{r_i} * sum_{j<=i} q^{-r_j}
+
+    — two running window sums over the one per-series shuffle every other
+    indicator in this module shares; no UDF, no per-row Python.
+
+    Numerical range: q^{-r} overflows double past r ~ ln(1.8e308)/ln(1/q)
+    (~3.2k rows at a=0.2). Each series is therefore SEGMENTED into blocks
+    of ``_EWMA_BLOCK`` rows; within a block the exponent is bounded, and
+    the carry-in from earlier blocks is folded in exactly:
+    sum_{j<i} q^(i-j) x_j telescopes across the block boundary as
+    carry * q^(offset). Two window passes (block-local prefix, then a
+    per-series scan over ~rows/512 block partials) — still one shuffle.
+    The result is rounded (engines and the closed form differ from the
+    sequential recurrence at ULP level).
+    Returns df + (ewma) ordered naturally.
+    """
+    q = 1.0 - alpha
+    if q <= 0.0:
+        return df.withColumn("ewma", F.round(F.col(value_col).cast("double"), round_digits))
+    # q^-off must stay below double overflow (~1e308): cap the in-block
+    # exponent at 300 decimal orders of magnitude, block <= 512
+    import math as _math
+
+    block = max(16, min(512, int(300 / max(1e-9, -_math.log10(q)))))
+    w_all = Window.partitionBy(partition_col).orderBy(order_col)
+    rn = F.row_number().over(w_all) - 1
+    staged = df.withColumn("_rn", rn).withColumn(
+        "_blk", (F.col("_rn") / block).cast("long")
+    ).withColumn("_off", F.col("_rn") % block)
+
+    # block-local prefix sums with bounded exponents
+    w_blk = (
+        Window.partitionBy(partition_col, "_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(value_col).cast("double")
+    qoff = F.pow(F.lit(q), -F.col("_off"))
+    staged = staged.withColumn(
+        "_num_loc", F.pow(F.lit(q), F.col("_off")) * F.sum(x * qoff).over(w_blk)
+    ).withColumn(
+        "_den_loc", F.pow(F.lit(q), F.col("_off")) * F.sum(qoff).over(w_blk)
+    )
+
+    # per-block totals -> exclusive carry across blocks (tiny frame: one
+    # row per (series, block)); the carry into block B is
+    # sum_{blocks b<B} total_b * q^{(B-b)*block - trailing offsets}, which
+    # telescopes because block sizes are fixed: carry_B = (carry_{B-1} +
+    # total_{B-1}) * q^block
+    totals = staged.groupBy(partition_col, "_blk").agg(
+        F.max(F.when(F.col("_off") == block - 1, F.col("_num_loc"))).alias("_numt"),
+        F.max(F.when(F.col("_off") == block - 1, F.col("_den_loc"))).alias("_dent"),
+    )
+    # a partial final block never feeds a later block, so NULL totals are
+    # harmless; earlier blocks are always full (offset block-1 present)
+    w_carry = (
+        Window.partitionBy(partition_col)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # fold oldest-block-first: carry_B = sum_{m<B} t_m * q^{(B-1-m)*block}
+    # == num at the last row of block B-1; each step re-scales the
+    # accumulator by q^block, so exponents never exceed one block's range
+    qblock = float(q) ** block
+    carries = totals.withColumn(
+        "_carry_num",
+        F.coalesce(
+            F.aggregate(
+                F.collect_list("_numt").over(w_carry),
+                F.lit(0.0),
+                lambda acc, t: acc * F.lit(qblock) + t,
+            ),
+            F.lit(0.0),
+        ),
+    ).withColumn(
+        "_carry_den",
+        F.coalesce(
+            F.aggregate(
+                F.collect_list("_dent").over(w_carry),
+                F.lit(0.0),
+                lambda acc, t: acc * F.lit(qblock) + t,
+            ),
+            F.lit(0.0),
+        ),
+    ).select(partition_col, "_blk", "_carry_num", "_carry_den")
+
+    out = (
+        staged.join(carries, [partition_col, "_blk"])
+        .withColumn(
+            "ewma",
+            F.round(
+                (F.col("_num_loc") + F.col("_carry_num") * F.pow(F.lit(q), F.col("_off") + 1))
+                / (F.col("_den_loc") + F.col("_carry_den") * F.pow(F.lit(q), F.col("_off") + 1)),
+                round_digits,
+            ),
+        )
+        .drop("_rn", "_blk", "_off", "_num_loc", "_den_loc", "_carry_num", "_carry_den")
+    )
+    return out

@@ -3738,6 +3738,206 @@ def dp1_profile_lineitem(spark, sf_dir):
     return profile_columns(li, ["l_orderkey", "l_returnflag", "l_shipdate"])
 
 
+# ===========================================================================
+# Round-3 second pass: full-text relevance (BM25), cross-document n-gram
+# contamination, the exact kNN graph, bloom-pruned semi-join, segmented-scan
+# EWMA, temperature-flattened domain resampling.
+# ===========================================================================
+
+_BM25_TERMS = ["customer", "vector", "stream", "window"]
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "tx12_bm25",
+    rf"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS t
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+  WHERE term IN ({_BM25_IN}) GROUP BY 1, 2, 3
+), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(ROUND(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) * 1e6)
+           AS BIGINT) AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, SUM(c) / 1e6 AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def tx12_bm25(spark, sf_dir):
+    """Top-10 documents for a bag-of-words query under BM25. The token
+    stream is filtered to the query's terms BEFORE the shuffle; the
+    per-term contributions sum as scaled-BIGINT micro-units (order-free)
+    — see operators.text.bm25_rank."""
+    return tx.bm25_rank(
+        load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=10, k1=1.2, b=0.75
+    )
+
+
+@query(
+    "dd12_crossdoc_ngram",
+    r"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, s, s + 4), ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 5 + 2)) AS s
+        FROM toks WHERE len(t) >= 5)
+), gd AS (SELECT gram, COUNT(*) AS docs FROM grams GROUP BY 1)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN gd.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       ROUND(CAST(SUM(CASE WHEN gd.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM grams g JOIN gd USING (gram)
+GROUP BY 1 ORDER BY doc_id""",
+)
+def dd12_crossdoc_ngram(spark, sf_dir):
+    """Per-doc fraction of distinct 5-grams shared with another document
+    (cross-corpus contamination signal). The shuffle key is the 64-bit
+    gram hash, never the gram string — see operators.text.crossdoc_ngram_stats."""
+    return tx.crossdoc_ngram_stats(load_table(spark, sf_dir, "documents"), n=5).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "k6_knn_graph",
+    f"""SELECT src_id, nbr_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rank
+FROM (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+QUALIFY rank <= 5
+ORDER BY src_id, rank""",
+)
+def k6_knn_graph(spark, sf_dir):
+    """Exact 5-NN graph over the corpus: blocked all-pairs matmul with
+    per-block top-k (argpartition), then a bounded (B*k rows per source)
+    global window — see operators.similarity.knn_graph."""
+    return similarity.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
+    "j10_bloom_semi_join",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 2500)
+GROUP BY 1 ORDER BY 1""",
+)
+def j10_bloom_semi_join(spark, sf_dir):
+    """Fact filtered by a dim key set too big to IN-list: bloom bitmap
+    (built by distributed bit_or, collected as num_bits/64 longs) prunes
+    the scan map-side; an exact semi-join removes false positives, so
+    the result is exactly the semi-join — see operators.bloom."""
+    from market_data_pipeline_spark.operators import bloom
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 2500)
+    joined = bloom.bloom_semi_join(
+        li, "l_suppkey", sup, "s_suppkey", num_bits=1 << 17, num_hashes=5
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_EWMA_IN = ", ".join(f"'{s}'" for s in RETURN_SYMBOLS)
+
+
+@query(
+    "ts14_ewma",
+    f"""WITH {PRICE_CTE}, r AS (
+  SELECT symbol, trade_date, close_price,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS rn
+  FROM price WHERE symbol IN ({_EWMA_IN})
+)
+SELECT symbol, trade_date, close_price,
+       ROUND(
+         SUM(close_price * pow(0.8, -rn)) OVER (
+           PARTITION BY symbol ORDER BY trade_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / SUM(pow(0.8, -rn)) OVER (
+           PARTITION BY symbol ORDER BY trade_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS ewma
+FROM r ORDER BY symbol, trade_date""",
+)
+def ts14_ewma(spark, sf_dir):
+    """Per-symbol EWMA (pandas adjust=True semantics) as a segmented
+    prefix scan — closed form over window sums, blocks of 512 rows to
+    bound the q^-r exponent, carries folded exactly across blocks; no
+    UDF, one shuffle — see operators.timeseries.ewma. (The oracle's
+    direct closed form is overflow-safe only at oracle scale; the
+    segmented form is the 100 TB shape.)"""
+    from market_data_pipeline_spark.operators import timeseries as ts_ops
+
+    prices = price_frame(spark, sf_dir, RETURN_SYMBOLS).select(
+        "symbol", "trade_date", "close_price"
+    )
+    return ts_ops.ewma(prices, alpha=0.2, round_digits=4).orderBy(
+        "symbol", "trade_date"
+    )
+
+
+@query(
+    "mix2_temperature_resample",
+    """WITH counts AS (SELECT source, COUNT(*) AS gn FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(gn) AS BIGINT) AS tot FROM counts),
+powed AS (
+  SELECT source, gn, ROUND(pow(gn / CAST(tot AS DOUBLE), 0.5), 9) AS pw
+  FROM counts CROSS JOIN tot
+),
+denom AS (
+  SELECT SUM(CAST(ROUND(pw * 1e9) AS BIGINT)) / 1e9 AS sumpw FROM powed
+),
+mult AS (
+  SELECT source,
+         ROUND(1.0 * (pw / sumpw) / (gn / CAST(tot AS DOUBLE)), 6) AS m
+  FROM powed CROSS JOIN tot CROSS JOIN denom
+),
+sized AS (
+  SELECT d.doc_id, d.source,
+         CAST(FLOOR(m) AS BIGINT)
+           + CASE WHEN CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+                        AS BIGINT) / 16777216.0 < m - FLOOR(m)
+                  THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN mult USING (source)
+)
+SELECT doc_id, source, unnest(generate_series(1, n)) AS copy_idx
+FROM sized ORDER BY doc_id, copy_idx""",
+)
+def mix2_temperature_resample(spark, sf_dir):
+    """Temperature-flattened (T=2) domain resampling with replacement:
+    deterministic md5-uniform fractional copies, map-only explode after
+    a broadcast of per-domain multipliers — see
+    operators.text.temperature_resample."""
+    return tx.temperature_resample(
+        load_table(spark, sf_dir, "documents"), temperature=2.0, scale=1.0
+    ).orderBy("doc_id", "copy_idx")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -1,0 +1,209 @@
+"""Round-3 second-pass operators: BM25, cross-doc n-grams, kNN graph,
+bloom semi-join, segmented EWMA, temperature resampling."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import bloom, similarity
+from market_data_pipeline_spark.operators.text import (
+    bm25_rank,
+    crossdoc_ngram_stats,
+    temperature_resample,
+)
+from market_data_pipeline_spark.operators.timeseries import ewma
+
+
+# --- EWMA -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("alpha", [0.1, 0.5, 0.9])
+def test_ewma_matches_pandas_across_block_boundaries(spark, alpha):
+    rng = np.random.default_rng(11)
+    rows = []
+    for sym, n in [("A", 1300), ("B", 700), ("C", 3)]:  # spans 512-blocks
+        for i in range(n):
+            rows.append((sym, i, float(np.round(rng.uniform(1, 1000), 2))))
+    pdf = pd.DataFrame(rows, columns=["symbol", "trade_date", "close_price"])
+    out = (
+        ewma(spark.createDataFrame(pdf), alpha=alpha)
+        .toPandas()
+        .sort_values(["symbol", "trade_date"])
+        .reset_index(drop=True)
+    )
+    exp = pdf.groupby("symbol", group_keys=False)["close_price"].apply(
+        lambda s: s.ewm(alpha=alpha, adjust=True).mean()
+    )
+    pdf["exp"] = exp
+    merged = out.merge(pdf, on=["symbol", "trade_date"], suffixes=("", "_p"))
+    assert len(merged) == len(pdf)
+    assert (merged["ewma"] - merged["exp"].round(6)).abs().max() < 2e-6
+
+
+def test_ewma_single_row_series(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 10.0)], "symbol string, trade_date int, close_price double"
+    )
+    [r] = ewma(df, alpha=0.3).collect()
+    assert r["ewma"] == 10.0
+
+
+# --- Bloom semi-join --------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    dim = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    keys = set(r["k"] for r in dim.collect())
+    bitmap = bloom.build_bloom(dim, "k", num_bits=1 << 14, num_hashes=5)
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    hits = probe.filter(
+        bloom.bloom_might_contain(F.col("k"), bitmap, 1 << 14, 5)
+    ).collect()
+    hit_keys = set(r["k"] for r in hits)
+    present = {k for k in keys if k < 5000}
+    assert present <= hit_keys  # no false negatives
+    fp = len(hit_keys - present) / (5000 - len(present))
+    assert fp < 0.05  # 16384 bits / 500 keys ~ 32 bits/key -> way under 5%
+
+
+def test_bloom_semi_join_is_exact(spark, sf_dir):
+    from market_data_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 2500)
+    got = bloom.bloom_semi_join(li, "l_suppkey", sup, "s_suppkey", num_bits=1 << 12)
+    exp = li.join(
+        sup.select(F.col("s_suppkey").alias("l_suppkey")).distinct(),
+        "l_suppkey",
+        "left_semi",
+    )
+    assert got.count() == exp.count()
+    assert got.select(F.sum("l_orderkey")).first()[0] == exp.select(
+        F.sum("l_orderkey")
+    ).first()[0]
+
+
+# --- kNN graph --------------------------------------------------------------
+
+
+def test_knn_graph_matches_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 8)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["src_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in similarity.knn_graph(df, k=3, n_blocks=4).collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    C = np.round((vecs @ vecs.T) / np.outer(norms, norms), 6)
+    np.fill_diagonal(C, -np.inf)
+    for i in range(60):
+        # expected order: cosine desc, id asc tiebreak
+        order = sorted(range(60), key=lambda j: (-C[i, j], j))[:3]
+        for rank, j in enumerate(order, start=1):
+            nbr, cos = got[(i, rank)]
+            assert nbr == j and abs(cos - C[i, j]) < 1e-9
+    assert len(got) == 180
+
+
+# --- BM25 -------------------------------------------------------------------
+
+
+def test_bm25_against_python_reference(spark):
+    docs = [
+        (0, "spark window join window window"),
+        (1, "customer vector"),
+        (2, "the quick fox"),
+        (3, "vector vector vector spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bm25_rank(df, ["window", "vector"], k=10).collect()}
+
+    toks = {d: t.split() for d, t in docs}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    dfreq = {
+        q: sum(1 for t in toks.values() if q in t) for q in ["window", "vector"]
+    }
+    k1, b = 1.2, 0.75
+    for d, t in toks.items():
+        contribs = []
+        for q in ["window", "vector"]:
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (N - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            contribs.append(round(round(c, 6) * 1e6))
+        if not contribs:
+            assert d not in out
+            continue
+        assert out[d]["n_terms"] == len(contribs)
+        assert abs(out[d]["score"] - sum(contribs) / 1e6) < 1e-9
+
+
+# --- cross-document n-gram stats -------------------------------------------
+
+
+def test_crossdoc_ngram_stats_reference(spark):
+    docs = [
+        (0, "a b c d e f"),          # grams: abcde bcdef
+        (1, "a b c d e x"),          # grams: abcde bcdex -> shares abcde with 0
+        (2, "p q r s t"),            # gram: pqrst unique
+        (3, "too short"),            # no 5-gram -> absent from output
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in crossdoc_ngram_stats(df, n=5).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_grams"] == 2 and out[0]["n_dup_grams"] == 1
+    assert out[0]["dup_frac"] == 0.5
+    assert out[1]["n_grams"] == 2 and out[1]["n_dup_grams"] == 1
+    assert out[2]["n_grams"] == 1 and out[2]["n_dup_grams"] == 0
+
+
+def test_crossdoc_ngram_within_doc_repeat_counts_once(spark):
+    # the same gram repeated INSIDE one doc is not a cross-doc dup
+    df = spark.createDataFrame(
+        [(0, "a b c d e a b c d e"), (1, "z z z z z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in crossdoc_ngram_stats(df, n=5).collect()}
+    assert out[0]["n_dup_grams"] == 0  # distinct grams, none shared with doc 1
+    assert out[1]["n_grams"] == 1  # 'z z z z z' once, array_distinct collapses
+
+
+# --- temperature resampling -------------------------------------------------
+
+
+def test_temperature_resample_flattens_shares(spark):
+    rows = [(i, "big") for i in range(900)] + [(i + 900, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, temperature=2.0, scale=1.0)
+    shares = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(shares.values())
+    # T=2 targets sqrt-flattened shares: 0.9 -> .9487/(.9487+.3162)=0.75
+    assert shares["small"] / total == pytest.approx(0.25, abs=0.02)
+    assert shares["big"] / total == pytest.approx(0.75, abs=0.02)
+    # T=1 is a no-op (m == 1 for every group)
+    noop = temperature_resample(df, temperature=1.0, scale=1.0)
+    assert noop.count() == 1000
+    assert noop.select(F.max("copy_idx")).first()[0] == 1
+
+
+def test_temperature_resample_deterministic(spark):
+    rows = [(i, f"s{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(map(tuple, temperature_resample(df, 4.0).collect()))
+    b = sorted(map(tuple, temperature_resample(df, 4.0).collect()))
+    assert a == b
