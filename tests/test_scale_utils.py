@@ -170,3 +170,76 @@ def test_minhash_lsh_bucket_cap_drops_viral_band(spark):
         minhash_lsh_pairs(docs, num_hashes=16, bands=4, max_bucket_size=10).count()
         == 0
     )
+
+
+def _rowgroups_touched(path, col, lo, hi):
+    """Count parquet row groups whose [min, max] stats intersect [lo, hi]
+    — what a stats-pruning scan would actually read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = touched = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == col:
+                    total += 1
+                    st = c.statistics
+                    if st is None or (st.min <= hi and st.max >= lo):
+                        touched += 1
+    return touched, total
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    from market_data_pipeline_spark.storage.table import zorder_write
+
+    # two independent uniform dimensions; a 1-D sort can only prune one
+    df = (
+        spark.range(0, 40000)
+        .select(
+            (F.xxhash64("id") % 1000).alias("x"),
+            (F.xxhash64("id", F.lit(1)) % 1000).alias("y"),
+        )
+    )
+    zpath = str(tmp_path / "zordered")
+    xpath = str(tmp_path / "xsorted")
+    zorder_write(df, zpath, ["x", "y"], bits=6, num_files=64)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    # point-ish range on each dimension: 5% of the value domain
+    for col in ("x", "y"):
+        zt, ztot = _rowgroups_touched(zpath, col, -500, -451)
+        assert ztot > 0
+        # z-clustering must prune MOST row groups on EITHER dimension
+        assert zt / ztot < 0.5, f"{col}: z-order touched {zt}/{ztot}"
+    xt_x, xtot = _rowgroups_touched(xpath, "x", -500, -451)
+    xt_y, _ = _rowgroups_touched(xpath, "y", -500, -451)
+    assert xt_x / xtot < 0.3          # 1-D sort prunes its own column...
+    assert xt_y / xtot > 0.9          # ...and nothing on the other
+    # and the whole point: z-order beats 1-D sort on the second dimension
+    zt_y, ztot_y = _rowgroups_touched(zpath, "y", -500, -451)
+    assert zt_y / ztot_y < xt_y / xtot
+
+
+def test_zvalue_interleaves_bits(spark):
+    from market_data_pipeline_spark.storage.table import zvalue
+
+    df = spark.createDataFrame([(0.0, 0.0), (3.0, 0.0), (0.0, 3.0)], "x double, y double")
+    # boundaries put 0..3 into buckets 0..3 (bits=2)
+    b = {"x": [1.0, 2.0, 3.0], "y": [1.0, 2.0, 3.0]}
+    out = [
+        r["z"]
+        for r in df.select(zvalue(["x", "y"], bits=2, boundaries=b).alias("z")).collect()
+    ]
+    # (x=0,y=0)->0; (x=3,y=0)-> bits of 3 on even positions = 0b0101 = 5;
+    # (x=0,y=3)-> odd positions = 0b1010 = 10
+    assert out == [0, 5, 10]
