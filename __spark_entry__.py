@@ -122,7 +122,8 @@ _COST = {
     # round-3 second pass (estimates from sf0.01 oracle-check wall times)
     "tx12_bm25": 0.60, "dd12_crossdoc_ngram": 0.90, "k6_knn_graph": 1.40,
     "j10_bloom_semi_join": 0.55, "ts14_ewma": 0.60,
-    "mix2_temperature_resample": 0.35,
+    "mix2_temperature_resample": 0.35, "e7_cumulative_users": 0.50,
+    "ts15_calendar_fill": 0.60, "iv3_nearest_event": 0.70,
 }
 
 

@@ -268,3 +268,111 @@ def interval_overlap_join(
     if extra_condition is not None:
         cond = cond & extra_condition
     return l.join(r, [*keys, "_bk"]).filter(cond).drop("_bk")
+
+
+def cumulative_distinct_users(
+    df: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily cumulative distinct-user counts per event type ("users to
+    date" growth curves).
+
+    The naive form — COUNT(DISTINCT user) OVER (ORDER BY day) — holds
+    every user id in window state and reprocesses the full id set per
+    day; it does not scale and Spark (rightly) refuses DISTINCT in
+    windows. The scalable rewrite: a user contributes to the running
+    count exactly once, at their FIRST day — so aggregate min(day) per
+    (type, user) (one shuffle, map-combined), count first-appearances
+    per day, and running-sum those per-day counts over the bounded
+    (type, day) grid. Days with activity but no new users appear with
+    new_users=0.
+    Returns (event_type, day, new_users, cum_users).
+    """
+    day = F.to_date(F.col(ts_col))
+    days = df.select(F.col(type_col), day.alias("day")).distinct()
+    firsts = (
+        df.select(F.col(type_col), F.col(user_col), day.alias("day"))
+        .groupBy(type_col, user_col)
+        .agg(F.min("day").alias("first_day"))
+        .groupBy(type_col, F.col("first_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        days.join(firsts, [type_col, "day"], "left")
+        .withColumn("new_users", F.coalesce(F.col("new_users"), F.lit(0)).cast("long"))
+        .withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
+    )
+
+
+def nearest_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_id_col: str = "event_id",
+) -> DataFrame:
+    """NEAREST-neighbor as-of join: for each left event, the closest
+    right event timestamp for the same key in EITHER direction (the
+    sensor-fusion/attribution variant of the backward-only as-of join in
+    operators.timeseries.asof_join).
+
+    Same union trick as the as-of join, run both ways in ONE pass: union
+    tagged left/right rows, sort per key, take the running
+    last-non-null right ts (nearest before) and the reversed-frame
+    first-non-null (nearest after), pick the closer (ties -> earlier).
+    One shuffle on the key; never a range nested-loop (the theta-join
+    form materializes |L|x|R| pairs per key). The right side is
+    deduped to distinct (key, ts) so window order is total and the
+    result deterministic.
+    Returns left keys + (left_id, ts as left_ts, nearest_ts,
+    diff_us >= 0 or NULL when the key has no right rows).
+    """
+    lt = left.select(
+        F.col(key_col), F.col(left_id_col).alias("_lid"), F.col(ts_col).alias("_lts"),
+        F.lit(None).cast("timestamp").alias("_rts"),
+    )
+    rt = right.select(F.col(key_col), F.col(ts_col).alias("_rts")).distinct().select(
+        F.col(key_col), F.lit(None).cast("long").alias("_lid"),
+        F.lit(None).cast("timestamp").alias("_lts"), F.col("_rts"),
+    )
+    both = lt.unionByName(rt)
+    # right rows sort before left rows at the same instant (_is_l), so a
+    # same-timestamp right event is visible as "before" with diff 0
+    order = [F.col("_ts_sort"), F.col("_is_l"), F.col("_rts")]
+    staged = both.withColumn(
+        "_ts_sort", F.coalesce(F.col("_lts"), F.col("_rts"))
+    ).withColumn("_is_l", F.col("_lid").isNotNull().cast("int"))
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    scored = (
+        staged.withColumn("_prev", F.last("_rts", ignorenulls=True).over(w_prev))
+        .withColumn("_next", F.first("_rts", ignorenulls=True).over(w_next))
+        .filter(F.col("_lid").isNotNull())
+    )
+    d_prev = F.unix_micros(F.col("_lts")) - F.unix_micros(F.col("_prev"))
+    d_next = F.unix_micros(F.col("_next")) - F.unix_micros(F.col("_lts"))
+    pick_prev = F.col("_next").isNull() | (
+        F.col("_prev").isNotNull() & (d_prev <= d_next)
+    )
+    return scored.select(
+        F.col(key_col),
+        F.col("_lid").alias("left_id"),
+        F.col("_lts").alias("left_ts"),
+        F.when(pick_prev, F.col("_prev")).otherwise(F.col("_next")).alias("nearest_ts"),
+        F.when(pick_prev, d_prev).otherwise(d_next).alias("diff_us"),
+    )

@@ -539,3 +539,49 @@ def ewma(
         .drop("_rn", "_blk", "_off", "_num_loc", "_den_loc", "_carry_num", "_carry_den")
     )
     return out
+
+
+def calendar_fill(
+    df: DataFrame,
+    value_cols: list[str],
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """Upsample each series onto a dense daily calendar (its own
+    [min, max] date span) and forward-fill the value columns — the
+    gap-repair that turns trading-day series into calendar-day series
+    for joins against daily reference data.
+
+    The calendar is generated distributed: one tiny per-series min/max
+    aggregate, then ``explode(sequence(min, max, 1 day))`` — a map-side
+    fan-out, no driver-side date loop, no cross join against a global
+    calendar table (which would need a filter per series anyway). The
+    observed rows join back on (series, day) and ffill runs on the same
+    key partitioning — one logical shuffle chain on the series key.
+    Returns (series, day, <value_cols> filled, is_observed).
+    """
+    spans = df.groupBy(partition_col).agg(
+        F.min(order_col).alias("_d0"), F.max(order_col).alias("_d1")
+    )
+    calendar = spans.select(
+        F.col(partition_col),
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("interval 1 day"))
+        ).alias(order_col),
+    )
+    observed = df.select(
+        F.col(partition_col), F.col(order_col),
+        *[F.col(c) for c in value_cols], F.lit(1).alias("_obs"),
+    )
+    joined = calendar.join(observed, [partition_col, order_col], "left")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.withColumn(
+        "is_observed", F.coalesce(F.col("_obs"), F.lit(0)).cast("int")
+    ).drop("_obs")

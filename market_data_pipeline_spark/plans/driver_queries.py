@@ -3938,6 +3938,104 @@ def mix2_temperature_resample(spark, sf_dir):
     ).orderBy("doc_id", "copy_idx")
 
 
+@query(
+    "e7_cumulative_users",
+    """WITH days AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+), firsts AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS new_users FROM (
+    SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+    FROM events GROUP BY 1, 2)
+  GROUP BY 1, 2
+)
+SELECT d.event_type, d.day,
+       CAST(COALESCE(f.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(f.new_users, 0)) OVER (
+         PARTITION BY d.event_type ORDER BY d.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM days d LEFT JOIN firsts f USING (event_type, day)
+ORDER BY 1, 2""",
+)
+def e7_cumulative_users(spark, sf_dir):
+    """Users-to-date growth curve per event type. COUNT(DISTINCT) OVER
+    is the unscalable form; this is the first-appearance rewrite (one
+    map-combined aggregate + a running sum over the bounded day grid) —
+    see operators.events.cumulative_distinct_users."""
+    return ev.cumulative_distinct_users(load_table(spark, sf_dir, "events")).orderBy(
+        "event_type", "day"
+    )
+
+
+_CAL_IN = ", ".join(f"'{s}'" for s in STOCK_SYMBOLS)
+
+
+@query(
+    "ts15_calendar_fill",
+    f"""WITH {PRICE_CTE},
+spans AS (
+  SELECT symbol, MIN(trade_date) AS d0, MAX(trade_date) AS d1
+  FROM price WHERE symbol IN ({_CAL_IN}) GROUP BY 1
+), cal AS (
+  SELECT symbol,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS trade_date
+  FROM spans
+)
+SELECT c.symbol, c.trade_date,
+       last_value(p.close_price IGNORE NULLS) OVER (
+         PARTITION BY c.symbol ORDER BY c.trade_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_price,
+       CAST(CASE WHEN p.symbol IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         AS is_observed
+FROM cal c LEFT JOIN price p USING (symbol, trade_date)
+ORDER BY 1, 2""",
+)
+def ts15_calendar_fill(spark, sf_dir):
+    """Dense-calendar upsampling with forward fill: per-series
+    min/max span -> explode(sequence(...)) calendar (distributed, no
+    driver date loop) -> left join observed -> LOCF window — see
+    operators.timeseries.calendar_fill."""
+    from market_data_pipeline_spark.operators import timeseries as ts_ops
+
+    prices = price_frame(spark, sf_dir, STOCK_SYMBOLS).select(
+        "symbol", "trade_date", "close_price"
+    )
+    return ts_ops.calendar_fill(prices, ["close_price"]).orderBy(
+        "symbol", "trade_date"
+    )
+
+
+@query(
+    "iv3_nearest_event",
+    """WITH l AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT user_id, left_id, left_ts, nearest_ts, diff_us FROM (
+  SELECT l.user_id, l.event_id AS left_id, l.ts AS left_ts,
+         r.ts AS nearest_ts,
+         abs(date_diff('microsecond', r.ts, l.ts)) AS diff_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.event_id
+           ORDER BY abs(date_diff('microsecond', r.ts, l.ts)), r.ts) AS rn
+  FROM l LEFT JOIN r USING (user_id)
+)
+WHERE rn = 1 ORDER BY left_id""",
+)
+def iv3_nearest_event(spark, sf_dir):
+    """Nearest-in-time join (either direction): closest error to each
+    click per user, one union-window pass, one shuffle on the key —
+    never the |L|x|R| theta join (which the sf-scale oracle runs) — see
+    operators.events.nearest_event_join."""
+    events = load_table(spark, sf_dir, "events")
+    out = ev.nearest_event_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "error"),
+    )
+    return out.orderBy("left_id")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -207,3 +207,95 @@ def test_temperature_resample_deterministic(spark):
     a = sorted(map(tuple, temperature_resample(df, 4.0).collect()))
     b = sorted(map(tuple, temperature_resample(df, 4.0).collect()))
     assert a == b
+
+
+# --- cumulative distinct users ----------------------------------------------
+
+
+def test_cumulative_distinct_users_reference(spark):
+    from market_data_pipeline_spark.operators.events import cumulative_distinct_users
+
+    rows = [
+        # (user, type, day)
+        (1, "a", "2024-01-01"), (2, "a", "2024-01-01"),
+        (1, "a", "2024-01-02"),                      # no new users that day
+        (3, "a", "2024-01-03"), (1, "b", "2024-01-02"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, f"{d} 12:00:00") for u, t, d in rows],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["event_type"], str(r["day"])): (r["new_users"], r["cum_users"])
+        for r in cumulative_distinct_users(df).collect()
+    }
+    assert out[("a", "2024-01-01")] == (2, 2)
+    assert out[("a", "2024-01-02")] == (0, 2)
+    assert out[("a", "2024-01-03")] == (1, 3)
+    assert out[("b", "2024-01-02")] == (1, 1)
+
+
+# --- calendar fill ----------------------------------------------------------
+
+
+def test_calendar_fill_dense_and_locf(spark):
+    from market_data_pipeline_spark.operators.timeseries import calendar_fill
+
+    df = spark.createDataFrame(
+        [("A", "2024-01-01", 10.0), ("A", "2024-01-04", 40.0),
+         ("B", "2024-02-01", 5.0)],
+        "symbol string, trade_date string, close_price double",
+    ).withColumn("trade_date", F.to_date("trade_date"))
+    out = calendar_fill(df, ["close_price"]).collect()
+    a = sorted(
+        [(str(r["trade_date"]), r["close_price"], r["is_observed"])
+         for r in out if r["symbol"] == "A"]
+    )
+    assert a == [
+        ("2024-01-01", 10.0, 1), ("2024-01-02", 10.0, 0),
+        ("2024-01-03", 10.0, 0), ("2024-01-04", 40.0, 1),
+    ]
+    b = [r for r in out if r["symbol"] == "B"]
+    assert len(b) == 1 and b[0]["is_observed"] == 1
+
+
+# --- nearest-event join -----------------------------------------------------
+
+
+def test_nearest_event_join_both_directions(spark):
+    from market_data_pipeline_spark.operators.events import nearest_event_join
+
+    def ts(s):
+        return f"2024-01-01 00:00:{s:02d}"
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(10)), (1, 101, ts(30)), (2, 200, ts(5))],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, ts(12)), (1, ts(27)), (3, ts(0))],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["left_id"]: r for r in nearest_event_join(left, right).collect()}
+    # click@10: nearest is 12 (after, 2s) vs none before -> 12
+    assert str(out[100]["nearest_ts"]).endswith("00:00:12")
+    assert out[100]["diff_us"] == 2_000_000
+    # click@30: 27 (before, 3s) beats nothing after -> 27
+    assert str(out[101]["nearest_ts"]).endswith("00:00:27")
+    assert out[101]["diff_us"] == 3_000_000
+    # user 2 has no right rows -> NULLs retained
+    assert out[200]["nearest_ts"] is None and out[200]["diff_us"] is None
+
+
+def test_nearest_event_join_tie_prefers_earlier(spark):
+    from market_data_pipeline_spark.operators.events import nearest_event_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:00:10")], "user_id long, event_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:08"), (1, "2024-01-01 00:00:12")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    [r] = nearest_event_join(left, right).collect()
+    assert str(r["nearest_ts"]).endswith("00:00:08")  # equal distance -> earlier
