@@ -124,6 +124,7 @@ _COST = {
     "j10_bloom_semi_join": 0.55, "ts14_ewma": 0.60,
     "mix2_temperature_resample": 0.35, "e7_cumulative_users": 0.50,
     "ts15_calendar_fill": 0.60, "iv3_nearest_event": 0.70,
+    "ts16_rolling_median": 0.50, "u5_bag_difference": 0.45,
 }
 
 

@@ -81,3 +81,16 @@ def key_difference(existing: DataFrame, incoming: DataFrame, key: str) -> DataFr
     return (
         incoming.select(key).distinct().join(existing.select(key).distinct(), key, "left_anti")
     )
+
+
+def bag_difference(left: DataFrame, right: DataFrame) -> DataFrame:
+    """U5 — multiset (EXCEPT ALL) difference: each row survives with
+    multiplicity max(0, count_left - count_right). Unlike the set-based
+    ``key_difference``, duplicates carry meaning (per-occurrence
+    reconciliation: ledger entries, event replays, bag-of-rows diffs).
+
+    Spark's ``exceptAll`` plans this as a count-aggregate + generate —
+    one shuffle on the full row, no join explosion; the same shape DuckDB
+    executes for EXCEPT ALL, so multiplicities match exactly.
+    """
+    return left.exceptAll(right)

@@ -600,6 +600,9 @@ def bm25_rank(
         .filter(F.col("term").isin(qlit))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # feeds both df-per-term and the scoring join; without this the
+        # scan+explode reruns per consumer (plan audit: 3 scans -> 2)
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
@@ -720,13 +723,20 @@ def temperature_resample(
     6 dp so both engines floor/frac the same value.
     Returns (key, group, copy_idx >= 1), copies adjacent by source key.
     """
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    # one row per domain; checkpointed because the multiplier algebra
+    # consumes it four times (total, powered shares, denominator, join)
+    # and each consumer would otherwise recompute the corpus scan
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_gn"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("_gn").alias("_tot"))
     invt = 1.0 / temperature
     share = F.col("_gn") / F.col("_tot").cast("double")
     powed = counts.join(F.broadcast(total)).withColumn(
         "_pw", F.round(F.pow(share, F.lit(invt)), 9)
-    )
+    ).localCheckpoint(eager=False)
     denom = powed.agg(
         (F.sum(F.round(F.col("_pw") * 1e9).cast("long")) / 1e9).alias("_sumpw")
     )

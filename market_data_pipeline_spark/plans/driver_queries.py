@@ -4036,6 +4036,49 @@ def iv3_nearest_event(spark, sf_dir):
     return out.orderBy("left_id")
 
 
+@query(
+    "ts16_rolling_median",
+    f"""WITH {PRICE_CTE}
+SELECT symbol, trade_date, close_price,
+       median(close_price) OVER (
+         PARTITION BY symbol ORDER BY trade_date
+         ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS median_15
+FROM price WHERE symbol IN ({_EWMA_IN})
+ORDER BY symbol, trade_date""",
+)
+def ts16_rolling_median(spark, sf_dir):
+    """Outlier-robust rolling median (exact percentile over a bounded
+    ROWS frame; both engines midpoint-interpolate identically) — see
+    operators.timeseries.rolling_median."""
+    from market_data_pipeline_spark.operators import timeseries as ts_ops
+
+    prices = price_frame(spark, sf_dir, RETURN_SYMBOLS).select(
+        "symbol", "trade_date", "close_price"
+    )
+    return ts_ops.rolling_median(prices, 15).orderBy("symbol", "trade_date")
+
+
+@query(
+    "u5_bag_difference",
+    """(SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-15')
+EXCEPT ALL
+(SELECT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+ORDER BY user_id, event_type""",
+)
+def u5_bag_difference(spark, sf_dir):
+    """Multiset reconciliation: per-(user, type) event occurrences in the
+    first half of the month not matched one-for-one by the second half
+    (EXCEPT ALL keeps multiplicity — the per-occurrence diff the
+    set-based anti-join cannot express) — see operators.setops.bag_difference."""
+    from market_data_pipeline_spark.operators.setops import bag_difference
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    l = events.filter(F.col("ts") < cut).select("user_id", "event_type")
+    r = events.filter(F.col("ts") >= cut).select("user_id", "event_type")
+    return bag_difference(l, r).orderBy("user_id", "event_type")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

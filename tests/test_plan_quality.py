@@ -180,3 +180,44 @@ def test_no_query_plans_a_single_partition_exchange(spark):
         if facts["unbounded_single_partition"]:
             offenders[name] = facts["unbounded_single_partition"]
     assert not offenders, f"unbounded single-partition exchanges in: {offenders}"
+
+
+def test_bm25_single_scan_and_distributed_topk(plans):
+    facts = plans("tx12_bm25")
+    # tf is checkpointed (one corpus pass feeds df + scoring); top-k is
+    # TakeOrdered, never a partitionless window
+    assert facts["scans"] <= 2
+    assert facts["unbounded_single_partition"] == 0
+    assert facts["smj"] == 0
+
+
+def test_bloom_semi_join_pushes_and_broadcasts(plans):
+    facts = plans("j10_bloom_semi_join")
+    assert facts["bhj"] >= 1          # the confirm semi-join broadcasts keys
+    assert facts["smj"] == 0
+    assert facts["pushed_scans"] >= 1
+
+
+def test_nearest_event_one_union_window_pass(plans):
+    facts = plans("iv3_nearest_event")
+    # union + one window partitioning chain: no join at all in the plan
+    assert facts["bhj"] == 0 and facts["smj"] == 0 and facts["bnlj"] == 0
+    assert facts["unbounded_single_partition"] == 0
+
+
+def test_ewma_no_single_partition_and_no_smj(plans):
+    facts = plans("ts14_ewma")
+    assert facts["unbounded_single_partition"] == 0
+    assert facts["smj"] == 0
+
+
+def test_calendar_fill_pushes_symbol_filter(plans):
+    facts = plans("ts15_calendar_fill")
+    assert facts["pushed_scans"] >= 1  # symbol IN (...) reaches the fact scan
+    assert facts["unbounded_single_partition"] == 0
+
+
+def test_temperature_resample_broadcasts_multipliers(plans):
+    facts = plans("mix2_temperature_resample")
+    assert facts["scans"] <= 2         # counts chain checkpointed once
+    assert facts["smj"] == 0
