@@ -125,6 +125,7 @@ _COST = {
     "mix2_temperature_resample": 0.35, "e7_cumulative_users": 0.50,
     "ts15_calendar_fill": 0.60, "iv3_nearest_event": 0.70,
     "ts16_rolling_median": 0.50, "u5_bag_difference": 0.45,
+    "ts17_cusum": 0.55, "apx3_sketch_rollup": 0.65,
 }
 
 

@@ -481,3 +481,51 @@ def missing_dates_stats(price: DataFrame) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def sketch_rollup(
+    df: DataFrame,
+    group_col: str,
+    partition_col: str,
+    key_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketches: build one HLL sketch per
+    (group, partition) — the shape you MATERIALIZE alongside each ingest
+    partition — then answer the per-group distinct question by merging
+    partials, never rescanning history.
+
+    This is incremental view maintenance for COUNT(DISTINCT): the
+    per-partition sketches are small (2^lg_k registers), commutative and
+    idempotent to merge, so a new month means one new sketch plus a
+    re-merge of ~#partitions sketches, not a full-table distinct. The
+    result carries ``merge_consistent`` — the merged-partials estimate
+    within 2% of the single-pass estimate. (Not exact equality: a
+    single-pass sketch can stay in sparse representation while the union
+    promotes to dense HLL_8, shifting the estimator by a fraction of a
+    percent — observed 83-partition merge vs direct at 1000 true
+    distincts differing by ~1.)
+    Returns (group, n_partitions, merged_distinct, direct_distinct,
+    merge_consistent).
+    """
+    partials = df.groupBy(group_col, partition_col).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("_sketch")
+    )
+    merged = partials.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sketch")).cast("long").alias(
+            "merged_distinct"
+        ),
+    )
+    direct = df.groupBy(group_col).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(key_col, F.lit(lg_k)))
+        .cast("long")
+        .alias("direct_distinct")
+    )
+    return merged.join(direct, group_col).withColumn(
+        "merge_consistent",
+        F.abs(
+            F.col("merged_distinct") / F.col("direct_distinct").cast("double") - 1
+        )
+        < 0.02,
+    )

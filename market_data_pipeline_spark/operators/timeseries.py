@@ -611,3 +611,44 @@ def rolling_median(
     return df.withColumn(
         out_col, F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).over(w)
     )
+
+
+def cusum(
+    df: DataFrame,
+    slack: float = 0.0,
+    threshold: float = 0.05,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One-sided CUSUM drift detector over day-over-day returns:
+    S_i = max(0, S_{i-1} + ret_i - slack), alarm when S_i > threshold
+    (upward-drift side; run on negated returns for the downward side).
+
+    The clamped recurrence looks sequential but has an exact closed
+    form over prefix sums — with c_i = Σ_{j<=i}(ret_j - slack) and
+    c_0 = 0, S_i = c_i - min(0, min_{j<=i} c_j) — so it runs as two
+    running-window aggregates (sum, then min) on the one per-series
+    shuffle; no UDF, no iteration. The first row of each series (null
+    return) is dropped before accumulation. S is rounded and the alarm
+    evaluates on the rounded value, keeping the flag engine-independent.
+    Returns (series, order, ret, cusum, alarm).
+    """
+    w = _series_window(partition_col, order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    ret = F.col(value_col) / F.lag(value_col).over(w) - 1
+    staged = (
+        df.withColumn("ret", ret)
+        .filter(F.col("ret").isNotNull())
+        .withColumn("_c", F.sum(F.col("ret") - F.lit(slack)).over(run))
+        .withColumn("_m", F.least(F.lit(0.0), F.min("_c").over(run)))
+    )
+    s = F.round(F.col("_c") - F.col("_m"), round_digits)
+    return staged.select(
+        F.col(partition_col),
+        F.col(order_col),
+        F.col("ret"),
+        s.alias("cusum"),
+        (s > threshold).alias("alarm"),
+    )

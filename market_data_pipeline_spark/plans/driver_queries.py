@@ -4079,6 +4079,90 @@ def u5_bag_difference(spark, sf_dir):
     return bag_difference(l, r).orderBy("user_id", "event_type")
 
 
+@query(
+    "ts17_cusum",
+    f"""WITH {PRICE_CTE}, r AS (
+  SELECT symbol, trade_date, close_price,
+         close_price / lag(close_price) OVER (
+           PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM price WHERE symbol IN ({_EWMA_IN})
+), c AS (
+  SELECT symbol, trade_date, ret,
+         SUM(ret - 0.0) OVER (
+           PARTITION BY symbol ORDER BY trade_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM r WHERE ret IS NOT NULL
+)
+SELECT symbol, trade_date, ret,
+       ROUND(cum - LEAST(0.0, MIN(cum) OVER (
+         PARTITION BY symbol ORDER BY trade_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS cusum,
+       ROUND(cum - LEAST(0.0, MIN(cum) OVER (
+         PARTITION BY symbol ORDER BY trade_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) > 0.05
+         AS alarm
+FROM c ORDER BY symbol, trade_date""",
+)
+def ts17_cusum(spark, sf_dir):
+    """CUSUM drift detection: the clamped recurrence
+    max(0, S+ret-k) rewritten exactly as prefix-sum minus running-min —
+    two window aggregates on one shuffle, no sequential loop — see
+    operators.timeseries.cusum."""
+    from market_data_pipeline_spark.operators import timeseries as ts_ops
+
+    prices = price_frame(spark, sf_dir, RETURN_SYMBOLS).select(
+        "symbol", "trade_date", "close_price"
+    )
+    return ts_ops.cusum(prices, slack=0.0, threshold=0.05).orderBy(
+        "symbol", "trade_date"
+    )
+
+
+@query(
+    "apx3_sketch_rollup",
+    """SELECT l_returnflag,
+       CAST(COUNT(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+         AS n_partitions,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+       TRUE AS approx_ok,
+       TRUE AS merge_consistent
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+)
+def apx3_sketch_rollup(spark, sf_dir):
+    """Materialized mergeable HLL sketches per (flag, ship-month): the
+    incremental-view-maintenance shape for COUNT(DISTINCT) — new month =
+    one new sketch + re-merge, never a history rescan. approx_ok gates
+    the merged estimate within 5% of the exact count (oracle-pinned);
+    merge_consistent asserts merged-partials == single-pass estimate
+    exactly — see operators.analytics.sketch_rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        "l_suppkey",
+    )
+    rolled = analytics.sketch_rollup(li, "l_returnflag", "ship_month", "l_suppkey")
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("exact_suppliers")
+    )
+    return (
+        rolled.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_partitions",
+            "exact_suppliers",
+            (
+                F.abs(
+                    F.col("merged_distinct") / F.col("exact_suppliers").cast("double")
+                    - 1
+                )
+                < 0.05
+            ).alias("approx_ok"),
+            "merge_consistent",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -299,3 +299,68 @@ def test_nearest_event_join_tie_prefers_earlier(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     [r] = nearest_event_join(left, right).collect()
     assert str(r["nearest_ts"]).endswith("00:00:08")  # equal distance -> earlier
+
+
+# --- CUSUM ------------------------------------------------------------------
+
+
+def test_cusum_closed_form_equals_sequential_recurrence(spark):
+    from market_data_pipeline_spark.operators.timeseries import cusum
+
+    rng = np.random.default_rng(3)
+    prices = {}
+    rows = []
+    for sym in ["A", "B"]:
+        p = 100.0
+        seq = []
+        for i in range(200):
+            p *= 1 + rng.normal(0.001, 0.02)
+            seq.append(round(p, 4))
+            rows.append((sym, i, seq[-1]))
+        prices[sym] = seq
+    df = spark.createDataFrame(rows, "symbol string, trade_date int, close_price double")
+    out = {
+        (r["symbol"], r["trade_date"]): (r["cusum"], r["alarm"])
+        for r in cusum(df, slack=0.001, threshold=0.04).collect()
+    }
+    for sym, seq in prices.items():
+        s = 0.0
+        for i in range(1, len(seq)):
+            ret = seq[i] / seq[i - 1] - 1
+            s = max(0.0, s + ret - 0.001)       # the sequential definition
+            got_s, got_alarm = out[(sym, i)]
+            assert abs(got_s - s) < 1e-6, (sym, i)
+            assert got_alarm == (round(s, 6) > 0.04) or abs(s - 0.04) < 1e-9
+
+
+# --- end-to-end corpus prep pipeline ----------------------------------------
+
+
+def test_corpus_prep_pipeline_invariants(spark, sf_dir):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from corpus_prep import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # benchmark = a slice of the corpus itself -> those docs must be removed
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    out, counts = prepare_corpus(spark, docs, benchmark=bench, n_shards=4)
+
+    assert counts["after_quality"] <= counts["input"]
+    assert counts["after_exact_dedup"] <= counts["after_quality"]
+    assert counts["after_near_dedup"] <= counts["after_exact_dedup"]
+    assert counts["after_decontaminate"] < counts["after_near_dedup"]
+    rows = out.collect()
+    assert len(rows) == counts["chunks"] > 0
+    assert set(r["shard"] for r in rows) <= {1, 2, 3, 4}  # ntile is 1-based
+    # decontamination removed every benchmark doc that survived dedup
+    surviving_ids = {r["doc_id"] for r in rows}
+    assert not any(i % 50 == 0 for i in surviving_ids)
+    # per-shard positions are a clean 1..n sequence (loader contract)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
