@@ -126,6 +126,7 @@ _COST = {
     "ts15_calendar_fill": 0.60, "iv3_nearest_event": 0.70,
     "ts16_rolling_median": 0.50, "u5_bag_difference": 0.45,
     "ts17_cusum": 0.55, "apx3_sketch_rollup": 0.65,
+    "tx13_bigram_lm": 0.85, "e8_last_touch_attribution": 0.60,
 }
 
 

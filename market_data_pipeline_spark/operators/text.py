@@ -774,3 +774,62 @@ def temperature_resample(
             ).alias("copy_idx"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model quality score with the corpus as the LM:
+    each document's mean token log-probability ln P(w_i | w_{i-1})
+    under corpus MLE bigram counts. The sequel to
+    :func:`lm_quality_score` (unigram): bigrams punish shuffled-word
+    gibberish that unigram frequency cannot see.
+
+    No smoothing needed: every scored bigram is itself part of the
+    corpus counts, so probabilities are always positive. Shape mirrors
+    :func:`crossdoc_ngram_stats`: one scan -> per-doc bigram explode ->
+    corpus counts per bigram hash AND per context hash aggregated from
+    the SAME checkpointed exploded frame -> two hash joins back -> one
+    per-doc aggregate. Strings never shuffle, only 64-bit hashes.
+    Returns (id_col, n_bigrams, avg_logprob rounded 6dp).
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    exploded = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+                        ).alias("bg"),
+                        F.element_at("_toks", i).alias("ctx"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.col("_p.bg")).alias("_bgh"),
+            F.xxhash64(F.col("_p.ctx")).alias("_ctxh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bg_counts = exploded.groupBy("_bgh").agg(F.count(F.lit(1)).alias("_nbg"))
+    ctx_counts = exploded.groupBy("_ctxh").agg(F.count(F.lit(1)).alias("_nctx"))
+    return (
+        exploded.join(bg_counts, "_bgh")
+        .join(ctx_counts, "_ctxh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("_nbg") / F.col("_nctx").cast("double"))), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -4163,6 +4163,76 @@ def apx3_sketch_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "tx13_bigram_lm",
+    r"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[s] || ' ' || t[s + 1] AS bg, t[s] AS ctx
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS s
+        FROM toks WHERE len(t) >= 2)
+), bgc AS (SELECT bg, COUNT(*) AS nbg FROM bg GROUP BY 1),
+ctxc AS (SELECT ctx, COUNT(*) AS nctx FROM bg GROUP BY 1)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln(nbg / CAST(nctx AS DOUBLE))), 6) AS avg_logprob
+FROM bg b JOIN bgc USING (bg) JOIN ctxc USING (ctx)
+GROUP BY 1 ORDER BY doc_id""",
+)
+def tx13_bigram_lm(spark, sf_dir):
+    """Bigram-LM quality score (corpus as the LM): mean
+    ln P(w_i | w_{i-1}) per doc — catches shuffled-word gibberish the
+    unigram score (tx11) cannot; bigrams shuffle as 64-bit hashes — see
+    operators.text.bigram_lm_score."""
+    return tx.bigram_lm_score(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "e8_last_touch_attribution",
+    """WITH l AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts AS click_ts, MIN(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT l.user_id, l.purchase_id, l.pts AS purchase_ts, l.value,
+       r.click_id, r.click_ts
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND r.click_ts <= l.pts
+ORDER BY purchase_id""",
+)
+def e8_last_touch_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase credited to the
+    user's latest click at-or-before it — the event-domain reuse of the
+    single-shuffle as-of join (operators.timeseries.asof_join), checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    from market_data_pipeline_spark.operators import timeseries as ts_ops
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.min("event_id").alias("click_id"))
+        .select("user_id", "cts", "click_id", F.col("cts").alias("click_ts"))
+    )
+    joined = ts_ops.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="pts", right_ts="cts",
+        value_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "user_id", "purchase_id", F.col("pts").alias("purchase_ts"), "value",
+        "click_id", "click_ts",
+    ).orderBy("purchase_id")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -364,3 +364,40 @@ def test_corpus_prep_pipeline_invariants(spark, sf_dir):
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+# --- bigram LM --------------------------------------------------------------
+
+
+def test_bigram_lm_score_reference(spark):
+    from market_data_pipeline_spark.operators.text import bigram_lm_score
+
+    docs = [(0, "a b a b"), (1, "a b c"), (2, "x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    # corpus bigrams: doc0: (a b), (b a), (a b); doc1: (a b), (b c)
+    # counts: "a b"->3, "b a"->1, "b c"->1 ; ctx-as-predecessor a->3, b->2
+    la, lb = math.log(3 / 3), math.log(1 / 2)
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_logprob"] == pytest.approx(round((la + lb + la) / 3, 6), abs=1e-6)
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_logprob"] == pytest.approx(round((la + lb) / 2, 6), abs=1e-6)
+    assert 2 not in out  # single-token doc has no bigrams
+
+
+# --- last-touch attribution -------------------------------------------------
+
+
+def test_last_touch_attribution_uses_latest_click(spark):
+    from market_data_pipeline_spark.plans.driver_queries import (
+        e8_last_touch_attribution,
+    )
+
+    out = {
+        r["purchase_id"]: r
+        for r in e8_last_touch_attribution(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert out  # purchases exist at sf0.001
+    for r in out.values():
+        if r["click_ts"] is not None:
+            assert r["click_ts"] <= r["purchase_ts"]
