@@ -4233,6 +4233,36 @@ def e8_last_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id")
 
 
+@query(
+    "st8_streaming_ewma",
+    """WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value * pow(0.8, -rn)) / SUM(pow(0.8, -rn)), 6) AS ewma
+FROM r GROUP BY user_id ORDER BY user_id""",
+)
+def st8_streaming_ewma(spark, sf_dir):
+    """Streaming per-user EWMA via applyInPandasWithState (the online
+    recurrence; the batch operator is the closed-form replay). The FINAL
+    state per user equals the closed form over the user's full ordered
+    event series, so it is SQL-expressible and hash-checked — see
+    streaming.jobs.streaming_ewma."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    stream = sj.streaming_ewma(sj.read_events_stream(spark, sf_dir), alpha=0.2)
+    out = sj.run_stream_to_memory(stream, "st8_sink", output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -419,3 +419,84 @@ def stream_upsert_to_table(
         q.awaitTermination(timeout_sec)
     finally:
         q.stop()
+
+
+EWMA_STATE = T.StructType(
+    [
+        T.StructField("num", T.DoubleType()),
+        T.StructField("den", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+EWMA_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def streaming_ewma(
+    events: DataFrame,
+    alpha: float = 0.2,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Streaming per-key EWMA (pandas ``adjust=True`` semantics) as an
+    ``applyInPandasWithState`` recurrence — the online companion of the
+    batch segmented-scan form (operators.timeseries.ewma): the batch
+    operator replays history with a closed form; this one carries
+    (numerator, denominator) state forward per key:
+
+        num <- x + q*num,  den <- 1 + q*den,  ewma = num/den
+
+    so each micro-batch costs O(batch) with O(|keys|) fixed-width state.
+    Rows within a micro-batch are sorted by event time before folding;
+    CROSS-batch late rows are a documented limitation shared by every
+    sequential-state operator (production: widen the watermark and feed
+    from an ordered-per-key source like a keyed Kafka partition).
+    Emits the running (key, n_events, ewma) on every update.
+    """
+    q = 1.0 - alpha
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        num, den, n, last_us = state.get if state.exists else (0.0, 0.0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        for x in batch[value_col].astype(float):
+            num = x + q * num
+            den = 1.0 + q * den
+            n += 1
+        ts_us = batch[ts_col].values.astype("datetime64[us]").astype("int64")
+        last_us = max(last_us, int(ts_us.max()))
+        state.update((num, den, n, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma": [round(num / den, round_digits)],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(key_col), F.col(ts_col), F.col(value_col))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUTPUT,
+            stateStructType=EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

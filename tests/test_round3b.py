@@ -401,3 +401,41 @@ def test_last_touch_attribution_uses_latest_click(spark):
     for r in out.values():
         if r["click_ts"] is not None:
             assert r["click_ts"] <= r["purchase_ts"]
+
+
+# --- streaming EWMA ---------------------------------------------------------
+
+
+def test_streaming_ewma_matches_batch_closed_form(spark, sf_dir):
+    from market_data_pipeline_spark.operators.timeseries import ewma as batch_ewma
+    from market_data_pipeline_spark.sources.catalog import load_table
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    stream = sj.streaming_ewma(sj.read_events_stream(spark, sf_dir), alpha=0.3)
+    out = sj.run_stream_to_memory(stream, "t_st8_parity", output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = {
+        r["user_id"]: r["ewma"]
+        for r in out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    batch = batch_ewma(
+        events, value_col="value", alpha=0.3,
+        partition_col="user_id", order_col="ts",
+    )
+    last = {
+        r["user_id"]: r["ewma"]
+        for r in batch.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("ts"))),
+        )
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert final.keys() == last.keys()
+    for u in final:
+        assert final[u] == pytest.approx(last[u], abs=2e-6), u
