@@ -170,3 +170,33 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         .select("_p.*")
         .orderBy("column")
     )
+
+
+def freshness_report(
+    df,
+    key_col: str = "symbol",
+    ts_col: str = "trade_date",
+    max_staleness_days: int = 7,
+):
+    """Per-key freshness SLA: how stale is each series against the
+    table's watermark (global max date)? The data-ops check that pages
+    someone when a feed silently stops for one symbol while the table
+    as a whole keeps growing.
+
+    One aggregate on the key (map-combined) plus a broadcast 1-row
+    watermark join — no window, no second scan of the fact. ``stale``
+    compares whole-day integers, so the flag is engine-exact.
+    Returns (key, last_ts, watermark_ts, days_stale, stale) per key.
+    """
+    from pyspark.sql import functions as F
+
+    per_key = df.groupBy(key_col).agg(F.max(ts_col).alias("last_ts"))
+    watermark = df.agg(F.max(ts_col).alias("watermark_ts"))
+    return (
+        per_key.join(F.broadcast(watermark))
+        .withColumn(
+            "days_stale",
+            F.datediff(F.col("watermark_ts"), F.col("last_ts")).cast("long"),
+        )
+        .withColumn("stale", F.col("days_stale") > max_staleness_days)
+    )

@@ -4263,6 +4263,30 @@ def st8_streaming_ewma(spark, sf_dir):
     )
 
 
+@query(
+    "dq2_freshness",
+    f"""WITH {PRICE_CTE},
+per_key AS (
+  SELECT symbol, MAX(trade_date) AS last_ts FROM price GROUP BY 1
+), wm AS (SELECT MAX(trade_date) AS watermark_ts FROM price)
+SELECT symbol, last_ts, watermark_ts,
+       CAST(date_diff('day', last_ts, watermark_ts) AS BIGINT) AS days_stale,
+       date_diff('day', last_ts, watermark_ts) > 30 AS stale
+FROM per_key CROSS JOIN wm
+ORDER BY symbol""",
+)
+def dq2_freshness(spark, sf_dir):
+    """Per-symbol freshness SLA against the table watermark — the check
+    that catches one silently-dead feed inside a still-growing table.
+    One keyed aggregate + broadcast watermark; day-integer compare, so
+    engine-exact — see operators.quality.freshness_report."""
+    from market_data_pipeline_spark.operators.quality import freshness_report
+
+    return freshness_report(
+        price_frame(spark, sf_dir), max_staleness_days=30
+    ).orderBy("symbol")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

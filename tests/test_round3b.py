@@ -439,3 +439,19 @@ def test_streaming_ewma_matches_batch_closed_form(spark, sf_dir):
     assert final.keys() == last.keys()
     for u in final:
         assert final[u] == pytest.approx(last[u], abs=2e-6), u
+
+
+# --- freshness SLA ----------------------------------------------------------
+
+
+def test_freshness_report_flags_dead_feed(spark):
+    from market_data_pipeline_spark.operators.quality import freshness_report
+
+    rows = [("A", "2024-03-01"), ("A", "2024-03-10"), ("B", "2024-02-01")]
+    df = spark.createDataFrame(rows, "symbol string, trade_date string").withColumn(
+        "trade_date", F.to_date("trade_date")
+    )
+    out = {r["symbol"]: r for r in freshness_report(df, max_staleness_days=7).collect()}
+    assert out["A"]["days_stale"] == 0 and not out["A"]["stale"]
+    assert out["B"]["days_stale"] == 38 and out["B"]["stale"]
+    assert str(out["B"]["watermark_ts"]) == "2024-03-10"
