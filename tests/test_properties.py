@@ -641,3 +641,108 @@ def test_forward_fill_matches_pandas_ffill(spark, values):
     ]
     expect = [None if pd.isna(v) else v for v in pd.Series(values).ffill()]
     assert got == expect
+
+
+# --- round-3 second pass: BM25 / cross-doc n-grams / temperature mix --------
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@SET
+@given(st.lists(_doc, min_size=1, max_size=12), st.sets(_word, min_size=1, max_size=3))
+def test_bm25_matches_python_reference(spark, docs, qterms):
+    import math
+
+    from market_data_pipeline_spark.operators.text import bm25_rank
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_terms"], r["score"])
+        for r in bm25_rank(df, sorted(qterms), k=100).collect()
+    }
+
+    toks = {i: d.split() for i, d in enumerate(docs)}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {q: sum(1 for t in toks.values() if q in t) for q in qterms}
+    k1, b = 1.2, 0.75
+    for i, t in toks.items():
+        contribs = []
+        for q in sorted(qterms):
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            contribs.append(round(round(c, 6) * 1e6))
+        if contribs:
+            assert out[i][0] == len(contribs)
+            assert abs(out[i][1] - sum(contribs) / 1e6) < 1e-9
+        else:
+            assert i not in out
+
+
+@SET
+@given(st.lists(_doc, min_size=1, max_size=10))
+def test_crossdoc_ngram_matches_python_bruteforce(spark, docs):
+    from market_data_pipeline_spark.operators.text import crossdoc_ngram_stats
+
+    nn = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in crossdoc_ngram_stats(df, n=nn).collect()
+    }
+
+    gram_sets = {}
+    for i, d in enumerate(docs):
+        t = d.split()
+        gram_sets[i] = {
+            " ".join(t[j : j + nn]) for j in range(len(t) - nn + 1)
+        } if len(t) >= nn else set()
+    from collections import Counter
+
+    gram_docs = Counter(g for s in gram_sets.values() for g in s)
+    for i, s in gram_sets.items():
+        if not s:
+            assert i not in out
+            continue
+        dup = sum(1 for g in s if gram_docs[g] >= 2)
+        assert out[i] == (len(s), dup), i
+
+
+@SET
+@given(
+    st.lists(st.sampled_from(["s0", "s1", "s2"]), min_size=3, max_size=40),
+    st.floats(min_value=1.0, max_value=8.0),
+)
+def test_temperature_resample_copy_counts_exact(spark, sources, temp):
+    from market_data_pipeline_spark.operators.text import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sources)], "doc_id long, source string"
+    )
+    out = temperature_resample(df, temperature=float(temp), scale=1.0).collect()
+    # recompute multipliers exactly as the operator defines them
+    from collections import Counter
+    import hashlib
+    import math
+
+    counts = Counter(sources)
+    tot = len(sources)
+    pws = {g: round((c / tot) ** (1.0 / temp), 9) for g, c in counts.items()}
+    sumpw = sum(round(p * 1e9) for p in pws.values()) / 1e9
+    got = Counter((r["doc_id"], r["source"]) for r in out)
+    for i, g in enumerate(sources):
+        m = round(1.0 * (pws[g] / sumpw) / (counts[g] / tot), 6)
+        u = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:6], 16) / 16777216.0
+        expect = math.floor(m) + (1 if u < m - math.floor(m) else 0)
+        assert got[(i, g)] == expect, (i, g, m, u)
+    # every emitted copy_idx is a clean 1..n run per doc
+    per_doc = Counter(r["doc_id"] for r in out)
+    idx = {}
+    for r in out:
+        idx.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    for d, lst in idx.items():
+        assert sorted(lst) == list(range(1, per_doc[d] + 1))
