@@ -128,6 +128,7 @@ _COST = {
     "ts17_cusum": 0.55, "apx3_sketch_rollup": 0.65,
     "tx13_bigram_lm": 0.85, "e8_last_touch_attribution": 0.60,
     "st8_streaming_ewma": 1.60, "dq2_freshness": 0.45,
+    "ts18_adjusted_close": 0.65, "ts19_vwap": 0.45,
 }
 
 

@@ -652,3 +652,107 @@ def cusum(
         s.alias("cusum"),
         (s > threshold).alias("alarm"),
     )
+
+
+def adjusted_close(
+    prices: DataFrame,
+    actions: DataFrame,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    factor_col: str = "factor",
+    action_date_col: str = "action_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corporate-action (split/dividend) back-adjustment: each price is
+    multiplied by the cumulative product of all adjustment factors whose
+    action date lies STRICTLY AFTER it — so history is restated into the
+    current share basis (the convention every charting/backtest stack
+    uses).
+
+    The cumulative product over an ordered window has no product
+    aggregate in either engine; it runs as ``exp(sum(ln(factor)))`` over
+    a reversed-frame window — but computed on the ACTIONS table (a few
+    rows per symbol), never the price rows: actions get their
+    cumulative "adjust everything before me" factor, prices pick it up
+    with one as-of join against the NEXT action at-or-after their date.
+    Cost: a window over the tiny actions frame + the one-shuffle as-of
+    union join on the symbol key. Factors of 1.0 are exact; the ln/exp
+    round-trip is rounded.
+    Returns prices + (adj_factor, adj_close).
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(action_date_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # cumulative factor applying to any price BEFORE this action's date:
+    # product of this and all later actions' factors
+    acts = actions.select(
+        F.col(partition_col),
+        F.col(action_date_col),
+        F.exp(F.sum(F.log(F.col(factor_col))).over(w)).alias("_cumf"),
+    )
+    # as-of join: price row picks the EARLIEST action strictly after it.
+    # Reuse the union trick with reversed time: tag sides, sort by
+    # (date DESC, side), carry last action factor seen so far.
+    p = prices.select(
+        F.col(partition_col), F.col(order_col),
+        F.col(value_col), F.lit(1).alias("_side"),
+        F.lit(None).cast("double").alias("_cumf"),
+    )
+    a = acts.select(
+        F.col(partition_col), F.col(action_date_col).alias(order_col),
+        F.lit(None).cast(prices.schema[value_col].dataType).alias(value_col),
+        F.lit(0).alias("_side"), F.col("_cumf"),
+    )
+    u = p.unionByName(a)
+    # descending date: an action at date D sorts BEFORE any price at
+    # date < D; at the SAME date the price sorts first (side 1 ... note
+    # ordering asc on _side after desc date puts action (0) first), so a
+    # same-day price is NOT adjusted by that action (strictly-after
+    # semantics -> price first). Hence order (_side DESC) at equal dates.
+    wj = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(order_col).desc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("_adj", F.last("_cumf", ignorenulls=True).over(wj))
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            F.col(partition_col), F.col(order_col), F.col(value_col),
+            F.round(F.coalesce(F.col("_adj"), F.lit(1.0)), round_digits).alias(
+                "adj_factor"
+            ),
+            F.round(
+                F.col(value_col) * F.coalesce(F.col("_adj"), F.lit(1.0)),
+                round_digits,
+            ).alias("adj_close"),
+        )
+    )
+
+
+def vwap(
+    df: DataFrame,
+    bucket_col,
+    value_col: str = "close_price",
+    volume_col: str = "volume",
+    partition_col: str = "symbol",
+) -> DataFrame:
+    """Volume-weighted average price per (symbol, bucket): the execution
+    benchmark every trading desk quotes. Decimal-exact numerator and
+    denominator (partition-order independent), one map-combined
+    aggregate.
+    Returns (symbol, bucket, vwap, total_volume).
+    """
+    num = F.sum(
+        (F.col(value_col).cast("decimal(18,2)") * F.col(volume_col)).cast(
+            "decimal(38,2)"
+        )
+    )
+    den = F.sum(F.col(volume_col).cast("decimal(18,2)"))
+    return df.groupBy(F.col(partition_col), bucket_col.alias("bucket")).agg(
+        (num.cast("double") / den.cast("double")).alias("vwap"),
+        den.cast("long").alias("total_volume"),
+    )

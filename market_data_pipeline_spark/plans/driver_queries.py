@@ -4287,6 +4287,84 @@ def dq2_freshness(spark, sf_dir):
     ).orderBy("symbol")
 
 
+_ADJ_SYMBOLS = ["3", "7", "16", "27", "42", "101"]
+_ADJ_IN = ", ".join(f"'{s}'" for s in _ADJ_SYMBOLS)
+
+_ACTIONS_CTE = """
+actions AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS symbol,
+         DATE '1996-06-01' AS action_date, 0.5 AS factor
+  FROM part WHERE p_partkey % 7 = 3
+  UNION ALL
+  SELECT CAST(p_partkey AS VARCHAR), DATE '1997-03-01', 0.8
+  FROM part WHERE p_partkey % 11 = 5
+)"""
+
+
+@query(
+    "ts18_adjusted_close",
+    f"""WITH {PRICE_CTE}, {_ACTIONS_CTE}
+SELECT p.symbol, p.trade_date, p.close_price,
+       ROUND(COALESCE(exp(SUM(ln(a.factor))), 1.0), 6) AS adj_factor,
+       ROUND(p.close_price * COALESCE(exp(SUM(ln(a.factor))), 1.0), 6)
+         AS adj_close
+FROM price p LEFT JOIN actions a
+  ON a.symbol = p.symbol AND a.action_date > p.trade_date
+WHERE p.symbol IN ({_ADJ_IN})
+GROUP BY p.symbol, p.trade_date, p.close_price
+ORDER BY p.symbol, p.trade_date""",
+)
+def ts18_adjusted_close(spark, sf_dir):
+    """Corporate-action back-adjustment: prices restated by the
+    cumulative product of all STRICTLY-LATER adjustment factors. The
+    product runs as exp(sum(ln)) over the tiny actions frame only; the
+    prices pick it up via the one-shuffle as-of union (the oracle's
+    correlated join explodes |P|x|A| — fine at oracle scale, not at
+    100 TB) — see operators.timeseries.adjusted_close."""
+    from market_data_pipeline_spark.operators import timeseries as ts_ops
+
+    p = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    splits = p.filter(pk % 7 == 3).select(
+        pk.cast("string").alias("symbol"),
+        F.to_date(F.lit("1996-06-01")).alias("action_date"),
+        F.lit(0.5).alias("factor"),
+    )
+    divs = p.filter(pk % 11 == 5).select(
+        pk.cast("string").alias("symbol"),
+        F.to_date(F.lit("1997-03-01")).alias("action_date"),
+        F.lit(0.8).alias("factor"),
+    )
+    actions = splits.unionByName(divs)
+    prices = price_frame(spark, sf_dir, _ADJ_SYMBOLS).select(
+        "symbol", "trade_date", "close_price"
+    )
+    return ts_ops.adjusted_close(prices, actions).orderBy("symbol", "trade_date")
+
+
+@query(
+    "ts19_vwap",
+    f"""WITH {PRICE_CTE}
+SELECT symbol, CAST(date_trunc('month', trade_date) AS DATE) AS bucket,
+       CAST(SUM(CAST(CAST(close_price AS DECIMAL(18,2)) * volume
+                     AS DECIMAL(38,2))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS vwap,
+       CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS BIGINT) AS total_volume
+FROM price WHERE symbol IN ({_CAL_IN})
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def ts19_vwap(spark, sf_dir):
+    """Monthly volume-weighted average price — decimal-exact numerator
+    and denominator so re-partitioning cannot change the result — see
+    operators.timeseries.vwap."""
+    from market_data_pipeline_spark.operators import timeseries as ts_ops
+
+    prices = price_frame(spark, sf_dir, STOCK_SYMBOLS)
+    return ts_ops.vwap(
+        prices, F.date_trunc("month", F.col("trade_date")).cast("date")
+    ).orderBy("symbol", "bucket")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -455,3 +455,33 @@ def test_freshness_report_flags_dead_feed(spark):
     assert out["A"]["days_stale"] == 0 and not out["A"]["stale"]
     assert out["B"]["days_stale"] == 38 and out["B"]["stale"]
     assert str(out["B"]["watermark_ts"]) == "2024-03-10"
+
+
+# --- corporate-action adjustment --------------------------------------------
+
+
+def test_adjusted_close_strictly_after_and_stacked(spark):
+    from market_data_pipeline_spark.operators.timeseries import adjusted_close
+
+    prices = spark.createDataFrame(
+        [("A", "2024-01-01", 100.0), ("A", "2024-02-01", 100.0),
+         ("A", "2024-03-01", 100.0), ("B", "2024-01-01", 50.0)],
+        "symbol string, trade_date string, close_price double",
+    ).withColumn("trade_date", F.to_date("trade_date"))
+    actions = spark.createDataFrame(
+        [("A", "2024-02-01", 0.5), ("A", "2024-03-01", 0.8)],
+        "symbol string, action_date string, factor double",
+    ).withColumn("action_date", F.to_date("action_date"))
+    out = {
+        (r["symbol"], str(r["trade_date"])): (r["adj_factor"], r["adj_close"])
+        for r in adjusted_close(prices, actions).collect()
+    }
+    # Jan 1 price: both later actions apply -> 0.5*0.8 = 0.4
+    assert out[("A", "2024-01-01")] == (0.4, 40.0)
+    # Feb 1 price: SAME-day action does NOT apply (strictly after), only
+    # the Mar 1 action -> 0.8
+    assert out[("A", "2024-02-01")] == (0.8, 80.0)
+    # Mar 1 price: no later action -> 1.0
+    assert out[("A", "2024-03-01")] == (1.0, 100.0)
+    # symbol with no actions at all
+    assert out[("B", "2024-01-01")] == (1.0, 50.0)
