@@ -129,6 +129,7 @@ _COST = {
     "tx13_bigram_lm": 0.85, "e8_last_touch_attribution": 0.60,
     "st8_streaming_ewma": 1.60, "dq2_freshness": 0.45,
     "ts18_adjusted_close": 0.65, "ts19_vwap": 0.45,
+    "e9_markov_transitions": 0.55, "st9_streaming_windowed_topk": 1.40,
 }
 
 

@@ -376,3 +376,38 @@ def nearest_event_join(
         F.when(pick_prev, F.col("_prev")).otherwise(F.col("_next")).alias("nearest_ts"),
         F.when(pick_prev, d_prev).otherwise(d_next).alias("diff_us"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event streams:
+    P(next event type | current type), estimated from every consecutive
+    pair within a key's time-ordered sequence — the behavioral-model
+    summary behind funnel diagnostics and anomaly scoring.
+
+    One window pass (lead over the per-key shuffle, (ts, id) total
+    order so equal timestamps stay deterministic), then a two-level
+    count: per (from, to) and per from — the denominator aggregates the
+    already-tiny transition counts, not the events.
+    Returns (from_type, to_type, n, p) for observed transitions.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(F.col(key_col), F.col(ts_col), F.col(id_col), F.col(type_col))
+        .withColumn("_next", F.lead(type_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), F.col("_next").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .withColumn("p", F.round(F.col("n") / F.col("_tot").cast("double"), round_digits))
+        .select("from_type", "to_type", F.col("n").cast("long").alias("n"), "p")
+    )

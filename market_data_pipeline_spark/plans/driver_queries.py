@@ -4365,6 +4365,70 @@ def ts19_vwap(spark, sf_dir):
     ).orderBy("symbol", "bucket")
 
 
+@query(
+    "e9_markov_transitions",
+    """WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT from_type, SUM(n) AS t FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       ROUND(p.n / CAST(t.t AS DOUBLE), 6) AS p
+FROM pairs p JOIN tot t USING (from_type)
+ORDER BY from_type, to_type""",
+)
+def e9_markov_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (first-order Markov
+    estimate): one lead-window pass over the per-key shuffle, counts
+    aggregated before the probability join — see
+    operators.events.transition_matrix."""
+    return ev.transition_matrix(load_table(spark, sf_dir, "events")).orderBy(
+        "from_type", "to_type"
+    )
+
+
+@query(
+    "st9_streaming_windowed_topk",
+    """WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY window_start
+         ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+FROM c QUALIFY rnk <= 3
+ORDER BY window_start, rnk""",
+)
+def st9_streaming_windowed_topk(spark, sf_dir):
+    """Streaming trending-now: hourly event-type counts maintained by
+    the streaming window aggregation, top-3 per closed window ranked on
+    the (bounded: one row per (window, type)) sink frame — the
+    dashboard pattern where the stream keeps state and the rank runs on
+    the tiny materialized result."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    stream = sj.streaming_tumbling(
+        sj.read_events_stream(spark, sf_dir), duration="1 hour", keys=["event_type"]
+    )
+    out = sj.run_stream_to_memory(stream, "st9_sink")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n_events", "rnk")
+        .orderBy("window_start", "rnk")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

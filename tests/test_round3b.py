@@ -485,3 +485,30 @@ def test_adjusted_close_strictly_after_and_stacked(spark):
     assert out[("A", "2024-03-01")] == (1.0, 100.0)
     # symbol with no actions at all
     assert out[("B", "2024-01-01")] == (1.0, 50.0)
+
+
+# --- Markov transitions -----------------------------------------------------
+
+
+def test_transition_matrix_reference(spark):
+    from market_data_pipeline_spark.operators.events import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> c
+        (1, 1, "2024-01-01 00:00:01", "a"), (1, 2, "2024-01-01 00:00:02", "b"),
+        (1, 3, "2024-01-01 00:00:03", "a"), (2, 4, "2024-01-01 00:00:01", "a"),
+        (2, 5, "2024-01-01 00:00:02", "c"),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, ts, t) for u, e, ts, t in rows],
+        "user_id long, event_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in transition_matrix(df).collect()
+    }
+    # from a: ->b once, ->c once; from b: ->a once
+    assert out[("a", "b")] == (1, 0.5)
+    assert out[("a", "c")] == (1, 0.5)
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("c", None) not in out and len(out) == 3
