@@ -130,6 +130,7 @@ _COST = {
     "st8_streaming_ewma": 1.60, "dq2_freshness": 0.45,
     "ts18_adjusted_close": 0.65, "ts19_vwap": 0.45,
     "e9_markov_transitions": 0.55, "st9_streaming_windowed_topk": 1.40,
+    "dp2_quantity_drift": 0.40,
 }
 
 

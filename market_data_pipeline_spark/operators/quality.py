@@ -200,3 +200,54 @@ def freshness_report(
         )
         .withColumn("stale", F.col("days_stale") > max_staleness_days)
     )
+
+
+def population_stability(
+    df,
+    bucket_col,
+    is_reference_col,
+    round_digits: int = 6,
+):
+    """Population Stability Index between a reference and a current
+    population sharing one table — the data-drift check run between
+    snapshot pairs or time slices (PSI > 0.2 is the classic retrain
+    alarm).
+
+    ``bucket_col`` assigns each row a bucket; ``is_reference_col`` is a
+    boolean Column splitting the two populations. ONE scan, one
+    map-combined aggregate: per-bucket conditional counts, shares
+    against broadcast 1-row totals, per-bucket PSI term
+    (p_ref - p_cur) * ln(p_ref / p_cur). Buckets empty on either side
+    are emitted with a NULL psi_term (the standard epsilon fudge hides
+    real schema drift — surfacing the empty bucket is the point).
+    Returns (bucket, n_ref, n_cur, p_ref, p_cur, psi_term).
+    """
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.select(bucket_col.alias("bucket"), is_reference_col.alias("_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("_ref").cast("long")).alias("n_ref"),
+            F.sum((~F.col("_ref")).cast("long")).alias("n_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("_tref"), F.sum("n_cur").alias("_tcur")
+    )
+    shares = counts.join(F.broadcast(totals)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        (F.col("n_ref") / F.col("_tref").cast("double")).alias("p_ref"),
+        (F.col("n_cur") / F.col("_tcur").cast("double")).alias("p_cur"),
+    )
+    term = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.round(
+            (F.col("p_ref") - F.col("p_cur"))
+            * F.log(F.col("p_ref") / F.col("p_cur")),
+            round_digits,
+        ),
+    )
+    return shares.withColumn("psi_term", term)

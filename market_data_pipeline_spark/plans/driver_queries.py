@@ -4429,6 +4429,43 @@ def st9_streaming_windowed_topk(spark, sf_dir):
     )
 
 
+@query(
+    "dp2_quantity_drift",
+    """WITH counts AS (
+  SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS bucket,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT SUM(n_ref) AS tref, SUM(n_cur) AS tcur FROM counts
+)
+SELECT bucket, n_ref, n_cur,
+       n_ref / CAST(tref AS DOUBLE) AS p_ref,
+       n_cur / CAST(tcur AS DOUBLE) AS p_cur,
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         ROUND((n_ref / CAST(tref AS DOUBLE) - n_cur / CAST(tcur AS DOUBLE))
+               * ln((n_ref / CAST(tref AS DOUBLE))
+                    / (n_cur / CAST(tcur AS DOUBLE))), 6)
+       END AS psi_term
+FROM counts CROSS JOIN tot
+ORDER BY bucket""",
+)
+def dp2_quantity_drift(spark, sf_dir):
+    """Population Stability Index of the quantity distribution, pre-1996
+    vs after — the data-drift check between time slices; one scan, one
+    aggregate — see operators.quality.population_stability."""
+    from market_data_pipeline_spark.operators.quality import population_stability
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return population_stability(
+        li,
+        bucket_col=F.floor((F.col("l_quantity").cast("long") - 1) / 10).cast("long"),
+        is_reference_col=F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"),
+    ).orderBy("bucket")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

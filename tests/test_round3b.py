@@ -512,3 +512,26 @@ def test_transition_matrix_reference(spark):
     assert out[("a", "c")] == (1, 0.5)
     assert out[("b", "a")] == (1, 1.0)
     assert ("c", None) not in out and len(out) == 3
+
+
+# --- population stability (drift) -------------------------------------------
+
+
+def test_population_stability_reference(spark):
+    import math
+
+    from market_data_pipeline_spark.operators.quality import population_stability
+
+    rows = [(0, True)] * 8 + [(0, False)] * 2 + [(1, True)] * 2 + [(1, False)] * 8 \
+        + [(2, False)] * 5  # bucket 2 absent from reference
+    df = spark.createDataFrame(rows, "b long, ref boolean")
+    out = {
+        r["bucket"]: r
+        for r in population_stability(df, F.col("b"), F.col("ref")).collect()
+    }
+    # ref shares: .8/.2/0 over 10; cur shares: 2/15, 8/15, 5/15
+    p0r, p0c = 0.8, 2 / 15
+    assert out[0]["psi_term"] == pytest.approx(
+        round((p0r - p0c) * math.log(p0r / p0c), 6), abs=1e-9
+    )
+    assert out[2]["n_ref"] == 0 and out[2]["psi_term"] is None  # surfaced, not fudged
