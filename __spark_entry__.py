@@ -120,15 +120,15 @@ _COST = {
     "u4_intersect_symbols": 0.55, "a11_modal_priority": 0.50,
     "tx11_lm_quality": 0.80,
     # round-3 second pass (estimates from sf0.01 oracle-check wall times)
-    "tx12_bm25": 0.60, "dd12_crossdoc_ngram": 0.90, "k6_knn_graph": 1.40,
-    "j10_bloom_semi_join": 0.55, "ts14_ewma": 0.60,
-    "mix2_temperature_resample": 0.35, "e7_cumulative_users": 0.50,
-    "ts15_calendar_fill": 0.60, "iv3_nearest_event": 0.70,
-    "ts16_rolling_median": 0.50, "u5_bag_difference": 0.45,
-    "ts17_cusum": 0.55, "apx3_sketch_rollup": 0.65,
-    "tx13_bigram_lm": 0.85, "e8_last_touch_attribution": 0.60,
-    "st8_streaming_ewma": 1.60, "dq2_freshness": 0.45,
-    "ts18_adjusted_close": 0.65, "ts19_vwap": 0.45,
+    "tx12_bm25": 0.63, "dd12_crossdoc_ngram": 1.21, "k6_knn_graph": 1.19,
+    "j10_bloom_semi_join": 1.86, "ts14_ewma": 0.55,
+    "mix2_temperature_resample": 0.50, "e7_cumulative_users": 0.46,
+    "ts15_calendar_fill": 0.35, "iv3_nearest_event": 0.70,
+    "ts16_rolling_median": 0.33, "u5_bag_difference": 0.36,
+    "ts17_cusum": 0.34, "apx3_sketch_rollup": 1.04,
+    "tx13_bigram_lm": 1.14, "e8_last_touch_attribution": 0.60,
+    "st8_streaming_ewma": 1.46, "dq2_freshness": 0.46,
+    "ts18_adjusted_close": 0.56, "ts19_vwap": 0.32,
     "e9_markov_transitions": 0.55, "st9_streaming_windowed_topk": 1.40,
     "dp2_quantity_drift": 0.40,
 }
