@@ -69,8 +69,12 @@ def bloom_might_contain(
     key: Column, bitmap: list[int], num_bits: int, num_hashes: int = 5
 ) -> Column:
     """Membership test against a literal bitmap — pure codegen expression
-    (array literal + element_at + bitwise AND), evaluated at the scan."""
-    words = F.lit(bitmap)
+    (array literal + element_at + bit_get), evaluated at the scan.
+
+    The literal is pinned to array<bigint>: lit() infers array<int> when
+    every word happens to fit 32 bits (e.g. an empty dim's all-zero
+    bitmap), and bit_get then rejects positions >= 32."""
+    words = F.lit(bitmap).cast("array<bigint>")
     cond = F.lit(True)
     for pos in _positions(key, num_bits, num_hashes):
         word = F.element_at(words, (pos / 64).cast("int") + 1)

@@ -96,3 +96,60 @@ def test_events_and_profile_empty(spark, empty):
     for r in rows.values():
         assert r["n_rows"] == 0 and r["n_nulls"] == 0 and r["n_distinct"] == 0
         assert r["min_value"] is None and r["max_value"] is None
+
+
+def test_round3b_ops_empty(spark, empty):
+    from market_data_pipeline_spark.operators import bloom
+    from market_data_pipeline_spark.operators.events import (
+        cumulative_distinct_users,
+        nearest_event_join,
+        transition_matrix,
+    )
+    from market_data_pipeline_spark.operators.quality import (
+        freshness_report,
+        population_stability,
+    )
+
+    docs = empty(DOCS)
+    assert TX.bm25_rank(docs, ["x"]).count() == 0
+    assert TX.crossdoc_ngram_stats(docs).count() == 0
+    assert TX.temperature_resample(docs.withColumn("source", F.lit("s"))).count() == 0
+    assert TX.bigram_lm_score(docs).count() == 0
+
+    prices = empty(PRICE)
+    assert TS.ewma(prices).count() == 0
+    assert TS.rolling_median(prices, 5).count() == 0
+    assert TS.cusum(prices).count() == 0
+    assert TS.calendar_fill(prices, ["close_price"]).count() == 0
+    actions = empty("symbol string, action_date date, factor double")
+    # empty actions: every price keeps factor 1.0
+    one = spark.createDataFrame([("A",)], "symbol string").select(
+        "symbol",
+        F.to_date(F.lit("2024-01-01")).alias("trade_date"),
+        F.lit(10.0).alias("close_price"),
+    )
+    out = TS.adjusted_close(one, actions).collect()
+    assert len(out) == 1 and out[0]["adj_factor"] == 1.0
+    assert TS.adjusted_close(empty(PRICE), actions).count() == 0
+    assert TS.vwap(prices.withColumn("volume", F.lit(1).cast("long")),
+                   F.col("trade_date")).count() == 0
+
+    ev = empty("user_id long, event_id long, ts timestamp, event_type string, value double")
+    assert cumulative_distinct_users(ev).count() == 0
+    assert nearest_event_join(ev, ev).count() == 0
+    assert transition_matrix(ev).count() == 0
+    assert freshness_report(prices).count() == 0
+    assert population_stability(
+        empty("b long, ref boolean"), F.col("b"), F.col("ref")
+    ).count() == 0
+
+    # bloom over an empty dim: bitmap all zeros -> nothing passes the
+    # filter, semi-join correctly empty
+    dim = empty("k long")
+    bm = bloom.build_bloom(dim, "k", num_bits=1 << 10)
+    assert all(w == 0 for w in bm)
+    probe = spark.range(0, 100).select(F.col("id").alias("k"))
+    assert bloom.bloom_semi_join(probe, "k", dim, "k", num_bits=1 << 10).count() == 0
+
+    emb = empty(EMB)
+    assert SIM.knn_graph(emb, k=3).count() == 0
