@@ -700,3 +700,104 @@ def incremental_dedup(
     new_fp = new_df.withColumn("_fp", fingerprint_col)
     seen_fp = seen_df.select(fingerprint_col.alias("_fp"))
     return new_fp.join(seen_fp, "_fp", "left_anti").drop("_fp")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos_encoding: int = 1_000_000,
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL (the Lee-et-al substring-dedup
+    semantics, n-gram windows standing in for the suffix array): every
+    word n-gram occurring more than once in the corpus keeps exactly ONE
+    canonical occurrence (smallest (doc, position)); all other
+    occurrences have their n-token span excised, and documents are
+    rebuilt from the surviving tokens.
+
+    Dataflow — all linear, two hash shuffles:
+      1. occurrences (doc, pos, xxhash64(gram)) via positional explode;
+      2. per-gram count + canonical min(doc*P + pos) (map-combined);
+      3. non-canonical occurrences of duplicated grams explode into
+         their covered token indices (distinct per doc);
+      4. tokens anti-join the removed indices on (doc, idx) and the doc
+         is rebuilt with a sort_array over (idx, token) structs.
+    The text column is tokenized once; everything that shuffles is
+    hashes and integer positions. ``pos_encoding`` must exceed the max
+    token count per document (positions pack into one BIGINT so the
+    canonical argmin is a plain MIN).
+
+    Docs shorter than n tokens pass through untouched; rebuilt text is
+    whitespace-normalized (it is reassembled from the token stream).
+    Returns (id_col, n_tokens, n_removed, cleaned_text) per doc with
+    >= 1 token.
+    """
+    from market_data_pipeline_spark.operators.text import tokens as _tokens
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    staged = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= 1)
+        .localCheckpoint(eager=False)  # feeds occurrences AND the token
+        # frame; one tokenize pass
+    )
+
+    # 1-based positions to match the SQL-oracle convention
+    occ = (
+        staged.filter(F.size("_toks") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - n + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), i, n))).alias(
+                            "gh"
+                        ),
+                    ),
+                )
+            ).alias("_o"),
+        )
+        .select(F.col(id_col), F.col("_o.pos").alias("pos"), F.col("_o.gh").alias("gh"))
+        .localCheckpoint(eager=False)
+    )
+    enc = F.col(id_col) * pos_encoding + F.col("pos")
+    grams = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min(enc).alias("_canon")
+    )
+    deleted = (
+        occ.join(grams, "gh")
+        .filter((F.col("_cnt") >= 2) & (enc != F.col("_canon")))
+        .select(F.col(id_col), F.explode(F.sequence("pos", F.col("pos") + n - 1)).alias("idx"))
+        .distinct()
+    )
+    tok_rows = staged.select(
+        F.col(id_col),
+        F.posexplode("_toks").alias("idx0", "tok"),
+    ).select(F.col(id_col), (F.col("idx0") + 1).alias("idx"), "tok")
+    survivors = tok_rows.join(deleted, [id_col, "idx"], "left_anti")
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    sizes = staged.select(F.col(id_col), F.size("_toks").cast("long").alias("n_tokens"))
+    # left join: a doc whose EVERY token was excised has no survivor row
+    return (
+        sizes.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -4466,6 +4466,53 @@ def dp2_quantity_drift(spark, sf_dir):
     ).orderBy("bucket")
 
 
+@query(
+    "dd13_span_dedup",
+    r"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS t
+  FROM documents
+), docs AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
+occ AS (
+  SELECT doc_id, s AS pos, array_to_string(list_slice(t, s, s + 4), ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 5 + 2)) AS s
+        FROM docs WHERE len(t) >= 5)
+), g AS (
+  SELECT gram, COUNT(*) AS cnt, MIN(doc_id * 1000000 + pos) AS canon
+  FROM occ GROUP BY 1
+), del AS (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT o.doc_id, unnest(range(o.pos, o.pos + 5)) AS idx
+    FROM occ o JOIN g USING (gram)
+    WHERE g.cnt >= 2 AND o.doc_id * 1000000 + o.pos <> g.canon)
+), tok_rows AS (
+  SELECT doc_id, s AS idx, t[s] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS s FROM docs)
+), kept AS (
+  SELECT tr.doc_id, tr.idx, tr.tok
+  FROM tok_rows tr ANTI JOIN del d ON tr.doc_id = d.doc_id AND tr.idx = d.idx
+), rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY idx) AS cleaned_text
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST(len(d.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id""",
+)
+def dd13_span_dedup(spark, sf_dir):
+    """Exact duplicated-span REMOVAL: every corpus-duplicated 5-gram
+    keeps one canonical occurrence; all other occurrences are excised
+    and documents rebuilt from surviving tokens (the substring-dedup
+    semantics, n-gram windows standing in for the suffix array) — see
+    operators.dedup.remove_duplicate_spans."""
+    return dedup.remove_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), n=5
+    ).orderBy("doc_id")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

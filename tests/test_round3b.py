@@ -535,3 +535,43 @@ def test_population_stability_reference(spark):
         round((p0r - p0c) * math.log(p0r / p0c), 6), abs=1e-9
     )
     assert out[2]["n_ref"] == 0 and out[2]["psi_term"] is None  # surfaced, not fudged
+
+
+# --- duplicated-span removal ------------------------------------------------
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    from market_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    docs = [
+        (0, "a b c d e tail zero"),      # canonical owner of "a b c d e"
+        (1, "head a b c d e tail one"),  # span excised
+        (2, "unique words only here now"),
+        (3, "a b c d e"),                # entire doc is the dup span -> emptied
+        (4, "hi"),                       # shorter than n -> untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=5).collect()}
+
+    assert out[0]["n_removed"] == 0
+    assert out[0]["cleaned_text"] == "a b c d e tail zero"
+    # doc 1 shares TWO grams with doc 0: "a b c d e" (idx 2-6) and
+    # "b c d e tail" (idx 3-7) — union of spans = idx 2-7, 6 tokens
+    assert out[1]["n_removed"] == 6
+    assert out[1]["cleaned_text"] == "head one"
+    assert out[2]["n_removed"] == 0
+    assert out[3]["n_removed"] == 5 and out[3]["cleaned_text"] == ""
+    assert out[4]["cleaned_text"] == "hi" and out[4]["n_removed"] == 0
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    from market_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    # the SAME doc repeats its own 5-gram: first occurrence is canonical,
+    # the second is excised even with no other doc involved
+    df = spark.createDataFrame(
+        [(0, "a b c d e x a b c d e")], "doc_id long, text string"
+    )
+    [r] = remove_duplicate_spans(df, n=5).collect()
+    assert r["n_removed"] == 5
+    assert r["cleaned_text"] == "a b c d e x"
