@@ -833,3 +833,50 @@ def bigram_lm_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    n_shards: int = 8,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic maximally-spaced source interleaving: order the
+    corpus so each domain's documents are spread evenly through the
+    training stream (no domain clumps — the loader-order guarantee that
+    keeps per-batch mixture ratios near the global ratios).
+
+    Each doc gets the fractional key (rank_in_source + 0.5) /
+    source_size under a seeded md5 permutation within its source;
+    sorting by the key interleaves sources proportionally (the classic
+    low-discrepancy deal). The global order is realized shard-major via
+    the same range-partitioned exact-ntile path as
+    :func:`shuffle_shards` — never a single-task window; all arithmetic
+    is integer-ratio, so the key is engine-exact.
+    Returns (key, group, shard 1..n_shards, pos within shard).
+    """
+    from pyspark.sql import Window
+
+    from market_data_pipeline_spark.operators.analytics import global_ntile
+
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string")).cast("binary")
+    )
+    wsrc = Window.partitionBy(group_col).orderBy("_h", key_col)
+    staged = (
+        df.select(F.col(key_col), F.col(group_col), h.alias("_h"))
+        .withColumn("_rn", F.row_number().over(wsrc) - 1)
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+        .withColumn("_key", (F.col("_rn") + F.lit(0.5)) / F.col("_sz"))
+    )
+    sharded = global_ntile(
+        staged, [F.col("_key"), F.col("_h"), F.col(key_col)], n_shards, out_col="shard"
+    )
+    w = Window.partitionBy("shard").orderBy("_key", "_h", key_col)
+    return sharded.select(
+        F.col(key_col),
+        F.col(group_col),
+        F.col("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

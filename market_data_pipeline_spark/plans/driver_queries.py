@@ -4513,6 +4513,37 @@ def dd13_span_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query(
+    "shf2_interleave_sources",
+    """WITH h AS (
+  SELECT doc_id, source, md5('42:' || CAST(doc_id AS VARCHAR)) AS hv
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, hv,
+         (CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id)
+               AS BIGINT) - 1 + 0.5)
+           / COUNT(*) OVER (PARTITION BY source) AS k
+  FROM h
+), s AS (
+  SELECT doc_id, source, hv, k,
+         CAST(NTILE(8) OVER (ORDER BY k, hv, doc_id) AS BIGINT) AS shard
+  FROM keyed
+)
+SELECT doc_id, source, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, hv, doc_id)
+            AS BIGINT) AS pos
+FROM s ORDER BY doc_id""",
+)
+def shf2_interleave_sources(spark, sf_dir):
+    """Maximally-spaced source interleaving for the training stream:
+    low-discrepancy fractional keys per domain, shard-major global order
+    via the range-partitioned exact-ntile path — see
+    operators.text.interleave_sources."""
+    return tx.interleave_sources(
+        load_table(spark, sf_dir, "documents"), n_shards=8
+    ).orderBy("doc_id")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

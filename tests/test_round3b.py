@@ -575,3 +575,23 @@ def test_remove_duplicate_spans_within_doc_repeat(spark):
     [r] = remove_duplicate_spans(df, n=5).collect()
     assert r["n_removed"] == 5
     assert r["cleaned_text"] == "a b c d e x"
+
+
+# --- source interleaving ----------------------------------------------------
+
+
+def test_interleave_sources_spreads_domains(spark):
+    from market_data_pipeline_spark.operators.text import interleave_sources
+
+    # 90/10 split: in the interleaved global order, every window of 10
+    # consecutive positions should hold ~1 minority doc (no clumping)
+    rows = [(i, "maj") for i in range(90)] + [(90 + i, "min") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_sources(df, n_shards=2).collect()
+    ordered = [r["source"] for r in sorted(out, key=lambda r: (r["shard"], r["pos"]))]
+    assert len(ordered) == 100
+    # minority gaps: consecutive 'min' docs must be ~10 apart (8..12)
+    pos_min = [i for i, s in enumerate(ordered) if s == "min"]
+    assert len(pos_min) == 10
+    gaps = [b - a for a, b in zip(pos_min, pos_min[1:])]
+    assert all(7 <= g <= 13 for g in gaps), gaps
