@@ -769,3 +769,140 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .orderBy("src_id", "rank")
     )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    sample_limit: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list:
+    """Train product-quantization codebooks: split the vector into ``m``
+    subspaces and run a small seeded Lloyd's k-means per subspace on a
+    bounded sample — codebook fitting is small-data BY DESIGN (m*k
+    centroids summarize the space; the sample, not the corpus, bounds
+    the work). Returns ``m`` numpy arrays of shape (k_codes, dim/m).
+
+    Deterministic: seeded sample + seeded init + fixed iterations.
+    """
+    import numpy as np
+
+    sample = (
+        embeddings.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_limit)
+        .collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    # L2-normalize: squared distance on unit vectors is 2 - 2*cosine, so
+    # ADC ranking matches the cosine ranking the exact paths use
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        idx = rng.choice(len(S), size=min(k_codes, len(S)), replace=False)
+        C = S[idx].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append(C)
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector into ``m`` one-byte codes (nearest centroid
+    per subspace) — 32x smaller than float32 for 64-dim/m=8, which is
+    what lets a 100 TB embedding corpus live in executor memory as an
+    in-RAM index. One Arrow-batched numpy pass; codebooks ship in the
+    task closure (m*k*dsub floats).
+    Returns (id_col, codes array<int>).
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    def encode(it):
+        for pdf in it:
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes array<int>"
+    )
+
+
+def knn_pq(
+    codes: DataFrame,
+    books: list,
+    query_vec: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    rerank_with: DataFrame | None = None,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes: the query builds one m x k_codes lookup table of exact
+    subspace distances; each corpus row's approximate distance is the
+    SUM of m table lookups — a pure-codegen expression over the codes
+    array (element_at per subspace), no Python and no vector math at
+    scan time. TakeOrdered top-k, no shuffle.
+
+    ``rerank_with``: the production two-stage shape — ADC scans the
+    compressed index for a ``shortlist``, then only the shortlist's
+    full vectors are fetched (semi-join on id) and re-ranked by exact
+    cosine. The expensive exact math touches ``shortlist`` rows instead
+    of the corpus; quantization error only costs recall if a true
+    neighbor misses the whole shortlist.
+    Returns (id_col, adc_distance) ordered ascending, or with rerank
+    (id_col, cosine) ordered by (cosine desc, id), top-k either way.
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    m = len(books)
+    dsub = books[0].shape[1]
+    dist = F.lit(0.0)
+    for j in range(m):
+        table = ((books[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+        dist = dist + F.element_at(
+            F.lit([float(x) for x in table]).cast("array<double>"),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+    scored = codes.select(F.col(id_col), F.round(dist, 6).alias("adc_distance"))
+    if rerank_with is None:
+        return scored.orderBy("adc_distance", id_col).limit(k)
+    short = scored.orderBy("adc_distance", id_col).limit(shortlist)
+    qn = [float(x) for x in q]
+    qcol = F.array(*[F.lit(x) for x in qn])
+    exact = rerank_with.join(F.broadcast(short.select(id_col)), id_col, "left_semi")
+    sim = F.round(cosine(F.col(vec_col), qcol), 6)
+    return (
+        exact.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

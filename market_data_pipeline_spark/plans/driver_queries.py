@@ -4544,6 +4544,21 @@ def shf2_interleave_sources(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query("k7_knn_pq")  # rows-only: PQ codebooks/codes aren't SQL-expressible
+def k7_knn_pq(spark, sf_dir):
+    """Product-quantization ANN, the in-RAM-index scale path: 8-byte
+    codes (32x compression), pure-codegen ADC scan, exact re-rank on a
+    50-row shortlist — recall gated against exact kNN in pytest — see
+    operators.similarity.pq_train/pq_encode/knn_pq."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, dim=64, m=8, k_codes=16)
+    codes = similarity.pq_encode(emb, books)
+    query_vec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.knn_pq(
+        codes, books, query_vec, k=10, rerank_with=emb, shortlist=50
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

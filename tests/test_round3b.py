@@ -595,3 +595,44 @@ def test_interleave_sources_spreads_domains(spark):
     assert len(pos_min) == 10
     gaps = [b - a for a, b in zip(pos_min, pos_min[1:])]
     assert all(7 <= g <= 13 for g in gaps), gaps
+
+
+# --- product quantization ANN -----------------------------------------------
+
+
+def test_pq_recall_against_exact(spark, sf_dir):
+    from market_data_pipeline_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_pq,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, dim=64, m=8, k_codes=16)
+    assert len(books) == 8 and books[0].shape == (16, 8)
+    codes = pq_encode(emb, books)
+    assert codes.count() == emb.count()
+
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in knn_bruteforce(emb, query, k=10).collect()}
+    approx = {r["vec_id"] for r in knn_pq(codes, books, query, k=10).collect()}
+    assert 0 in approx  # raw ADC finds the self-match
+    assert len(exact & approx) / 10 >= 0.3  # coarse codes: shortlist-grade
+    # the production two-stage shape: ADC shortlist + exact re-rank
+    rr = {r["vec_id"] for r in
+          knn_pq(codes, books, query, k=10, rerank_with=emb, shortlist=50).collect()}
+    assert len(exact & rr) / 10 >= 0.7, rr
+
+
+def test_pq_codes_deterministic(spark, sf_dir):
+    from market_data_pipeline_spark.operators.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    b1 = pq_train(emb, dim=64, m=4, k_codes=8, seed=7)
+    b2 = pq_train(emb, dim=64, m=4, k_codes=8, seed=7)
+    for x, y in zip(b1, b2):
+        assert (x == y).all()
+    c1 = sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in pq_encode(emb, b1).collect())))
+    c2 = sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in pq_encode(emb, b2).collect())))
+    assert c1 == c2
