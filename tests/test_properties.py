@@ -454,15 +454,25 @@ def test_domain_quota_budget_invariants(spark, sizes, budget):
     out = domain_quota_sample(
         df, budget=budget, group_col="source", size_col="n_chars", key_col="doc_id"
     )
-    kept = sorted((r["cum_size"], r["doc_id"]) for r in out.collect())
-    assert all(c <= budget for c, _ in kept)
-    # cum sums of a prefix: consecutive cum_size deltas equal kept sizes
-    size_by_id = dict(enumerate(sizes))
-    prev = 0
-    for c, i in kept:
-        assert c - prev == size_by_id[i]
-        prev = c
-    again = sorted((r["cum_size"], r["doc_id"]) for r in out.collect())
+    kept = {r["doc_id"]: r["cum_size"] for r in out.collect()}
+    assert all(c <= budget for c in kept.values())
+    # reconstruct the operator's md5 permutation python-side and verify
+    # the kept set is exactly the maximal running-sum prefix (inferring
+    # order from cum_size breaks on ties from zero-size docs)
+    import hashlib
+
+    order = sorted(
+        range(len(sizes)),
+        key=lambda i: (hashlib.md5(f"42:{i}".encode()).hexdigest(), i),
+    )
+    run, expect = 0, {}
+    for i in order:
+        run += sizes[i]
+        if run > budget:
+            break
+        expect[i] = run
+    assert kept == expect
+    again = {r["doc_id"]: r["cum_size"] for r in out.collect()}
     assert kept == again
 
 
