@@ -756,3 +756,35 @@ def vwap(
         (num.cast("double") / den.cast("double")).alias("vwap"),
         den.cast("long").alias("total_volume"),
     )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Day-of-week seasonal baseline and deviation: each observation
+    compared against its series' historical mean for that weekday — the
+    simplest seasonal decomposition (trading-volume weekday effects,
+    weekend event dips).
+
+    Baselines are per-(series, weekday) aggregates — decimal-exact sums
+    divided once, so re-partitioning never changes them — joined back on
+    the same key the series is already shuffled on. Deviation is a
+    per-row IEEE ratio, rounded.
+    Returns df + (dow 1..7, dow_avg, seasonal_ratio).
+    """
+    dow = F.dayofweek(F.col(order_col))
+    staged = df.withColumn("dow", dow)
+    base = staged.groupBy(partition_col, "dow").agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            / F.count(value_col)
+        ).alias("dow_avg")
+    )
+    return staged.join(base, [partition_col, "dow"]).withColumn(
+        "seasonal_ratio",
+        F.round(F.col(value_col) / F.col("dow_avg"), round_digits),
+    )

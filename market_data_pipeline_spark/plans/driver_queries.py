@@ -3849,8 +3849,10 @@ def j10_bloom_semi_join(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 2500)
+    # 2^17 bits over ~500 keys is ~262 bits/key: 3 hashes already give
+    # fp ~1e-6, and each hash is a per-row expression at the scan
     joined = bloom.bloom_semi_join(
-        li, "l_suppkey", sup, "s_suppkey", num_bits=1 << 17, num_hashes=5
+        li, "l_suppkey", sup, "s_suppkey", num_bits=1 << 17, num_hashes=3
     )
     return (
         joined.groupBy("l_returnflag")
@@ -4557,6 +4559,39 @@ def k7_knn_pq(spark, sf_dir):
     return similarity.knn_pq(
         codes, books, query_vec, k=10, rerank_with=emb, shortlist=50
     )
+
+
+@query(
+    "ts20_seasonal_baseline",
+    f"""WITH {PRICE_CTE},
+base AS (
+  SELECT symbol, dayofweek(trade_date) + 1 AS dow,
+         CAST(SUM(CAST(close_price AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(close_price) AS dow_avg
+  FROM price WHERE symbol IN ({_CAL_IN}) GROUP BY 1, 2
+)
+SELECT p.symbol, p.trade_date, p.close_price,
+       CAST(dayofweek(p.trade_date) + 1 AS INTEGER) AS dow,
+       b.dow_avg,
+       ROUND(p.close_price / b.dow_avg, 6) AS seasonal_ratio
+FROM price p JOIN base b
+  ON p.symbol = b.symbol AND dayofweek(p.trade_date) + 1 = b.dow
+WHERE p.symbol IN ({_CAL_IN})
+ORDER BY p.symbol, p.trade_date""",
+)
+def ts20_seasonal_baseline(spark, sf_dir):
+    """Weekday seasonal baseline per series: decimal-exact per-(symbol,
+    weekday) means joined back on the series key; deviation rounded —
+    see operators.timeseries.seasonal_baseline. (DuckDB's dayofweek is
+    0=Sunday; Spark's is 1=Sunday — the oracle shifts by one.)"""
+    from market_data_pipeline_spark.operators import timeseries as ts_ops
+
+    prices = price_frame(spark, sf_dir, STOCK_SYMBOLS).select(
+        "symbol", "trade_date", "close_price"
+    )
+    return ts_ops.seasonal_baseline(prices).select(
+        "symbol", "trade_date", "close_price", "dow", "dow_avg", "seasonal_ratio"
+    ).orderBy("symbol", "trade_date")
 
 
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
