@@ -529,3 +529,36 @@ def sketch_rollup(
         )
         < 0.02,
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over a total order without a
+    partition-less window — the same range-partitioned rank pattern as
+    :func:`global_ntile` (contiguous range slices, local row_number,
+    exact per-partition offsets; driver data bounded by partition
+    count). ``order_cols`` must be a total order. Rank is 1-based.
+    """
+    sess = df.sparkSession
+    p = num_partitions or sess.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *order_cols).localCheckpoint(eager=False)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    if not counts:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    rn = F.row_number().over(w) + off_map[F.col("_pid")]
+    return with_pid.withColumn(out_col, rn.cast("long")).drop("_pid")

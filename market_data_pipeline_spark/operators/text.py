@@ -880,3 +880,56 @@ def interleave_sources(
         F.col("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def negative_sampling(
+    df: DataFrame,
+    k: int = 4,
+    key_col: str = "doc_id",
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document (anchor) gets ``k`` pseudo-random OTHER documents, decided
+    by an md5 hash so the pairing is reproducible and engine-independent
+    (re-running, or regenerating a shard, yields the same negatives —
+    rand() gives neither).
+
+    Ids are NOT assumed dense: a contiguous 1..N rank is built with the
+    range-partitioned exact-rank pattern (no single-task window), the
+    anchor hashes into the RANK domain, and one equi-join maps ranks
+    back to ids. A self-draw shifts deterministically to the next rank
+    (mod N). Shuffle budget: the rank build plus one hash join on the
+    sampled rank.
+    Returns (key, neg_idx 1..k, negative_id != key).
+    """
+    from market_data_pipeline_spark.operators.analytics import global_rank
+
+    ranks = global_rank(
+        df.select(F.col(key_col)), [F.col(key_col)], out_col="_rank"
+    ).localCheckpoint(eager=False)
+    n = ranks.count()
+    if n < 2:
+        return df.sparkSession.createDataFrame(
+            [], f"{key_col} long, neg_idx long, negative_id long"
+        )
+    draws = ranks.select(
+        F.col(key_col), F.col("_rank").alias("_self"),
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("neg_idx"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(seed), F.lit(":"), F.col(key_col).cast("string"),
+            F.lit(":"), F.col("neg_idx").cast("string"),
+        ).cast("binary")
+    )
+    # 12 hex chars < 2^48: exact in BIGINT, same value in any engine
+    target = F.pmod(F.conv(F.substring(h, 1, 12), 16, 10).cast("long"), F.lit(n)) + 1
+    resolved = F.when(target == F.col("_self"), target % n + 1).otherwise(target)
+    lookup = ranks.select(
+        F.col("_rank").alias("_t"), F.col(key_col).alias("negative_id")
+    )
+    return (
+        draws.withColumn("_t", resolved)
+        .join(lookup, "_t")
+        .select(F.col(key_col), F.col("neg_idx").cast("long"), "negative_id")
+    )

@@ -4594,6 +4594,41 @@ def ts20_seasonal_baseline(spark, sf_dir):
     ).orderBy("symbol", "trade_date")
 
 
+@query(
+    "smp5_negative_sampling",
+    """WITH ranks AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS r
+  FROM documents
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+draws AS (
+  SELECT doc_id, r AS self, unnest(generate_series(1, 4)) AS neg_idx
+  FROM ranks
+), hashed AS (
+  SELECT d.doc_id, d.self, d.neg_idx,
+         CAST('0x' || substr(md5('42:' || CAST(d.doc_id AS VARCHAR)
+                                  || ':' || CAST(d.neg_idx AS VARCHAR)), 1, 12)
+              AS BIGINT) % nn.n + 1 AS target,
+         nn.n AS n
+  FROM draws d CROSS JOIN nn
+)
+SELECT h.doc_id, CAST(h.neg_idx AS BIGINT) AS neg_idx,
+       l.doc_id AS negative_id
+FROM (SELECT doc_id, neg_idx,
+             CASE WHEN target = self THEN target % n + 1 ELSE target END AS t
+      FROM hashed) h
+JOIN ranks l ON l.r = h.t
+ORDER BY h.doc_id, h.neg_idx""",
+)
+def smp5_negative_sampling(spark, sf_dir):
+    """Deterministic contrastive negatives: 4 md5-drawn other-documents
+    per anchor over a range-partitioned exact rank (ids not assumed
+    dense; no single-task window); self-draws shift to the next rank —
+    see operators.text.negative_sampling."""
+    return tx.negative_sampling(
+        load_table(spark, sf_dir, "documents"), k=4
+    ).orderBy("doc_id", "neg_idx")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -636,3 +636,31 @@ def test_pq_codes_deterministic(spark, sf_dir):
     c1 = sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in pq_encode(emb, b1).collect())))
     c2 = sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in pq_encode(emb, b2).collect())))
     assert c1 == c2
+
+
+# --- negative sampling ------------------------------------------------------
+
+
+def test_negative_sampling_invariants(spark):
+    from market_data_pipeline_spark.operators.text import negative_sampling
+
+    # sparse, non-dense ids on purpose
+    ids = [3, 17, 99, 100, 2048, 70000]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = negative_sampling(df, k=3).collect()
+    assert len(out) == len(ids) * 3
+    idset = set(ids)
+    for r in out:
+        assert r["negative_id"] in idset      # negatives are real docs
+        assert r["negative_id"] != r["doc_id"]  # never the anchor itself
+    # deterministic across runs
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, negative_sampling(df, k=3).collect()))
+    assert a == b
+
+
+def test_negative_sampling_degenerate_corpus(spark):
+    from market_data_pipeline_spark.operators.text import negative_sampling
+
+    one = spark.createDataFrame([(1,)], "doc_id long")
+    assert negative_sampling(one, k=3).count() == 0  # no possible negative
