@@ -4629,6 +4629,38 @@ def smp5_negative_sampling(spark, sf_dir):
     ).orderBy("doc_id", "neg_idx")
 
 
+@query(
+    "st10_streaming_running_stats",
+    """WITH c AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (SUM(cents) / 100.0) / COUNT(*) AS mean_value,
+       (SUM(cents * cents) / 10000.0
+        - (SUM(cents) / 100.0) * (SUM(cents) / 100.0) / COUNT(*))
+         / COUNT(*) AS var_pop
+FROM c GROUP BY user_id ORDER BY user_id""",
+)
+def st10_streaming_running_stats(spark, sf_dir):
+    """Streaming per-user mean/variance from exact integer-cents sums
+    (a float Welford state sits a ULP off the SQL aggregate and flips
+    the 2-decimal values' exact rounding ties); the final state is
+    bit-identical to the oracle's sum formula — see
+    streaming.jobs.streaming_running_stats."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    stream = sj.streaming_running_stats(sj.read_events_stream(spark, sf_dir))
+    out = sj.run_stream_to_memory(stream, "st10_sink", output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -500,3 +500,80 @@ def streaming_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+STATS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s_cents", T.LongType()),
+        T.StructField("ssq", T.LongType()),
+    ]
+)
+
+STATS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("var_pop", T.DoubleType()),
+    ]
+)
+
+
+def streaming_running_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-key running mean/variance — the online-feature /
+    anomaly-baseline state every monitoring pipeline keeps. State is
+    exact integer sums in cents — (n, Σ100x, Σ(100x)²) — merged per
+    micro-batch in O(batch); mean and population variance derive from
+    the exact sums through ONE fixed double expression tree, so the
+    result is bit-identical to any engine evaluating the same formula
+    over the same history. (A float Welford state would sit a ULP away
+    from the SQL aggregate and flip rounding boundaries: the 2-decimal
+    values make means like x.xxx0625 EXACT rounding ties.) Emits
+    running (key, n, mean, var_pop) on every update.
+    """
+    import numpy as np
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s_cents, ssq = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        x = batch[value_col].to_numpy(dtype=np.float64)
+        if len(x):
+            cents = np.round(x * 100).astype(np.int64)
+            n += len(cents)
+            s_cents += int(cents.sum())
+            ssq += int((cents * cents).sum())
+        state.update((n, s_cents, ssq))
+        s = s_cents / 100.0
+        var = (ssq / 10000.0 - s * s / n) / n if n else None
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "mean_value": [s / n if n else None],
+                "var_pop": [var],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(key_col), F.col(ts_col), F.col(value_col))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=STATS_OUTPUT,
+            stateStructType=STATS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
