@@ -788,3 +788,35 @@ def seasonal_baseline(
         "seasonal_ratio",
         F.round(F.col(value_col) / F.col("dow_avg"), round_digits),
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series robust scaling (x - median) / IQR — the
+    outlier-insensitive feature normalization for ML export (a z-score
+    is dragged by the very outliers you are trying to detect).
+
+    Median and quartiles are one exact-percentile aggregate per series
+    (map-combined partials, never a global sort) joined back on the key
+    the caller's windows already shuffle on; series with IQR = 0 keep a
+    NULL scaled value (surfaced, not divided-by-zero). Both engines use
+    type-7 quantile interpolation, so the scale factors agree; the
+    scaled ratio is rounded.
+    Adds (median, iqr, scaled).
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(partition_col).agg(
+        F.percentile(v, F.lit(0.5)).alias("median"),
+        (F.percentile(v, F.lit(0.75)) - F.percentile(v, F.lit(0.25))).alias("iqr"),
+    )
+    return df.join(stats, partition_col).withColumn(
+        "scaled",
+        F.when(
+            F.col("iqr") != 0,
+            F.round((v - F.col("median")) / F.col("iqr"), round_digits),
+        ),
+    )

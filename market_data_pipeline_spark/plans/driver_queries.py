@@ -4661,6 +4661,37 @@ def st10_streaming_running_stats(spark, sf_dir):
     )
 
 
+@query(
+    "ts21_robust_scale",
+    f"""WITH {PRICE_CTE},
+stats AS (
+  SELECT symbol,
+         quantile_cont(close_price, 0.5) AS median,
+         quantile_cont(close_price, 0.75) - quantile_cont(close_price, 0.25)
+           AS iqr
+  FROM price WHERE symbol IN ({_CAL_IN}) GROUP BY 1
+)
+SELECT p.symbol, p.trade_date, p.close_price, s.median, s.iqr,
+       CASE WHEN s.iqr <> 0
+            THEN ROUND((p.close_price - s.median) / s.iqr, 6) END AS scaled
+FROM price p JOIN stats s USING (symbol)
+WHERE p.symbol IN ({_CAL_IN})
+ORDER BY p.symbol, p.trade_date""",
+)
+def ts21_robust_scale(spark, sf_dir):
+    """Outlier-insensitive (median/IQR) feature scaling per series —
+    exact type-7 percentiles on both engines, zero-IQR surfaced as NULL
+    — see operators.timeseries.robust_scale."""
+    from market_data_pipeline_spark.operators import timeseries as ts_ops
+
+    prices = price_frame(spark, sf_dir, STOCK_SYMBOLS).select(
+        "symbol", "trade_date", "close_price"
+    )
+    return ts_ops.robust_scale(prices).select(
+        "symbol", "trade_date", "close_price", "median", "iqr", "scaled"
+    ).orderBy("symbol", "trade_date")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
