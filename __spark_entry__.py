@@ -130,7 +130,7 @@ _COST = {
     "st8_streaming_ewma": 1.46, "dq2_freshness": 0.46,
     "ts18_adjusted_close": 0.56, "ts19_vwap": 0.32,
     "e9_markov_transitions": 0.55, "st9_streaming_windowed_topk": 1.40,
-    "dp2_quantity_drift": 0.40, "dd13_span_dedup": 1.20, "shf2_interleave_sources": 0.60, "k7_knn_pq": 1.30, "ts20_seasonal_baseline": 0.45, "smp5_negative_sampling": 0.75, "st10_streaming_running_stats": 1.50, "ts21_robust_scale": 0.45,
+    "dp2_quantity_drift": 0.40, "dd13_span_dedup": 1.20, "shf2_interleave_sources": 0.60, "k7_knn_pq": 1.30, "ts20_seasonal_baseline": 0.45, "smp5_negative_sampling": 0.75, "st10_streaming_running_stats": 1.50, "ts21_robust_scale": 0.45, "iv4_allen_relations": 0.90,
 }
 
 

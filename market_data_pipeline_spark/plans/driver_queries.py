@@ -4692,6 +4692,93 @@ def ts21_robust_scale(spark, sf_dir):
     ).orderBy("symbol", "trade_date")
 
 
+_ALLEN_CASE = """CASE
+  WHEN start_a = start_b AND end_a = end_b THEN 'equals'
+  WHEN start_a <= start_b AND end_a >= end_b THEN 'contains'
+  WHEN start_a >= start_b AND end_a <= end_b THEN 'during'
+  WHEN start_a < start_b THEN 'overlaps'
+  ELSE 'overlapped_by' END"""
+
+
+@query(
+    "iv4_allen_relations",
+    f"""WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s GROUP BY 1, 2
+), pairs AS (
+  SELECT a.session_start AS start_a, a.session_end AS end_a,
+         b.session_start AS start_b, b.session_end AS end_b
+  FROM sessions a JOIN sessions b
+    ON a.user_id < b.user_id
+   AND a.session_start <= b.session_end
+   AND b.session_start <= a.session_end
+)
+SELECT {_ALLEN_CASE} AS relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1""",
+)
+def iv4_allen_relations(spark, sf_dir):
+    """Allen-style interval-relation census over concurrent session
+    pairs (equals / contains / during / overlaps / overlapped_by) — the
+    temporal-reasoning summary on top of the bucketed overlap join; the
+    oracle states the naive range self-join the engine never runs."""
+    ev_df = load_table(spark, sf_dir, "events")
+    sess = ev.sessionize(ev_df, gap_minutes=30).select(
+        "user_id", "session_start", "session_end"
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_start").alias("start_a"),
+        F.col("session_end").alias("end_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_start").alias("start_b"),
+        F.col("session_end").alias("end_b"),
+    )
+    pairs = ev.interval_overlap_join(
+        a, b, "start_a", "end_a", "start_b", "end_b",
+        bucket="1 hour",
+        extra_condition=F.col("user_a") < F.col("user_b"),
+    )
+    relation = (
+        F.when(
+            (F.col("start_a") == F.col("start_b"))
+            & (F.col("end_a") == F.col("end_b")),
+            F.lit("equals"),
+        )
+        .when(
+            (F.col("start_a") <= F.col("start_b"))
+            & (F.col("end_a") >= F.col("end_b")),
+            F.lit("contains"),
+        )
+        .when(
+            (F.col("start_a") >= F.col("start_b"))
+            & (F.col("end_a") <= F.col("end_b")),
+            F.lit("during"),
+        )
+        .when(F.col("start_a") < F.col("start_b"), F.lit("overlaps"))
+        .otherwise(F.lit("overlapped_by"))
+    )
+    return (
+        pairs.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("relation")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
