@@ -664,3 +664,37 @@ def test_negative_sampling_degenerate_corpus(spark):
 
     one = spark.createDataFrame([(1,)], "doc_id long")
     assert negative_sampling(one, k=3).count() == 0  # no possible negative
+
+
+# --- seasonal baseline and robust scaling -----------------------------------
+
+
+def test_seasonal_baseline_reference(spark):
+    from market_data_pipeline_spark.operators.timeseries import seasonal_baseline
+
+    # two Mondays at 10 and 20 (avg 15), one Tuesday at 30
+    rows = [("A", "2024-01-01", 10.0), ("A", "2024-01-08", 20.0),
+            ("A", "2024-01-02", 30.0)]
+    df = spark.createDataFrame(rows, "symbol string, trade_date string, close_price double")
+    df = df.withColumn("trade_date", F.to_date("trade_date"))
+    out = {str(r["trade_date"]): r for r in seasonal_baseline(df).collect()}
+    assert out["2024-01-01"]["dow_avg"] == 15.0
+    assert out["2024-01-01"]["seasonal_ratio"] == pytest.approx(10 / 15, abs=1e-6)
+    assert out["2024-01-08"]["seasonal_ratio"] == pytest.approx(20 / 15, abs=1e-6)
+    assert out["2024-01-02"]["dow_avg"] == 30.0 and out["2024-01-02"]["seasonal_ratio"] == 1.0
+
+
+def test_robust_scale_reference_and_zero_iqr(spark):
+    from market_data_pipeline_spark.operators.timeseries import robust_scale
+
+    rows = [("A", i, v) for i, v in enumerate([1.0, 2.0, 4.0, 8.0, 9.0])] + [
+        ("B", i, 5.0) for i in range(4)  # constant series -> IQR 0
+    ]
+    df = spark.createDataFrame(rows, "symbol string, trade_date int, close_price double")
+    out = robust_scale(df).collect()
+    a = {r["close_price"]: r for r in out if r["symbol"] == "A"}
+    assert a[4.0]["median"] == 4.0 and a[4.0]["iqr"] == 6.0  # q3=8, q1=2
+    assert a[9.0]["scaled"] == pytest.approx(round((9 - 4) / 6, 6), abs=1e-9)
+    for r in out:
+        if r["symbol"] == "B":
+            assert r["iqr"] == 0.0 and r["scaled"] is None
