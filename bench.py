@@ -100,8 +100,25 @@ def main() -> None:
     sys.stderr.flush()
     os.dup2(real_stdout_fd, 1)
     os.close(real_stdout_fd)
-    # sole stdout line of the whole process
     print(line, flush=True)
+    # Tail-truncation defense (r3 verdict #2): the driver keeps a *tail*
+    # buffer of stdout, so a >4 KiB main line gets its HEAD clipped — which
+    # is where r3 put the summary. Emit a second, short, summary-only JSON
+    # line AFTER the main line: the end of the output always parses, and
+    # the totals are recoverable from BENCH_r{N}.json without git
+    # archaeology even when the per-query dict is clipped.
+    print(
+        json.dumps(
+            {
+                "bench_total_sec": total,
+                "n_queries": len(timings),
+                "sf": sf_from_dir(SF_DIR),
+                "families": families,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -728,6 +728,15 @@ def remove_duplicate_spans(
     token count per document (positions pack into one BIGINT so the
     canonical argmin is a plain MIN).
 
+    The gram key is a 128-bit md5 (16-byte binary), not xxhash64: this
+    operator DESTROYS text, so a hash collision here would merge two
+    distinct n-grams and permanently excise real, non-duplicated spans
+    (unlike crossdoc_ngram_stats, where a collision merely perturbs a
+    quality signal). At 10^12 corpus grams the 64-bit birthday bound
+    expects ~3e4 real collisions; at 128 bits the expectation is ~1e-15
+    — negligible even at 100 TB. Doubling the shuffled key from 8 to 16
+    bytes is the whole cost.
+
     Docs shorter than n tokens pass through untouched; rebuilt text is
     whitespace-normalized (it is reassembled from the token stream).
     Returns (id_col, n_tokens, n_removed, cleaned_text) per doc with
@@ -753,9 +762,9 @@ def remove_duplicate_spans(
                     F.sequence(F.lit(1), F.size("_toks") - n + 1),
                     lambda i: F.struct(
                         i.alias("pos"),
-                        F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), i, n))).alias(
-                            "gh"
-                        ),
+                        F.unhex(
+                            F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, n)))
+                        ).alias("gh"),
                     ),
                 )
             ).alias("_o"),

@@ -338,8 +338,11 @@ def nearest_event_join(
         F.col(key_col), F.col(left_id_col).alias("_lid"), F.col(ts_col).alias("_lts"),
         F.lit(None).cast("timestamp").alias("_rts"),
     )
+    # null _lid on the right side mirrors the LEFT's id type (string/int
+    # event ids included) instead of pinning long
+    lid_type = left.schema[left_id_col].dataType.simpleString()
     rt = right.select(F.col(key_col), F.col(ts_col).alias("_rts")).distinct().select(
-        F.col(key_col), F.lit(None).cast("long").alias("_lid"),
+        F.col(key_col), F.lit(None).cast(lid_type).alias("_lid"),
         F.lit(None).cast("timestamp").alias("_lts"), F.col("_rts"),
     )
     both = lt.unionByName(rt)

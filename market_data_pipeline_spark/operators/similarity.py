@@ -323,8 +323,9 @@ def cosine_near_dup_lsh(
         F.col("_bks"),
         F.posexplode_outer("_bks").alias("_bd", "_bk"),
     ).filter(F.col("_bk").isNotNull())
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     out = banded.groupBy("_bd", "_bk").applyInPandas(
-        confirm, "vec_a long, vec_b long, cosine double"
+        confirm, f"vec_a {id_type}, vec_b {id_type}, cosine double"
     )
     return out.orderBy("vec_a", "vec_b")
 
@@ -742,7 +743,14 @@ def knn_graph(
         for M, src, nbr in sides:
             Mm = M.copy()
             if key[0] == key[1]:
-                np.fill_diagonal(Mm, -np.inf)
+                # Mask self-pairs by ID EQUALITY, not matrix position:
+                # Spark gives no intra-group row-ordering guarantee, so
+                # when the diagonal group's 'a'/'b' rows arrive in
+                # different relative orders (shuffle block fetch order is
+                # randomized on real clusters) np.fill_diagonal would hit
+                # the wrong cells — self-pairs with cosine 1.0 would
+                # survive and genuine pairs would be wrongly masked.
+                Mm[src[:, None] == nbr[None, :]] = -np.inf
             take = min(kk, Mm.shape[1])
             idx = np.argpartition(-Mm, take - 1, axis=1)[:, :take]
             rows = np.repeat(np.arange(Mm.shape[0]), take)
@@ -799,8 +807,11 @@ def pq_train(
     )
     X = np.array([r[0] for r in sample], dtype=np.float64)
     # L2-normalize: squared distance on unit vectors is 2 - 2*cosine, so
-    # ADC ranking matches the cosine ranking the exact paths use
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # ADC ranking matches the cosine ranking the exact paths use.
+    # Zero-norm guard: an all-zero embedding otherwise turns into NaN
+    # subvectors that poison every centroid it touches.
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
     dsub = dim // m
     rng = np.random.default_rng(seed)
     books = []
@@ -841,7 +852,8 @@ def pq_encode(
     def encode(it):
         for pdf in it:
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            X = X / np.where(norms == 0, 1.0, norms)
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 S = X[:, j * dsub : (j + 1) * dsub]
@@ -849,8 +861,11 @@ def pq_encode(
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
 
+    # derive the id type from the input schema (like knn_graph) instead of
+    # pinning long: a string/int id would otherwise silently miscast
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     return embeddings.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, codes array<int>"
+        encode, f"{id_col} {id_type}, codes array<int>"
     )
 
 
@@ -883,7 +898,8 @@ def knn_pq(
     import numpy as np
 
     q = np.asarray(query_vec, dtype=np.float64)
-    q = q / np.linalg.norm(q)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn != 0 else 1.0)
     m = len(books)
     dsub = books[0].shape[1]
     dist = F.lit(0.0)

@@ -909,8 +909,10 @@ def negative_sampling(
     ).localCheckpoint(eager=False)
     n = ranks.count()
     if n < 2:
+        # empty frame mirrors the input's id type (string/int ids included)
+        id_type = df.schema[key_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"{key_col} long, neg_idx long, negative_id long"
+            [], f"{key_col} {id_type}, neg_idx long, negative_id {id_type}"
         )
     draws = ranks.select(
         F.col(key_col), F.col("_rank").alias("_self"),

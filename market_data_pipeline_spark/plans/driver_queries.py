@@ -3040,8 +3040,10 @@ FROM b ORDER BY doc_id""",
 )
 def tx10_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals (duplicate-bigram fraction,
-    most-repeated bigram/token share) — map-only higher-order-function
-    expressions, no UDF, no shuffle."""
+    most-repeated bigram/token share) — one map-only Arrow ``mapInPandas``
+    Counter pass, no shuffle. A JVM higher-order-function form was measured
+    and rejected as O(distinct x total) per document (quadratic in doc
+    length); rationale in ``operators/text.py:351``."""
     return tx.repetition_stats(load_table(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )

@@ -67,15 +67,28 @@ def prepare_corpus(
     clustered = q2.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("component").orderBy(
+    # Survivor pick partitions by a key that gives every NON-clustered doc
+    # (component NULL — typically the vast majority of the corpus) its own
+    # singleton window partition. Partitioning by bare "component" would
+    # funnel all NULLs into ONE window partition — the single-task global
+    # window shape the plan-audit tests forbid, and a guaranteed straggler
+    # at 100 TB even though the when() discards the value. The prefixes
+    # keep a singleton whose doc_id happens to equal a cluster's
+    # representative id (CC components are min-node doc_ids) from being
+    # merged into that cluster's partition, which bare
+    # coalesce(component, doc_id) would do.
+    part_key = F.coalesce(
+        F.concat(F.lit("c:"), F.col("component").cast("string")),
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")),
+    )
+    w = Window.partitionBy(part_key).orderBy(
         F.desc(tx.token_count(F.col("text"))), "doc_id"
     )
-    survivors = clustered.withColumn(
-        "_rk",
-        F.when(F.col("component").isNull(), F.lit(1)).otherwise(
-            F.row_number().over(w)
-        ),
-    ).filter(F.col("_rk") == 1).drop("_rk", "component")
+    survivors = (
+        clustered.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "component")
+    )
     survivors = survivors.localCheckpoint(eager=False)
     counts["after_near_dedup"] = survivors.count()
 

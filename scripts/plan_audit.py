@@ -58,6 +58,9 @@ def audit_plan(df) -> dict:
         "unbounded_single_partition": _unbounded_single_partition(p),
         "max_read_cols": max(read_schemas, default=0),
         "codegen_spans": len(re.findall(r"WholeStageCodegen", p)),
+        # raw formatted plan, for tests that assert node placement (e.g.
+        # "the bloom predicate filters the scan, not the join output")
+        "plan_text": p,
     }
 
 

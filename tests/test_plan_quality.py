@@ -198,6 +198,48 @@ def test_bloom_semi_join_pushes_and_broadcasts(plans):
     assert facts["pushed_scans"] >= 1
 
 
+def test_bloom_predicate_filters_the_fact_scan_not_the_join(plans):
+    """The operator's whole reason to exist is PRE-shuffle fact reduction:
+    the bloom membership test (bit_get over the literal bitmap) must sit
+    between the fact scan and the semi-join, never above the join. A
+    refactor that moves it post-join keeps results identical — only this
+    plan assertion catches it."""
+    import re
+
+    p = plans("j10_bloom_semi_join")["plan_text"]
+    # node ids of Filter operators whose detail block mentions bit_get
+    blocks = re.split(r"^(?=\(\d+\) )", p, flags=re.M)
+    bloom_ids = {
+        int(re.match(r"\((\d+)\) Filter", b).group(1))
+        for b in blocks
+        if b.startswith("(") and "Filter" in b.split("\n", 1)[0] and "bit_get" in b
+    }
+    assert bloom_ids, "no Filter with the bloom bit_get predicate in the plan"
+    # parse the tree header: (indent, node name, id) per line
+    tree = []
+    for line in p.splitlines():
+        # "Scan parquet  (1)" prints TWO spaces before the id — allow any
+        m = re.search(r"^(.*?)(\w[\w]*(?: \w+)*) +\((\d+)\)$", line.rstrip())
+        if m:
+            tree.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    for i, (indent, name, nid) in enumerate(tree):
+        if nid not in bloom_ids:
+            continue
+        # the filter's subtree: following lines strictly deeper than it
+        subtree = []
+        for t in tree[i + 1 :]:
+            if t[0] <= indent:
+                break
+            subtree.append(t[1])
+        assert any("Scan parquet" in n for n in subtree), (
+            f"bloom Filter ({nid}) does not sit over a parquet scan: {subtree}"
+        )
+        assert not any("Join" in n for n in subtree), (
+            f"bloom Filter ({nid}) sits ABOVE a join — pruning happens "
+            f"post-shuffle: {subtree}"
+        )
+
+
 def test_nearest_event_one_union_window_pass(plans):
     facts = plans("iv3_nearest_event")
     # union + one window partitioning chain: no join at all in the plan
