@@ -1,0 +1,182 @@
+"""100x-scale rehearsal for the two stateful scale stories (SCALE.md).
+
+The sf0.1 bench proves correctness and plan shape; this script rehearses
+the two operators whose cost is dominated by STATE rather than by scan
+volume, at 10x the bench data, and validates the documented parameter
+rules with measurements instead of argument:
+
+A. **Streaming state-store partitioning** — `run_stream_to_memory`
+   documents that state partitioning must be CHOSEN from state volume and
+   executor count, never inherited from the batch shuffle setting. Runs
+   the watermarked stream-stream view->click join over a 1M-event slice
+   (10x the sf0.1 events table) at several state-partition counts and
+   reports wall time + result-row equality.
+
+B. **Capped dedup under a pathological hot shingle** — every document in
+   a 50k-doc corpus (10x sf0.1 documents) is given one shared boilerplate
+   sentence, so its trigram shingles occur in ALL 50k docs. The uncapped
+   pair expansion for ONE such shingle is 50k^2/2 = 1.25e9 candidate rows
+   in a single task — the run that must never happen. The rehearsal runs
+   the capped pipeline (max_doc_freq) end-to-end, times it, and prints the
+   `bucket_overflow_stats` audit: how many shingles the cap dropped and
+   how many candidate pairs that refused to materialize.
+
+Scratch data lives under .scratch/scale/ (gitignored) and is built once
+with DuckDB (single-file parquet, matching the driver's layout so
+`read_events_stream`'s pathGlobFilter finds it).
+
+Usage: python scripts/scale_rehearsal.py [--events-copies 10] [--doc-copies 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCRATCH = os.path.join(REPO, ".scratch", "scale")
+SRC = "/root/testdata/sf0.1"
+
+
+def build_scratch(events_copies: int, doc_copies: int) -> None:
+    import duckdb
+
+    os.makedirs(os.path.join(SCRATCH, "sf1"), exist_ok=True)
+    os.makedirs(os.path.join(SCRATCH, "hotdocs"), exist_ok=True)
+    con = duckdb.connect()
+    ev_out = os.path.join(SCRATCH, "sf1", "events.parquet")
+    if not os.path.exists(ev_out):
+        # replicate with disjoint user/event id ranges per copy: state
+        # volume (distinct users buffered per watermark window) scales
+        # with the copy count, which is the dimension under test
+        con.execute(
+            f"""
+            COPY (
+              SELECT event_id + i * 10000000 AS event_id, ts,
+                     user_id + i * 10000000 AS user_id, event_type, value, props
+              FROM '{SRC}/events.parquet', range({events_copies}) AS r(i)
+            ) TO '{ev_out}' (FORMAT PARQUET)
+            """
+        )
+    doc_out = os.path.join(SCRATCH, "hotdocs", "documents.parquet")
+    if not os.path.exists(doc_out):
+        # one boilerplate sentence appended to EVERY doc: its trigram
+        # shingles have doc-frequency == corpus size (the viral shingle)
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id + i * 10000000 AS doc_id,
+                     text || ' subscribe to our newsletter for daily updates and offers' AS text,
+                     lang, source, n_chars
+              FROM '{SRC}/documents.parquet', range({doc_copies}) AS r(i)
+            ) TO '{doc_out}' (FORMAT PARQUET)
+            """
+        )
+
+
+def rehearse_streaming(spark) -> dict:
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    sf1 = os.path.join(SCRATCH, "sf1")
+    # warmup: one throwaway run at the bench-scale slice so the first
+    # measured configuration doesn't absorb stream-source / state-store
+    # class loading (~5s, measured)
+    sj.run_stream_to_memory(
+        sj.streaming_view_click_join(sj.read_events_stream(spark, SRC)),
+        "rehearsal_warmup",
+        output_mode="append",
+        state_partitions=8,
+    ).count()
+    results: dict[str, dict] = {}
+    for parts in (4, 8, 32):
+        t0 = time.perf_counter()
+        joined = sj.streaming_view_click_join(sj.read_events_stream(spark, sf1))
+        out = sj.run_stream_to_memory(
+            joined, f"rehearsal_{parts}", output_mode="append", state_partitions=parts
+        )
+        n = out.count()
+        results[str(parts)] = {
+            "state_partitions": parts,
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "rows": n,
+        }
+        print(f"  state_partitions={parts}: {results[str(parts)]}", flush=True)
+    rows = {r["rows"] for r in results.values()}
+    assert len(rows) == 1, f"result rows differ across partitionings: {results}"
+    return results
+
+
+def rehearse_capped_dedup(spark, max_doc_freq: int = 3) -> dict:
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.operators import dedup
+    from market_data_pipeline_spark.operators.util import bucket_overflow_stats
+
+    docs = spark.read.parquet(os.path.join(SCRATCH, "hotdocs", "documents.parquet"))
+    n_docs = docs.count()
+
+    t0 = time.perf_counter()
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, group_col="lang", n=3, threshold=0.1, max_doc_freq=max_doc_freq
+    )
+    n_pairs = pairs.count()
+    capped_sec = round(time.perf_counter() - t0, 2)
+
+    # audit: the same (group, shingle-hash) frame the operator buckets on
+    sh = (
+        dedup.shingled(docs, "doc_id", "text", 3, extra_cols=("lang",))
+        .select(
+            "doc_id", "lang", F.explode_outer("shingles").alias("_s")
+        )
+        .filter(F.col("_s").isNotNull())
+        .select("doc_id", "lang", F.xxhash64("_s").alias("shingle"))
+    )
+    t1 = time.perf_counter()
+    overflow = bucket_overflow_stats(sh, ["lang", "shingle"], max_doc_freq)
+    audit = overflow.agg(
+        F.count(F.lit(1)).alias("n_dropped_shingles"),
+        F.max("group_size").alias("max_doc_freq_seen"),
+        F.sum(
+            (F.col("group_size") * (F.col("group_size") - 1) / 2).cast("double")
+        ).alias("candidate_pairs_avoided"),
+    ).collect()[0]
+    audit_sec = round(time.perf_counter() - t1, 2)
+    return {
+        "n_docs": n_docs,
+        "max_doc_freq": max_doc_freq,
+        "capped_pipeline_sec": capped_sec,
+        "confirmed_pairs": n_pairs,
+        "audit_sec": audit_sec,
+        "n_dropped_shingles": audit["n_dropped_shingles"],
+        "max_doc_freq_seen": audit["max_doc_freq_seen"],
+        "candidate_pairs_avoided": int(audit["candidate_pairs_avoided"] or 0),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--events-copies", type=int, default=10)
+    ap.add_argument("--doc-copies", type=int, default=10)
+    args = ap.parse_args()
+
+    from market_data_pipeline_spark.session import get_spark
+
+    build_scratch(args.events_copies, args.doc_copies)
+    spark = get_spark("scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("A. streaming state-store partitioning @ 10x events", flush=True)
+    streaming = rehearse_streaming(spark)
+    print("B. capped dedup under a corpus-wide hot shingle", flush=True)
+    capped = rehearse_capped_dedup(spark)
+    print(json.dumps({"streaming": streaming, "capped_dedup": capped}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
