@@ -166,6 +166,15 @@ _COST = {
     "ts18_adjusted_close": 0.56, "ts19_vwap": 0.32,
     "e9_markov_transitions": 0.55, "st9_streaming_windowed_topk": 1.40,
     "dp2_quantity_drift": 0.40, "dd13_span_dedup": 1.20, "shf2_interleave_sources": 0.60, "k7_knn_pq": 1.30, "ts20_seasonal_baseline": 0.45, "smp5_negative_sampling": 0.75, "st10_streaming_running_stats": 1.50, "ts21_robust_scale": 0.45, "iv4_allen_relations": 0.90,
+    # round-4 additions (estimates from sf0.01 oracle-check wall times)
+    "ts22_sharpe": 0.45, "ts23_donchian": 0.50, "ts24_return_autocorr": 0.50,
+    "ts25_xs_momentum": 0.60, "ts26_amihud_illiquidity": 0.65,
+    "ts27_candlestick_flags": 0.55, "e10_conversion_latency": 0.50,
+    "e11_rfm_scores": 0.70, "e12_burst_detection": 0.45,
+    "tx14_sentence_stats": 0.45, "tx15_zipf_slope": 0.70,
+    "dd14_crossdoc_sentences": 0.70, "smp6_quantile_stratified": 0.50,
+    "j11_band_range_join": 0.55, "dq3_childless_orders": 0.50,
+    "a12_weighted_market_return": 0.70, "u6_symmetric_difference": 0.55,
 }
 
 

@@ -414,3 +414,168 @@ def transition_matrix(
         .withColumn("p", F.round(F.col("n") / F.col("_tot").cast("double"), round_digits))
         .select("from_type", "to_type", F.col("n").cast("long").alias("n"), "p")
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user conversion latency: seconds from the user's FIRST
+    ``from_type`` event to their first ``to_type`` event at-or-after it.
+
+    One map-combined aggregate gets each user's first ``from`` timestamp;
+    the first qualifying ``to`` event is a conditional ``min`` in the
+    SAME aggregate pass — no join, no window, one shuffle on the user
+    key. Users who never convert surface latency NULL (kept, not
+    dropped: the non-converting population is the denominator every
+    funnel metric needs).
+    Returns (key, first_from_ts, first_to_ts, latency_sec).
+    """
+    first_from = F.min(F.when(F.col(type_col) == from_type, F.col(ts_col)))
+    agg = (
+        df.filter(F.col(type_col).isin([from_type, to_type]))
+        .groupBy(key_col)
+        .agg(
+            first_from.alias("first_from_ts"),
+            # collect the candidate to-events; the qualifying min needs
+            # first_from first, so it is a second conditional min over the
+            # same grouped rows via a self-contained expression below
+            F.min(F.when(F.col(type_col) == to_type, F.col(ts_col))).alias(
+                "_first_to_any"
+            ),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col(type_col) == to_type, F.col(ts_col))
+                )
+            ).alias("_to_list"),
+        )
+    )
+    # earliest to-event >= first_from: the to-list is sorted, filter+head.
+    # Bounded state: per-user event counts, the same bound sessionize
+    # carries; at 100 TB swap collect_list for a two-pass aggregate if a
+    # single user can hold millions of events.
+    # try_element_at, not element_at: a user with zero qualifying
+    # to-events has an EMPTY filtered list, which ANSI mode (Spark 4
+    # default) turns into an out-of-bounds error instead of NULL
+    first_to = F.try_element_at(
+        F.filter(
+            F.col("_to_list"),
+            lambda t: t >= F.col("first_from_ts"),
+        ),
+        F.lit(1),
+    )
+    return (
+        agg.filter(F.col("first_from_ts").isNotNull())
+        .select(
+            F.col(key_col),
+            "first_from_ts",
+            first_to.alias("first_to_ts"),
+            (
+                (F.unix_micros(first_to) - F.unix_micros("first_from_ts"))
+                / F.lit(1000000.0)
+            ).alias("latency_sec"),
+        )
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    monetary_type: str = "purchase",
+    n_quantiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) user scoring — the classic
+    segmentation: days since last activity, total events, and exact
+    DECIMAL-summed spend on ``monetary_type`` events, each bucketed into
+    ``n_quantiles`` quintiles.
+
+    One aggregate per user (single shuffle), then three range-partitioned
+    exact ntiles via analytics.global_ntile — NEVER a single global
+    window partition (the ntile over "all users" is the one-task
+    scale-killer shape). Recency anchors to the corpus max timestamp so
+    the score is reproducible from the lake alone. Tie order inside each
+    ntile is pinned by the user key for engine-independent buckets.
+    Returns (key, recency_days, frequency, monetary, r_score, f_score,
+    m_score).
+    """
+    from market_data_pipeline_spark.operators.analytics import global_ntile
+
+    anchor = df.agg(F.max(ts_col).alias("_mx"))
+    per_user = (
+        df.groupBy(key_col)
+        .agg(
+            F.max(ts_col).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col(type_col) == monetary_type, F.col(value_col)
+                ).cast("decimal(18,2)")
+            ).alias("_mon"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col(key_col),
+            F.datediff(F.to_date("_mx"), F.to_date("_last"))
+            .cast("long")
+            .alias("recency_days"),
+            F.col("frequency"),
+            F.coalesce(F.col("_mon"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    # lower recency is BETTER: rank ascending so bucket 1 = most recent
+    scored = global_ntile(
+        per_user, [F.col("recency_days"), F.col(key_col)], n_quantiles,
+        out_col="r_score",
+    )
+    scored = global_ntile(
+        scored, [F.desc("frequency"), F.col(key_col)], n_quantiles,
+        out_col="f_score",
+    )
+    return global_ntile(
+        scored, [F.desc("monetary"), F.col(key_col)], n_quantiles,
+        out_col="m_score",
+    )
+
+
+def burst_detection(
+    df: DataFrame,
+    window_duration: str = "1 minute",
+    burst_threshold: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user activity-burst summary: bucket events into tumbling
+    windows, find each user's maximum per-window event count, and flag
+    users whose peak exceeds ``burst_threshold`` (the bot/abuse
+    heuristic every event pipeline ships).
+
+    Two map-combined aggregates back to back — (user, window) counts,
+    then the per-user max — both shuffling on the user key (the second
+    groupBy is a prefix of the first's keys, so AQE coalesces without a
+    second full exchange). No windows, no joins.
+    Returns (key, total_events, peak_per_window, n_windows, is_burst).
+    """
+    win = F.window(F.col(ts_col), window_duration)
+    per_window = df.groupBy(F.col(key_col), win.alias("_w")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_window.groupBy(key_col)
+        .agg(
+            F.sum("_n").cast("long").alias("total_events"),
+            F.max("_n").cast("long").alias("peak_per_window"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .withColumn(
+            "is_burst", (F.col("peak_per_window") >= burst_threshold).cast("boolean")
+        )
+    )

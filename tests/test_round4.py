@@ -1,0 +1,309 @@
+"""Round-4 operator unit tests: the new time-series / event / text /
+range-join operators, plus regressions for the round-4 advice fixes
+(id-equality self-pair masking, schema-derived id types, zero-norm
+guards)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import (
+    events as ev,
+    similarity,
+    text as tx,
+    timeseries as tseries,
+)
+from market_data_pipeline_spark.operators.rangejoin import banded_range_join
+
+
+def _series(spark, closes, symbol="S", amounts=None):
+    rows = [
+        (symbol, dt.date(2024, 1, 1) + dt.timedelta(days=i), float(c))
+        + ((float(amounts[i]),) if amounts else ())
+        for i, c in enumerate(closes)
+    ]
+    schema = "symbol string, trade_date date, close_price double" + (
+        ", amount double" if amounts else ""
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+# --- time-series -----------------------------------------------------------
+
+
+def test_sharpe_ratio_known_value(spark):
+    # returns: +10%, -10%, +10%, -10% -> mean 0, sd > 0 -> sharpe 0
+    df = _series(spark, [100, 110, 99, 108.9, 98.01])
+    out = tseries.sharpe_ratio(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 4
+    assert abs(r["sharpe_annual"]) < 1e-6
+
+
+def test_sharpe_zero_variance_is_null(spark):
+    df = _series(spark, [100, 110, 121])  # constant +10% -> sd == 0
+    r = tseries.sharpe_ratio(df).collect()[0]
+    assert r["sharpe_annual"] is None
+
+
+def test_donchian_breakout_flags(spark):
+    df = _series(spark, [10, 11, 12, 9, 20])
+    out = {
+        r["trade_date"].day: r
+        for r in tseries.donchian_channels(df, n=3).collect()
+    }
+    # day5 close 20 > prev upper (max of 11,12,9 = 12) -> breakout up
+    assert out[5]["breakout_up"] is True
+    # day4 close 9 < prev lower (min of 10,11,12 = 10) -> breakout down
+    assert out[4]["breakout_down"] is True
+    assert out[4]["breakout_up"] is False
+
+
+def test_return_autocorr_alternating_is_negative(spark):
+    closes = [100]
+    for _ in range(10):
+        closes.append(closes[-1] * (1.1 if len(closes) % 2 else 0.95))
+    out = tseries.return_autocorr(_series(spark, closes), 1).collect()[0]
+    assert out["autocorr"] < -0.9  # strictly alternating returns
+
+
+def test_cross_sectional_momentum_ranks(spark):
+    rows = []
+    for sym, mult in (("A", 1.5), ("B", 1.2), ("C", 0.8)):
+        rows += [
+            (sym, dt.date(2024, 1, 1), 100.0),
+            (sym, dt.date(2024, 1, 2), 100.0 * mult),
+        ]
+    df = spark.createDataFrame(
+        rows, "symbol string, trade_date date, close_price double"
+    )
+    out = tseries.cross_sectional_momentum(df, lookback=1, n_quantiles=3)
+    ranks = {r["symbol"]: r["xs_rank"] for r in out.collect()}
+    assert ranks == {"A": 1, "B": 2, "C": 3}
+
+
+def test_amihud_illiquidity_exact(spark):
+    # |ret| = 0.1 each day, amount = 2.0 -> ratio = 0.05 * 1e9 per day
+    df = _series(spark, [100, 110, 99], amounts=[2e9, 2e9, 2e9])
+    r = tseries.amihud_illiquidity(df).collect()[0]
+    assert r["n_days"] == 2
+    assert r["amihud_illiq"] == pytest.approx(0.05, abs=1e-9)
+
+
+def test_candlestick_doji_and_engulfing(spark):
+    bars = spark.createDataFrame(
+        [
+            ("S", dt.date(2024, 1, 1), 10.0, 12.0, 8.0, 10.1),   # doji-ish
+            ("S", dt.date(2024, 1, 8), 11.0, 11.5, 9.5, 10.0),   # bearish
+            ("S", dt.date(2024, 1, 15), 9.0, 13.0, 8.5, 12.0),   # engulfs prev body
+        ],
+        "symbol string, bucket date, open double, high double, low double, close double",
+    )
+    out = {r["bucket"].day: r for r in tseries.candlestick_flags(bars).collect()}
+    assert out[1]["doji"] is True  # |10.1-10| = 0.1 <= 0.1*(12-8)
+    assert out[15]["engulfing_up"] is True  # bull body 9..12 engulfs 10..11
+    assert out[8]["engulfing_up"] is False
+
+
+# --- events ----------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s), u, t, v)
+            for i, (s, u, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_conversion_latency_basic(spark):
+    df = _events(
+        spark,
+        [
+            (0, 1, "purchase", 1.0),   # BEFORE first view: must not count
+            (10, 1, "view", 0.0),
+            (70, 1, "purchase", 2.0),  # +60s after first view
+            (0, 2, "view", 0.0),       # never converts
+        ],
+    )
+    out = {r["user_id"]: r for r in ev.conversion_latency(df).collect()}
+    assert out[1]["latency_sec"] == pytest.approx(60.0)
+    assert out[2]["first_to_ts"] is None and out[2]["latency_sec"] is None
+
+
+def test_rfm_scores_shape(spark):
+    df = _events(
+        spark,
+        [(i * 3600, u, "purchase" if i % 2 else "view", float(u)) for u in (1, 2, 3, 4, 5) for i in range(u)],
+    )
+    out = ev.rfm_scores(df, n_quantiles=5).collect()
+    assert len(out) == 5
+    for r in out:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5
+    by_user = {r["user_id"]: r for r in out}
+    # user 5 has the most events -> best (lowest) f bucket
+    assert by_user[5]["f_score"] == 1
+
+
+def test_burst_detection_flags(spark):
+    rows = [(i, 1, "click", 0.0) for i in range(6)]          # 6 events in 1 min
+    rows += [(i * 120, 2, "click", 0.0) for i in range(6)]   # spread out
+    out = {r["user_id"]: r for r in ev.burst_detection(_events(spark, rows), burst_threshold=5).collect()}
+    assert out[1]["is_burst"] is True and out[1]["peak_per_window"] == 6
+    assert out[2]["is_burst"] is False and out[2]["peak_per_window"] == 1
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_sentence_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three. four five! six?"), (2, "   "), (3, "no terminator here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.sentence_stats(df).collect()}
+    assert 2 not in out  # whitespace-only doc has no sentences
+    assert out[1]["n_sentences"] == 3
+    assert out[1]["avg_sentence_tokens"] == pytest.approx(2.0)
+    assert out[1]["max_sentence_tokens"] == 3
+    assert out[3]["n_sentences"] == 1
+
+
+def test_zipf_slope_power_law(spark):
+    # construct freq ~ rank^-1 exactly: slope must be ~ -1
+    words = []
+    for rank in range(1, 21):
+        freq = round(1000 / rank)
+        words += [f"w{rank:02d}"] * freq
+    df = spark.createDataFrame(
+        [(1, "en", " ".join(words))], "doc_id long, lang string, text string"
+    )
+    r = tx.zipf_slope(df, top_k=20).collect()[0]
+    assert r["n_tokens_fit"] == 20
+    assert r["zipf_slope"] == pytest.approx(-1.0, abs=0.05)
+
+
+def test_crossdoc_sentence_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared boilerplate here. unique alpha."),
+            (2, "shared boilerplate here. unique beta."),
+            (3, "completely original text."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.crossdoc_sentence_stats(df).collect()}
+    assert out[1]["n_dup_sentences"] == 1 and out[1]["n_sentences"] == 2
+    assert out[1]["dup_frac"] == pytest.approx(0.5)
+    assert out[3]["n_dup_sentences"] == 0
+
+
+# --- range join ------------------------------------------------------------
+
+
+def test_banded_range_join_boundaries(spark):
+    fact = spark.createDataFrame(
+        [(1, 4.9), (2, 5.0), (3, 19.999), (4, 20.0), (5, 100.0)],
+        "id long, v double",
+    )
+    dim = spark.createDataFrame(
+        [("a", 0.0, 5.0), ("b", 5.0, 20.0)], "band string, lo double, hi double"
+    )
+    out = {
+        r["id"]: r["band"]
+        for r in banded_range_join(fact, dim, "v", bucket_width=7.0).collect()
+    }
+    # half-open: 5.0 joins band b (lo inclusive), 20.0 matches nothing
+    assert out == {1: "a", 2: "b", 3: "b"}
+
+
+def test_banded_range_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, 4.0), (2, 50.0)], "id long, v double")
+    dim = spark.createDataFrame([("a", 0.0, 5.0)], "band string, lo double, hi double")
+    out = {
+        r["id"]: r["band"]
+        for r in banded_range_join(fact, dim, "v", how="left").collect()
+    }
+    assert out == {1: "a", 2: None}
+
+
+def test_banded_range_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    fact = spark.createDataFrame(
+        [(i, rng.uniform(0, 100)) for i in range(300)], "id long, v double"
+    )
+    dim = spark.createDataFrame(
+        [("b0", 0.0, 13.0), ("b1", 13.0, 40.0), ("b2", 40.0, 99.5)],
+        "band string, lo double, hi double",
+    )
+    got = sorted(
+        (r["id"], r["band"])
+        for r in banded_range_join(fact, dim, "v", bucket_width=9.0).collect()
+    )
+    naive = sorted(
+        (r["id"], r["band"])
+        for r in fact.join(
+            dim, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    )
+    assert got == naive
+
+
+# --- round-4 advice regressions -------------------------------------------
+
+
+def test_knn_graph_masks_self_pairs_with_duplicate_vectors(spark):
+    # identical vectors across ids: the id-equality mask must drop only
+    # TRUE self-pairs; the duplicate OTHER vector must rank first at 1.0
+    vecs = [(i, [1.0, 0.0, 0.0]) for i in range(4)] + [
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.6, 0.8, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.knn_graph(df, k=2, n_blocks=3).collect()
+    assert all(r["src_id"] != r["nbr_id"] for r in out)
+    top = {r["src_id"]: r for r in out if r["rank"] == 1}
+    for i in range(4):  # each clone's best neighbor is another clone at 1.0
+        assert top[i]["cosine"] == pytest.approx(1.0)
+        assert top[i]["nbr_id"] in {0, 1, 2, 3} - {i}
+
+
+def test_pq_encode_string_ids_and_zero_vectors(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0]), ("b", [0.0, 0.0, 0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    books = similarity.pq_train(df, dim=4, m=2, k_codes=2, sample_limit=10)
+    out = similarity.pq_encode(df, books).collect()
+    assert {r["vec_id"] for r in out} == {"a", "b"}
+    for r in out:  # zero-norm guard: codes defined, never NaN-poisoned
+        assert len(r["codes"]) == 2
+        assert all(c in (0, 1) for c in r["codes"])
+
+
+def test_negative_sampling_string_id_empty_schema(spark):
+    df = spark.createDataFrame([("only",)], "doc_id string")
+    out = tx.negative_sampling(df, k=2)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert dict(out.dtypes)["negative_id"] == "string"
+
+
+def test_nearest_event_join_string_event_ids(spark):
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 10), "ev-a")],
+        "user_id long, ts timestamp, event_id string",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 13))], "user_id long, ts timestamp"
+    )
+    r = ev.nearest_event_join(left, right).collect()[0]
+    assert r["left_id"] == "ev-a" and r["diff_us"] == 3_000_000
