@@ -175,6 +175,8 @@ _COST = {
     "dd14_crossdoc_sentences": 0.70, "smp6_quantile_stratified": 0.50,
     "j11_band_range_join": 0.55, "dq3_childless_orders": 0.50,
     "a12_weighted_market_return": 0.70, "u6_symmetric_difference": 0.55,
+    "iv5_interval_coverage": 0.55, "e13_bounce_rate": 0.50,
+    "cdc2_status_history": 0.75, "k8_radius_search": 0.60,
 }
 
 

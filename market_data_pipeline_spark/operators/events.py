@@ -579,3 +579,94 @@ def burst_detection(
             "is_burst", (F.col("peak_per_window") >= burst_threshold).cast("boolean")
         )
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    duration_minutes: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key UNION-of-intervals length: each event covers
+    ``[ts, ts + duration)``; overlapping covers merge, and the result is
+    the total covered seconds per key (activity-coverage / uptime
+    semantics — double-counting overlaps is the classic naive bug).
+
+    The sweep-line as windows: order each key's intervals by start, flag
+    a new island when this start exceeds the running max of all PREVIOUS
+    ends, number islands with a running sum, then sum each island's
+    ``max(end) - min(start)``. Three window passes + one aggregate, ALL
+    on the same key partitioning — one shuffle total, never an
+    interval self-join. Tie order is pinned by (ts, id) so island
+    numbering is deterministic; the coverage total is order-invariant
+    anyway.
+    Returns (key, n_events, n_islands, covered_sec).
+    """
+    dur_us = duration_minutes * 60 * 1_000_000
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    staged = (
+        df.select(
+            F.col(key_col),
+            F.col(id_col),
+            F.col(ts_col),
+            F.unix_micros(F.col(ts_col)).alias("_s"),
+            (F.unix_micros(F.col(ts_col)) + dur_us).alias("_e"),
+        )
+        .withColumn(
+            "_prev_max_e",
+            F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev_max_e").isNull()
+                | (F.col("_s") > F.col("_prev_max_e"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    islands = staged.groupBy(key_col, "_island").agg(
+        F.count(F.lit(1)).alias("_n"),
+        ((F.max("_e") - F.min("_s")) / F.lit(1000000.0)).alias("_covered"),
+    )
+    return islands.groupBy(key_col).agg(
+        F.sum("_n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        # island lengths are exact integer micros / 1e6 — summing the
+        # per-island doubles is order-dependent only below the 1e-6
+        # granularity the integers guarantee, so fixed-point to be exact
+        (F.sum(F.round(F.col("_covered") * 1e6).cast("long")) / 1e6).alias(
+            "covered_sec"
+        ),
+    )
+
+
+def bounce_rate(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session bounce rate: fraction of the user's sessions
+    (gap-based, same rule as :func:`sessionize`) containing exactly one
+    event — the engagement metric every analytics suite ships.
+
+    Builds on sessionize's per-session rows; one extra map-combined
+    aggregate on the user key (the session frame is already partitioned
+    by it, so AQE skips the second exchange). The rate is an exact
+    integer ratio.
+    Returns (key, n_sessions, n_bounces, bounce_rate).
+    """
+    sessions = sessionize(df, ts_col=ts_col, user_col=key_col, gap_minutes=gap_minutes)
+    return sessions.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        (
+            F.sum((F.col("n_events") == 1).cast("long"))
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+    )

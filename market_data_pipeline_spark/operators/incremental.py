@@ -64,3 +64,43 @@ def finalize_summary(partial: DataFrame) -> DataFrame:
         "min_close",
         "max_close",
     )
+
+
+def collapse_runs(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Gaps-and-islands run collapse (the SCD-Type-2 history builder):
+    consecutive rows per key with the SAME ``value_col`` — in
+    ``order_cols`` order — collapse into one validity run with its
+    first/last order values and row count.
+
+    The classic two-row_number difference: ``rn`` over (key) minus
+    ``rn`` over (key, value) is constant within a run and distinct
+    across runs of the same value. Both windows and the closing
+    aggregate partition on the key, so the whole operator is ONE
+    shuffle; order_cols must totally order each key's rows or runs are
+    nondeterministic (pass a tiebreak column).
+    Returns (key, value, run_start, run_end, n_rows) with run_start/
+    run_end = first/last order_cols[0] value of the run.
+    """
+    from pyspark.sql import Window
+
+    ord_exprs = [F.col(c) for c in order_cols]
+    w_all = Window.partitionBy(key_col).orderBy(*ord_exprs)
+    w_val = Window.partitionBy(key_col, value_col).orderBy(*ord_exprs)
+    staged = df.withColumn(
+        "_island",
+        F.row_number().over(w_all) - F.row_number().over(w_val),
+    )
+    return (
+        staged.groupBy(key_col, value_col, "_island")
+        .agg(
+            F.min(order_cols[0]).alias("run_start"),
+            F.max(order_cols[0]).alias("run_end"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .drop("_island")
+    )

@@ -922,3 +922,37 @@ def knn_pq(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def radius_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """All corpus vectors within a cosine RADIUS of each query (the
+    fixed-threshold companion to :func:`knn_batch`'s fixed-k): retrieval
+    recall sweeps and near-duplicate probes want "everything above 0.8",
+    not "the best 10".
+
+    Same plan as knn_batch minus the ranking window: queries broadcast,
+    the corpus streams through one scan, the rounded cosine filters
+    map-side — no shuffle at all after the scan (the top-k variant needs
+    one for its per-query window). Self-matches excluded.
+    Returns (query_id, vec_id, cosine >= threshold).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(F.col(query_id_col), F.col(id_col), sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -5351,6 +5351,135 @@ def u6_symmetric_difference(spark, sf_dir):
     return only_a.unionByName(only_b).orderBy("symbol", "side")
 
 
+# ===========================================================================
+# Round-4 second batch: interval coverage, bounce rate, gaps-and-islands
+# history, cosine radius search.
+# ===========================================================================
+
+
+@query(
+    "iv5_interval_coverage",
+    """WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), numbered AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island, COUNT(*) AS n, (MAX(e) - MIN(s)) / 1000000.0 AS covered
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       SUM(CAST(ROUND(covered * 1e6) AS BIGINT)) / 1e6 AS covered_sec
+FROM islands GROUP BY 1 ORDER BY user_id""",
+)
+def iv5_interval_coverage(spark, sf_dir):
+    """Union-of-intervals coverage per user (each event covers 10
+    minutes; overlaps merge): the sweep-line as three windows + one
+    aggregate, all on the user key — one shuffle, never an interval
+    self-join. See operators.events.interval_coverage."""
+    return ev.interval_coverage(
+        load_table(spark, sf_dir, "events"), duration_minutes=10
+    ).orderBy("user_id")
+
+
+@query(
+    "e13_bounce_rate",
+    """WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           / CAST(COUNT(*) AS BIGINT) AS bounce_rate
+FROM per_session GROUP BY 1 ORDER BY user_id""",
+)
+def e13_bounce_rate(spark, sf_dir):
+    """Per-user session bounce rate (share of 1-event sessions, 30-min
+    gap rule): sessionize + one aggregate on the already-partitioned
+    user key. See operators.events.bounce_rate."""
+    return ev.bounce_rate(load_table(spark, sf_dir, "events")).orderBy("user_id")
+
+
+@query(
+    "cdc2_status_history",
+    """WITH numbered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)
+         - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                              ORDER BY o_orderdate, o_orderkey) AS island
+  FROM orders
+)
+SELECT o_custkey, o_orderstatus,
+       MIN(o_orderdate) AS run_start,
+       MAX(o_orderdate) AS run_end,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM numbered GROUP BY o_custkey, o_orderstatus, island
+ORDER BY o_custkey, run_start, o_orderstatus""",
+)
+def cdc2_status_history(spark, sf_dir):
+    """SCD-Type-2-style history build via gaps-and-islands: each
+    customer's consecutive same-status orders collapse into validity
+    runs (two row_number windows + one aggregate, all partitioned on
+    the customer key — one shuffle). See
+    operators.incremental.collapse_runs."""
+    return ivm.collapse_runs(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_orderstatus",
+    ).orderBy("o_custkey", "run_start", "o_orderstatus")
+
+
+@query(
+    "k8_radius_search",
+    f"""WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {_COSINE_SQL} AS cosine
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id IN (0, 1, 2)) q
+  WHERE e.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cosine FROM scored WHERE cosine >= 0.15
+ORDER BY query_id, vec_id""",
+)
+def k8_radius_search(spark, sf_dir):
+    """Cosine radius search (everything above a similarity floor, not a
+    fixed k): broadcast queries, one corpus scan, map-side filter — no
+    shuffle after the scan. See operators.similarity.radius_search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.radius_search(
+        emb, emb.filter(F.col("vec_id").isin(0, 1, 2)), threshold=0.15
+    ).orderBy("query_id", "vec_id")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -307,3 +307,61 @@ def test_nearest_event_join_string_event_ids(spark):
     )
     r = ev.nearest_event_join(left, right).collect()[0]
     assert r["left_id"] == "ev-a" and r["diff_us"] == 3_000_000
+
+
+# --- second batch: coverage / runs / radius --------------------------------
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    # user 1: events at t=0s and t=300s with 10-min cover -> one island,
+    # covered = 300 + 600 = 900s (NOT 1200 — the naive double-count)
+    # user 2: events 0s and 3600s -> two disjoint islands, 1200s
+    df = _events(
+        spark,
+        [(0, 1, "view", 0.0), (300, 1, "view", 0.0),
+         (0, 2, "view", 0.0), (3600, 2, "view", 0.0)],
+    )
+    out = {r["user_id"]: r for r in ev.interval_coverage(df, 10).collect()}
+    assert out[1]["n_islands"] == 1 and out[1]["covered_sec"] == 900.0
+    assert out[2]["n_islands"] == 2 and out[2]["covered_sec"] == 1200.0
+
+
+def test_bounce_rate(spark):
+    # user 1: one 2-event session + one 1-event session -> rate 0.5
+    df = _events(
+        spark,
+        [(0, 1, "view", 0.0), (60, 1, "click", 0.0), (7200, 1, "view", 0.0)],
+    )
+    r = ev.bounce_rate(df).collect()[0]
+    assert r["n_sessions"] == 2 and r["n_bounces"] == 1
+    assert r["bounce_rate"] == pytest.approx(0.5)
+
+
+def test_collapse_runs_islands(spark):
+    from market_data_pipeline_spark.operators.incremental import collapse_runs
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, d), k, s) for d, k, s in
+         [(1, 10, "O"), (2, 11, "O"), (3, 12, "F"), (4, 13, "O")]],
+        "cust long, d date, k long, status string",
+    )
+    out = sorted(
+        collapse_runs(df, "cust", ["d", "k"], "status").collect(),
+        key=lambda r: r["run_start"],
+    )
+    # O,O | F | O -> three runs; the split O-run must NOT merge
+    assert [(r["status"], r["n_rows"]) for r in out] == [("O", 2), ("F", 1), ("O", 1)]
+    assert out[0]["run_end"] == dt.date(2024, 1, 2)
+
+
+def test_radius_search_threshold(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.radius_search(
+        df, df.filter(F.col("vec_id") == 0), threshold=0.9
+    ).collect()
+    ids = {r["vec_id"] for r in out}
+    assert ids == {1, 2}  # 3 is orthogonal; 0 is the query itself
+    assert all(r["cosine"] >= 0.9 for r in out)
