@@ -177,6 +177,7 @@ _COST = {
     "a12_weighted_market_return": 0.70, "u6_symmetric_difference": 0.55,
     "iv5_interval_coverage": 0.55, "e13_bounce_rate": 0.50,
     "cdc2_status_history": 0.75, "k8_radius_search": 0.60,
+    "st11_streaming_burst": 1.40, "mm6_phash_dedup": 1.60,
 }
 
 

@@ -315,3 +315,53 @@ def audio_stats(media: DataFrame) -> DataFrame:
 
     src = media.filter(F.col("kind") == "audio").select("media_id", "content", "meta")
     return src.mapInPandas(st, schema=AUDIO_STATS_SCHEMA)
+
+
+def perceptual_hash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image: grid-pool
+    the grayscale image to ``grid`` x ``grid`` mean intensities, set one
+    bit per cell above the image's own mean — near-identical images
+    (resizes, small edits, recompressions) land within a few Hamming
+    bits, which is what makes image near-dup a HASH problem instead of
+    an embedding problem.
+
+    One Arrow pass image -> 64-bit hash (for the default grid=8); the
+    binary never leaves the stage. Downstream pairs via exact groupBy on
+    the hash (byte-identical dups) or banded Hamming join — the same
+    bucketing machinery text SimHash uses (operators.dedup.simhash's
+    band pattern applies unchanged to this hash).
+    Returns (media_id, phash long).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_bytes(r["content"], r["meta"]).astype(np.float64)
+                gray = arr.mean(axis=2)
+                h, w = gray.shape
+                yi = (np.arange(h) * grid // h).clip(0, grid - 1)
+                xi = (np.arange(w) * grid // w).clip(0, grid - 1)
+                pooled = np.zeros((grid, grid))
+                counts = np.zeros((grid, grid))
+                np.add.at(pooled, (yi[:, None], xi[None, :]), gray)
+                np.add.at(counts, (yi[:, None], xi[None, :]), 1.0)
+                cells = (pooled / counts).ravel()
+                bits = cells > cells.mean()
+                val = 0
+                for b in bits:  # grid*grid iterations per image, in-batch
+                    val = (val << 1) | int(b)
+                # interpret as signed 64-bit so it fits LongType
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append((int(r["media_id"]), val))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    src = media.filter(F.col("kind") == "image").select("media_id", "content", "meta")
+    return src.mapInPandas(hashes, schema=out_schema)

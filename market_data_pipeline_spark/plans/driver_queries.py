@@ -5480,6 +5480,77 @@ def k8_radius_search(spark, sf_dir):
     ).orderBy("query_id", "vec_id")
 
 
+# ===========================================================================
+# Round-4 third batch: streaming burst counts, perceptual-hash image dedup.
+# ===========================================================================
+
+
+@query(
+    "st11_streaming_burst",
+    """WITH per_window AS (
+  SELECT user_id, date_trunc('minute', ts) AS w, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST(MAX(n) AS BIGINT) AS peak_per_window,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       MAX(n) >= 3 AS is_burst
+FROM per_window GROUP BY 1 ORDER BY user_id""",
+)
+def st11_streaming_burst(spark, sf_dir):
+    """Burst/bot detection with the stateful half run through Structured
+    Streaming: watermarked per-(user, 1-min window) counts maintain the
+    state store; the per-user peak/flag summary is a stateless batch
+    reduction over the completed sink. Hash-checked against the same
+    oracle as the batch e12 — stream/batch parity is the contract."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    counts = sj.streaming_burst_counts(
+        sj.read_events_stream(spark, sf_dir), window_duration="1 minute"
+    )
+    sink = sj.run_stream_to_memory(counts, "st11_sink")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("total_events"),
+            F.max("n").cast("long").alias("peak_per_window"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .withColumn("is_burst", (F.col("peak_per_window") >= 3).cast("boolean"))
+        .orderBy("user_id")
+    )
+
+
+@query("mm6_phash_dedup")
+def mm6_phash_dedup(spark, sf_dir):
+    """Image duplicate detection via perceptual hashing: aHash
+    fingerprints (one Arrow pass, binary never leaves the stage) grouped
+    on the hash. The corpus is salted with exact re-ingests of five
+    images under new ids — the double-upload case phash dedup exists to
+    catch; resize-class invariance holds for smooth natural images and
+    is pinned by pytest on a gradient fixture (the driver's synthetic
+    images are noise-like, where no downscale-stable fingerprint can
+    exist). No oracle: binary media is not SQL-expressible."""
+    from market_data_pipeline_spark.operators import multimodal as mm
+
+    media = _media(spark, sf_dir)
+    imgs = media.filter(F.col("kind") == "image")
+    dupes = imgs.limit(5).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000)
+    )
+    hashes = mm.perceptual_hash(imgs.unionByName(dupes), grid=8)
+    return (
+        hashes.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sort_array(F.collect_list("media_id")).alias("media_ids"),
+        )
+        .filter(F.col("n_images") >= 2)
+        .orderBy("phash")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -577,3 +577,26 @@ def streaming_running_stats(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_burst_counts(
+    events: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming per-(user, tumbling-window) event counts — the stateful
+    half of burst/bot detection (operators.events.burst_detection) run
+    through Structured Streaming: watermarked window aggregation, one
+    state store keyed on (user, window). The per-user peak/flag summary
+    is a stateless batch reduction over the completed sink (same split
+    a production job uses: the stream maintains the fine-grained counts,
+    the alerting query reads them)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col), F.window(F.col(ts_col), window_duration).alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+    )

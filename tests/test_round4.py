@@ -365,3 +365,89 @@ def test_radius_search_threshold(spark):
     ids = {r["vec_id"] for r in out}
     assert ids == {1, 2}  # 3 is orthogonal; 0 is the query itself
     assert all(r["cosine"] >= 0.9 for r in out)
+
+
+# --- third batch: phash + streaming burst ----------------------------------
+
+
+def _gradient_image(spark_unused, h, w, media_id=1):
+    import numpy as np
+
+    y = np.linspace(0, 255, h)[:, None]
+    x = np.linspace(0, 255, w)[None, :]
+    arr = np.clip((y + x) / 2, 0, 255).astype(np.uint8)
+    rgb = np.repeat(arr[:, :, None], 3, axis=2)
+    return (
+        media_id,
+        "image",
+        rgb.tobytes(),
+        {"format": "raw-rgb8", "width": w, "height": h, "channels": 3,
+         "sample_rate": None, "n_frames": None},
+    )
+
+
+def test_phash_resize_invariant_on_smooth_images(spark):
+    from market_data_pipeline_spark.operators import multimodal as mm
+
+    rows = [
+        _gradient_image(spark, 32, 32, 1),
+        _gradient_image(spark, 64, 64, 2),   # same content, 2x scale
+        _gradient_image(spark, 16, 24, 3),   # same gradient, other aspect
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media).collect()}
+    assert out[1] == out[2]  # resize-class duplicate collides
+    # determinism: re-run yields identical hashes
+    again = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media).collect()}
+    assert out == again
+
+
+def test_phash_distinguishes_content(spark):
+    import numpy as np
+
+    from market_data_pipeline_spark.operators import multimodal as mm
+
+    grad = _gradient_image(spark, 32, 32, 1)
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        grad,
+        (2, "image", noise.tobytes(),
+         {"format": "raw-rgb8", "width": 32, "height": 32, "channels": 3,
+          "sample_rate": None, "n_frames": None}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media).collect()}
+    assert out[1] != out[2]
+
+
+def test_streaming_burst_matches_batch(spark, sf_dir):
+    from market_data_pipeline_spark.operators import events as evo
+    from market_data_pipeline_spark.sources.catalog import load_table
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    counts = sj.streaming_burst_counts(
+        sj.read_events_stream(spark, sf_dir), window_duration="1 minute"
+    )
+    sink = sj.run_stream_to_memory(counts, "st11_test_sink", state_partitions=4)
+    streamed = (
+        sink.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("total_events"),
+            F.max("n").cast("long").alias("peak_per_window"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .collect()
+    )
+    batch = {
+        r["user_id"]: r
+        for r in evo.burst_detection(
+            load_table(spark, sf_dir, "events"), burst_threshold=3
+        ).collect()
+    }
+    assert len(streamed) == len(batch)
+    for r in streamed:
+        b = batch[r["user_id"]]
+        assert (r["total_events"], r["peak_per_window"], r["n_windows"]) == (
+            b["total_events"], b["peak_per_window"], b["n_windows"]
+        )
