@@ -168,16 +168,16 @@ _COST = {
     "dp2_quantity_drift": 0.40, "dd13_span_dedup": 1.20, "shf2_interleave_sources": 0.60, "k7_knn_pq": 1.30, "ts20_seasonal_baseline": 0.45, "smp5_negative_sampling": 0.75, "st10_streaming_running_stats": 1.50, "ts21_robust_scale": 0.45, "iv4_allen_relations": 0.90,
     # round-4 additions (estimates from sf0.01 oracle-check wall times)
     "ts22_sharpe": 0.45, "ts23_donchian": 0.50, "ts24_return_autocorr": 0.50,
-    "ts25_xs_momentum": 0.60, "ts26_amihud_illiquidity": 0.65,
+    "ts25_xs_momentum": 1.21, "ts26_amihud_illiquidity": 1.55,
     "ts27_candlestick_flags": 0.55, "e10_conversion_latency": 0.50,
-    "e11_rfm_scores": 0.70, "e12_burst_detection": 0.45,
+    "e11_rfm_scores": 1.20, "e12_burst_detection": 0.45,
     "tx14_sentence_stats": 0.45, "tx15_zipf_slope": 0.70,
     "dd14_crossdoc_sentences": 0.70, "smp6_quantile_stratified": 0.50,
     "j11_band_range_join": 0.55, "dq3_childless_orders": 0.50,
-    "a12_weighted_market_return": 0.70, "u6_symmetric_difference": 0.55,
+    "a12_weighted_market_return": 1.48, "u6_symmetric_difference": 0.55,
     "iv5_interval_coverage": 0.55, "e13_bounce_rate": 0.50,
     "cdc2_status_history": 0.75, "k8_radius_search": 0.60,
-    "st11_streaming_burst": 1.40, "mm6_phash_dedup": 1.60,
+    "st11_streaming_burst": 1.29, "mm6_phash_dedup": 1.20,
 }
 
 

@@ -263,3 +263,40 @@ def test_temperature_resample_broadcasts_multipliers(plans):
     facts = plans("mix2_temperature_resample")
     assert facts["scans"] <= 2         # counts chain checkpointed once
     assert facts["smj"] == 0
+
+
+def test_band_range_join_is_hash_join_not_nested_loop(plans):
+    # the operator's reason to exist: the BETWEEN formulation plans a
+    # BroadcastNestedLoopJoin; the bucketed rewrite must plan a HASH join
+    # on the quantized bucket key
+    facts = plans("j11_band_range_join")
+    assert facts["bnlj"] == 0
+    assert facts["bhj"] + facts["smj"] >= 1
+    assert facts["max_read_cols"] <= 1  # only l_extendedprice scanned
+
+
+def test_status_history_single_shuffle(plans):
+    # gaps-and-islands: both row_number windows and the closing aggregate
+    # partition on the customer key -> exactly one exchange before the
+    # output sort
+    facts = plans("cdc2_status_history")
+    assert facts["scans"] == 1
+    assert facts["bhj"] == 0 and facts["smj"] == 0
+    assert facts["unbounded_single_partition"] == 0
+
+
+def test_interval_coverage_single_key_shuffle(plans):
+    # sweep-line as windows: all three window passes + both aggregates on
+    # the user key; no join, no interval self-join
+    facts = plans("iv5_interval_coverage")
+    assert facts["scans"] == 1
+    assert facts["bhj"] == 0 and facts["smj"] == 0 and facts["bnlj"] == 0
+    assert facts["unbounded_single_partition"] == 0
+
+
+def test_radius_search_no_post_scan_shuffle(plans):
+    # broadcast queries + map-side threshold filter: the only exchanges
+    # are the broadcast and the output sort
+    facts = plans("k8_radius_search")
+    assert facts["smj"] == 0
+    assert facts["scans"] == 2  # corpus + query slice
