@@ -670,3 +670,39 @@ def bounce_rate(
             / F.count(F.lit(1))
         ).alias("bounce_rate"),
     )
+
+
+def sliding_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT trailing-N-day distinct active users per activity day — the
+    sliding COUNT(DISTINCT) no engine supports as a window function
+    (distinct doesn't decompose over sliding frames).
+
+    The first-appearance rewrite generalized to sliding windows: each
+    distinct (user, active_day) contributes to the windows ending on
+    ``active_day .. active_day + N-1``, so explode those N end-days,
+    de-duplicate (user, end_day), and count per end_day — three
+    hash shuffles, all map-combined, each carrying at most N x the
+    distinct (user, day) rows. End-days with no activity of their own
+    are dropped (the report convention: one row per observed day).
+    Returns (day, active_users) — at N=1 this is daily actives.
+    """
+    days = df.select(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("_d")
+    ).distinct()
+    ends = days.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias("day"),
+    ).distinct()
+    observed = days.select(F.col("_d").alias("day")).distinct()
+    return (
+        ends.join(observed, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct(key_col).alias("active_users"))
+    )

@@ -1084,3 +1084,107 @@ def crossdoc_sentence_stats(
             "dup_frac", F.col("n_dup_sentences") / F.col("n_sentences")
         )
     )
+
+
+def bucketed_batches(
+    df: DataFrame,
+    budget: int = 256,
+    boundaries: tuple[int, ...] = (32, 64, 128, 1 << 30),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assembly: documents are first binned by
+    token-count band (sequences of similar length batch together, so a
+    training step pads to the bucket bound instead of the global max —
+    the padding-waste fix every loader ships), then packed to a token
+    budget within each (bucket, shard) by the same distributed
+    running-sum rule as :func:`pack_sequences`.
+
+    Shuffle budget: one exchange on (bucket, shard); every window and
+    the pack arithmetic ride that partitioning. Shards keep the running
+    sum distributed (no single-task window) and are md5-deterministic.
+    Returns (id_col, length_bucket, shard, n_tokens, batch_no).
+    """
+    from pyspark.sql import Window
+
+    n_toks = token_count(F.col(text_col))
+    bucket = F.lit(boundaries[-1])
+    for b in reversed(boundaries):
+        bucket = F.when(n_toks <= b, F.lit(b)).otherwise(bucket)
+    shard = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 1)
+    staged = df.select(
+        F.col(id_col),
+        bucket.cast("long").alias("length_bucket"),
+        shard.alias("shard"),
+        n_toks.cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("length_bucket", "shard").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return staged.withColumn(
+        "batch_no", F.floor((cum - F.col("n_tokens")) / budget).cast("long")
+    )
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_stop_ratio: float = 0.6,
+    max_punct_ratio: float = 0.3,
+    max_token_len: int = 40,
+) -> DataFrame:
+    """Composite document quality gate: combine the per-doc features
+    into one keep/drop decision with an itemized reason string — the
+    auditable form of a pretraining quality filter (a bare boolean can't
+    be debugged; the reasons column is what the data-quality dashboard
+    aggregates).
+
+    Map-only over the staged feature projection (the split runs once);
+    reason order is fixed by construction so the string is
+    engine-stable. Thresholds follow the Gopher/C4 conventions but are
+    parameters, not policy.
+    Returns (id_col, token_count, stop_ratio, punct_ratio,
+    max_token_len, keep, reasons).
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_chars"),
+        tokens(F.col(text_col)).alias("_toks"),
+        F.length(
+            F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")
+        ).alias("_punct"),
+    ).select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("token_count"),
+        (
+            F.size(F.filter(F.col("_toks"), lambda x: x.isin(*STOPWORDS["en"])))
+            / F.size("_toks")
+        ).alias("stop_ratio"),
+        (F.col("_punct") / F.col("_chars")).alias("punct_ratio"),
+        F.coalesce(
+            F.array_max(F.transform(F.col("_toks"), lambda t: F.length(t))),
+            F.lit(0),
+        ).cast("long").alias("max_token_len"),
+    )
+    checks = [
+        ("too_short", F.col("token_count") < min_tokens),
+        ("stopword_heavy", F.col("stop_ratio") > max_stop_ratio),
+        ("punct_heavy", F.col("punct_ratio") > max_punct_ratio),
+        ("giant_token", F.col("max_token_len") > max_token_len),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+    keep = ~checks[0][1]
+    for _, cond in checks[1:]:
+        keep = keep & ~cond
+    return staged.select(
+        F.col(id_col),
+        "token_count",
+        "stop_ratio",
+        "punct_ratio",
+        "max_token_len",
+        keep.alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -5536,7 +5536,10 @@ def mm6_phash_dedup(spark, sf_dir):
 
     media = _media(spark, sf_dir)
     imgs = media.filter(F.col("kind") == "image")
-    dupes = imgs.limit(5).withColumn(
+    # deterministic ~3% slice, NOT limit(): a global limit plans an
+    # Exchange SinglePartition over the unbounded media frame — the
+    # one-task shape the plan-invariant suite forbids
+    dupes = imgs.filter(F.col("media_id") % 31 == 1).withColumn(
         "media_id", F.col("media_id") + F.lit(1_000_000)
     )
     hashes = mm.perceptual_hash(imgs.unionByName(dupes), grid=8)
@@ -5548,6 +5551,107 @@ def mm6_phash_dedup(spark, sf_dir):
         )
         .filter(F.col("n_images") >= 2)
         .orderBy("phash")
+    )
+
+
+# ===========================================================================
+# Round-4 fourth batch: sliding distinct actives, length-bucketed batches,
+# composite quality gate.
+# ===========================================================================
+
+
+@query(
+    "e14_sliding_active_users",
+    """WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), ends AS (
+  SELECT DISTINCT user_id, d + CAST(x AS INTEGER) AS day
+  FROM days, range(0, 7) AS r(x)
+), observed AS (SELECT DISTINCT d AS day FROM days)
+SELECT e.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM ends e JOIN observed USING (day)
+GROUP BY 1 ORDER BY day""",
+)
+def e14_sliding_active_users(spark, sf_dir):
+    """EXACT trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) no engine supports as a window function, rewritten
+    as a bounded explode of each (user, day) into the 7 windows it
+    feeds. See operators.events.sliding_active_users."""
+    return ev.sliding_active_users(
+        load_table(spark, sf_dir, "events"), window_days=7
+    ).orderBy("day")
+
+
+@query(
+    "pk2_bucketed_batches",
+    r"""WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   x -> x <> '')) <= 32 THEN 32
+              WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   x -> x <> '')) <= 64 THEN 64
+              WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   x -> x <> '')) <= 128 THEN 128
+              ELSE 1073741824 END AS length_bucket,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(length_bucket AS BIGINT) AS length_bucket, shard, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY length_bucket, shard
+                                       ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / 256.0) AS BIGINT) AS batch_no
+FROM staged ORDER BY doc_id""",
+)
+def pk2_bucketed_batches(spark, sf_dir):
+    """Length-bucketed batch assembly: token-count band first (similar
+    lengths batch together, padding waste bounded by the bucket edge),
+    then the distributed running-sum pack within (bucket, shard) — one
+    exchange, no single-task window. See operators.text.bucketed_batches."""
+    return tx.bucketed_batches(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "tx16_quality_gate",
+    r"""WITH staged AS (
+  SELECT doc_id,
+         length(text) AS chars,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks0,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS token_count,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is')))
+             / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         punct / CAST(chars AS DOUBLE) AS punct_ratio,
+         CAST(COALESCE(list_max(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS max_token_len
+  FROM staged
+)
+SELECT doc_id, token_count, stop_ratio, punct_ratio, max_token_len,
+       NOT (token_count < 5 OR stop_ratio > 0.6 OR punct_ratio > 0.3
+            OR max_token_len > 40) AS keep,
+       concat_ws(',',
+         CASE WHEN token_count < 5 THEN 'too_short' END,
+         CASE WHEN stop_ratio > 0.6 THEN 'stopword_heavy' END,
+         CASE WHEN punct_ratio > 0.3 THEN 'punct_heavy' END,
+         CASE WHEN max_token_len > 40 THEN 'giant_token' END) AS reasons
+FROM feats ORDER BY doc_id""",
+)
+def tx16_quality_gate(spark, sf_dir):
+    """Composite quality gate with itemized reject reasons (the
+    auditable form of a pretraining filter; the reasons string is what
+    a data-quality dashboard aggregates). Map-only, split staged once.
+    See operators.text.quality_gate."""
+    return tx.quality_gate(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
     )
 
 

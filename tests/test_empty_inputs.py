@@ -153,3 +153,34 @@ def test_round3b_ops_empty(spark, empty):
 
     emb = empty(EMB)
     assert SIM.knn_graph(emb, k=3).count() == 0
+
+
+def test_round4_ops_empty(spark, empty):
+    from market_data_pipeline_spark.operators.incremental import collapse_runs
+    from market_data_pipeline_spark.operators.rangejoin import banded_range_join
+
+    price = empty(PRICE)
+    assert TS.sharpe_ratio(price).count() == 0
+    assert TS.donchian_channels(price).count() == 0
+    assert TS.return_autocorr(price).count() == 0
+    assert TS.cross_sectional_momentum(price).count() == 0
+    events = empty(EVENTS + ", event_id long, event_type string, value double")
+    assert EV.conversion_latency(events).count() == 0
+    assert EV.rfm_scores(events).count() == 0
+    assert EV.burst_detection(events).count() == 0
+    assert EV.bounce_rate(events).count() == 0
+    assert EV.interval_coverage(events).count() == 0
+    assert EV.sliding_active_users(events).count() == 0
+    docs = empty(DOCS)
+    assert TX.sentence_stats(docs).count() == 0
+    assert TX.zipf_slope(docs.withColumn("lang", F.lit("en"))).count() == 0
+    assert TX.crossdoc_sentence_stats(docs).count() == 0
+    assert TX.bucketed_batches(docs).count() == 0
+    assert TX.quality_gate(docs).count() == 0
+    assert collapse_runs(
+        empty("k long, d date, o long, v string"), "k", ["d", "o"], "v"
+    ).count() == 0
+    fact = empty("id long, v double")
+    dim = empty("band string, lo double, hi double")
+    assert banded_range_join(fact, dim, "v").count() == 0
+    assert banded_range_join(fact, dim, "v", how="left").count() == 0

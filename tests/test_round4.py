@@ -451,3 +451,45 @@ def test_streaming_burst_matches_batch(spark, sf_dir):
         assert (r["total_events"], r["peak_per_window"], r["n_windows"]) == (
             b["total_events"], b["peak_per_window"], b["n_windows"]
         )
+
+
+# --- fourth batch: sliding actives / bucketed batches / quality gate -------
+
+
+def test_sliding_active_users_window_semantics(spark):
+    # user 1 active day 1 only; user 2 active day 5: the day-5 window
+    # [day-1 .. day5] covers both; day 1 covers only user 1
+    df = _events(spark, [(0, 1, "view", 0.0), (4 * 86400, 2, "view", 0.0)])
+    out = {r["day"].day: r["active_users"] for r in ev.sliding_active_users(df, 7).collect()}
+    assert out[1] == 1 and out[5] == 2
+    # only observed activity days are reported
+    assert set(out) == {1, 5}
+
+
+def test_bucketed_batches_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(["w"] * 50)), (3, " ".join(["w"] * 500))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.bucketed_batches(docs, budget=64).collect()}
+    assert out[1]["length_bucket"] == 32
+    assert out[2]["length_bucket"] == 64
+    assert out[3]["length_bucket"] == 1 << 30
+    assert out[1]["batch_no"] == 0
+
+
+def test_quality_gate_reasons(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the warm mat today"),
+            (2, "hi"),                                   # too_short
+            (3, "the the the of of and and in in to"),   # stopword_heavy
+            (4, "ok ok ok " + "x" * 80),                 # giant_token
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.quality_gate(docs).collect()}
+    assert out[1]["keep"] is True and out[1]["reasons"] == ""
+    assert out[2]["keep"] is False and out[2]["reasons"] == "too_short"
+    assert "stopword_heavy" in out[3]["reasons"]
+    assert "giant_token" in out[4]["reasons"]
