@@ -1,0 +1,199 @@
+"""Property-based tests for the round-4 operators: each is checked
+against an independent pure-Python reference implementation over
+hypothesis-generated inputs (small example counts — the point is
+edge-case discovery: empty groups, ties, boundary values, overlaps)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import events as ev
+from market_data_pipeline_spark.operators import text as tx
+from market_data_pipeline_spark.operators.incremental import collapse_runs
+from market_data_pipeline_spark.operators.rangejoin import banded_range_join
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+# --- interval coverage vs brute-force union ---------------------------------
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25)
+)
+def test_interval_coverage_matches_bruteforce(spark, offsets):
+    dur_s = 600
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), 1, "e", 0.0)
+        for i, s in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = ev.interval_coverage(df, duration_minutes=10).collect()[0]
+    # brute force: merge [s, s+600) intervals on the integer-second line
+    ivs = sorted((s, s + dur_s) for s in offsets)
+    merged = []
+    for s, e in ivs:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    assert got["covered_sec"] == pytest.approx(sum(e - s for s, e in merged))
+    assert got["n_islands"] == len(merged)
+
+
+# --- collapse_runs vs itertools.groupby -------------------------------------
+
+
+@SET
+@given(
+    st.lists(
+        st.sampled_from(["O", "F", "P"]), min_size=1, max_size=20
+    )
+)
+def test_collapse_runs_matches_groupby(spark, statuses):
+    rows = [
+        (1, dt.date(2024, 1, 1) + dt.timedelta(days=i), i, s)
+        for i, s in enumerate(statuses)
+    ]
+    df = spark.createDataFrame(rows, "k long, d date, o long, v string")
+    got = sorted(
+        (r["v"], r["n_rows"]) for r in collapse_runs(df, "k", ["d", "o"], "v").collect()
+    )
+    want = sorted((v, len(list(g))) for v, g in itertools.groupby(statuses))
+    assert got == want
+
+
+# --- banded range join vs naive ---------------------------------------------
+
+
+@SET
+@given(
+    st.lists(st.floats(min_value=0, max_value=100, allow_nan=False), min_size=1, max_size=30),
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=90, allow_nan=False),
+            st.floats(min_value=1, max_value=30, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.floats(min_value=0.5, max_value=25),
+)
+def test_banded_range_join_equals_naive_join(spark, values, bands, width):
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id long, v double"
+    )
+    dim = spark.createDataFrame(
+        [(f"b{i}", float(lo), float(lo + w)) for i, (lo, w) in enumerate(bands)],
+        "band string, lo double, hi double",
+    )
+    got = sorted(
+        (r["id"], r["band"])
+        for r in banded_range_join(fact, dim, "v", bucket_width=float(width)).collect()
+    )
+    want = sorted(
+        (i, f"b{j}")
+        for i, v in enumerate(values)
+        for j, (lo, w) in enumerate(bands)
+        if lo <= v < lo + w
+    )
+    assert got == want
+
+
+# --- sliding active users vs brute force ------------------------------------
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=4), st.integers(min_value=0, max_value=20)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_sliding_active_users_matches_bruteforce(spark, pairs):
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(days=d, hours=3), u, "e", 0.0)
+        for i, (u, d) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r["day"]: r["active_users"]
+        for r in ev.sliding_active_users(df, window_days=7).collect()
+    }
+    active_days = sorted({d for _, d in pairs})
+    for d in active_days:
+        day = dt.date(2024, 1, 1) + dt.timedelta(days=d)
+        want = len({u for u, a in pairs if d - 6 <= a <= d})
+        assert got[day] == want
+    assert set(got) == {dt.date(2024, 1, 1) + dt.timedelta(days=d) for d in active_days}
+
+
+# --- zipf slope vs numpy OLS -------------------------------------------------
+
+
+@SET
+@given(st.lists(st.integers(min_value=1, max_value=40), min_size=3, max_size=12))
+def test_zipf_slope_matches_numpy_polyfit(spark, freqs):
+    import numpy as np
+
+    words = []
+    for i, f in enumerate(freqs):
+        words += [f"tok{i:02d}"] * f
+    df = spark.createDataFrame(
+        [(1, "en", " ".join(words))], "doc_id long, lang string, text string"
+    )
+    r = tx.zipf_slope(df, top_k=100).collect()[0]
+    # reference: rank by (freq desc, token asc), OLS on (ln rank, ln freq)
+    ranked = sorted(
+        ((f, t) for t, f in zip([f"tok{i:02d}" for i in range(len(freqs))], freqs)),
+        key=lambda p: (-p[0], p[1]),
+    )
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([f for f, _ in ranked], dtype=float))
+    if np.allclose(x.var(), 0):
+        return
+    want = np.polyfit(x, y, 1)[0]
+    assert r["zipf_slope"] == pytest.approx(want, abs=1e-6)
+
+
+# --- bucketed batches invariants ---------------------------------------------
+
+
+@SET
+@given(st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=20))
+def test_bucketed_batches_budget_invariant(spark, lengths):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(lengths)],
+        "doc_id long, text string",
+    )
+    budget = 64
+    out = tx.bucketed_batches(docs, budget=budget).collect()
+    assert len(out) == len(lengths)
+    # within each (bucket, shard): batch_no is the floor of the EXCLUSIVE
+    # running token sum / budget (greedy concat; a doc that starts before
+    # the boundary may bleed past it)
+    groups: dict[tuple, list] = {}
+    for r in out:
+        groups.setdefault((r["length_bucket"], r["shard"]), []).append(r)
+    for rows in groups.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["batch_no"] == cum // budget
+            cum += r["n_tokens"]
