@@ -179,7 +179,8 @@ _COST = {
     "cdc2_status_history": 0.75, "k8_radius_search": 0.60,
     "st11_streaming_burst": 1.29, "mm6_phash_dedup": 1.20,
     "e14_sliding_active_users": 0.55, "pk2_bucketed_batches": 0.45,
-    "tx16_quality_gate": 0.50,
+    "tx16_quality_gate": 0.50, "st12_streaming_sliding": 1.30,
+    "ts28_drawdown_duration": 0.60,
 }
 
 

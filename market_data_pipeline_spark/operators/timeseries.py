@@ -1064,3 +1064,47 @@ def candlestick_flags(
             ).cast("boolean"),
         )
     )
+
+
+def drawdown_duration(
+    df: DataFrame,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """Per-series LONGEST underwater spell: the maximum run of
+    consecutive rows strictly below the running peak (max_drawdown says
+    how deep; this says how long — the recovery-time risk metric).
+
+    Gaps-and-islands over the underwater flag: running max (exact),
+    below-peak boolean, island numbering via the running sum of
+    spell-starts, then max island length. All windows and both
+    aggregates partition on the series key — one shuffle. Deterministic:
+    every step is exact comparisons on exact aggregates.
+    Returns (partition_col, n_underwater_days, longest_underwater,
+    n_spells).
+    """
+    w = _series_window(partition_col, order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        df.withColumn("_peak", F.max(value_col).over(run))
+        .withColumn("_under", (F.col(value_col) < F.col("_peak")).cast("int"))
+        .withColumn(
+            "_start",
+            (
+                (F.col("_under") == 1)
+                & (F.coalesce(F.lag("_under").over(w), F.lit(0)) == 0)
+            ).cast("int"),
+        )
+        .withColumn("_spell", F.sum("_start").over(run))
+    )
+    spells = (
+        staged.filter(F.col("_under") == 1)
+        .groupBy(partition_col, "_spell")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    return spells.groupBy(partition_col).agg(
+        F.sum("_len").cast("long").alias("n_underwater_days"),
+        F.max("_len").cast("long").alias("longest_underwater"),
+        F.count(F.lit(1)).cast("long").alias("n_spells"),
+    )

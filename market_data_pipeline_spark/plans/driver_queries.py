@@ -5655,6 +5655,85 @@ def tx16_quality_gate(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-4 fifth batch: streaming sliding window, drawdown duration.
+# ===========================================================================
+
+
+@query(
+    "st12_streaming_sliding",
+    """WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+), expanded AS (
+  SELECT ws AS window_start, value FROM b
+  UNION ALL
+  SELECT ws - INTERVAL '30 minutes' AS window_start, value FROM b
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1, 2""",
+)
+def st12_streaming_sliding(spark, sf_dir):
+    """The sliding window through Structured Streaming (each event lands
+    in window/slide overlapping windows; state keyed per window),
+    hash-checked against the batch e2 oracle — completes the streaming
+    window triad (tumbling st1, session st3, sliding here)."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    stream = sj.streaming_sliding(
+        sj.read_events_stream(spark, sf_dir),
+        window_duration="1 hour",
+        slide_duration="30 minutes",
+    )
+    return sj.run_stream_to_memory(stream, "st12_sink")
+
+
+@query(
+    "ts28_drawdown_duration",
+    f"""WITH {PRICE_CTE},
+staged AS (
+  SELECT symbol, trade_date, close_price,
+         MAX(close_price) OVER w AS peak
+  FROM price WHERE close_price > 0
+  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), flagged AS (
+  SELECT symbol, trade_date,
+         CASE WHEN close_price < peak THEN 1 ELSE 0 END AS under
+  FROM staged
+), starts AS (
+  SELECT symbol, trade_date, under,
+         CASE WHEN under = 1 AND COALESCE(LAG(under) OVER w, 0) = 0
+              THEN 1 ELSE 0 END AS s
+  FROM flagged WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+), spells AS (
+  SELECT symbol,
+         SUM(s) OVER (PARTITION BY symbol ORDER BY trade_date
+                      ROWS UNBOUNDED PRECEDING) AS spell,
+         under
+  FROM starts
+), lens AS (
+  SELECT symbol, spell, COUNT(*) AS len
+  FROM spells WHERE under = 1 GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(SUM(len) AS BIGINT) AS n_underwater_days,
+       CAST(MAX(len) AS BIGINT) AS longest_underwater,
+       CAST(COUNT(*) AS BIGINT) AS n_spells
+FROM lens GROUP BY 1 ORDER BY symbol""",
+)
+def ts28_drawdown_duration(spark, sf_dir):
+    """Longest underwater spell per symbol (recovery-time risk — the
+    duration companion to ts3's depth): gaps-and-islands over the
+    below-running-peak flag, one shuffle on the series key. See
+    operators.timeseries.drawdown_duration."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price") > 0)
+    return tseries.drawdown_duration(p).orderBy("symbol")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -493,3 +493,19 @@ def test_quality_gate_reasons(spark):
     assert out[2]["keep"] is False and out[2]["reasons"] == "too_short"
     assert "stopword_heavy" in out[3]["reasons"]
     assert "giant_token" in out[4]["reasons"]
+
+
+def test_drawdown_duration_spells(spark):
+    # peaks at 10; underwater days 2-3 (len 2) recover day 4 (new peak 11),
+    # then underwater day 5 (len 1)
+    df = _series(spark, [10, 9, 9.5, 11, 10.5])
+    r = tseries.drawdown_duration(df).collect()[0]
+    assert r["n_underwater_days"] == 3
+    assert r["longest_underwater"] == 2
+    assert r["n_spells"] == 2
+
+
+def test_drawdown_duration_monotonic_series_empty(spark):
+    # strictly rising series: never underwater -> no row for the symbol
+    df = _series(spark, [1, 2, 3, 4])
+    assert tseries.drawdown_duration(df).count() == 0
