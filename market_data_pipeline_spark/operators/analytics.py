@@ -562,3 +562,47 @@ def global_rank(
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     rn = F.row_number().over(w) + off_map[F.col("_pid")]
     return with_pid.withColumn(out_col, rn.cast("long")).drop("_pid")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running SUM over a global total order without a
+    partition-less window — the range-partitioned pattern of
+    :func:`global_rank` applied to sums: contiguous range slices, local
+    running sum, plus each partition's exact preceding-total offset
+    (driver data bounded by the partition count).
+
+    ``value_col`` must be an integer (BIGINT) column — fixed-point your
+    doubles first (e.g. cents) so the partial sums are exact and the
+    offsets engine-independent; a float version would reintroduce
+    accumulation-order drift, the thing this helper exists to avoid.
+    ``order_cols`` must be a total order.
+    """
+    sess = df.sparkSession
+    p = num_partitions or sess.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *order_cols).localCheckpoint(eager=False)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    sums = {
+        r["_pid"]: r["s"]
+        for r in with_pid.groupBy("_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    if not sums:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+    off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    run = F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return with_pid.withColumn(
+        out_col, (run + off_map[F.col("_pid")]).cast("long")
+    ).drop("_pid")

@@ -5734,6 +5734,134 @@ def ts28_drawdown_duration(spark, sf_dir):
     return tseries.drawdown_duration(p).orderBy("symbol")
 
 
+# ===========================================================================
+# Round-4 sixth batch: per-group reservoir, Pareto concentration, calendar
+# features.
+# ===========================================================================
+
+
+@query(
+    "smp7_group_reservoir",
+    """WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         md5('res:' || CAST(doc_id AS VARCHAR)) AS hv
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+  FROM h
+) WHERE rn <= 20
+ORDER BY doc_id""",
+)
+def smp7_group_reservoir(spark, sf_dir):
+    """Deterministic exact-k 'reservoir' per group: the k smallest md5
+    draws per language — uniform without replacement, rerun-stable and
+    engine-independent (a true reservoir's sequential randomness can't
+    be reproduced across engines; the k-smallest-hash formulation is the
+    distributed equivalent). One key-partitioned window; partition size
+    is bounded by the group, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string")).cast("binary"))
+    return (
+        docs.select("doc_id", "lang", "n_chars", h.alias("_h"))
+        .withColumn("_rn", F.row_number().over(Window.partitionBy("lang").orderBy("_h", "doc_id")))
+        .filter(F.col("_rn") <= 20)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "r9_pareto_symbols",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}, {_TOTALS_CTE},
+cents AS (
+  SELECT symbol, CAST(ROUND(total_amount * 100) AS BIGINT) AS amt_cents
+  FROM totals
+), tot AS (SELECT SUM(amt_cents) AS t FROM cents)
+SELECT symbol, amt_cents,
+       CAST(ROW_NUMBER() OVER wo AS BIGINT) AS rnk,
+       SUM(amt_cents) OVER (ORDER BY amt_cents DESC, symbol
+                            ROWS UNBOUNDED PRECEDING)
+         / CAST((SELECT t FROM tot) AS DOUBLE) AS cum_share,
+       SUM(amt_cents) OVER (ORDER BY amt_cents DESC, symbol
+                            ROWS UNBOUNDED PRECEDING)
+         / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.8 AS in_top80
+FROM cents
+WINDOW wo AS (ORDER BY amt_cents DESC, symbol)
+ORDER BY rnk""",
+)
+def r9_pareto_symbols(spark, sf_dir):
+    """Pareto concentration analysis: symbols ranked by turnover with
+    exact cumulative share and the 80%-of-volume flag. The global rank
+    AND the global running sum both use the range-partitioned offset
+    pattern (analytics.global_rank / global_cumsum) — amounts are
+    fixed-pointed to cents so the cumulative sums are engine-exact;
+    never a single-task window over the full symbol list."""
+    from market_data_pipeline_spark.operators.analytics import (
+        global_cumsum,
+        global_rank,
+    )
+
+    totals = _symbol_totals(spark, sf_dir).select(
+        "symbol", F.round(F.col("total_amount") * 100).cast("long").alias("amt_cents")
+    )
+    order = [F.desc("amt_cents"), F.col("symbol")]
+    ranked = global_rank(totals, order, out_col="rnk")
+    cum = global_cumsum(ranked, order, "amt_cents", out_col="_cum")
+    total = totals.agg(F.sum("amt_cents").alias("_t"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "symbol",
+            "amt_cents",
+            "rnk",
+            (F.col("_cum") / F.col("_t").cast("double")).alias("cum_share"),
+            ((F.col("_cum") / F.col("_t").cast("double")) <= 0.8).alias("in_top80"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "f10_time_features",
+    f"""WITH {PRICE_CTE}
+SELECT symbol, trade_date,
+       CAST(isodow(trade_date) AS BIGINT) AS day_of_week,
+       CAST(week(trade_date) AS BIGINT) AS iso_week,
+       CAST(month(trade_date) AS BIGINT) AS month,
+       CAST(quarter(trade_date) AS BIGINT) AS quarter,
+       trade_date = last_day(trade_date) AS is_month_end,
+       CAST(date_diff('day', DATE '1970-01-01', trade_date) AS BIGINT)
+           AS days_since_epoch
+FROM price WHERE symbol IN ({_RET_IN})
+ORDER BY symbol, trade_date""",
+)
+def f10_time_features(spark, sf_dir):
+    """Calendar feature extraction for ML export (ISO weekday/week,
+    month, quarter, month-end flag, epoch-day ordinal) — map-only
+    codegen expressions, the standard temporal feature block every
+    training-data export prepends."""
+    p = price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS)
+    return p.select(
+        "symbol",
+        "trade_date",
+        F.dayofweek(F.col("trade_date")).alias("_dow_sun1"),
+        F.weekofyear("trade_date").cast("long").alias("iso_week"),
+        F.month("trade_date").cast("long").alias("month"),
+        F.quarter("trade_date").cast("long").alias("quarter"),
+        (F.col("trade_date") == F.last_day("trade_date")).alias("is_month_end"),
+        F.datediff("trade_date", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch"),
+    ).withColumn(
+        # Spark dayofweek is Sunday=1; ISO (DuckDB isodow) is Monday=1
+        "day_of_week",
+        ((F.col("_dow_sun1") + 5) % 7 + 1).cast("long"),
+    ).drop("_dow_sun1").orderBy("symbol", "trade_date")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -509,3 +509,29 @@ def test_drawdown_duration_monotonic_series_empty(spark):
     # strictly rising series: never underwater -> no row for the symbol
     df = _series(spark, [1, 2, 3, 4])
     assert tseries.drawdown_duration(df).count() == 0
+
+
+def test_global_cumsum_matches_single_window(spark):
+    from market_data_pipeline_spark.operators.analytics import global_cumsum
+    from pyspark.sql import Window as W
+
+    rows = [(i, (i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.desc("v"), F.col("id")]
+    got = {
+        r["id"]: r["cumsum"]
+        for r in global_cumsum(df, order, "v", num_partitions=7).collect()
+    }
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_empty(spark):
+    from market_data_pipeline_spark.operators.analytics import global_cumsum
+
+    df = spark.createDataFrame([], "id long, v long")
+    assert global_cumsum(df, [F.col("id")], "v").count() == 0
