@@ -583,26 +583,76 @@ def global_cumsum(
     accumulation-order drift, the thing this helper exists to avoid.
     ``order_cols`` must be a total order.
     """
+    return _global_rank_cumsum(
+        df, order_cols, value_col, None, out_col, num_partitions
+    )
+
+
+def _global_rank_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str | None,
+    rank_col: str | None,
+    cumsum_col: str | None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Shared engine for global_rank/global_cumsum, and the fused form
+    (both outputs from ONE range partitioning): a single
+    repartitionByRange + checkpoint + one driver collect carrying BOTH
+    the per-partition row counts and value sums — callers that need rank
+    AND running sum over the same order (Pareto analyses) pay one pass
+    instead of two."""
     sess = df.sparkSession
     p = num_partitions or sess.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(p, *order_cols).localCheckpoint(eager=False)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    sums = {
-        r["_pid"]: r["s"]
-        for r in with_pid.groupBy("_pid")
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
-    if not sums:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += int(sums[pid] or 0)
-    off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    aggs = [F.count("*").alias("cnt")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("s"))
+    stats = {r["_pid"]: r for r in with_pid.groupBy("_pid").agg(*aggs).collect()}
+    if not stats:
+        out = df
+        for c in (rank_col, cumsum_col):
+            if c:
+                out = out.withColumn(c, F.lit(None).cast("long"))
+        return out
+    cnt_off: dict[int, int] = {}
+    sum_off: dict[int, int] = {}
+    acc_c = acc_s = 0
+    for pid in sorted(stats):
+        cnt_off[pid] = acc_c
+        acc_c += stats[pid]["cnt"]
+        if value_col is not None:
+            sum_off[pid] = acc_s
+            acc_s += int(stats[pid]["s"] or 0)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    run = F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return with_pid.withColumn(
-        out_col, (run + off_map[F.col("_pid")]).cast("long")
-    ).drop("_pid")
+    out = with_pid
+    if rank_col:
+        cmap = F.create_map(*[F.lit(x) for kv in sorted(cnt_off.items()) for x in kv])
+        out = out.withColumn(
+            rank_col, (F.row_number().over(w) + cmap[F.col("_pid")]).cast("long")
+        )
+    if cumsum_col:
+        smap = F.create_map(*[F.lit(x) for kv in sorted(sum_off.items()) for x in kv])
+        run = F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        out = out.withColumn(
+            cumsum_col, (run + smap[F.col("_pid")]).cast("long")
+        )
+    return out.drop("_pid")
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    rank_col: str = "rank",
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused exact global ROW_NUMBER + running SUM over one total order —
+    one range partitioning, one checkpoint, one driver collect (see
+    :func:`_global_rank_cumsum`). ``value_col`` must be BIGINT
+    (fixed-point doubles first)."""
+    return _global_rank_cumsum(
+        df, order_cols, value_col, rank_col, cumsum_col, num_partitions
+    )

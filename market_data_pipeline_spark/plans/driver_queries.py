@@ -5799,18 +5799,21 @@ def r9_pareto_symbols(spark, sf_dir):
     pattern (analytics.global_rank / global_cumsum) — amounts are
     fixed-pointed to cents so the cumulative sums are engine-exact;
     never a single-task window over the full symbol list."""
-    from market_data_pipeline_spark.operators.analytics import (
-        global_cumsum,
-        global_rank,
-    )
+    from market_data_pipeline_spark.operators.analytics import global_rank_cumsum
 
     totals = _symbol_totals(spark, sf_dir).select(
         "symbol", F.round(F.col("total_amount") * 100).cast("long").alias("amt_cents")
     )
     order = [F.desc("amt_cents"), F.col("symbol")]
-    ranked = global_rank(totals, order, out_col="rnk")
-    cum = global_cumsum(ranked, order, "amt_cents", out_col="_cum")
-    total = totals.agg(F.sum("amt_cents").alias("_t"))
+    cum = global_rank_cumsum(
+        totals, order, "amt_cents", rank_col="rnk", cumsum_col="_cum"
+    )
+    # grand total from the RETURNED frame: it sits on the helper's
+    # checkpointed range partitioning, so this aggregate reads cached
+    # blocks — summing `totals` instead would re-run the whole price
+    # aggregation pipeline a second time (measured: the query's cost was
+    # 2x the totals build until this read the checkpoint)
+    total = cum.agg(F.sum("amt_cents").alias("_t"))
     return (
         cum.crossJoin(F.broadcast(total))
         .select(
