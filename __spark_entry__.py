@@ -180,8 +180,9 @@ _COST = {
     "st11_streaming_burst": 1.29, "mm6_phash_dedup": 1.20,
     "e14_sliding_active_users": 0.55, "pk2_bucketed_batches": 0.45,
     "tx16_quality_gate": 0.50, "st12_streaming_sliding": 1.30,
-    "ts28_drawdown_duration": 0.60, "smp7_group_reservoir": 0.40,
-    "r9_pareto_symbols": 0.80, "f10_time_features": 0.45,
+    "ts28_drawdown_duration": 1.56, "smp7_group_reservoir": 0.40,
+    "r9_pareto_symbols": 2.27, "f10_time_features": 0.45,
+    "tx17_bpe_pairs": 0.55, "k9_label_centroids": 0.60,
 }
 
 

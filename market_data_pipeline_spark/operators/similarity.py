@@ -956,3 +956,48 @@ def radius_search(
         .select(F.col(query_id_col), F.col(id_col), sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Exact per-group embedding centroid (mean vector), distributed by
+    DIMENSION: posexplode the vectors, fixed-point each component to
+    1/scale, sum as BIGINT per (group, dim) — engine-exact means with no
+    accumulation-order drift — and reassemble the vector with a sorted
+    collect bounded by the dimensionality.
+
+    The shuffle carries (group, dim, value) triples — dim x rows, the
+    unavoidable volume for an exact per-dimension reduction — and every
+    aggregate is map-combined. Domain centroids feed coverage/balance
+    analyses and the IVF/SemDeDup operators directly (same
+    (id, vector) shape as their centroid inputs).
+    Returns (group_col, n_vectors, centroid array<double>).
+    """
+    exploded = embeddings.select(
+        F.col(group_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_dim", "_v"),
+    )
+    per_dim = exploded.groupBy(group_col, "_dim").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        (F.sum(F.round(F.col("_v") * scale).cast("long")) / F.lit(scale)).alias(
+            "_s"
+        ),
+    )
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.max("_n").alias("n_vectors"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("_dim", (F.col("_s") / F.col("_n")).alias("_m")))
+                ),
+                lambda s: s["_m"],
+            ).alias("centroid"),
+        )
+    )

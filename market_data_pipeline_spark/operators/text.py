@@ -1188,3 +1188,38 @@ def quality_gate(
         keep.alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies — the statistic one
+    BPE merge step is chosen from (tokenizer training's inner loop, run
+    here at word level over whitespace tokens: the corpus-scale part of
+    the computation; character-level inner merges happen on the tiny
+    learned vocab driver-side in any real trainer).
+
+    One explode of per-document adjacent pairs (transform over the
+    token-array index — JVM-side, no UDF), one map-combined count, and
+    a rounded TakeOrdered top-k (ties break on the pair text) — never a
+    global sort. The pair column is emitted as 'a b' text.
+    Returns (pair, n) the ``top_k`` most frequent, ordered (n desc,
+    pair).
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 2)),
+    )
+    return (
+        df.select(toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(F.explode_outer(pairs).alias("pair"))
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.col("pair"))
+        .limit(top_k)
+    )

@@ -5865,6 +5865,62 @@ def f10_time_features(spark, sf_dir):
     ).drop("_dow_sun1").orderBy("symbol", "trade_date")
 
 
+# ===========================================================================
+# Round-4 seventh batch: BPE pair counts, per-label embedding centroids.
+# ===========================================================================
+
+
+@query(
+    "tx17_bpe_pairs",
+    r"""WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), idx AS (
+  SELECT t, unnest(range(len(t) - 1)) AS x FROM toks WHERE len(t) >= 2
+), pairs AS (
+  SELECT t[CAST(x AS INTEGER) + 1] || ' ' || t[CAST(x AS INTEGER) + 2] AS pair
+  FROM idx
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+ORDER BY n DESC, pair LIMIT 50""",
+)
+def tx17_bpe_pairs(spark, sf_dir):
+    """Corpus-wide adjacent-token pair frequencies — the statistic a BPE
+    merge step is chosen from (tokenizer-training prep): one JVM-side
+    pair explode, one map-combined count, TakeOrdered top-50. See
+    operators.text.bpe_pair_counts."""
+    return tx.bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=50)
+
+
+@query(
+    "k9_label_centroids",
+    """WITH idx AS (
+  SELECT label, embedding, unnest(range(len(embedding))) AS x FROM embeddings
+), ex AS (
+  SELECT label, CAST(x AS INTEGER) AS dim0,
+         CAST(embedding[CAST(x AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM idx
+), per_dim AS (
+  SELECT label, dim0,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(v * 1e6) AS BIGINT)) / 1e6 AS s
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, MAX(n) AS n_vectors,
+       list(s / n ORDER BY dim0) AS centroid
+FROM per_dim GROUP BY 1 ORDER BY label""",
+)
+def k9_label_centroids(spark, sf_dir):
+    """Exact per-label embedding centroid, distributed by DIMENSION
+    (posexplode -> fixed-point per-(label, dim) sums -> bounded sorted
+    reassembly) — engine-exact means feeding coverage analyses and the
+    IVF/SemDeDup centroid inputs. See operators.similarity.group_centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.group_centroids(emb, "label").orderBy("label")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

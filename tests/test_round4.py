@@ -535,3 +535,23 @@ def test_global_cumsum_empty(spark):
 
     df = spark.createDataFrame([], "id long, v long")
     assert global_cumsum(df, [F.col("id")], "v").count() == 0
+
+
+def test_bpe_pair_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    out = [(r["pair"], r["n"]) for r in tx.bpe_pair_counts(docs, top_k=10).collect()]
+    assert out[0] == ("a b", 3)   # doc1 twice + doc2 once
+    assert ("b a", 1) in out and ("b c", 1) in out
+
+
+def test_group_centroids_exact_mean(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "x"), (2, [3.0, 2.0], "x"), (3, [10.0, 10.0], "y")],
+        "vec_id long, embedding array<double>, grp string",
+    )
+    out = {r["grp"]: r for r in similarity.group_centroids(emb, "grp").collect()}
+    assert out["x"]["n_vectors"] == 2
+    assert out["x"]["centroid"] == [2.0, 1.0]
+    assert out["y"]["centroid"] == [10.0, 10.0]
