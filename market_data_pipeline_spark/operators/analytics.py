@@ -656,3 +656,79 @@ def global_rank_cumsum(
     return _global_rank_cumsum(
         df, order_cols, value_col, rank_col, cumsum_col, num_partitions
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 10,
+    capacity: int = 64,
+) -> DataFrame:
+    """Approximate heavy hitters via MERGEABLE Misra-Gries summaries —
+    the bounded-memory answer to "top items" when the item domain is too
+    large to aggregate exactly (URLs, tokens, user agents at 100 TB).
+
+    Each input partition maintains one Misra-Gries summary of
+    ``capacity`` counters in a single Arrow pass (the ``mapInPandas``
+    iterator spans the whole partition, so state carries across
+    batches); summaries then merge by a plain map-combined SUM per item
+    — the MG merge theorem: summing per-partition counters preserves
+    the deficit bound, and the total decrement weight (emitted as one
+    audit row per partition under a NULL item) bounds every count's
+    underestimate. An item with true frequency > total_decrements is
+    GUARANTEED present; stored counts are lower bounds.
+
+    Shuffle budget: at most ``capacity + 1`` rows per partition reach
+    the merge — the sketch, never the stream. Returns the top ``k`` by
+    merged lower-bound count: (item, count_lower, error_bound,
+    guaranteed) with ties broken on item.
+    """
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict = {}
+        decrements = 0
+        for pdf in batches:
+            for v in pdf[item_col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all step: one unit off every counter
+                    decrements += 1
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        rows = [(str(item), int(c)) for item, c in counters.items()]
+        rows.append((None, int(decrements)))  # audit row: deficit weight
+        yield pd.DataFrame(rows, columns=["item", "w"])
+
+    summaries = df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        mg_partition, f"item string, w long"
+    )
+    merged = summaries.groupBy("item").agg(F.sum("w").alias("w"))
+    # total decrements across partitions: every decrement removed one
+    # unit from capacity counters AND one unseen arrival, so any count
+    # is underestimated by at most this total
+    err = merged.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("w"), F.lit(0)).alias("error_bound")
+    )
+    return (
+        merged.filter(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(err))
+        .select(
+            F.col("item"),
+            F.col("w").alias("count_lower"),
+            F.col("error_bound"),
+            (F.col("w") > F.col("error_bound")).alias("guaranteed"),
+        )
+        .orderBy(F.desc("count_lower"), F.col("item"))
+        .limit(k)
+    )

@@ -5921,6 +5921,35 @@ def k9_label_centroids(spark, sf_dir):
     return similarity.group_centroids(emb, "label").orderBy("label")
 
 
+# ===========================================================================
+# Round-4 eighth batch: Misra-Gries heavy hitters (mergeable sketch).
+# ===========================================================================
+
+
+@query("apx4_heavy_hitters")
+def apx4_heavy_hitters(spark, sf_dir):
+    """Token heavy hitters over the document corpus via mergeable
+    Misra-Gries summaries: one bounded-memory Arrow pass per partition
+    (<= capacity+1 rows reach the merge shuffle — the sketch, never the
+    stream), map-combined merge, lower-bound counts with a global error
+    bound and a per-item presence GUARANTEE flag. No oracle: counts are
+    partitioning-dependent lower bounds by design; the MG guarantees
+    (bound correctness, guaranteed-presence of true heavy items) are
+    pinned by pytest against exact counts."""
+    from market_data_pipeline_spark.operators.analytics import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token")
+    ).filter(F.col("token").isNotNull())
+    return heavy_hitters(toks, "token", k=20, capacity=128)
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -555,3 +555,46 @@ def test_group_centroids_exact_mean(spark):
     assert out["x"]["n_vectors"] == 2
     assert out["x"]["centroid"] == [2.0, 1.0]
     assert out["y"]["centroid"] == [10.0, 10.0]
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+
+
+def test_heavy_hitters_guarantees(spark):
+    from collections import Counter
+
+    from market_data_pipeline_spark.operators.analytics import heavy_hitters
+
+    # skewed stream: a few heavy items + a long tail, forced through a
+    # TINY capacity so decrements actually happen, across 4 partitions
+    items = (["hot"] * 300 + ["warm"] * 150 + ["mild"] * 80
+             + [f"tail{i}" for i in range(400)])
+    df = spark.createDataFrame([(v,) for v in items], "item string").repartition(4)
+    out = heavy_hitters(df, "item", k=10, capacity=8).collect()
+    exact = Counter(items)
+    got = {r["item"]: r for r in out}
+    err = out[0]["error_bound"]
+    # every stored count is a lower bound within the deficit bound
+    for r in out:
+        assert r["count_lower"] <= exact[r["item"]]
+        assert exact[r["item"]] - r["count_lower"] <= err
+    # items with true frequency above the bound MUST be present+flagged
+    for item, n in exact.items():
+        if n > err:
+            assert item in got, f"{item} (freq {n} > bound {err}) missing"
+    # and the flag itself is sound: guaranteed => truly above the bound
+    for r in out:
+        if r["guaranteed"]:
+            assert exact[r["item"]] > 0
+
+
+def test_heavy_hitters_no_decrement_is_exact(spark):
+    from market_data_pipeline_spark.operators.analytics import heavy_hitters
+
+    # distinct domain smaller than capacity: MG degenerates to exact
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "item string"
+    ).repartition(3)
+    out = {r["item"]: r for r in heavy_hitters(df, "item", k=5, capacity=16).collect()}
+    assert out["a"]["count_lower"] == 5 and out["a"]["error_bound"] == 0
+    assert out["b"]["count_lower"] == 3 and out["b"]["guaranteed"]
