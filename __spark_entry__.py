@@ -183,7 +183,7 @@ _COST = {
     "ts28_drawdown_duration": 1.56, "smp7_group_reservoir": 0.40,
     "r9_pareto_symbols": 2.27, "f10_time_features": 0.45,
     "tx17_bpe_pairs": 0.55, "k9_label_centroids": 0.60,
-    "apx4_heavy_hitters": 0.70,
+    "apx4_heavy_hitters": 0.70, "e15_session_paths": 0.55,
 }
 
 

@@ -706,3 +706,65 @@ def sliding_active_users(
         .groupBy("day")
         .agg(F.countDistinct(key_col).alias("active_users"))
     )
+
+
+def top_session_paths(
+    df: DataFrame,
+    k: int = 20,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    max_len: int = 10,
+) -> DataFrame:
+    """Most frequent session event-type paths (the path-mining staple:
+    which journeys actually happen): sessionize by the gap rule, render
+    each session's first ``max_len`` event types as an ordered '>'-path,
+    count paths, TakeOrdered top-k.
+
+    The path build is one sorted collect per (user, session) — bounded
+    by the session's event count (the same bound sessionize carries),
+    capped at ``max_len`` so a bot session can't build a megabyte path
+    string. Tie order inside a session is pinned by (ts, event id).
+    Returns (path, n_sessions) ordered (n desc, path).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    staged = (
+        df.withColumn("_prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (
+                    F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_prev"))
+                    > gap_us
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    paths = staged.groupBy(user_col, "_sid").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(ts_col, id_col, type_col))
+                    ),
+                    lambda s: s[type_col],
+                ),
+                1,
+                max_len,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.col("path"))
+        .limit(k)
+    )

@@ -5950,6 +5950,43 @@ def apx4_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "token", k=20, capacity=128)
 
 
+# ===========================================================================
+# Round-4 ninth batch: session path mining.
+# ===========================================================================
+
+
+@query(
+    "e15_session_paths",
+    """WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), paths AS (
+  SELECT user_id, sid,
+         array_to_string(list_slice(list(event_type ORDER BY ts, event_id),
+                                    1, 10), '>') AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path LIMIT 20""",
+)
+def e15_session_paths(spark, sf_dir):
+    """Top session event-type paths (path mining): sessionize, render
+    each session's first 10 event types as an ordered '>'-path (sorted
+    collect bounded by session size, capped), count, TakeOrdered top-20.
+    See operators.events.top_session_paths."""
+    return ev.top_session_paths(load_table(spark, sf_dir, "events"), k=20)
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

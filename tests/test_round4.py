@@ -598,3 +598,16 @@ def test_heavy_hitters_no_decrement_is_exact(spark):
     out = {r["item"]: r for r in heavy_hitters(df, "item", k=5, capacity=16).collect()}
     assert out["a"]["count_lower"] == 5 and out["a"]["error_bound"] == 0
     assert out["b"]["count_lower"] == 3 and out["b"]["guaranteed"]
+
+
+def test_top_session_paths(spark):
+    # user 1: view>click twice (two sessions, 2h apart); user 2: view once
+    df = _events(
+        spark,
+        [(0, 1, "view", 0.0), (60, 1, "click", 0.0),
+         (7200, 1, "view", 0.0), (7260, 1, "click", 0.0),
+         (0, 2, "view", 0.0)],
+    )
+    out = [(r["path"], r["n_sessions"]) for r in ev.top_session_paths(df, k=5).collect()]
+    assert out[0] == ("view>click", 2)
+    assert ("view", 1) in out
