@@ -44,12 +44,14 @@ SRC = "/root/testdata/sf0.1"
 
 
 def build_scratch(events_copies: int, doc_copies: int) -> None:
+    """Scratch dirs embed the copy count so re-running at a different
+    scale rebuilds instead of silently reusing the old slice."""
     import duckdb
 
-    os.makedirs(os.path.join(SCRATCH, "sf1"), exist_ok=True)
-    os.makedirs(os.path.join(SCRATCH, "hotdocs"), exist_ok=True)
+    os.makedirs(os.path.join(SCRATCH, f"events_x{events_copies}"), exist_ok=True)
+    os.makedirs(os.path.join(SCRATCH, f"hotdocs_x{doc_copies}"), exist_ok=True)
     con = duckdb.connect()
-    ev_out = os.path.join(SCRATCH, "sf1", "events.parquet")
+    ev_out = os.path.join(SCRATCH, f"events_x{events_copies}", "events.parquet")
     if not os.path.exists(ev_out):
         # replicate with disjoint user/event id ranges per copy: state
         # volume (distinct users buffered per watermark window) scales
@@ -63,7 +65,7 @@ def build_scratch(events_copies: int, doc_copies: int) -> None:
             ) TO '{ev_out}' (FORMAT PARQUET)
             """
         )
-    doc_out = os.path.join(SCRATCH, "hotdocs", "documents.parquet")
+    doc_out = os.path.join(SCRATCH, f"hotdocs_x{doc_copies}", "documents.parquet")
     if not os.path.exists(doc_out):
         # one boilerplate sentence appended to EVERY doc: its trigram
         # shingles have doc-frequency == corpus size (the viral shingle)
@@ -79,10 +81,10 @@ def build_scratch(events_copies: int, doc_copies: int) -> None:
         )
 
 
-def rehearse_streaming(spark) -> dict:
+def rehearse_streaming(spark, events_copies: int = 10) -> dict:
     from market_data_pipeline_spark.streaming import jobs as sj
 
-    sf1 = os.path.join(SCRATCH, "sf1")
+    sf1 = os.path.join(SCRATCH, f"events_x{events_copies}")
     # warmup: one throwaway run at the bench-scale slice so the first
     # measured configuration doesn't absorb stream-source / state-store
     # class loading (~5s, measured)
@@ -111,13 +113,15 @@ def rehearse_streaming(spark) -> dict:
     return results
 
 
-def rehearse_capped_dedup(spark, max_doc_freq: int = 3) -> dict:
+def rehearse_capped_dedup(spark, max_doc_freq: int = 3, doc_copies: int = 10) -> dict:
     from pyspark.sql import functions as F
 
     from market_data_pipeline_spark.operators import dedup
     from market_data_pipeline_spark.operators.util import bucket_overflow_stats
 
-    docs = spark.read.parquet(os.path.join(SCRATCH, "hotdocs", "documents.parquet"))
+    docs = spark.read.parquet(
+        os.path.join(SCRATCH, f"hotdocs_x{doc_copies}", "documents.parquet")
+    )
     n_docs = docs.count()
 
     t0 = time.perf_counter()
@@ -170,10 +174,10 @@ def main() -> int:
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
-    print("A. streaming state-store partitioning @ 10x events", flush=True)
-    streaming = rehearse_streaming(spark)
+    print(f"A. streaming state-store partitioning @ {args.events_copies}x events", flush=True)
+    streaming = rehearse_streaming(spark, args.events_copies)
     print("B. capped dedup under a corpus-wide hot shingle", flush=True)
-    capped = rehearse_capped_dedup(spark)
+    capped = rehearse_capped_dedup(spark, doc_copies=args.doc_copies)
     print(json.dumps({"streaming": streaming, "capped_dedup": capped}, indent=2))
     return 0
 
