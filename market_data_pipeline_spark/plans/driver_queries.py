@@ -5987,6 +5987,135 @@ def e15_session_paths(spark, sf_dir):
     return ev.top_session_paths(load_table(spark, sf_dir, "events"), k=20)
 
 
+# ===========================================================================
+# Round-4 tenth batch: ML-export compositions — feature matrix and
+# point-in-time (leakage-safe) feature join.
+# ===========================================================================
+
+
+@query(
+    "fx1_feature_matrix",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE symbol IN ({_RET_IN}) AND close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1998-12-31'
+), feat AS (
+  SELECT symbol, trade_date, close_price,
+         CAST(SUM(CAST(close_price AS DECIMAL(18,2))) OVER w5 AS DOUBLE)
+             / COUNT(close_price) OVER w5 AS sma_5,
+         close_price / LAG(close_price) OVER wo - 1 AS ret,
+         MAX(close_price) OVER w20 AS hi_20,
+         MIN(close_price) OVER w20 AS lo_20
+  FROM sel
+  WINDOW wo AS (PARTITION BY symbol ORDER BY trade_date),
+         w5 AS (PARTITION BY symbol ORDER BY trade_date
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w20 AS (PARTITION BY symbol ORDER BY trade_date
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date, close_price, sma_5, ret, hi_20, lo_20,
+       ROUND(STDDEV_SAMP(ret) OVER (PARTITION BY symbol ORDER BY trade_date
+                                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+             6) AS vol_10,
+       CASE WHEN hi_20 - lo_20 > 0
+            THEN (close_price - lo_20) / (hi_20 - lo_20) END AS chan_pos_20
+FROM feat ORDER BY symbol, trade_date""",
+)
+def fx1_feature_matrix(spark, sf_dir):
+    """The ML-export feature matrix: five per-series features (SMA,
+    return, rolling volatility, Donchian channel bounds + position)
+    assembled in ONE pass — every window shares the single series-key
+    shuffle, which is the entire point of composing the operators
+    instead of joining their outputs (five self-joins would scan the
+    fact five times). Channel position is a per-row IEEE ratio; the
+    volatility rounds like ts2."""
+    s = _ts_series(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    w5 = w.rowsBetween(-4, 0)
+    w10 = w.rowsBetween(-9, 0)
+    w20 = w.rowsBetween(-19, 0)
+    sma5 = (
+        F.sum(F.col("close_price").cast("decimal(18,2)")).over(w5).cast("double")
+        / F.count("close_price").over(w5)
+    )
+    ret = F.col("close_price") / F.lag("close_price").over(w) - 1
+    hi20 = F.max("close_price").over(w20)
+    lo20 = F.min("close_price").over(w20)
+    staged = s.select(
+        "symbol", "trade_date", "close_price",
+        sma5.alias("sma_5"), ret.alias("ret"),
+        hi20.alias("hi_20"), lo20.alias("lo_20"),
+    )
+    return staged.select(
+        "symbol", "trade_date", "close_price", "sma_5", "ret", "hi_20", "lo_20",
+        F.round(F.stddev_samp("ret").over(w10), 6).alias("vol_10"),
+        F.when(
+            F.col("hi_20") - F.col("lo_20") > 0,
+            (F.col("close_price") - F.col("lo_20"))
+            / (F.col("hi_20") - F.col("lo_20")),
+        ).alias("chan_pos_20"),
+    ).orderBy("symbol", "trade_date")
+
+
+@query(
+    "fx2_point_in_time_join",
+    f"""WITH {PRICE_CTE},
+labels AS (
+  SELECT event_id, ts, CAST(user_id % 4 AS VARCHAR) AS bucket,
+         CAST(ts AS DATE) AS event_date
+  FROM events WHERE event_type = 'purchase'
+), sym AS (
+  SELECT event_id, ts, event_date,
+         CASE bucket WHEN '0' THEN '7' WHEN '1' THEN '42'
+                     WHEN '2' THEN '101' ELSE '157' END AS symbol
+  FROM labels
+)
+SELECT s.event_id, s.symbol, s.event_date,
+       p.trade_date AS feature_date, p.close_price AS feature_close
+FROM sym s
+ASOF LEFT JOIN (SELECT * FROM price WHERE close_price IS NOT NULL) p
+  ON s.symbol = p.symbol AND p.trade_date <= s.event_date
+ORDER BY event_id""",
+)
+def fx2_point_in_time_join(spark, sf_dir):
+    """Point-in-time feature join — the leakage-safety primitive of every
+    feature store: each label event picks up the LATEST feature row
+    at-or-before its own date, never a future one, via the
+    single-shuffle union as-of join (checked against DuckDB's native
+    ASOF LEFT JOIN). Events map to a symbol bucket deterministically so
+    the composition is reproducible on the synthetic lake."""
+    ev_t = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    sym = F.element_at(
+        F.array(F.lit("7"), F.lit("42"), F.lit("101"), F.lit("157")),
+        (F.col("user_id") % 4 + 1).cast("int"),
+    )
+    labels = ev_t.select(
+        "event_id",
+        sym.alias("symbol"),
+        F.to_date("ts").alias("event_date"),
+    )
+    feats = price_frame(spark, sf_dir, symbols=STOCK_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
+    )
+    out = tseries.asof_join(
+        labels,
+        feats.select("symbol", "trade_date", "close_price"),
+        on=["symbol"],
+        left_ts="event_date",
+        right_ts="trade_date",
+        value_cols=["trade_date", "close_price"],
+        prune_right_to_left_keys=True,
+    )
+    return out.select(
+        "event_id", "symbol", "event_date",
+        F.col("trade_date").alias("feature_date"),
+        F.col("close_price").alias("feature_close"),
+    ).orderBy("event_id")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

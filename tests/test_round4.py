@@ -611,3 +611,17 @@ def test_top_session_paths(spark):
     out = [(r["path"], r["n_sessions"]) for r in ev.top_session_paths(df, k=5).collect()]
     assert out[0] == ("view>click", 2)
     assert ("view", 1) in out
+
+
+def test_point_in_time_join_never_leaks_future(spark, sf_dir):
+    from market_data_pipeline_spark.plans.driver_queries import (
+        fx2_point_in_time_join,
+    )
+
+    out = fx2_point_in_time_join(spark, sf_dir).collect()
+    assert out, "expected label rows"
+    for r in out:
+        if r["feature_date"] is not None:
+            assert r["feature_date"] <= r["event_date"], (
+                f"future leak: {r['feature_date']} > {r['event_date']}"
+            )
