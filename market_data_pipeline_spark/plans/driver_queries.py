@@ -6116,6 +6116,58 @@ def fx2_point_in_time_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+# ===========================================================================
+# Round-4 eleventh batch: purged temporal split.
+# ===========================================================================
+
+
+@query(
+    "smp8_purged_split",
+    f"""WITH {PRICE_CTE},
+sel AS (
+  SELECT symbol, trade_date, close_price FROM price
+  WHERE close_price IS NOT NULL
+    AND trade_date >= DATE '1996-01-01' AND trade_date <= DATE '1997-12-31'
+), tagged AS (
+  SELECT symbol, trade_date, close_price,
+         CAST(FLOOR(date_diff('day', DATE '1996-01-01', trade_date) / 120.0)
+              AS BIGINT) AS fold,
+         date_diff('day', DATE '1996-01-01', trade_date) % 120 AS day_in_fold
+  FROM sel
+)
+SELECT symbol, trade_date, close_price, fold,
+       CASE WHEN day_in_fold >= 120 - 5 THEN 'embargo'
+            WHEN fold % 3 = 2 THEN 'val' ELSE 'train' END AS split
+FROM tagged ORDER BY symbol, trade_date""",
+)
+def smp8_purged_split(spark, sf_dir):
+    """Purged temporal split with embargo — the finance-ML guard against
+    look-ahead leakage that random splits cannot give: contiguous
+    120-day blocks alternate train/val (every third block validates),
+    and each block's last 5 days are EMBARGOED (dropped from both sides)
+    so labels whose horizon crosses the boundary cannot leak fold-to-
+    fold. Pure date arithmetic — map-only, engine-exact, deterministic
+    from the calendar alone (re-running on late-arriving data re-derives
+    identical folds)."""
+    p = price_frame(spark, sf_dir).filter(
+        F.col("close_price").isNotNull()
+        & (F.col("trade_date") >= "1996-01-01")
+        & (F.col("trade_date") <= "1997-12-31")
+    )
+    days = F.datediff("trade_date", F.lit("1996-01-01").cast("date"))
+    fold = F.floor(days / 120).cast("long")
+    day_in_fold = days % 120
+    split = (
+        F.when(day_in_fold >= 120 - 5, F.lit("embargo"))
+        .when(fold % 3 == 2, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return p.select(
+        "symbol", "trade_date", "close_price",
+        fold.alias("fold"), split.alias("split"),
+    ).orderBy("symbol", "trade_date")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -625,3 +625,20 @@ def test_point_in_time_join_never_leaks_future(spark, sf_dir):
             assert r["feature_date"] <= r["event_date"], (
                 f"future leak: {r['feature_date']} > {r['event_date']}"
             )
+
+
+def test_purged_split_embargo_semantics(spark, sf_dir):
+    from market_data_pipeline_spark.plans.driver_queries import smp8_purged_split
+
+    rows = smp8_purged_split(spark, sf_dir).collect()
+    assert rows
+    import datetime as dtt
+
+    base = dtt.date(1996, 1, 1)
+    for r in rows:
+        days = (r["trade_date"] - base).days
+        assert r["fold"] == days // 120
+        if days % 120 >= 115:
+            assert r["split"] == "embargo"
+        else:
+            assert r["split"] == ("val" if r["fold"] % 3 == 2 else "train")
