@@ -185,7 +185,7 @@ _COST = {
     "tx17_bpe_pairs": 0.55, "k9_label_centroids": 0.60,
     "apx4_heavy_hitters": 0.70, "e15_session_paths": 0.55,
     "fx1_feature_matrix": 0.55, "fx2_point_in_time_join": 0.90,
-    "smp8_purged_split": 0.55,
+    "smp8_purged_split": 0.55, "apx5_sliding_actives_hll": 0.60,
 }
 
 

@@ -768,3 +768,43 @@ def top_session_paths(
         .orderBy(F.desc("n_sessions"), F.col("path"))
         .limit(k)
     )
+
+
+def sliding_active_users_hll(
+    df: DataFrame,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_config_k: int = 14,
+) -> DataFrame:
+    """Approximate trailing-N-day distinct actives via MERGEABLE HLL
+    sketches — the scale path for :func:`sliding_active_users` when the
+    exact rewrite's N x explode of distinct (user, day) rows is itself
+    too big (billions of users x long windows): one HLL sketch per day
+    (map-combined, fixed bytes per day regardless of user count), then
+    the trailing window MERGES N sketches per row — the frame carries
+    kilobyte sketches, never user ids.
+
+    Error is the standard HLL ±~0.8% at lg_config_k=14; batch-parity
+    with the exact operator is pinned by pytest within that bound.
+    Returns (day, active_users_approx).
+    """
+    daily = (
+        df.select(F.to_date(F.col(ts_col)).alias("day"), F.col(key_col))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg(key_col, F.lit(lg_config_k)).alias("_sk"))
+    )
+    # the global-order window here is the ALLOWED single-partition shape:
+    # its input is post-aggregation (one sketch row per day — bounded by
+    # the calendar, a century is ~36k rows), so the exchange moves
+    # kilobyte sketches, never the event stream
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-(window_days - 1) * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("_sk").over(w))
+        .cast("long")
+        .alias("active_users_approx"),
+    )

@@ -6168,6 +6168,24 @@ def smp8_purged_split(spark, sf_dir):
     ).orderBy("symbol", "trade_date")
 
 
+# ===========================================================================
+# Round-4 twelfth batch: HLL sliding distinct actives.
+# ===========================================================================
+
+
+@query("apx5_sliding_actives_hll")
+def apx5_sliding_actives_hll(spark, sf_dir):
+    """Trailing-7-day distinct actives via mergeable HLL sketches — the
+    scale path where e14's exact N x explode gets too big: one
+    map-combined sketch per day, the window merges kilobyte sketches,
+    the event stream never reaches the frame. No oracle (HLL estimates
+    are sketch-internal); parity with the exact e14 within the standard
+    HLL error is pinned by pytest."""
+    return ev.sliding_active_users_hll(
+        load_table(spark, sf_dir, "events"), window_days=7
+    ).orderBy("day")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -642,3 +642,18 @@ def test_purged_split_embargo_semantics(spark, sf_dir):
             assert r["split"] == "embargo"
         else:
             assert r["split"] == ("val" if r["fold"] % 3 == 2 else "train")
+
+
+def test_hll_sliding_actives_parity_with_exact(spark, sf_dir):
+    from market_data_pipeline_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {r["day"]: r["active_users"] for r in ev.sliding_active_users(events, 7).collect()}
+    approx = {
+        r["day"]: r["active_users_approx"]
+        for r in ev.sliding_active_users_hll(events, 7).collect()
+    }
+    # HLL reports estimates for every day with a sketch (same day set)
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])
