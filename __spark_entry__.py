@@ -27,76 +27,89 @@ def entry(spark: SparkSession) -> DataFrame:
     return a6_daily_market_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-4 recording order. The driver records only a ~50-row PREFIX of
-# queries() iteration order per round, and rounds 2-3 proved that ordering
+# Round-5 recording order. The driver records only a ~50-row PREFIX of
+# queries() iteration order per round; rounds 2-4 proved that ordering
 # tier 1 cheapest-first lets newly registered cheap queries starve the
-# expensive never-recorded ones indefinitely (r3 verdict #1). So round 4
-# pins a FROZEN backlog tier: the 27 oracled queries with no green row in
-# any CORRECTNESS_r0{1,2,3}.json go at the absolute front, regardless of
-# cost or of anything registered later. 27 < ~50 slots, so one round
-# drains the backlog while still leaving ~23 slots for new registrations
-# (tier 1: oracled, not green, not backlog).
-_BACKLOG_R4 = frozenset({
-    "apx1_approx_distinct", "apx2_price_quantiles", "dc1_decontaminate",
-    "dd10_dedup_keep_best", "dd12_crossdoc_ngram", "dd13_span_dedup",
-    "dd7_dup_clusters", "dd8_dedup_corpus", "dd9_ngram_jaccard_capped",
-    "j10_bloom_semi_join", "r1_top3_per_market", "r2_rollup_market_year",
-    "r4_pivot_market_year", "r5_symbol_deciles",
-    "st10_streaming_running_stats", "st2_streaming_user_totals",
-    "st3_streaming_sessions", "st4_streaming_dedup",
-    "st5_stream_static_join", "st6_stream_stream_join",
-    "st7_streaming_ingest_dedup", "st8_streaming_ewma",
-    "st9_streaming_windowed_topk", "tpch_q1_pricing_summary",
-    "tpch_q21_suppliers_waiting", "ts3_drawdown", "ts5_asof_prices",
+# expensive never-recorded ones indefinitely. Round 4's frozen backlog of
+# 27 drained fully (CORRECTNESS_r04.json: 50/50 green). Round 5 freezes
+# the remaining 13 oracled queries with no green driver row in ANY
+# CORRECTNESS_r0{1..4}.json at the absolute front; 13 < ~50 slots, so this
+# round completes driver-green coverage of the entire oracled surface
+# while leaving ~37 slots for new registrations.
+_BACKLOG_R5 = frozenset({
+    "a12_weighted_market_return", "cdc2_status_history",
+    "dd14_crossdoc_sentences", "e11_rfm_scores", "fx2_point_in_time_join",
+    "k9_label_centroids", "r9_pareto_symbols", "st11_streaming_burst",
+    "st12_streaming_sliding", "ts25_xs_momentum", "ts26_amihud_illiquidity",
+    "ts28_drawdown_duration", "tx15_zipf_slope",
 })
 
-# Queries with a green (hash_match) driver row in CORRECTNESS_r01/r02/r03.
-_GREEN_R1_R3 = frozenset({
+# Queries with a green (hash_match) driver row in CORRECTNESS_r01..r04.
+_GREEN_R1_R4 = frozenset({
     "a10_dedup_latest", "a11_modal_priority", "a1_market_summary",
     "a2_stock_count_stats", "a3_delisted_report", "a4_table_info",
     "a5_correlation_matrix", "a6_daily_market_summary", "a7_market_counts",
-    "a8_all_symbols", "apx3_sketch_rollup", "cdc1_snapshot_diff",
-    "ck1_chunk_documents", "dd11_incremental_dedup", "dd1_exact_dedup",
-    "dd2_ngram_jaccard", "dd5_cosine_near_dup", "dd8_capped_dedup_corpus",
-    "dp1_profile_lineitem", "dp2_quantity_drift",
-    "dq1_lineitem_constraints", "dq2_freshness", "e1_tumbling_window",
-    "e2_sliding_window", "e3_sessionize", "e4_json_props",
-    "e5_funnel_users", "e6_retention_cohorts", "e7_cumulative_users",
-    "e8_last_touch_attribution", "e9_markov_transitions",
-    "er1_similar_supplier_names", "f1_normalize_chain", "f9_month_buckets",
-    "iv1_interval_join", "iv2_concurrent_sessions", "iv3_nearest_event",
-    "iv4_allen_relations", "ivm1_merged_summary", "j1_stock_data",
-    "j3_latest_prices", "j4_backtest_universe", "j5_insert_if_absent",
-    "j7_revenue_by_nation", "j8_segment_top_orders", "j9_salted_join",
-    "k1_knn_topk", "k2_knn_batch", "k4_knn_ivf", "k6_knn_graph",
-    "mix1_domain_quota", "mix2_temperature_resample", "o1_topk_orders",
-    "p2_validate_rows", "p2_validate_stats", "pk1_pack_sequences",
-    "r3_cube_flag_status", "r6_rank_functions", "r7_grouping_sets",
-    "r8_unpivot_ohlc", "s13_symbol_coverage", "sd1_semantic_dedup",
-    "shf1_shuffle_shards", "shf2_interleave_sources", "smp1_hash_sample",
-    "smp2_stratified", "smp3_group_split", "smp4_weighted_sample",
-    "smp5_negative_sampling", "st1_streaming_tumbling",
+    "a8_all_symbols", "apx1_approx_distinct", "apx2_price_quantiles",
+    "apx3_sketch_rollup", "cdc1_snapshot_diff", "ck1_chunk_documents",
+    "dc1_decontaminate", "dd10_dedup_keep_best", "dd11_incremental_dedup",
+    "dd12_crossdoc_ngram", "dd13_span_dedup", "dd1_exact_dedup",
+    "dd2_ngram_jaccard", "dd5_cosine_near_dup", "dd7_dup_clusters",
+    "dd8_capped_dedup_corpus", "dd8_dedup_corpus",
+    "dd9_ngram_jaccard_capped", "dp1_profile_lineitem",
+    "dp2_quantity_drift", "dq1_lineitem_constraints", "dq2_freshness",
+    "dq3_childless_orders", "e10_conversion_latency", "e12_burst_detection",
+    "e13_bounce_rate", "e14_sliding_active_users", "e15_session_paths",
+    "e1_tumbling_window", "e2_sliding_window", "e3_sessionize",
+    "e4_json_props", "e5_funnel_users", "e6_retention_cohorts",
+    "e7_cumulative_users", "e8_last_touch_attribution",
+    "e9_markov_transitions", "er1_similar_supplier_names",
+    "f10_time_features", "f1_normalize_chain", "f9_month_buckets",
+    "fx1_feature_matrix", "iv1_interval_join", "iv2_concurrent_sessions",
+    "iv3_nearest_event", "iv4_allen_relations", "iv5_interval_coverage",
+    "ivm1_merged_summary", "j10_bloom_semi_join", "j11_band_range_join",
+    "j1_stock_data", "j3_latest_prices", "j4_backtest_universe",
+    "j5_insert_if_absent", "j7_revenue_by_nation", "j8_segment_top_orders",
+    "j9_salted_join", "k1_knn_topk", "k2_knn_batch", "k4_knn_ivf",
+    "k6_knn_graph", "k8_radius_search", "mix1_domain_quota",
+    "mix2_temperature_resample", "o1_topk_orders", "p2_validate_rows",
+    "p2_validate_stats", "pk1_pack_sequences", "pk2_bucketed_batches",
+    "r1_top3_per_market", "r2_rollup_market_year", "r3_cube_flag_status",
+    "r4_pivot_market_year", "r5_symbol_deciles", "r6_rank_functions",
+    "r7_grouping_sets", "r8_unpivot_ohlc", "s13_symbol_coverage",
+    "sd1_semantic_dedup", "shf1_shuffle_shards", "shf2_interleave_sources",
+    "smp1_hash_sample", "smp2_stratified", "smp3_group_split",
+    "smp4_weighted_sample", "smp5_negative_sampling",
+    "smp6_quantile_stratified", "smp7_group_reservoir", "smp8_purged_split",
+    "st10_streaming_running_stats", "st1_streaming_tumbling",
+    "st2_streaming_user_totals", "st3_streaming_sessions",
+    "st4_streaming_dedup", "st5_stream_static_join",
+    "st6_stream_stream_join", "st7_streaming_ingest_dedup",
+    "st8_streaming_ewma", "st9_streaming_windowed_topk",
     "tpch_q10_returned_items", "tpch_q11_important_stock",
     "tpch_q12_delay_priority", "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect", "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customers", "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers", "tpch_q22_idle_balances",
+    "tpch_q1_pricing_summary", "tpch_q20_promotion_suppliers",
+    "tpch_q21_suppliers_waiting", "tpch_q22_idle_balances",
     "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
     "tpch_q4_order_priority", "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "ts10_zscore_outliers", "ts11_forward_fill", "ts12_linear_trend",
     "ts13_market_beta", "ts14_ewma", "ts15_calendar_fill",
-    "ts16_rolling_median", "ts17_cusum", "ts18_adjusted_close",
-    "ts19_vwap", "ts1_sma", "ts20_seasonal_baseline", "ts21_robust_scale",
-    "ts2_volatility", "ts4_weekly_ohlc", "ts6_range_avg", "ts7_bollinger",
-    "ts8_rsi", "ts9_rolling_corr", "tx10_repetition_stats",
-    "tx11_lm_quality", "tx12_bm25", "tx13_bigram_lm", "tx1_quality_stats",
-    "tx2_token_counts", "tx3_detect_language", "tx4_fingerprint",
-    "tx5_vocabulary", "tx6_length_histogram", "tx7_clean_corpus",
-    "tx8_tfidf_terms", "tx9_redact_pii", "u1_union_relaxed",
-    "u4_intersect_symbols", "u5_bag_difference", "w1_top_performers",
+    "ts16_rolling_median", "ts17_cusum", "ts18_adjusted_close", "ts19_vwap",
+    "ts1_sma", "ts20_seasonal_baseline", "ts21_robust_scale", "ts22_sharpe",
+    "ts23_donchian", "ts24_return_autocorr", "ts27_candlestick_flags",
+    "ts2_volatility", "ts3_drawdown", "ts4_weekly_ohlc", "ts5_asof_prices",
+    "ts6_range_avg", "ts7_bollinger", "ts8_rsi", "ts9_rolling_corr",
+    "tx10_repetition_stats", "tx11_lm_quality", "tx12_bm25",
+    "tx13_bigram_lm", "tx14_sentence_stats", "tx16_quality_gate",
+    "tx17_bpe_pairs", "tx1_quality_stats", "tx2_token_counts",
+    "tx3_detect_language", "tx4_fingerprint", "tx5_vocabulary",
+    "tx6_length_histogram", "tx7_clean_corpus", "tx8_tfidf_terms",
+    "tx9_redact_pii", "u1_union_relaxed", "u4_intersect_symbols",
+    "u5_bag_difference", "u6_symmetric_difference", "w1_top_performers",
     "w2_calculate_returns",
 })
 
@@ -191,11 +204,11 @@ _COST = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tier(name: str) -> int:
-        if name in _BACKLOG_R4:
-            return 0  # frozen: drains the 3-round-old never-green backlog
+        if name in _BACKLOG_R5:
+            return 0  # frozen: the last 13 never-green oracled queries
         if name not in ORACLES:
             return 3  # no-oracle: can never hash-green, record dead last
-        return 2 if name in _GREEN_R1_R3 else 1  # 1 = new registrations
+        return 2 if name in _GREEN_R1_R4 else 1  # 1 = new registrations
 
     ordered = sorted(QUERIES, key=lambda n: (tier(n), _COST.get(n, 1.0), n))
     return {n: QUERIES[n] for n in ordered}

@@ -26,6 +26,8 @@ ENTRY = "/root/repo/__spark_entry__.py"
 
 
 def _block(name: str, names: set[str]) -> str:
+    if not names:  # an empty literal "{ , }" would be a syntax error
+        return f"{name} = frozenset()"
     body = textwrap.fill(
         ", ".join(f'"{n}"' for n in sorted(names)) + ",",
         width=76,
@@ -70,7 +72,7 @@ def main() -> None:
 
     if apply and added:
         new_src, n = re.subn(
-            green_name + r" = frozenset\(\{.*?\}\)",
+            green_name + r" = frozenset\((?:\{.*?\})?\)",
             _block(green_name, green),
             src,
             flags=re.S,
@@ -79,7 +81,7 @@ def main() -> None:
             sys.exit("could not locate the green frozenset block to replace")
         if backlog_name:
             new_src, n = re.subn(
-                backlog_name + r" = frozenset\(\{.*?\}\)",
+                backlog_name + r" = frozenset\((?:\{.*?\})?\)",
                 _block(backlog_name, backlog),
                 new_src,
                 flags=re.S,
