@@ -372,17 +372,18 @@ def global_ntile(
     total = sum(counts.values())
     if total == 0:
         return df.withColumn(out_col, F.lit(None).cast("long"))
-    offsets: dict[int, int] = {}
+    # offsets ride a broadcast join, not a create_map literal — a plan
+    # literal sized by partition count would grow with cluster width
+    # (see _global_rank_cumsum)
     acc = 0
+    off_rows = []
     for pid in sorted(counts):
-        offsets[pid] = acc
+        off_rows.append((pid, acc))
         acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-    )
+    offs = sess.createDataFrame(off_rows, "_pid int, _cnt_off long")
     q, r = divmod(total, n)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    rn = F.row_number().over(w) + off_map[F.col("_pid")]
+    rn = F.row_number().over(w) + F.col("_cnt_off")
     big = r * (q + 1)  # rows living in the (q+1)-sized leading buckets
     if q == 0:
         # fewer rows than buckets: NTILE gives row i bucket i
@@ -391,7 +392,11 @@ def global_ntile(
         bucket = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
             r + F.ceil((rn - big) / q)
         )
-    return with_pid.withColumn(out_col, bucket.cast("long")).drop("_pid")
+    return (
+        with_pid.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, bucket.cast("long"))
+        .drop("_pid", "_cnt_off")
+    )
 
 
 def correlation_matrix_wide(
@@ -543,25 +548,7 @@ def global_rank(
     exact per-partition offsets; driver data bounded by partition
     count). ``order_cols`` must be a total order. Rank is 1-based.
     """
-    sess = df.sparkSession
-    p = num_partitions or sess.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, *order_cols).localCheckpoint(eager=False)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    if not counts:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    rn = F.row_number().over(w) + off_map[F.col("_pid")]
-    return with_pid.withColumn(out_col, rn.cast("long")).drop("_pid")
+    return _global_rank_cumsum(df, order_cols, None, out_col, None, num_partitions)
 
 
 def global_cumsum(
@@ -616,29 +603,31 @@ def _global_rank_cumsum(
             if c:
                 out = out.withColumn(c, F.lit(None).cast("long"))
         return out
-    cnt_off: dict[int, int] = {}
-    sum_off: dict[int, int] = {}
+    # per-partition offsets travel as a BROADCAST-joined frame, not a
+    # create_map literal: a plan literal sized by partition count is fine
+    # at local parallelism but becomes a 200k-element expression on a
+    # 100k-partition cluster run; the broadcast join stays O(partitions)
+    # off the plan and adds no shuffle (pid side is tiny)
     acc_c = acc_s = 0
+    off_rows = []
     for pid in sorted(stats):
-        cnt_off[pid] = acc_c
+        off_rows.append((pid, acc_c, acc_s))
         acc_c += stats[pid]["cnt"]
         if value_col is not None:
-            sum_off[pid] = acc_s
             acc_s += int(stats[pid]["s"] or 0)
+    offs = sess.createDataFrame(
+        off_rows, "_pid int, _cnt_off long, _sum_off long"
+    )
+    out = with_pid.join(F.broadcast(offs), "_pid")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    out = with_pid
     if rank_col:
-        cmap = F.create_map(*[F.lit(x) for kv in sorted(cnt_off.items()) for x in kv])
         out = out.withColumn(
-            rank_col, (F.row_number().over(w) + cmap[F.col("_pid")]).cast("long")
+            rank_col, (F.row_number().over(w) + F.col("_cnt_off")).cast("long")
         )
     if cumsum_col:
-        smap = F.create_map(*[F.lit(x) for kv in sorted(sum_off.items()) for x in kv])
         run = F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
-        out = out.withColumn(
-            cumsum_col, (run + smap[F.col("_pid")]).cast("long")
-        )
-    return out.drop("_pid")
+        out = out.withColumn(cumsum_col, (run + F.col("_sum_off")).cast("long"))
+    return out.drop("_pid", "_cnt_off", "_sum_off")
 
 
 def global_rank_cumsum(

@@ -798,9 +798,12 @@ def sliding_active_users_hll(
     # its input is post-aggregation (one sketch row per day — bounded by
     # the calendar, a century is ~36k rows), so the exchange moves
     # kilobyte sketches, never the event stream
-    w = (
-        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
-        .rangeBetween(-(window_days - 1) * 86400, 0)
+    # unix_date is a timezone-independent day ordinal; the previous
+    # day->timestamp->long cast assumed consecutive days are exactly
+    # 86400s apart, which breaks across DST transitions in any non-UTC
+    # session timezone
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(
+        -(window_days - 1), 0
     )
     return daily.select(
         "day",

@@ -344,12 +344,17 @@ def perceptual_hash(media: DataFrame, grid: int = 8) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 arr = decode_bytes(r["content"], r["meta"]).astype(np.float64)
-                gray = arr.mean(axis=2)
+                # decode may yield 2-D grayscale; only channel-mean 3-D
+                gray = arr if arr.ndim == 2 else arr.mean(axis=2)
                 h, w = gray.shape
-                yi = (np.arange(h) * grid // h).clip(0, grid - 1)
-                xi = (np.arange(w) * grid // w).clip(0, grid - 1)
-                pooled = np.zeros((grid, grid))
-                counts = np.zeros((grid, grid))
+                # clamp the effective grid so every cell holds >=1 pixel:
+                # an image dimension smaller than the grid would leave
+                # zero-count cells -> NaN means -> a degenerate hash
+                g = max(1, min(grid, h, w))
+                yi = (np.arange(h) * g // h).clip(0, g - 1)
+                xi = (np.arange(w) * g // w).clip(0, g - 1)
+                pooled = np.zeros((g, g))
+                counts = np.zeros((g, g))
                 np.add.at(pooled, (yi[:, None], xi[None, :]), gray)
                 np.add.at(counts, (yi[:, None], xi[None, :]), 1.0)
                 cells = (pooled / counts).ravel()

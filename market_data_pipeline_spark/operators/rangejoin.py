@@ -44,16 +44,20 @@ def banded_range_join(
     """
     w = float(bucket_width)
     fb = fact.withColumn("_bk", F.floor(F.col(value_col) / w))
-    db = dim.withColumn(
-        "_bk",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / w),
-                # hi is exclusive: a hi exactly on a bucket edge does not
-                # reach into the next bucket
-                F.floor((F.col(hi_col) - F.lit(1e-9)) / w),
-            )
-        ),
+    # hi is exclusive: a hi exactly on a bucket edge does not reach into
+    # the next bucket. Computed exactly (floor(hi/w) minus one iff hi is
+    # bucket-aligned) rather than via a floor(hi - epsilon) nudge, which
+    # silently dropped the whole top bucket for any unaligned hi lying
+    # within epsilon above a boundary. Inverted/empty intervals
+    # (hi <= lo) are filtered before exploding — they can never satisfy
+    # the half-open predicate, and a descending sequence() would explode
+    # one bad dim row into (lo-hi)/w spurious bucket rows.
+    first_bk = F.floor(F.col(lo_col) / w)
+    last_bk = F.floor(F.col(hi_col) / w) - F.when(
+        F.col(hi_col) % w == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    db = dim.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
+        "_bk", F.explode(F.sequence(first_bk, F.greatest(last_bk, first_bk)))
     )
     on = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     inner = fb.join(db, "_bk").filter(on).drop("_bk")

@@ -991,7 +991,7 @@ def amihud_illiquidity(
 
     The per-row ratio is IEEE-deterministic; the AVERAGE of doubles is
     not (partition order), so each row's contribution is fixed-pointed to
-    1e-9 (round -> BIGINT) and summed exactly — the same
+    1e-9 (round -> DECIMAL(38,0)) and summed exactly — the same
     integer-accumulation trick the text operators use for weighted sums.
     Result is bit-identical across engines with no output rounding.
     Returns (partition_col, n_days, amihud_illiq).
@@ -1008,7 +1008,12 @@ def amihud_illiquidity(
     return staged.groupBy(partition_col).agg(
         F.count(F.lit(1)).alias("n_days"),
         (
-            (F.sum(F.round(F.col("_r") * 1e9).cast("long")) / 1e9)
+            # decimal(38,0), not BIGINT: tiny traded amounts blow the
+            # ratio up past 2^63 micro-units at realistic scale, and
+            # ANSI-mode Spark would throw where DuckDB silently promotes
+            # to HUGEINT (engine divergence). The decimal sum is exact
+            # for 38 digits and still order-independent.
+            (F.sum(F.round(F.col("_r") * 1e9).cast("decimal(38,0)")) / 1e9)
             / F.count(F.lit(1))
         ).alias("amihud_illiq"),
     )

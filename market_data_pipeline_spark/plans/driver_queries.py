@@ -4912,7 +4912,7 @@ r AS (
   FROM price WHERE close_price IS NOT NULL
 )
 SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
-       (SUM(CAST(ROUND(ratio * 1e9) AS BIGINT)) / 1e9) / COUNT(*) AS amihud_illiq
+       (SUM(CAST(ROUND(ratio * 1e9) AS DECIMAL(38,0))) / 1e9) / COUNT(*) AS amihud_illiq
 FROM r WHERE ratio IS NOT NULL GROUP BY 1 ORDER BY symbol""",
 )
 def ts26_amihud_illiquidity(spark, sf_dir):
@@ -5294,16 +5294,18 @@ r AS (
 )
 SELECT trade_date,
        CAST(COUNT(*) AS BIGINT) AS n_symbols,
-       (SUM(CAST(ROUND(ret * amount * 1e6) AS BIGINT)) / 1e6)
-         / (SUM(CAST(ROUND(amount * 1e6) AS BIGINT)) / 1e6) AS vw_return
+       (SUM(CAST(ROUND(ret * amount * 1e6) AS DECIMAL(38,0))) / 1e6)
+         / (SUM(CAST(ROUND(amount * 1e6) AS DECIMAL(38,0))) / 1e6) AS vw_return
 FROM r WHERE ret IS NOT NULL
 GROUP BY 1 ORDER BY trade_date""",
 )
 def a12_weighted_market_return(spark, sf_dir):
     """Amount-weighted whole-market daily return: per-symbol IEEE
     returns, then an exact weighted mean per date — numerator and
-    denominator fixed-pointed to 1e-6 and summed as BIGINT, so the ratio
-    is engine-identical with no output rounding."""
+    denominator fixed-pointed to 1e-6 and summed as DECIMAL(38,0)
+    (BIGINT micro-units of large turnover amounts would overflow at
+    realistic scale; ANSI Spark throws where DuckDB promotes), so the
+    ratio is engine-identical with no output rounding."""
     p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
     w = Window.partitionBy("symbol").orderBy("trade_date")
     r = p.select(
@@ -5316,8 +5318,15 @@ def a12_weighted_market_return(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_symbols"),
             (
-                (F.sum(F.round(F.col("_ret") * F.col("amount") * 1e6).cast("long")) / 1e6)
-                / (F.sum(F.round(F.col("amount") * 1e6).cast("long")) / 1e6)
+                (
+                    F.sum(
+                        F.round(F.col("_ret") * F.col("amount") * 1e6).cast(
+                            "decimal(38,0)"
+                        )
+                    )
+                    / 1e6
+                )
+                / (F.sum(F.round(F.col("amount") * 1e6).cast("decimal(38,0)")) / 1e6)
             ).alias("vw_return"),
         )
         .orderBy("trade_date")
@@ -5363,7 +5372,7 @@ def u6_symmetric_difference(spark, sf_dir):
   SELECT user_id, event_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
   FROM events
 ), flagged AS (
-  SELECT user_id, s, e,
+  SELECT user_id, event_id, s, e,
          CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    IS NULL
@@ -5372,8 +5381,10 @@ def u6_symmetric_difference(spark, sf_dir):
               THEN 1 ELSE 0 END AS new_island
   FROM iv
 ), numbered AS (
+  -- ORDER BY s, event_id: must match the flagged CTE's sort exactly, or
+  -- duplicate timestamps can land a flagged row in the previous island
   SELECT user_id, s, e,
-         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
                                ROWS UNBOUNDED PRECEDING) AS island
   FROM flagged
 ), islands AS (
