@@ -197,3 +197,69 @@ def test_bucketed_batches_budget_invariant(spark, lengths):
         for r in rows:
             assert r["batch_no"] == cum // budget
             cum += r["n_tokens"]
+
+
+# --- as-of join vs DuckDB native ASOF LEFT JOIN (r4 verdict #5) -------------
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    st.lists(  # left probes: duplicate (key, ts) rows allowed
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(  # right series: deduped to unique (key, ts) below
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-100, 100)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+def test_asof_join_matches_duckdb_asof(spark, left_rows, right_rows):
+    """The single-shuffle union/window as-of trick vs DuckDB's native
+    ASOF LEFT JOIN, over randomized series: random gaps, duplicate left
+    timestamps, keys with an empty right side, and equal-timestamp
+    left/right collisions (at-or-before semantics)."""
+    import duckdb
+
+    from market_data_pipeline_spark.operators.timeseries import asof_join
+
+    right_map = {}  # (key, ts) unique per the operator's precondition
+    for k, ts, v in right_rows:
+        right_map[(k, ts)] = v
+    right_list = [(k, ts, float(v)) for (k, ts), v in right_map.items()]
+    left_list = [(i, k, ts) for i, (k, ts) in enumerate(left_rows)]
+
+    left = spark.createDataFrame(left_list, "row_id long, k long, ts long")
+    right_schema = "k long, rts long, v double"
+    if right_list:
+        right = spark.createDataFrame(right_list, right_schema)
+    else:
+        right = spark.createDataFrame([], right_schema)
+    got = {
+        r["row_id"]: r["v"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", value_cols=["v"]
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (row_id BIGINT, k BIGINT, ts BIGINT)")
+    con.execute("CREATE TABLE r (k BIGINT, rts BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", left_list)
+    if right_list:
+        con.executemany("INSERT INTO r VALUES (?, ?, ?)", right_list)
+    want = {
+        row_id: v
+        for row_id, v in con.execute(
+            "SELECT l.row_id, r.v FROM l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND r.rts <= l.ts"
+        ).fetchall()
+    }
+    con.close()
+
+    assert got == want
