@@ -162,23 +162,120 @@ def rehearse_capped_dedup(spark, max_doc_freq: int = 3, doc_copies: int = 10) ->
     }
 
 
+def rehearse_skew_join(spark, n_fact: int = 6_000_000, n_dim: int = 50_000) -> dict:
+    """C. Skewed-key join: AQE's runtime skew split vs explicit salting.
+
+    One key owns 50% of the fact rows (the hot-partition shape AQE's
+    skew-join split was built for). The dim side is forced off the
+    broadcast path (autoBroadcastJoinThreshold=-1) because that is the
+    regime salting targets — a dim small enough to broadcast never needs
+    either mechanism. Three configurations, identical results asserted:
+
+    - naive: AQE skew split disabled — the one-task-owns-half-the-data
+      baseline that motivates both mechanisms;
+    - aqe: skew split enabled with thresholds lowered so the 10x slice
+      actually trips it (at production partition sizes the defaults trip
+      on their own);
+    - salted: operators.skew.salted_join at R=32, AQE skew split off, so
+      the measurement isolates the rewrite.
+    """
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.operators.skew import salted_join
+
+    fact = (
+        spark.range(n_fact)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_dim)))
+            .cast("long")
+            .alias("k"),
+            (F.col("id") % 1000).alias("v"),
+            F.repeat(F.lit("x"), 32).alias("pad"),
+        )
+        .localCheckpoint()  # materialize so generation cost is out of the timings
+    )
+    dim = (
+        spark.range(n_dim)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("w"),
+            F.repeat(F.lit("y"), 32).alias("dim_pad"),
+        )
+        .localCheckpoint()
+    )
+
+    def run(tag: str, skew_on: bool, salted: bool) -> dict:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
+        # lowered so the 10x slice trips the split the way a production
+        # partition (256MB default threshold) would on its own
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        t0 = time.perf_counter()
+        if salted:
+            joined = salted_join(fact, dim, on=["k"], salt_buckets=32)
+        else:
+            joined = fact.join(dim, "k")
+        row = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") * F.col("w")).alias("s"),
+        ).collect()[0]
+        out = {
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "rows": row["n"],
+            "checksum": float(row["s"]),
+        }
+        print(f"  {tag}: {out}", flush=True)
+        return out
+
+    try:
+        results = {
+            "naive": run("naive (no skew split, no salt)", False, False),
+            "aqe": run("aqe skew split", True, False),
+            "salted": run("salted R=32", False, True),
+        }
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        )
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    assert len({(r["rows"], r["checksum"]) for r in results.values()}) == 1, results
+    return {"n_fact": n_fact, "n_dim": n_dim, "hot_key_share": 0.5, **results}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--events-copies", type=int, default=10)
     ap.add_argument("--doc-copies", type=int, default=10)
+    ap.add_argument(
+        "--only", choices=["A", "B", "C"], default=None,
+        help="run a single section instead of all three",
+    )
     args = ap.parse_args()
 
     from market_data_pipeline_spark.session import get_spark
 
-    build_scratch(args.events_copies, args.doc_copies)
+    if args.only in (None, "A", "B"):
+        build_scratch(args.events_copies, args.doc_copies)
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
-    print(f"A. streaming state-store partitioning @ {args.events_copies}x events", flush=True)
-    streaming = rehearse_streaming(spark, args.events_copies)
-    print("B. capped dedup under a corpus-wide hot shingle", flush=True)
-    capped = rehearse_capped_dedup(spark, doc_copies=args.doc_copies)
-    print(json.dumps({"streaming": streaming, "capped_dedup": capped}, indent=2))
+    out: dict = {}
+    if args.only in (None, "A"):
+        print(f"A. streaming state-store partitioning @ {args.events_copies}x events", flush=True)
+        out["streaming"] = rehearse_streaming(spark, args.events_copies)
+    if args.only in (None, "B"):
+        print("B. capped dedup under a corpus-wide hot shingle", flush=True)
+        out["capped_dedup"] = rehearse_capped_dedup(spark, doc_copies=args.doc_copies)
+    if args.only in (None, "C"):
+        print("C. skewed-key join: AQE split vs explicit salting", flush=True)
+        out["skew_join"] = rehearse_skew_join(spark)
+    print(json.dumps(out, indent=2))
     return 0
 
 
