@@ -984,6 +984,7 @@ def amihud_illiquidity(
     partition_col: str = "symbol",
     order_col: str = "trade_date",
     scale: float = 1e9,
+    ret_col: str | None = None,
 ) -> DataFrame:
     """Amihud (2002) illiquidity: per-series average of |daily return| per
     unit of traded amount, scaled by 1e9 for readable magnitudes — the
@@ -995,13 +996,18 @@ def amihud_illiquidity(
     integer-accumulation trick the text operators use for weighted sums.
     Result is bit-identical across engines with no output rounding.
     Returns (partition_col, n_days, amihud_illiq).
+
+    ``ret_col`` names a precomputed per-row simple return (close/prev-1)
+    to reuse instead of re-running the lag window — for callers that
+    share one materialized returns frame across several full-universe
+    passes. The expression sequence is IEEE-identical either way.
     """
-    w = _series_window(partition_col, order_col)
-    ratio = (
-        F.abs(F.col(value_col) / F.lag(value_col).over(w) - 1)
-        / F.col(amount_col)
-        * F.lit(scale)
-    )
+    if ret_col is None:
+        w = _series_window(partition_col, order_col)
+        ret = F.col(value_col) / F.lag(value_col).over(w) - 1
+    else:
+        ret = F.col(ret_col)
+    ratio = F.abs(ret) / F.col(amount_col) * F.lit(scale)
     staged = df.select(F.col(partition_col), ratio.alias("_r")).filter(
         F.col("_r").isNotNull()
     )

