@@ -199,6 +199,14 @@ _COST = {
     "apx4_heavy_hitters": 0.70, "e15_session_paths": 0.55,
     "fx1_feature_matrix": 0.55, "fx2_point_in_time_join": 0.90,
     "smp8_purged_split": 0.55, "apx5_sliding_actives_hll": 0.60,
+    # round-5 additions (estimates from sf0.01 oracle-check wall times)
+    "e16_interarrival_stats": 0.50, "e17_hourly_profile": 0.45,
+    "e18_first_touch_attribution": 0.55, "e19_event_type_pairs": 0.50,
+    "e20_stickiness": 0.45, "dq4_ship_lag": 0.55, "dq5_benford_digits": 0.40,
+    "ts29_ulcer_index": 1.30, "ts30_obv": 1.30, "ts31_streaks": 1.35,
+    "r10_share_of_total": 0.80, "r11_close_quartiles": 0.50,
+    "smp9_systematic_sample": 1.10, "k10_centroid_distances": 0.75,
+    "tx18_charset_stats": 0.55,
 }
 
 

@@ -811,3 +811,123 @@ def sliding_active_users_hll(
         .cast("long")
         .alias("active_users_approx"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key inter-arrival time statistics: gap count, exact mean gap,
+    and max gap in seconds — the first cut of any event-cadence /
+    heartbeat analysis (bot detection, sensor dropout, SLA monitoring).
+
+    One per-key lag window (single shuffle on the key). Gaps are integer
+    microseconds, so the SUM is exact BIGINT arithmetic and the mean
+    (sum/1e6/count) is engine-identical without output rounding —
+    the integer-accumulation pattern the fixed-point operators use,
+    available for free here because timestamps already are integers.
+    ``id_col`` breaks equal-timestamp ties for a total order.
+    Returns (key, n_gaps, mean_gap_sec, max_gap_sec).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    staged = df.select(F.col(key_col), gap.alias("_gap")).filter(
+        F.col("_gap").isNotNull()
+    )
+    return staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        (F.sum("_gap") / 1e6 / F.count(F.lit(1))).alias("mean_gap_sec"),
+        (F.max("_gap") / 1e6).alias("max_gap_sec"),
+    )
+
+
+def hourly_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Seasonality profile: event count and exact distinct actors per
+    (ISO weekday, hour-of-day) cell — the 7x24 heatmap behind load
+    forecasting and anomaly baselines.
+
+    One groupBy on a 168-value composite key; count-distinct adds its
+    usual expand, bounded by the tiny cell count. Map-side combine does
+    the heavy lifting; output is constant-size regardless of input.
+    Returns (day_of_week 1=Mon..7=Sun, hour, n_events, n_users).
+    """
+    return (
+        df.select(
+            # dayofweek is 1=Sunday; shift to ISO 1=Monday
+            (((F.dayofweek(ts_col) + 5) % 7) + 1).cast("long").alias("day_of_week"),
+            F.hour(ts_col).cast("long").alias("hour"),
+            F.col(key_col),
+        )
+        .groupBy("day_of_week", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct(key_col).cast("long").alias("n_users"),
+        )
+    )
+
+
+def event_type_pairs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Co-occurrence counts of event-type pairs within the same key:
+    for every unordered pair (a < b) of DISTINCT types a key produced,
+    count the keys exhibiting both — the market-basket / feature
+    co-occurrence primitive.
+
+    The pair explosion is bounded by the TYPE VOCABULARY, not the event
+    volume: distinct (key, type) first (collapses billions of events to
+    keys x |types| rows), then a self-join on the key emits at most
+    C(|types|, 2) rows per key. With |types| in the tens this is a
+    constant fan-out; an unbounded-vocabulary variant would need the
+    dedup family's hot-bucket caps instead.
+    Returns (type_a, type_b, n_keys).
+    """
+    kt = df.select(F.col(key_col).alias("_k"), F.col(type_col).alias("_t")).distinct()
+    a = kt.select("_k", F.col("_t").alias("type_a"))
+    b = kt.select("_k", F.col("_t").alias("type_b"))
+    return (
+        a.join(b, "_k")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )
+
+
+def stickiness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Monthly engagement stickiness: mean DAU / MAU per calendar month
+    (the fraction of a month's actives who show up on an average day).
+
+    Two exact count-distinct aggregations sharing one (month, day)
+    pre-distinct pass; both are key-partitioned shuffles. DAU averaging
+    uses exact integer sums (count of distinct (day, user) rows /
+    distinct days), so the ratio is engine-identical.
+    Returns (month 'yyyy-MM', n_days, mau, avg_dau, stickiness).
+    """
+    du = df.select(
+        F.date_format(ts_col, "yyyy-MM").alias("month"),
+        F.to_date(ts_col).alias("_day"),
+        F.col(key_col),
+    ).distinct()  # (month, day, user) distinct — one shuffle
+    return du.groupBy("month").agg(
+        F.countDistinct("_day").cast("long").alias("n_days"),
+        F.countDistinct(key_col).cast("long").alias("mau"),
+        # total (day,user) pairs / days = average DAU, exact ints
+        (F.count(F.lit(1)) / F.countDistinct("_day")).alias("avg_dau"),
+        (
+            F.count(F.lit(1))
+            / F.countDistinct("_day")
+            / F.countDistinct(key_col)
+        ).alias("stickiness"),
+    )

@@ -1001,3 +1001,52 @@ def group_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def centroid_distances(
+    embeddings: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Euclidean distance between per-group centroids — the
+    cluster-separation / embedding-drift diagnostic (how far apart are
+    the label means; which classes are entangled).
+
+    Builds on :func:`group_centroids` (exact fixed-point means), then
+    self-joins the GROUP-level frame: the pair explosion is bounded by
+    C(|groups|, 2), never by the embedding count, so the quadratic term
+    is over a handful of centroid rows. The distance folds over the two
+    centroid arrays with ``F.zip_with`` + ``F.aggregate`` — JVM-side
+    higher-order functions, no UDF. Rounded because the per-dimension
+    means are exact but their squared-sum fold is IEEE.
+    Returns (group_a, group_b, n_a, n_b, dist) for group_a < group_b.
+    """
+    cents = group_centroids(embeddings, group_col, vec_col, scale)
+    a = cents.select(
+        F.col(group_col).alias("group_a"),
+        F.col("n_vectors").alias("n_a"),
+        F.col("centroid").alias("_ca"),
+    )
+    b = cents.select(
+        F.col(group_col).alias("group_b"),
+        F.col("n_vectors").alias("n_b"),
+        F.col("centroid").alias("_cb"),
+    )
+    sq = F.aggregate(
+        F.zip_with("_ca", "_cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            F.round(F.sqrt(sq), round_digits).alias("dist"),
+        )
+    )

@@ -1223,3 +1223,41 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), F.col("pair"))
         .limit(top_k)
     )
+
+
+def charset_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document character-class profile: printable-ASCII, digit,
+    whitespace, and uppercase-ASCII ratios — the cheap first-pass filter
+    for mojibake, binary spill, and boilerplate-table detection in a
+    crawl corpus (non-ASCII ratio doubles as a script heuristic).
+
+    Pure JVM string expressions (length of the regexp-stripped string vs
+    total), map-only, fully codegen'd — the scan never leaves
+    whole-stage codegen and the ratios are exact rationals of integer
+    counts, rounded only for display.
+    Returns (id, n_chars, ascii_ratio, digit_ratio, space_ratio,
+    upper_ratio); empty documents yield NULL ratios rather than NaN.
+    """
+
+    def _ratio(pattern: str) -> Column:
+        kept = F.length(F.regexp_replace(F.col(text_col), pattern, ""))
+        return F.round(kept / F.col("_n"), round_digits)
+
+    n = F.length(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_chars"),
+        F.when(F.col("_n") > 0, _ratio(r"[^\x20-\x7E]")).alias("ascii_ratio"),
+        F.when(F.col("_n") > 0, _ratio(r"[^0-9]")).alias("digit_ratio"),
+        F.when(F.col("_n") > 0, _ratio(r"[^ \t\n\r]")).alias("space_ratio"),
+        F.when(F.col("_n") > 0, _ratio(r"[^A-Z]")).alias("upper_ratio"),
+    )

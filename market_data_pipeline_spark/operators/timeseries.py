@@ -1119,3 +1119,116 @@ def drawdown_duration(
         F.max("_len").cast("long").alias("longest_underwater"),
         F.count(F.lit(1)).cast("long").alias("n_spells"),
     )
+
+
+def ulcer_index(
+    df: DataFrame,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """Ulcer Index per series: sqrt(mean(squared percent drawdown from the
+    running peak)) — the drawdown-depth-weighted risk measure that
+    penalizes sustained underwater periods the way max-drawdown cannot.
+
+    One per-series window pass (running max) + one groupBy, both on the
+    series key — single shuffle. Each row's squared-drawdown contribution
+    is IEEE-deterministic; their SUM is fixed-pointed (round 1e-6 ->
+    DECIMAL(38,0)) so the mean — and therefore the root — is
+    engine-identical with no output rounding.
+    Returns (partition_col, n_days, ulcer_index).
+    """
+    w = _series_window(partition_col, order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd_pct = (F.col(value_col) / F.max(value_col).over(w) - 1) * 100
+    staged = df.select(
+        F.col(partition_col), (dd_pct * dd_pct).alias("_dd2")
+    ).filter(F.col("_dd2").isNotNull())
+    return staged.groupBy(partition_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sqrt(
+            (F.sum(F.round(F.col("_dd2") * 1e6).cast("decimal(38,0)")) / 1e6)
+            / F.count(F.lit(1))
+        ).alias("ulcer_index"),
+    )
+
+
+def on_balance_volume(
+    df: DataFrame,
+    value_col: str = "close_price",
+    volume_col: str = "volume",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """On-Balance Volume summary per series: OBV accumulates +volume on
+    up days, -volume on down days, 0 on flat. Reports the final OBV and
+    the running maximum — the accumulation/distribution divergence
+    signal.
+
+    Two window passes sharing one series-key shuffle (sign lag, then the
+    running sum + running max over it). All arithmetic is BIGINT
+    (volumes are integers), so every value is exact in any engine.
+    Returns (partition_col, n_days, obv_final, obv_peak).
+    """
+    w = _series_window(partition_col, order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    signed = (
+        F.signum(F.col(value_col) - F.lag(value_col).over(w))
+        .cast("long")
+        * F.col(volume_col)
+    )
+    staged = df.withColumn("_sv", F.coalesce(signed, F.lit(0))).withColumn(
+        "_obv", F.sum("_sv").over(run)
+    )
+    return staged.groupBy(partition_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        # argmax on the order key, NOT last(): last over grouped rows is
+        # arrival-order dependent
+        F.max_by("_obv", F.col(order_col)).cast("long").alias("obv_final"),
+        F.max("_obv").cast("long").alias("obv_peak"),
+    )
+
+
+def streak_stats(
+    df: DataFrame,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+) -> DataFrame:
+    """Longest up-streak and down-streak per series (consecutive strictly
+    rising / falling closes) — gaps-and-islands on the sign of the daily
+    change.
+
+    The standard two-window rewrite: a boundary flag where the sign
+    changes, a running sum of flags numbering the runs, then one groupBy
+    per (series, run). Flat days stay in the sequence as their own
+    (unreported) runs, so a flat day BREAKS a streak — "consecutive
+    strictly rising" means no interruption of any kind. Everything
+    shares the single series-key shuffle; run lengths are integers,
+    exact everywhere.
+    Returns (partition_col, longest_up, longest_down).
+    """
+    w = _series_window(partition_col, order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sign = F.signum(F.col(value_col) - F.lag(value_col).over(w))
+    staged = (
+        df.withColumn("_sgn", sign)
+        .filter(F.col("_sgn").isNotNull())
+        .withColumn(
+            "_new",
+            (
+                F.coalesce(
+                    F.lag("_sgn").over(w) != F.col("_sgn"), F.lit(True)
+                )
+            ).cast("int"),
+        )
+        .withColumn("_run", F.sum("_new").over(run))
+    )
+    runs = staged.groupBy(partition_col, "_run", "_sgn").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return runs.groupBy(partition_col).agg(
+        F.max(F.when(F.col("_sgn") == 1, F.col("_len"))).cast("long").alias("longest_up"),
+        F.max(F.when(F.col("_sgn") == -1, F.col("_len"))).cast("long").alias("longest_down"),
+    )

@@ -6218,6 +6218,467 @@ def apx5_sliding_actives_hll(spark, sf_dir):
     ).orderBy("day")
 
 
+# ===========================================================================
+# Round-5 first batch: event cadence / seasonality / co-occurrence /
+# engagement, plus data-quality lag and Benford audits.
+# ===========================================================================
+
+
+@query(
+    "e16_interarrival_stats",
+    """WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       SUM(gap) / 1e6 / COUNT(*) AS mean_gap_sec,
+       MAX(gap) / 1e6 AS max_gap_sec
+FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY user_id""",
+)
+def e16_interarrival_stats(spark, sf_dir):
+    """Per-user inter-arrival cadence (gap count, exact mean gap, max
+    gap): bot/heartbeat/dropout analysis. Gaps are integer microseconds
+    so the mean is exact BIGINT arithmetic — engine-identical with no
+    rounding. One series-key shuffle. See
+    operators.events.interarrival_stats."""
+    return ev.interarrival_stats(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id"
+    )
+
+
+@query(
+    "e17_hourly_profile",
+    """SELECT CAST(isodow(ts) AS BIGINT) AS day_of_week,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def e17_hourly_profile(spark, sf_dir):
+    """7x24 seasonality heatmap (ISO weekday x hour): event count +
+    exact distinct actors per cell — the load-forecast / anomaly
+    baseline. Constant-size output, map-side combine does the work. See
+    operators.events.hourly_profile."""
+    return ev.hourly_profile(load_table(spark, sf_dir, "events")).orderBy(
+        "day_of_week", "hour"
+    )
+
+
+@query(
+    "e18_first_touch_attribution",
+    """WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+), fc AS (
+  SELECT user_id, ts AS fts, event_id AS fid
+  FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+)
+SELECT p.user_id, p.purchase_id, p.pts AS purchase_ts, p.value,
+       CASE WHEN fc.fts <= p.pts THEN fc.fid END AS first_click_id,
+       CASE WHEN fc.fts <= p.pts THEN fc.fts END AS first_click_ts
+FROM p LEFT JOIN fc USING (user_id) ORDER BY purchase_id""",
+)
+def e18_first_touch_attribution(spark, sf_dir):
+    """First-touch attribution — each purchase credited to the user's
+    EARLIEST click, provided it precedes the purchase (e8's last-touch
+    mirror). The first click per user is one argmin aggregate
+    (min(struct(ts, id)) — lexicographic, deterministic), broadcast
+    back onto purchases; no window over the event stream and no as-of
+    machinery needed because the prefix-minimum is global."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("_fc"))
+        .select("user_id", F.col("_fc.ts").alias("_fts"), F.col("_fc.event_id").alias("_fid"))
+    )
+    hit = F.col("_fts") <= F.col("purchase_ts")
+    return (
+        purchases.join(first_click, "user_id", "left")
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            "value",
+            F.when(hit, F.col("_fid")).alias("first_click_id"),
+            F.when(hit, F.col("_fts")).alias("first_click_ts"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "e19_event_type_pairs",
+    """WITH kt AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM kt a JOIN kt b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def e19_event_type_pairs(spark, sf_dir):
+    """Event-type co-occurrence (users exhibiting both types of each
+    unordered pair): market-basket primitive whose pair explosion is
+    bounded by the TYPE VOCABULARY (C(|types|,2) per user), never event
+    volume — the distinct (user, type) pass collapses the stream first.
+    See operators.events.event_type_pairs."""
+    return ev.event_type_pairs(load_table(spark, sf_dir, "events")).orderBy(
+        "type_a", "type_b"
+    )
+
+
+@query(
+    "e20_stickiness",
+    """WITH du AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m') AS month, CAST(ts AS DATE) AS day, user_id
+  FROM events
+)
+SELECT month, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+       COUNT(*) / COUNT(DISTINCT day) AS avg_dau,
+       COUNT(*) / COUNT(DISTINCT day) / COUNT(DISTINCT user_id) AS stickiness
+FROM du GROUP BY 1 ORDER BY month""",
+)
+def e20_stickiness(spark, sf_dir):
+    """Monthly DAU/MAU stickiness: the engagement ratio product teams
+    track. One (month, day, user) distinct pass feeds every aggregate;
+    the DAU mean is exact integer arithmetic so the ratio is
+    engine-identical. See operators.events.stickiness."""
+    return ev.stickiness(load_table(spark, sf_dir, "events")).orderBy("month")
+
+
+@query(
+    "dq4_ship_lag",
+    """SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       SUM(date_diff('day', o.o_orderdate, l.l_shipdate)) * 1.0 / COUNT(*)
+           AS avg_lag_days,
+       CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+           AS max_lag_days,
+       CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_negative
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY priority""",
+)
+def dq4_ship_lag(spark, sf_dir):
+    """Order-to-ship lag audit per priority class: mean/max lag in days
+    (exact integer-day sums -> engine-identical mean) plus the
+    negative-lag violation count (shipped before ordered — the
+    cross-field consistency check every warehouse runs). One fact⋈dim
+    shuffle join; day differences are map-side integer arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, "l_orderkey")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (F.sum(lag) * 1.0 / F.count(F.lit(1))).alias("avg_lag_days"),
+            F.max(lag).cast("long").alias("max_lag_days"),
+            F.sum(F.when(lag < 0, 1).otherwise(0)).cast("long").alias("n_negative"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "dq5_benford_digits",
+    """WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / (SELECT COUNT(*) FROM d), 6) AS observed_share,
+       ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_share
+FROM d GROUP BY 1 ORDER BY digit""",
+)
+def dq5_benford_digits(spark, sf_dir):
+    """Benford first-digit audit of order totals: observed leading-digit
+    distribution vs the log10(1+1/d) expectation — the classic
+    fabricated-data / unit-mixup detector. One 9-group aggregate plus a
+    broadcast scalar total; shares are exact count ratios."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    total = digits.agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("observed_share"),
+            F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ===========================================================================
+# Round-5 second batch: risk windows (ulcer/OBV/streaks), share-of-total,
+# exact group quantiles, systematic sampling, centroid separation, charset
+# profiling.
+# ===========================================================================
+
+
+@query(
+    "ts29_ulcer_index",
+    f"""WITH {PRICE_CTE},
+dd AS (
+  SELECT symbol,
+         (close_price / MAX(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date
+                   ROWS UNBOUNDED PRECEDING) - 1) * 100 AS ddp
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       SQRT((SUM(CAST(ROUND(ddp * ddp * 1e6) AS DECIMAL(38,0))) / 1e6)
+            / COUNT(*)) AS ulcer_index
+FROM dd GROUP BY 1 ORDER BY symbol""",
+)
+def ts29_ulcer_index(spark, sf_dir):
+    """Ulcer Index per symbol (root-mean-square percent drawdown from
+    the running peak) — depth-weighted downside risk. One per-series
+    window + one groupBy on the same key; squared drawdowns fixed-point
+    summed so the root is engine-identical. See
+    operators.timeseries.ulcer_index."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    return tseries.ulcer_index(p).orderBy("symbol")
+
+
+@query(
+    "ts30_obv",
+    f"""WITH {PRICE_CTE},
+s AS (
+  SELECT symbol, trade_date,
+         COALESCE(CAST(SIGN(close_price - LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date)) AS BIGINT), 0)
+           * volume AS sv
+  FROM price
+), o AS (
+  SELECT symbol, sv,
+         SUM(sv) OVER (PARTITION BY symbol ORDER BY trade_date
+                       ROWS UNBOUNDED PRECEDING) AS obv
+  FROM s
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(sv) AS BIGINT) AS obv_final,
+       CAST(MAX(obv) AS BIGINT) AS obv_peak
+FROM o GROUP BY 1 ORDER BY symbol""",
+)
+def ts30_obv(spark, sf_dir):
+    """On-Balance Volume per symbol: final OBV and running peak —
+    accumulation/distribution divergence. All-integer arithmetic
+    (sign x volume), exact in any engine; two window passes share one
+    series-key shuffle. See operators.timeseries.on_balance_volume."""
+    return tseries.on_balance_volume(price_frame(spark, sf_dir)).orderBy("symbol")
+
+
+@query(
+    "ts31_streaks",
+    f"""WITH {PRICE_CTE},
+s AS (
+  SELECT symbol, trade_date,
+         SIGN(close_price - LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date)) AS sgn
+  FROM price
+), f AS (
+  SELECT symbol, trade_date, sgn,
+         CASE WHEN LAG(sgn) OVER (PARTITION BY symbol ORDER BY trade_date)
+                   IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS new_run
+  FROM s WHERE sgn IS NOT NULL
+), r AS (
+  SELECT symbol, sgn,
+         SUM(new_run) OVER (PARTITION BY symbol ORDER BY trade_date
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM f
+), runs AS (
+  SELECT symbol, run_id, sgn, COUNT(*) AS len FROM r GROUP BY 1, 2, 3
+)
+SELECT symbol,
+       CAST(MAX(CASE WHEN sgn = 1 THEN len END) AS BIGINT) AS longest_up,
+       CAST(MAX(CASE WHEN sgn = -1 THEN len END) AS BIGINT) AS longest_down
+FROM runs GROUP BY 1 ORDER BY symbol""",
+)
+def ts31_streaks(spark, sf_dir):
+    """Longest strictly-rising and strictly-falling close streaks per
+    symbol — gaps-and-islands on the daily change sign (flat days break
+    streaks). Run lengths are integers, exact everywhere; one series-key
+    shuffle. See operators.timeseries.streak_stats."""
+    return tseries.streak_stats(price_frame(spark, sf_dir)).orderBy("symbol")
+
+
+@query(
+    "r10_share_of_total",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}, {_TOTALS_CTE}
+SELECT market, symbol, total_amount,
+       CAST(ROUND(total_amount * 100) AS BIGINT)
+         / SUM(CAST(ROUND(total_amount * 100) AS BIGINT))
+             OVER (PARTITION BY market) AS market_share
+FROM totals ORDER BY market, symbol""",
+)
+def r10_share_of_total(spark, sf_dir):
+    """Ratio-to-report: each symbol's share of its market's turnover —
+    the window-sum share pattern (SQL RATIO_TO_REPORT). Amounts are
+    fixed-pointed to cents so the window denominator is exact BIGINT and
+    the share is engine-identical. Reuses the shared symbol-totals
+    build; one window over the market key."""
+    w = Window.partitionBy("market")
+    cents = F.round(F.col("total_amount") * 100).cast("long")
+    return (
+        _symbol_totals(spark, sf_dir)
+        .select(
+            "market",
+            "symbol",
+            "total_amount",
+            (cents / F.sum(cents).over(w)).alias("market_share"),
+        )
+        .orderBy("market", "symbol")
+    )
+
+
+@query(
+    "r11_close_quartiles",
+    f"""WITH {PRICE_CTE}
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(quantile_cont(close_price, 0.25), 6) AS q1,
+       ROUND(quantile_cont(close_price, 0.5), 6) AS med,
+       ROUND(quantile_cont(close_price, 0.75), 6) AS q3
+FROM price WHERE symbol IN ({_STOCK_IN}) GROUP BY 1 ORDER BY symbol""",
+)
+def r11_close_quartiles(spark, sf_dir):
+    """EXACT per-symbol close-price quartiles (linear interpolation —
+    SQL PERCENTILE_CONT semantics, which Spark's `percentile` matches)
+    vs the sketchy approx_percentile family (apx2): the exact path for
+    when quantiles feed decisions, with the interpolated values rounded
+    since the lerp arithmetic is IEEE. percentile() is a full-sort
+    aggregate per group — fine keyed by symbol (bounded group size),
+    the approx sketch remains the unkeyed/global-scale path."""
+    p = price_frame(spark, sf_dir, symbols=STOCK_SYMBOLS)
+    q = F.expr("percentile(close_price, array(0.25, 0.5, 0.75))")
+    return (
+        p.groupBy("symbol")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"), q.alias("_q"))
+        .select(
+            "symbol",
+            "n_days",
+            F.round(F.col("_q")[0], 6).alias("q1"),
+            F.round(F.col("_q")[1], 6).alias("med"),
+            F.round(F.col("_q")[2], 6).alias("q3"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "smp9_systematic_sample",
+    """WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hx, doc_id) AS rn FROM h
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rn
+FROM r WHERE (rn - 1) % 20 = 0 ORDER BY rn""",
+)
+def smp9_systematic_sample(spark, sf_dir):
+    """Systematic every-k-th sampling in hash order (deterministic,
+    evenly spaced through the hash-shuffled population — the survey
+    sampler's stratification-free cousin). The global row number uses
+    the range-partitioned rank (operators.analytics.global_rank), never
+    a single-task window; md5 gives an engine-portable shuffle key."""
+    from market_data_pipeline_spark.operators.analytics import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_hx")
+    )
+    ranked = global_rank(docs, [F.col("_hx"), F.col("doc_id")], out_col="rn")
+    return (
+        ranked.filter((F.col("rn") - 1) % 20 == 0)
+        .select("doc_id", "rn")
+        .orderBy("rn")
+    )
+
+
+@query(
+    "k10_centroid_distances",
+    """WITH idx AS (
+  SELECT label, embedding, unnest(range(len(embedding))) AS x FROM embeddings
+), ex AS (
+  SELECT label, CAST(x AS INTEGER) AS dim0,
+         CAST(embedding[CAST(x AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM idx
+), m AS (
+  SELECT label, dim0,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         (SUM(CAST(ROUND(v * 1e6) AS BIGINT)) / 1e6) / COUNT(*) AS mv
+  FROM ex GROUP BY 1, 2
+)
+SELECT a.label AS group_a, b.label AS group_b,
+       CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+       ROUND(SQRT(SUM((a.mv - b.mv) * (a.mv - b.mv))), 6) AS dist
+FROM m a JOIN m b ON a.dim0 = b.dim0 AND a.label < b.label
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def k10_centroid_distances(spark, sf_dir):
+    """Pairwise Euclidean distance between label centroids — cluster
+    separation / embedding drift. Quadratic only over the GROUP count
+    (C(10,2) pairs here), never the vectors; centroids are the exact
+    fixed-point means of k9, distances fold JVM-side via
+    zip_with/aggregate. See operators.similarity.centroid_distances."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_distances(emb, "label").orderBy(
+        "group_a", "group_b"
+    )
+
+
+@query(
+    "tx18_charset_stats",
+    r"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CASE WHEN length(text) > 0 THEN
+         ROUND(length(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))
+               / length(text), 6) END AS ascii_ratio,
+       CASE WHEN length(text) > 0 THEN
+         ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / length(text), 6) END AS digit_ratio,
+       CASE WHEN length(text) > 0 THEN
+         ROUND(length(regexp_replace(text, '[^ \t\n\r]', '', 'g'))
+               / length(text), 6) END AS space_ratio,
+       CASE WHEN length(text) > 0 THEN
+         ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+               / length(text), 6) END AS upper_ratio
+FROM documents ORDER BY doc_id""",
+)
+def tx18_charset_stats(spark, sf_dir):
+    """Per-document character-class profile (printable-ASCII, digit,
+    whitespace, uppercase ratios) — the cheap mojibake / binary-spill /
+    boilerplate detector, and a script heuristic via the non-ASCII
+    share. Map-only JVM regex counting, fully codegen'd. See
+    operators.text.charset_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.charset_stats(docs).orderBy("doc_id")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

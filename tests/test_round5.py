@@ -1,0 +1,169 @@
+"""Round-5 operator unit tests: edge cases the sf0.01 oracle sweep can't
+reach (empty inputs, single rows, all-flat series, degenerate images).
+The value-level correctness of the round-5 queries is pinned by the
+DuckDB oracle gate; these are the operator-level guards."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import events as ev
+from market_data_pipeline_spark.operators import text as tx
+from market_data_pipeline_spark.operators import timeseries as tseries
+from market_data_pipeline_spark.operators.similarity import centroid_distances
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def _prices(spark, rows):
+    return spark.createDataFrame(
+        rows, "symbol string, trade_date date, close_price double, volume long, amount double"
+    )
+
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+D0 = dt.date(2024, 1, 1)
+
+
+def test_interarrival_single_event_user_excluded(spark):
+    df = _events(
+        spark,
+        [
+            (1, T0, 1, "view", 0.0),
+            (2, T0 + dt.timedelta(seconds=10), 1, "view", 0.0),
+            (3, T0, 2, "view", 0.0),  # one event -> no gaps -> no row
+        ],
+    )
+    got = {r["user_id"]: r for r in ev.interarrival_stats(df).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_gaps"] == 1
+    assert got[1]["mean_gap_sec"] == pytest.approx(10.0)
+    assert got[1]["max_gap_sec"] == pytest.approx(10.0)
+
+
+def test_interarrival_equal_timestamps_zero_gap(spark):
+    df = _events(spark, [(1, T0, 1, "a", 0.0), (2, T0, 1, "b", 0.0)])
+    row = ev.interarrival_stats(df).collect()[0]
+    assert row["n_gaps"] == 1 and row["mean_gap_sec"] == 0.0
+
+
+def test_event_type_pairs_requires_both_types(spark):
+    df = _events(
+        spark,
+        [
+            (1, T0, 1, "view", 0.0),
+            (2, T0, 1, "click", 0.0),
+            (3, T0, 1, "click", 0.0),  # duplicate type collapses
+            (4, T0, 2, "view", 0.0),
+        ],
+    )
+    rows = ev.event_type_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["type_a"], r["type_b"], r["n_keys"]) == ("click", "view", 1)
+
+
+def test_stickiness_all_users_daily_is_one(spark):
+    rows = []
+    eid = 0
+    for day in range(3):
+        for u in (1, 2):
+            rows.append((eid, T0 + dt.timedelta(days=day), u, "view", 0.0))
+            eid += 1
+    out = ev.stickiness(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 3 and r["mau"] == 2
+    assert r["stickiness"] == pytest.approx(1.0)
+
+
+def test_ulcer_index_monotonic_series_is_zero(spark):
+    df = _prices(
+        spark,
+        [("A", D0 + dt.timedelta(days=i), 100.0 + i, 10, 1.0) for i in range(5)],
+    )
+    row = tseries.ulcer_index(df).collect()[0]
+    assert row["ulcer_index"] == pytest.approx(0.0)
+
+
+def test_ulcer_index_known_value(spark):
+    # peak 100, then 90 (dd -10%), then 80 (dd -20%): sqrt((0+100+400)/3)
+    df = _prices(
+        spark,
+        [
+            ("A", D0, 100.0, 10, 1.0),
+            ("A", D0 + dt.timedelta(days=1), 90.0, 10, 1.0),
+            ("A", D0 + dt.timedelta(days=2), 80.0, 10, 1.0),
+        ],
+    )
+    row = tseries.ulcer_index(df).collect()[0]
+    assert row["ulcer_index"] == pytest.approx(math.sqrt(500 / 3), rel=1e-9)
+
+
+def test_obv_signs_and_peak(spark):
+    # up (+10), down (-20), flat (0): final = -10, peak = +10
+    df = _prices(
+        spark,
+        [
+            ("A", D0, 100.0, 5, 1.0),
+            ("A", D0 + dt.timedelta(days=1), 101.0, 10, 1.0),
+            ("A", D0 + dt.timedelta(days=2), 99.0, 20, 1.0),
+            ("A", D0 + dt.timedelta(days=3), 99.0, 30, 1.0),
+        ],
+    )
+    row = tseries.on_balance_volume(df).collect()[0]
+    assert row["obv_final"] == -10 and row["obv_peak"] == 10
+
+
+def test_streaks_flat_day_breaks_run(spark):
+    # up, up, flat, up -> longest_up must be 2 (flat interrupts)
+    closes = [100.0, 101.0, 102.0, 102.0, 103.0]
+    df = _prices(
+        spark,
+        [("A", D0 + dt.timedelta(days=i), c, 1, 1.0) for i, c in enumerate(closes)],
+    )
+    row = tseries.streak_stats(df).collect()[0]
+    assert row["longest_up"] == 2
+    assert row["longest_down"] is None
+
+
+def test_charset_stats_empty_text_null_ratios(spark):
+    df = spark.createDataFrame(
+        [(1, "Abc 123"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in tx.charset_stats(df).collect()}
+    assert got[2]["n_chars"] == 0 and got[2]["ascii_ratio"] is None
+    r = got[1]
+    assert r["ascii_ratio"] == pytest.approx(1.0)
+    assert r["digit_ratio"] == pytest.approx(3 / 7, abs=1e-6)
+    assert r["upper_ratio"] == pytest.approx(1 / 7, abs=1e-6)
+    assert r["space_ratio"] == pytest.approx(1 / 7, abs=1e-6)
+
+
+def test_charset_stats_non_ascii(spark):
+    df = spark.createDataFrame([(1, "abé中")], "doc_id long, text string")
+    r = tx.charset_stats(df).collect()[0]
+    assert r["n_chars"] == 4
+    assert r["ascii_ratio"] == pytest.approx(0.5)
+
+
+def test_centroid_distances_two_separated_labels(spark):
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.0, 0.0], 0),
+        (3, [3.0, 4.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = centroid_distances(df, "label").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"], r["n_a"], r["n_b"]) == (0, 1, 2, 1)
+    assert r["dist"] == pytest.approx(5.0)
