@@ -206,7 +206,11 @@ _COST = {
     "ts29_ulcer_index": 1.30, "ts30_obv": 1.30, "ts31_streaks": 1.35,
     "r10_share_of_total": 0.80, "r11_close_quartiles": 0.50,
     "smp9_systematic_sample": 1.10, "k10_centroid_distances": 0.75,
-    "tx18_charset_stats": 0.55,
+    "tx18_charset_stats": 0.55, "a13_advance_decline": 1.40,
+    "cdc3_point_in_time_status": 0.45, "k11_norm_stats": 0.65,
+    "fx3_lagged_features": 0.50, "tx19_dup_sentences": 0.50,
+    "j12_nation_top_customers": 0.70, "ts32_monthly_seasonality": 1.10,
+    "st13_streaming_distinct_users": 1.60,
 }
 
 

@@ -1050,3 +1050,49 @@ def centroid_distances(
             F.round(F.sqrt(sq), round_digits).alias("dist"),
         )
     )
+
+
+def norm_stats(
+    embeddings: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    unit_tol: float = 1e-3,
+) -> DataFrame:
+    """Per-group embedding norm health check: exact average L2 norm and
+    the count of unit-normalized vectors — the first audit before any
+    cosine-based pipeline (un-normalized vectors silently corrupt cosine
+    thresholds and SemDeDup radii).
+
+    Per-row norms fold JVM-side over the array with each squared term
+    fixed-pointed (round 1e-9 -> BIGINT sum), so the fold is exact and
+    order-independent; the group average fixed-points the norms again
+    (1e-6 -> BIGINT) — engine-identical with no output rounding.
+    Map-only until one bounded groupBy on the label.
+    Returns (group_col, n_vectors, avg_norm, n_unit).
+    """
+    sq_sum = F.aggregate(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * x.cast("double") * 1e9).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    staged = embeddings.select(
+        F.col(group_col), F.sqrt(sq_sum / 1e9).alias("_nrm")
+    )
+    return staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        (
+            F.sum(F.round(F.col("_nrm") * 1e6).cast("long"))
+            / 1e6
+            / F.count(F.lit(1))
+        ).alias("avg_norm"),
+        F.sum(
+            F.when(F.abs(F.col("_nrm") - 1) < unit_tol, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_unit"),
+    )

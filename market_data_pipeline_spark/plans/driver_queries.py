@@ -6679,6 +6679,309 @@ def tx18_charset_stats(spark, sf_dir):
     return tx.charset_stats(docs).orderBy("doc_id")
 
 
+# ===========================================================================
+# Round-5 third batch: breadth indicators, SCD2 as-of, embedding norms,
+# lagged feature export, duplicate-sentence profiling, grouped top-k join,
+# calendar seasonality, chained streaming distinct.
+# ===========================================================================
+
+
+@query(
+    "a13_advance_decline",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE},
+r AS (
+  SELECT m.market, p.trade_date,
+         SIGN(p.close_price - LAG(p.close_price)
+             OVER (PARTITION BY p.symbol ORDER BY p.trade_date)) AS sgn
+  FROM price p JOIN master m USING (symbol)
+  WHERE p.close_price IS NOT NULL
+), d AS (
+  SELECT market, trade_date,
+         CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_adv,
+         CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dec
+  FROM r WHERE sgn IS NOT NULL GROUP BY 1, 2
+)
+SELECT market, trade_date, n_adv, n_dec,
+       CAST(SUM(n_adv - n_dec) OVER (PARTITION BY market ORDER BY trade_date
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS ad_line
+FROM d ORDER BY market, trade_date""",
+)
+def a13_advance_decline(spark, sf_dir):
+    """Market-breadth advance/decline line: per (market, day) advancing
+    vs declining symbol counts and the cumulative net — the breadth
+    indicator behind divergence analysis. Reuses the shared returns
+    stage (sign(ret) = sign of the close change); the cumulative window
+    partitions by MARKET and holds one row per calendar day — bounded by
+    the calendar, never the symbol count."""
+    m = master_frame(spark, sf_dir).select("symbol", "market")
+    sgn = F.signum(F.col("ret"))
+    daily = (
+        returns_frame(spark, sf_dir)
+        .join(F.broadcast(m), "symbol")
+        .filter(sgn.isNotNull())
+        .groupBy("market", "trade_date")
+        .agg(
+            F.sum(F.when(sgn == 1, 1).otherwise(0)).cast("long").alias("n_adv"),
+            F.sum(F.when(sgn == -1, 1).otherwise(0)).cast("long").alias("n_dec"),
+        )
+    )
+    w = (
+        Window.partitionBy("market")
+        .orderBy("trade_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.withColumn(
+        "ad_line", F.sum(F.col("n_adv") - F.col("n_dec")).over(w).cast("long")
+    ).orderBy("market", "trade_date")
+
+
+@query(
+    "cdc3_point_in_time_status",
+    f"""WITH latest AS (
+  SELECT o_custkey, o_orderstatus,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders WHERE o_orderdate <= DATE '{UNIVERSE_DATE}'
+)
+SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM latest WHERE rn = 1 GROUP BY 1 ORDER BY status""",
+)
+def cdc3_point_in_time_status(spark, sf_dir):
+    """SCD2 point-in-time reconstruction: each customer's CURRENT order
+    status as of a date (latest at-or-before row), counted per status —
+    the as-of snapshot read every slowly-changing-dimension table
+    serves. No window over the fact stream: the latest-row-per-key is
+    one argmax aggregate (max_by on the (date, orderkey) struct —
+    deterministic, orderkey unique), then a 3-group count."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") <= UNIVERSE_DATE
+    )
+    latest = o.groupBy("o_custkey").agg(
+        F.max_by(
+            "o_orderstatus", F.struct("o_orderdate", "o_orderkey")
+        ).alias("status")
+    )
+    return (
+        latest.groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "k11_norm_stats",
+    """WITH ex AS (
+  SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT label, vec_id,
+         SQRT(SUM(CAST(ROUND(v * v * 1e9) AS BIGINT)) / 1e9) AS nrm
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       SUM(CAST(ROUND(nrm * 1e6) AS BIGINT)) / 1e6 / COUNT(*) AS avg_norm,
+       CAST(SUM(CASE WHEN ABS(nrm - 1) < 1e-3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unit
+FROM n GROUP BY 1 ORDER BY label""",
+)
+def k11_norm_stats(spark, sf_dir):
+    """Embedding norm audit per label: exact average L2 norm + count of
+    unit-normalized vectors — run before any cosine pipeline
+    (un-normalized vectors silently corrupt similarity thresholds).
+    Fixed-point fold per row, map-only until one bounded label groupBy.
+    See operators.similarity.norm_stats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.norm_stats(emb, "label").orderBy("label")
+
+
+@query(
+    "fx3_lagged_features",
+    f"""WITH {PRICE_CTE}
+SELECT symbol, trade_date, close_price,
+       LAG(close_price, 1) OVER w AS close_lag1,
+       LAG(close_price, 5) OVER w AS close_lag5,
+       LEAD(close_price, 1) OVER w AS close_fwd1,
+       LEAD(close_price, 1) OVER w / close_price - 1 AS target_ret
+FROM price WHERE symbol IN ({_RET_IN})
+WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+ORDER BY symbol, trade_date""",
+)
+def fx3_lagged_features(spark, sf_dir):
+    """Lag/lead feature export: the standard supervised-learning frame
+    (trailing closes as features, next-day return as the label) in ONE
+    window pass per series — lead() makes the label column explicit so
+    the leakage boundary is visible in the plan (features strictly
+    backward, label strictly forward). Symbol-pruned at the scan."""
+    p = price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    fwd = F.lead("close_price", 1).over(w)
+    return p.select(
+        "symbol",
+        "trade_date",
+        "close_price",
+        F.lag("close_price", 1).over(w).alias("close_lag1"),
+        F.lag("close_price", 5).over(w).alias("close_lag5"),
+        fwd.alias("close_fwd1"),
+        (fwd / F.col("close_price") - 1).alias("target_ret"),
+    ).orderBy("symbol", "trade_date")
+
+
+@query(
+    "tx19_dup_sentences",
+    """WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(trim(text), '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> s <> '') AS sents
+  FROM documents
+)
+SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(len(list_distinct(sents)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(sents) > 0 THEN
+         ROUND(1 - len(list_distinct(sents)) * 1.0 / len(sents), 6)
+       END AS dup_ratio
+FROM s ORDER BY doc_id""",
+)
+def tx19_dup_sentences(spark, sf_dir):
+    """Within-document duplicate-sentence ratio — the self-repetition
+    signal (boilerplate footers, template spam) complementing the
+    cross-document dd12/dd14 contamination checks. Same [.!?]+
+    segmentation convention as tx14; all higher-order array expressions,
+    map-only, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.trim(F.col("text")), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    staged = docs.select("doc_id", sents.alias("_s"))
+    return staged.select(
+        "doc_id",
+        F.size("_s").cast("long").alias("n_sentences"),
+        F.size(F.array_distinct("_s")).cast("long").alias("n_distinct"),
+        F.when(
+            F.size("_s") > 0,
+            F.round(
+                1 - F.size(F.array_distinct("_s")) * 1.0 / F.size("_s"), 6
+            ),
+        ).alias("dup_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "j12_nation_top_customers",
+    """WITH rev AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT n.n_name AS nation, r.o_custkey AS custkey,
+         CAST(r.total AS DOUBLE) AS total_spend,
+         ROW_NUMBER() OVER (PARTITION BY r.c_nationkey
+                            ORDER BY r.total DESC, r.o_custkey) AS rnk
+  FROM rev r JOIN nation n ON r.c_nationkey = n.n_nationkey
+)
+SELECT nation, custkey, total_spend, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 2 ORDER BY nation, rnk""",
+)
+def j12_nation_top_customers(spark, sf_dir):
+    """Top-2 customers by lifetime spend per nation: fact aggregation ->
+    broadcast dim join -> rank-in-group window. The rank partitions by
+    nation key (25 partitions, each bounded by the nation's customer
+    count); spend totals accumulate in DECIMAL so the ranking order —
+    and therefore the result — is engine-exact, with the double cast
+    only at emission."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_total"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("_total"), F.col("o_custkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .join(F.broadcast(n), rev.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("_total").cast("double").alias("total_spend"),
+            "rnk",
+        )
+        .orderBy("nation", "rnk")
+    )
+
+
+@query(
+    "ts32_monthly_seasonality",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT month(trade_date) AS m,
+         close_price / LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT CAST(m AS BIGINT) AS month, CAST(COUNT(*) AS BIGINT) AS n_returns,
+       SUM(CAST(ROUND(ret * 1e9) AS DECIMAL(38,0))) / 1e9 / COUNT(*)
+           AS mean_ret
+FROM r WHERE ret IS NOT NULL GROUP BY 1 ORDER BY month""",
+)
+def ts32_monthly_seasonality(spark, sf_dir):
+    """Calendar-month return seasonality across the whole universe
+    (the January-effect table): exact fixed-point mean of per-symbol
+    daily returns grouped by month-of-year. Rides the shared returns
+    stage — by the time this runs in a suite the lag window is already
+    materialized; the query itself is one 12-group aggregate."""
+    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
+    return (
+        r.groupBy(F.month("trade_date").cast("long").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_returns"),
+            (
+                F.sum(F.round(F.col("ret") * 1e9).cast("decimal(38,0)"))
+                / 1e9
+                / F.count(F.lit(1))
+            ).alias("mean_ret"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "st13_streaming_distinct_users",
+    """WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS horizon FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.horizon
+GROUP BY 1 ORDER BY 1""",
+)
+def st13_streaming_distinct_users(spark, sf_dir):
+    """Hourly DISTINCT actives through Structured Streaming — the
+    aggregation streams cannot do directly (COUNT DISTINCT is
+    unsupported) as CHAINED stateful operators: watermarked
+    (window, user) dedup-agg, then a second streaming count over its
+    appended output (Spark 3.4+ multiple-stateful-operator support).
+    Append mode emits only watermark-closed windows, so the oracle
+    excludes windows ending within the 2h horizon of max(ts) — the
+    exact emission rule, asserted here against DuckDB. See
+    streaming.jobs.streaming_distinct_users."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    stream = sj.streaming_distinct_users(
+        sj.read_events_stream(spark, sf_dir), duration="1 hour", watermark="2 hours"
+    )
+    return sj.run_stream_to_memory(
+        stream, "st13_sink", output_mode="append"
+    ).orderBy("window_start")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

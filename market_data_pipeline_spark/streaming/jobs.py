@@ -600,3 +600,35 @@ def streaming_burst_counts(
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+def streaming_distinct_users(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Hourly DISTINCT actives through Structured Streaming — the
+    aggregation streaming famously cannot do directly (COUNT(DISTINCT)
+    is unsupported on streams) expressed as CHAINED stateful operators:
+    a streaming (window, user) dedup-aggregation followed by a streaming
+    count over its appended output. Spark 3.4+ supports multiple
+    stateful operators in one query when every stage is
+    watermark-append; both stages here share the event-time watermark.
+
+    State is bounded by the watermark horizon x distinct (window, user)
+    pairs — the same state the batch distinct pass would shuffle, aged
+    out as windows close. Returns (window_start, n_users).
+    """
+    w = F.window(F.col(ts_col), duration)
+    dedup = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("_n"))  # per-(window, user) marker row
+    )
+    return (
+        dedup.groupBy("w")
+        .agg(F.count("*").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )

@@ -167,3 +167,48 @@ def test_centroid_distances_two_separated_labels(spark):
     r = out[0]
     assert (r["group_a"], r["group_b"], r["n_a"], r["n_b"]) == (0, 1, 2, 1)
     assert r["dist"] == pytest.approx(5.0)
+
+
+def test_norm_stats_unit_and_scaled(spark):
+    from market_data_pipeline_spark.operators.similarity import norm_stats
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.6, 0.8], 0),   # unit norm
+        (3, [3.0, 4.0], 0),   # norm 5
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = norm_stats(df, "label").collect()[0]
+    assert r["n_vectors"] == 3
+    assert r["n_unit"] == 2
+    assert r["avg_norm"] == pytest.approx((1 + 1 + 5) / 3, abs=1e-5)
+
+
+def test_streaming_distinct_users_matches_batch_within_horizon(spark, tmp_path):
+    """Chained streaming aggregation (dedup -> count) equals the batch
+    COUNT(DISTINCT) for every watermark-closed window, across multiple
+    micro-batches."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    sf = "/root/testdata/sf0.001"
+    out = sj.run_stream_to_memory(
+        sj.streaming_distinct_users(
+            sj.read_events_stream(spark, sf, max_files_per_trigger=1)
+        ),
+        "st13_test",
+        output_mode="append",
+    )
+    from market_data_pipeline_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf, "events")
+    horizon = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("h")
+    ).collect()[0]["h"]
+    batch = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(horizon))
+    )
+    got = {(r["window_start"], r["n_users"]) for r in out.collect()}
+    want = {(r["window_start"], r["n_users"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
