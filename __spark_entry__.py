@@ -211,6 +211,11 @@ _COST = {
     "fx3_lagged_features": 0.50, "tx19_dup_sentences": 0.50,
     "j12_nation_top_customers": 0.70, "ts32_monthly_seasonality": 1.10,
     "st13_streaming_distinct_users": 1.60,
+    # round-5 batch 3/4 (measured in-session at sf0.1)
+    "dp3_profile_orders": 2.25, "iv6_activity_span": 0.76,
+    "dd15_prefix_dup_groups": 0.44, "ts33_weekly_atr": 0.89,
+    "a14_hhi_concentration": 2.65, "k12_mmr_diverse": 0.95,
+    "mm7_scene_changes": 5.57,
 }
 
 

@@ -370,3 +370,55 @@ def perceptual_hash(media: DataFrame, grid: int = 8) -> DataFrame:
 
     src = media.filter(F.col("kind") == "image").select("media_id", "content", "meta")
     return src.mapInPandas(hashes, schema=out_schema)
+
+
+SCENE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_frame_diff", T.DoubleType()),
+        T.StructField("max_frame_diff", T.DoubleType()),
+        T.StructField("n_cuts", T.IntegerType()),
+    ]
+)
+
+
+def scene_change_stats(media: DataFrame, cut_factor: float = 1.25) -> DataFrame:
+    """Shot-boundary statistics per video: mean/max of the mean-absolute
+    pixel difference between consecutive frames, plus the count of
+    "cuts" (frames whose diff exceeds ``cut_factor`` x the video's own
+    mean diff) — the cheap scene-change detector every video-curation
+    pipeline runs before sampling frames for training.
+
+    One Arrow pass per video inside ``mapInPandas``: the frames never
+    leave the decode stage (same discipline as :func:`sample_frames`),
+    the emitted row is a handful of scalars per video. Deterministic
+    for a given byte payload.
+    """
+
+    def st(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                vid = decode_bytes(r["content"], r["meta"]).astype(np.float64)
+                n = vid.shape[0]
+                if n < 2:
+                    rows.append((int(r["media_id"]), int(n), None, None, 0))
+                    continue
+                diffs = np.abs(np.diff(vid, axis=0)).mean(axis=(1, 2, 3))
+                mean_d = float(diffs.mean())
+                rows.append(
+                    (
+                        int(r["media_id"]),
+                        int(n),
+                        mean_d,
+                        float(diffs.max()),
+                        int((diffs > cut_factor * mean_d).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCENE_STATS_SCHEMA.fields]
+            )
+
+    src = media.filter(F.col("kind") == "video").select("media_id", "content", "meta")
+    return src.mapInPandas(st, schema=SCENE_STATS_SCHEMA)

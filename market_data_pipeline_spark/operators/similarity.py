@@ -1096,3 +1096,81 @@ def norm_stats(
         .cast("long")
         .alias("n_unit"),
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k: greedily pick the item
+    maximizing ``lam * sim(query, d) - (1 - lam) * max sim(d, selected)``
+    — the retrieval-diversification step RAG and dedup-aware sampling
+    pipelines run after plain kNN (plain top-k returns near-duplicates;
+    MMR trades a little relevance for coverage).
+
+    Two phases with the IVF re-rank discipline: a DISTRIBUTED cosine
+    top-``pool`` retrieval (map-only scan + TakeOrdered, vectors carried
+    for the ``pool`` survivors only), then the greedy O(k * pool) loop
+    over that BOUNDED pool driver-side in numpy — the iteration is
+    inherently sequential (step i depends on the i-1 selection), and
+    pool is tens of rows, so distributing it would ship more plan than
+    data. Ties break on id for determinism.
+    Returns (rank 1..k, id_col, relevance, mmr_score).
+    """
+    import numpy as np
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.round(cosine(F.col(vec_col), q), round_digits).alias("_rel"),
+        )
+        .orderBy(F.desc("_rel"), id_col)
+        .limit(pool)
+        .collect()  # bounded: exactly `pool` rows with their vectors
+    )
+    if not cand:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], f"rank long, {id_col} long, relevance double, mmr_score double"
+        )
+    ids = [r[id_col] for r in cand]
+    rel = np.array([r["_rel"] for r in cand])
+    mat = np.array([r["_v"] for r in cand])
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    pair = unit @ unit.T  # pool x pool cosine, tiny
+    chosen: list[int] = []
+    out_rows = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        best_i, best_score = None, None
+        for i in range(len(ids)):
+            if i in chosen:
+                continue
+            penalty = max((pair[i][j] for j in chosen), default=0.0)
+            score = lam * rel[i] - (1 - lam) * penalty
+            if (
+                best_score is None
+                or score > best_score + 1e-12
+                or (abs(score - best_score) <= 1e-12 and ids[i] < ids[best_i])
+            ):
+                best_i, best_score = i, score
+        chosen.append(best_i)
+        out_rows.append(
+            (
+                rank,
+                int(ids[best_i]),
+                float(rel[best_i]),
+                round(float(best_score), round_digits),
+            )
+        )
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        out_rows, f"rank long, {id_col} long, relevance double, mmr_score double"
+    )

@@ -6982,6 +6982,266 @@ def st13_streaming_distinct_users(spark, sf_dir):
     ).orderBy("window_start")
 
 
+# ===========================================================================
+# Round-5 fourth batch: orders profile, activity spans, prefix dup groups,
+# weekly ATR, turnover concentration, MMR diverse retrieval, scene changes.
+# ===========================================================================
+
+
+@query(
+    "dp3_profile_orders",
+    """WITH base AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderpriority FROM orders
+)
+SELECT p.* FROM (
+  SELECT 'o_custkey' AS "column",
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+         CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+  FROM base
+  UNION ALL
+  SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+         CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+         CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+  FROM base
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM base
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM base
+) p ORDER BY "column" """,
+)
+def dp3_profile_orders(spark, sf_dir):
+    """Orders-table first-contact profile (dp1's companion on the order
+    dimension): null/distinct/range per column in long form, one
+    Expand+aggregate pass — one shuffle regardless of column count.
+    Profiled columns keep engine-stable string renderings (ints,
+    strings, dates); see operators.quality.profile_columns."""
+    from market_data_pipeline_spark.operators.quality import profile_columns
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return profile_columns(
+        o, ["o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+    )
+
+
+@query(
+    "iv6_activity_span",
+    """SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+            AS BIGINT) AS span_days,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       ROUND(COUNT(DISTINCT CAST(ts AS DATE)) * 1.0
+             / (date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                + 1), 6) AS density
+FROM events GROUP BY 1 ORDER BY user_id""",
+)
+def iv6_activity_span(spark, sf_dir):
+    """Per-user activity span: first/last seen, calendar span, distinct
+    active days, and density (active/span) — the lifetime-engagement
+    summary behind churn features. One groupBy with an exact
+    count-distinct on the day; all integer arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    span = F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            span.cast("long").alias("span_days"),
+            F.countDistinct(F.to_date("ts")).cast("long").alias("active_days"),
+            F.round(
+                F.countDistinct(F.to_date("ts")) * 1.0 / (span + 1), 6
+            ).alias("density"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "dd15_prefix_dup_groups",
+    """SELECT substr(text, 1, 100) AS prefix100,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, prefix100""",
+)
+def dd15_prefix_dup_groups(spark, sf_dir):
+    """Prefix-bucket duplicate groups: documents sharing their first 100
+    characters (the crawl-dedup cheap pass that catches boilerplate
+    openings and mirrored pages before any shingling runs). The shuffle
+    key is the 100-char prefix — bounded payload per row regardless of
+    document length, the same never-shuffle-the-text discipline as the
+    hash dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.substring("text", 1, 100).alias("prefix100"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "prefix100")
+    )
+
+
+@query(
+    "ts33_weekly_atr",
+    f"""WITH {PRICE_CTE},
+bars AS (
+  SELECT symbol, date_trunc('week', trade_date) AS bucket,
+         MAX(close_price) AS high_px, MIN(close_price) AS low_px,
+         arg_max(close_price, trade_date) AS close_px
+  FROM price WHERE symbol IN ({_STOCK_IN}) AND close_price IS NOT NULL
+  GROUP BY 1, 2
+), tr AS (
+  SELECT symbol, bucket,
+         GREATEST(high_px - low_px,
+                  ABS(high_px - COALESCE(LAG(close_px) OVER w, close_px)),
+                  ABS(low_px - COALESCE(LAG(close_px) OVER w, close_px)))
+             AS true_range
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol, bucket, ROUND(true_range, 6) AS true_range,
+       ROUND(SUM(CAST(ROUND(true_range * 1e6) AS BIGINT))
+                 OVER w14 / 1e6
+             / COUNT(*) OVER w14, 6) AS atr_14
+FROM tr
+WINDOW w14 AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+ORDER BY symbol, bucket""",
+)
+def ts33_weekly_atr(spark, sf_dir):
+    """Average True Range over weekly bars: TR = max(high-low,
+    |high-prev_close|, |low-prev_close|) with the first bar's prev_close
+    coalesced to its own close (making TR = high-low exactly), then a
+    14-bar trailing mean with fixed-point accumulation. OHLC resample +
+    two window passes per series, one symbol-key shuffle."""
+    p = price_frame(spark, sf_dir, symbols=STOCK_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
+    )
+    bars = tseries.resample_ohlc(
+        p, F.date_trunc("week", F.col("trade_date")).cast("date"), volume_col=None
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev_close = F.coalesce(F.lag("close").over(w), F.col("close"))
+    tr = bars.select(
+        "symbol",
+        "bucket",
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_close),
+            F.abs(F.col("low") - prev_close),
+        ).alias("_tr"),
+    )
+    w14 = w.rowsBetween(-13, 0)
+    return tr.select(
+        "symbol",
+        "bucket",
+        F.round("_tr", 6).alias("true_range"),
+        F.round(
+            F.sum(F.round(F.col("_tr") * 1e6).cast("long")).over(w14)
+            / 1e6
+            / F.count(F.lit(1)).over(w14),
+            6,
+        ).alias("atr_14"),
+    ).orderBy("symbol", "bucket")
+
+
+@query(
+    "a14_hhi_concentration",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}, {_TOTALS_CTE},
+sh AS (
+  SELECT market,
+         CAST(ROUND(total_amount * 100) AS BIGINT) AS cents,
+         SUM(CAST(ROUND(total_amount * 100) AS BIGINT))
+             OVER (PARTITION BY market) AS tot
+  FROM totals
+)
+SELECT market, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+       SUM(CAST(ROUND((cents * 1.0 / tot) * (cents * 1.0 / tot) * 1e12)
+                AS BIGINT)) / 1e12 AS hhi
+FROM sh GROUP BY 1 ORDER BY market""",
+)
+def a14_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman turnover concentration per market: the sum
+    of squared symbol shares (1/n = perfectly even, 1 = monopolized) —
+    r10's share-of-total completed into the standard concentration
+    index. Shares are exact cent ratios; their squares are fixed-pointed
+    to 1e-12 before summing so the index is engine-identical."""
+    w = Window.partitionBy("market")
+    cents = F.round(F.col("total_amount") * 100).cast("long")
+    share = cents / F.sum(cents).over(w)
+    return (
+        _symbol_totals(spark, sf_dir)
+        .select("market", (F.round(share * share * 1e12)).cast("long").alias("_s2"))
+        .groupBy("market")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_symbols"),
+            (F.sum("_s2") / 1e12).alias("hhi"),
+        )
+        .orderBy("market")
+    )
+
+
+@query("k12_mmr_diverse")
+def k12_mmr_diverse(spark, sf_dir):
+    """MMR diverse top-5 for a literal query vector: distributed cosine
+    top-50 pool, then the inherently-sequential greedy re-rank over that
+    BOUNDED pool driver-side (the IVF re-rank discipline). No oracle —
+    the greedy argmax chain is not SQL-expressible; determinism and the
+    diversity property (pairwise similarity of the MMR set <= plain
+    top-k's) are pinned by pytest. See operators.similarity.mmr_select."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+    return similarity.mmr_select(
+        emb.filter(F.col("vec_id") != 0), qv, k=5, pool=50
+    )
+
+
+@query("mm7_scene_changes")
+def mm7_scene_changes(spark, sf_dir):
+    """Shot-boundary statistics per synthetic video (mean/max consecutive
+    frame diff + cut count): the scene-change detector a video-curation
+    pipeline runs before frame sampling. One Arrow pass; frames never
+    leave the decode stage. No oracle (binary media); determinism pinned
+    by pytest. See operators.multimodal.scene_change_stats."""
+    from market_data_pipeline_spark.operators import multimodal as mm
+
+    return (
+        mm.scene_change_stats(_media(spark, sf_dir))
+        .select(
+            "media_id",
+            "n_frames",
+            F.round("mean_frame_diff", 6).alias("mean_frame_diff"),
+            F.round("max_frame_diff", 6).alias("max_frame_diff"),
+            "n_cuts",
+        )
+        .orderBy("media_id")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

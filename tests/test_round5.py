@@ -212,3 +212,84 @@ def test_streaming_distinct_users_matches_batch_within_horizon(spark, tmp_path):
     got = {(r["window_start"], r["n_users"]) for r in out.collect()}
     want = {(r["window_start"], r["n_users"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_mmr_more_diverse_than_topk(spark):
+    """The MMR-selected set's max pairwise cosine must not exceed plain
+    top-k's (diversity is the whole point), and the top-1 must be the
+    most relevant item."""
+    import itertools
+
+    import numpy as np
+
+    from market_data_pipeline_spark.operators.similarity import (
+        knn_bruteforce,
+        mmr_select,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(3, 8))
+    rows = []
+    vid = 1
+    for b in range(3):  # three tight clusters
+        for _ in range(10):
+            v = base[b] + rng.normal(scale=0.05, size=8)
+            rows.append((vid, [float(x) for x in v], b))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in base[0]]
+
+    def max_pair(ids):
+        vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+        sims = []
+        for a, b in itertools.combinations(ids, 2):
+            va, vb = vecs[a], vecs[b]
+            sims.append(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        return max(sims)
+
+    mmr = mmr_select(df, q, k=5, pool=30, lam=0.5).collect()
+    plain = knn_bruteforce(df, q, k=5).collect()
+    assert mmr[0]["vec_id"] == plain[0]["vec_id"]  # top-1 is pure relevance
+    assert max_pair([r["vec_id"] for r in mmr]) <= max_pair(
+        [r["vec_id"] for r in plain]
+    ) + 1e-9
+    # rerun is deterministic
+    again = mmr_select(df, q, k=5, pool=30, lam=0.5).collect()
+    assert [r["vec_id"] for r in again] == [r["vec_id"] for r in mmr]
+
+
+def test_scene_change_stats_detects_inserted_cut(spark):
+    """A video whose frames are near-identical except one hard cut must
+    report exactly one cut; a static video reports zero."""
+    import numpy as np
+
+    from market_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        scene_change_stats,
+    )
+
+    h = w = 8
+    base = np.full((h, w, 3), 100, dtype=np.uint8)
+    jitter = base.copy()
+    jitter[0, 0, 0] += 1  # tiny diff so mean_diff > 0
+    bright = np.full((h, w, 3), 220, dtype=np.uint8)
+    cut_vid = np.stack([base, jitter, base, bright, bright])  # one hard cut
+    static = np.stack([base, jitter, base, jitter])
+
+    def meta(n):
+        return {
+            "format": "raw-v8", "width": w, "height": h, "channels": 3,
+            "sample_rate": None, "n_frames": n,
+        }
+
+    df = spark.createDataFrame(
+        [
+            (1, "video", cut_vid.tobytes(), meta(5)),
+            (2, "video", static.tobytes(), meta(4)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in scene_change_stats(df).collect()}
+    assert got[1]["n_cuts"] == 1
+    assert got[2]["n_cuts"] == 0
+    assert got[1]["n_frames"] == 5
