@@ -1441,10 +1441,23 @@ def st3_streaming_sessions(spark, sf_dir):
     )
 
 
+_MEDIA_CACHE: dict = {}
+
+
 def _media(spark, sf_dir):
+    """Synthetic media frame, memoized + lazily localCheckpoint-ed per
+    (session, sf_dir): all seven mm queries consume the identical
+    generated table, and without the cache each re-runs the whole
+    Arrow generation pipeline (same shared-stage discipline as
+    returns_frame). The checkpoint materializes on first action."""
     from market_data_pipeline_spark.operators import multimodal as mm
 
-    return mm.synthetic_media_from_docs(load_table(spark, sf_dir, "documents"))
+    key = (spark, sf_dir)
+    if key not in _MEDIA_CACHE:
+        _MEDIA_CACHE[key] = mm.synthetic_media_from_docs(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=False)
+    return _MEDIA_CACHE[key]
 
 
 @query("mm1_image_stats")
