@@ -215,7 +215,8 @@ _COST = {
     "dp3_profile_orders": 2.25, "iv6_activity_span": 0.76,
     "dd15_prefix_dup_groups": 0.44, "ts33_weekly_atr": 0.89,
     "a14_hhi_concentration": 2.65, "k12_mmr_diverse": 0.95,
-    "mm7_scene_changes": 5.57,
+    "mm7_scene_changes": 5.57, "tx20_lexical_diversity": 0.60,
+    "e21_dwell_time": 0.80, "ts34_calmar": 1.40, "a15_listing_flows": 0.40,
 }
 
 

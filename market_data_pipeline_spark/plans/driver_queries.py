@@ -7255,6 +7255,205 @@ def mm7_scene_changes(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-5 fifth batch: lexical diversity, dwell time, Calmar ratio,
+# listing flows.
+# ===========================================================================
+
+
+@query(
+    "tx20_lexical_diversity",
+    r"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+       CASE WHEN len(t) > 0 THEN
+         ROUND(len(list_distinct(t)) * 1.0 / len(t), 6)
+       END AS ttr
+FROM toks ORDER BY doc_id""",
+)
+def tx20_lexical_diversity(spark, sf_dir):
+    """Type-token ratio per document (lexical diversity — low TTR flags
+    repetitive/template text, the token-level cousin of the tx19
+    sentence signal). Same whitespace tokenization as tx2/tx5; map-only
+    higher-order array expressions, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    staged = docs.select("doc_id", toks.alias("_t"))
+    return staged.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("long").alias("n_types"),
+        F.when(
+            F.size("_t") > 0,
+            F.round(F.size(F.array_distinct("_t")) * 1.0 / F.size("_t"), 6),
+        ).alias("ttr"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "e21_dwell_time",
+    """WITH g AS (
+  SELECT event_type,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dwell
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_dwells,
+       SUM(dwell) / 1e6 / COUNT(*) AS mean_dwell_sec,
+       MAX(dwell) / 1e6 AS max_dwell_sec
+FROM g WHERE dwell IS NOT NULL GROUP BY 1 ORDER BY event_type""",
+)
+def e21_dwell_time(spark, sf_dir):
+    """Dwell time attributed to the PRECEDING event type (how long users
+    linger after each action before their next event) — the engagement
+    signal behind content ranking. One per-user lead window + one
+    type groupBy; dwells are integer microseconds so the mean is exact
+    BIGINT arithmetic, engine-identical."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dwell = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    staged = events.select("event_type", dwell.alias("_d")).filter(
+        F.col("_d").isNotNull()
+    )
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dwells"),
+            (F.sum("_d") / 1e6 / F.count(F.lit(1))).alias("mean_dwell_sec"),
+            (F.max("_d") / 1e6).alias("max_dwell_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts34_calmar",
+    f"""WITH {PRICE_CTE},
+dd AS (
+  SELECT symbol, trade_date, close_price,
+         close_price / MAX(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date
+                   ROWS UNBOUNDED PRECEDING) - 1 AS drawdown
+  FROM price WHERE close_price > 0
+), agg AS (
+  SELECT symbol,
+         arg_min(close_price, trade_date) AS first_close,
+         arg_max(close_price, trade_date) AS last_close,
+         CAST(date_diff('day', MIN(trade_date), MAX(trade_date)) AS BIGINT)
+             AS span_days,
+         ROUND(MIN(drawdown), 6) AS max_drawdown
+  FROM dd GROUP BY 1
+)
+SELECT symbol, span_days, max_drawdown, cagr,
+       -- the ratio divides the ROUNDED factors (pow() is not correctly
+       -- rounded and drifts between engines in the last ulps; rounding
+       -- both inputs first makes the quotient engine-stable)
+       CASE WHEN max_drawdown < 0 THEN
+         ROUND(cagr / ABS(max_drawdown), 6)
+       END AS calmar
+FROM (
+  SELECT symbol, span_days, max_drawdown,
+         ROUND(POW(last_close / first_close, 365.25 / span_days) - 1, 6)
+             AS cagr
+  FROM agg WHERE span_days > 0
+) ORDER BY symbol""",
+)
+def ts34_calmar(spark, sf_dir):
+    """Calmar ratio per symbol: CAGR (from argmin/argmax closes over the
+    span) divided by |max drawdown| — the drawdown-adjusted return the
+    risk family was missing next to Sharpe (ts22) and Ulcer (ts29). One
+    running-max window + one groupBy on the series key; NULL where the
+    series never drew down. Both factors rounded before the ratio so
+    the quotient is engine-stable."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price") > 0)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = (F.col("close_price") / F.max("close_price").over(w) - 1).alias("_dd")
+    staged = p.select("symbol", "trade_date", "close_price", dd)
+    span = F.datediff(F.max("trade_date"), F.min("trade_date")).cast("long")
+    agg = staged.groupBy("symbol").agg(
+        F.min_by("close_price", "trade_date").alias("_first"),
+        F.max_by("close_price", "trade_date").alias("_last"),
+        span.alias("span_days"),
+        F.round(F.min("_dd"), 6).alias("max_drawdown"),
+    )
+    cagr = F.round(
+        F.pow(F.col("_last") / F.col("_first"), 365.25 / F.col("span_days")) - 1, 6
+    )
+    return (
+        agg.filter(F.col("span_days") > 0)
+        .select(
+            "symbol",
+            "span_days",
+            "max_drawdown",
+            cagr.alias("cagr"),
+            F.when(
+                F.col("max_drawdown") < 0,
+                F.round(cagr / F.abs(F.col("max_drawdown")), 6),
+            ).alias("calmar"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "a15_listing_flows",
+    f"""WITH {MASTER_CTE},
+l AS (
+  SELECT strftime(listing_date, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_listed,
+         CAST(0 AS BIGINT) AS n_delisted
+  FROM master WHERE listing_date IS NOT NULL GROUP BY 1
+), d AS (
+  SELECT strftime(delisting_date, '%Y-%m') AS month,
+         CAST(0 AS BIGINT) AS n_listed,
+         CAST(COUNT(*) AS BIGINT) AS n_delisted
+  FROM master WHERE delisting_date IS NOT NULL GROUP BY 1
+)
+SELECT month, CAST(SUM(n_listed) AS BIGINT) AS n_listed,
+       CAST(SUM(n_delisted) AS BIGINT) AS n_delisted
+FROM (SELECT * FROM l UNION ALL SELECT * FROM d)
+GROUP BY 1 ORDER BY month""",
+)
+def a15_listing_flows(spark, sf_dir):
+    """Monthly listing/delisting flow counts from the symbol master —
+    the market-entry/exit series the reference's KRX sync pipelines
+    feed (new listings in, delistings out). Two pruned aggregates
+    unioned by month; pure date bucketing, exact counts."""
+    m = master_frame(spark, sf_dir)
+    listed = (
+        m.filter(F.col("listing_date").isNotNull())
+        .groupBy(F.date_format("listing_date", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_listed"))
+        .withColumn("n_delisted", F.lit(0).cast("long"))
+    )
+    delisted = (
+        m.filter(F.col("delisting_date").isNotNull())
+        .groupBy(F.date_format("delisting_date", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_delisted"))
+        .withColumn("n_listed", F.lit(0).cast("long"))
+    )
+    return (
+        listed.unionByName(delisted)
+        .groupBy("month")
+        .agg(
+            F.sum("n_listed").cast("long").alias("n_listed"),
+            F.sum("n_delisted").cast("long").alias("n_delisted"),
+        )
+        .orderBy("month")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
