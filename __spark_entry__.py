@@ -217,6 +217,9 @@ _COST = {
     "a14_hhi_concentration": 2.65, "k12_mmr_diverse": 0.95,
     "mm7_scene_changes": 5.57, "tx20_lexical_diversity": 0.60,
     "e21_dwell_time": 0.80, "ts34_calmar": 1.40, "a15_listing_flows": 0.40,
+    "k13_ivf_balance": 0.80, "fx4_winsorized_returns": 0.80,
+    "e22_anomalous_days": 0.50, "e23_funnel_3step": 0.90,
+    "r12_percent_rank": 0.80, "apx6_hll_day_overlap": 0.70,
 }
 
 

@@ -7454,6 +7454,286 @@ def a15_listing_flows(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-5 sixth batch: IVF balance audit, winsorized features, anomaly
+# days, 3-step funnel, percent-rank/cume-dist, HLL set-overlap estimate.
+# ===========================================================================
+
+_IVF_CENTROID_IDS = [0, 25, 50, 75, 100, 125, 150, 175]
+_IVF_IDS_SQL = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
+
+
+@query(
+    "k13_ivf_balance",
+    f"""WITH c AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id IN ({_IVF_IDS_SQL})
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.embedding')} DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e, c
+  ) WHERE rn = 1
+)
+SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(COUNT(*) * 1.0 * (SELECT COUNT(*) FROM c)
+             / (SELECT COUNT(*) FROM embeddings), 6) AS balance_factor
+FROM assign GROUP BY 1 ORDER BY centroid_id""",
+)
+def k13_ivf_balance(spark, sf_dir):
+    """IVF partition-balance audit: vectors per centroid and the balance
+    factor (cell size / ideal N/k; 1.0 = perfectly even) — the health
+    check run before trusting an IVF index, because one hot cell turns
+    probes into scans (the ANN flavor of partition skew). Assignment is
+    the broadcast-centroid map-side argmax of k4; the audit itself is a
+    k-row aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").isin(_IVF_CENTROID_IDS))
+    assigned = similarity.ivf_assign(emb, cents)
+    totals = emb.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "centroid_id",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors") * 1.0 * len(_IVF_CENTROID_IDS) / F.col("_n"), 6
+            ).alias("balance_factor"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@query(
+    "fx4_winsorized_returns",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol, trade_date,
+         close_price / LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM price WHERE close_price IS NOT NULL
+), xs AS (
+  SELECT symbol, trade_date, ret,
+         ROUND(quantile_cont(ret, 0.05) OVER (PARTITION BY trade_date), 6) AS lo,
+         ROUND(quantile_cont(ret, 0.95) OVER (PARTITION BY trade_date), 6) AS hi
+  FROM r WHERE ret IS NOT NULL
+    AND trade_date BETWEEN DATE '1998-06-01' AND DATE '1998-06-30'
+)
+SELECT symbol, trade_date, ROUND(ret, 6) AS ret_raw,
+       ROUND(CASE WHEN ret < lo THEN lo WHEN ret > hi THEN hi ELSE ret END, 6)
+           AS ret_winsorized
+FROM xs ORDER BY trade_date, symbol""",
+)
+def fx4_winsorized_returns(spark, sf_dir):
+    """Cross-sectional winsorization: each day's returns clipped to that
+    day's [5th, 95th] percentile — the outlier-taming step every factor
+    pipeline applies before fitting. The percentile window partitions by
+    DATE (bounded by the symbol universe, the ts25 orthogonal
+    partitioning); bounds are exact interpolated quantiles rounded
+    before clipping so the clip branch is engine-stable."""
+    r = returns_frame(spark, sf_dir).filter(
+        F.col("ret").isNotNull()
+        & (F.col("trade_date") >= "1998-06-01")
+        & (F.col("trade_date") <= "1998-06-30")
+    )
+    wd = Window.partitionBy("trade_date")
+    lo = F.round(F.expr("percentile(ret, 0.05)").over(wd), 6)
+    hi = F.round(F.expr("percentile(ret, 0.95)").over(wd), 6)
+    staged = r.select("symbol", "trade_date", "ret", lo.alias("_lo"), hi.alias("_hi"))
+    clipped = (
+        F.when(F.col("ret") < F.col("_lo"), F.col("_lo"))
+        .when(F.col("ret") > F.col("_hi"), F.col("_hi"))
+        .otherwise(F.col("ret"))
+    )
+    return staged.select(
+        "symbol",
+        "trade_date",
+        F.round("ret", 6).alias("ret_raw"),
+        F.round(clipped, 6).alias("ret_winsorized"),
+    ).orderBy("trade_date", "symbol")
+
+
+@query(
+    "e22_anomalous_days",
+    """WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), s AS (
+  SELECT SUM(n_events) * 1.0 / COUNT(*) AS mu,
+         ROUND(STDDEV_SAMP(n_events), 6) AS sigma
+  FROM d
+)
+SELECT day, n_events,
+       ROUND((n_events - s.mu) / s.sigma, 6) AS zscore,
+       ABS((n_events - s.mu) / s.sigma) > 2 AS is_anomaly
+FROM d, s ORDER BY day""",
+)
+def e22_anomalous_days(spark, sf_dir):
+    """Daily event-volume anomaly screen: each day's count z-scored
+    against the whole series (|z| > 2 flags traffic spikes/outages).
+    Counts are integers, the mean an exact ratio, the stddev rounded
+    before the ratio (accumulation-order dependent) — the ts10 rounding
+    discipline applied to operational volumes. One tiny day-level
+    aggregate + a broadcast scalar join."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    s = d.agg(
+        (F.sum("n_events") * 1.0 / F.count(F.lit(1))).alias("_mu"),
+        F.round(F.stddev_samp("n_events"), 6).alias("_sigma"),
+    )
+    z = (F.col("n_events") - F.col("_mu")) / F.col("_sigma")
+    return (
+        d.crossJoin(F.broadcast(s))
+        .select(
+            "day",
+            "n_events",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "e23_funnel_3step",
+    """WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel""",
+)
+def e23_funnel_3step(spark, sf_dir):
+    """Three-step strict-order funnel (view -> later click -> later
+    purchase): users surviving each stage. ONE scan with three chained
+    conditional-min window passes over the same user partitioning (the
+    oracle's formulation needs three self-joins; the window form
+    shuffles once) — e5's two-step funnel completed to the standard
+    depth-3 report."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = events.withColumn(
+        "_t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    staged = staged.withColumn(
+        "_t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("_t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "_t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("_t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return staged.agg(
+        F.countDistinct(F.when(F.col("_t1").isNotNull(), F.col("user_id")))
+        .cast("long")
+        .alias("n_view"),
+        F.countDistinct(F.when(F.col("_t2").isNotNull(), F.col("user_id")))
+        .cast("long")
+        .alias("n_view_click"),
+        F.countDistinct(F.when(F.col("_t3").isNotNull(), F.col("user_id")))
+        .cast("long")
+        .alias("n_full_funnel"),
+    )
+
+
+@query(
+    "r12_percent_rank",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}, {_TOTALS_CTE}
+SELECT market, symbol,
+       CAST(ROUND(total_amount * 100) AS BIGINT) AS amt_cents,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM totals
+WINDOW w AS (PARTITION BY market
+             ORDER BY CAST(ROUND(total_amount * 100) AS BIGINT), symbol)
+ORDER BY market, symbol""",
+)
+def r12_percent_rank(spark, sf_dir):
+    """PERCENT_RANK + CUME_DIST per market over exact cent totals with a
+    symbol tiebreak (total order -> both statistics deterministic) —
+    completes the ranking-function family (r6's rank/dense_rank/ntile).
+    Window partitions bounded by each market's symbol count."""
+    w = Window.partitionBy("market").orderBy(
+        F.round(F.col("total_amount") * 100).cast("long"), F.col("symbol")
+    )
+    return (
+        _symbol_totals(spark, sf_dir)
+        .select(
+            "market",
+            "symbol",
+            F.round(F.col("total_amount") * 100).cast("long").alias("amt_cents"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("market", "symbol")
+    )
+
+
+@query("apx6_hll_day_overlap")
+def apx6_hll_day_overlap(spark, sf_dir):
+    """Distinct-user OVERLAP between consecutive days estimated purely
+    from mergeable HLL sketches (|A ∩ B| ≈ |A| + |B| - |A ∪ B|, the
+    inclusion-exclusion trick) — the set-operation read sketches enable
+    without rescanning raw ids: per-day sketches are kilobytes and the
+    union is a sketch merge, so day-over-day retention estimates never
+    touch the event stream again. No oracle (sketch estimates); the
+    estimate is parity-tested against exact intersections in pytest."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("_sk"))
+    )
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-1, 0)
+    paired = daily.select(
+        "day",
+        F.hll_sketch_estimate("_sk").cast("long").alias("day_users"),
+        F.lag("_sk").over(Window.orderBy(F.unix_date(F.col("day")))).alias("_prev"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sk").over(w))
+        .cast("long")
+        .alias("_union2"),
+    )
+    prev_est = F.hll_sketch_estimate(F.col("_prev")).cast("long")
+    return (
+        paired.filter(F.col("_prev").isNotNull())
+        .select(
+            "day",
+            "day_users",
+            prev_est.alias("prev_day_users"),
+            (F.col("day_users") + prev_est - F.col("_union2")).alias(
+                "overlap_estimate"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -68,7 +68,10 @@ def _unbounded_single_partition(p: str) -> int:
     """Count SinglePartition exchanges whose tree child is NOT an
     aggregate (see audit_plan). Parses the formatted-explain tree: node
     ids whose detail block says ``Arguments: SinglePartition``, then the
-    first tree line below the exchange's with deeper indentation."""
+    first tree line below the exchange's with deeper indentation —
+    descending through row-count-preserving/reducing pass-through nodes
+    (Project, Filter): a projection over a partial aggregate (e.g. the
+    window's sort-key expression) does not unbound the exchange."""
     sp_ids = {
         int(m.group(1))
         for m in re.finditer(
@@ -88,9 +91,16 @@ def _unbounded_single_partition(p: str) -> int:
     count = 0
     for i, (indent, name, nid) in enumerate(tree):
         if nid in sp_ids:
-            child = next(
-                (t for t in tree[i + 1 :] if t[0] > indent), None
-            )
+            below = [t for t in tree[i + 1 :] if t[0] > indent]
+            child = below[0] if below else None
+            j = 0
+            while (
+                child is not None
+                and child[1].split()[0] in ("Project", "Filter")
+                and j + 1 < len(below)
+            ):
+                j += 1
+                child = below[j]
             if child is None or "Aggregate" not in child[1]:
                 count += 1
     return count

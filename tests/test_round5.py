@@ -293,3 +293,38 @@ def test_scene_change_stats_detects_inserted_cut(spark):
     assert got[1]["n_cuts"] == 1
     assert got[2]["n_cuts"] == 0
     assert got[1]["n_frames"] == 5
+
+
+def test_hll_day_overlap_within_error(spark):
+    """The inclusion-exclusion sketch overlap must track the exact
+    day-over-day distinct-user intersection within combined HLL error
+    (~3 sketches x 0.8% at lg_k=14 — use a generous 5% + small absolute
+    floor at these cardinalities)."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        apx6_hll_day_overlap,
+    )
+    from market_data_pipeline_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    est = {r["day"]: r for r in apx6_hll_day_overlap(spark, sf).collect()}
+    events = load_table(spark, sf, "events")
+    days = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    a = days.alias("a")
+    b = days.select(
+        F.date_add("day", 1).alias("day"), F.col("user_id")
+    ).alias("b")
+    exact = {
+        r["day"]: r["n"]
+        for r in a.join(b, ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for day, r in est.items():
+        want = exact[day]
+        assert abs(r["overlap_estimate"] - want) <= max(5, 0.05 * want), (
+            day,
+            r["overlap_estimate"],
+            want,
+        )
