@@ -23,6 +23,7 @@ on ``trade_month``); the dim table is small enough to rewrite whole.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,8 +98,6 @@ class ParquetTable:
         and Spark cannot overwrite a directory it is still scanning. Local
         FS rename is atomic; on an object store this would be a staged
         prefix + pointer swap (or a table format like Delta/Iceberg)."""
-        import shutil
-
         tmp = self.path.rstrip("/") + ".stage.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         self._write(df, "overwrite", path=tmp)
@@ -198,8 +197,6 @@ class ParquetTable:
     def _rewrite_partition(self, value: str, transform) -> None:
         """Stage-and-swap ONE hive partition directory through
         ``transform(df) -> df`` (df excludes the partition column)."""
-        import shutil
-
         pdir = os.path.join(self.path, f"{self.partition_col}={value}")
         out = transform(self.spark.read.parquet(pdir))
         tmp = pdir + ".stage.tmp"
@@ -283,6 +280,87 @@ class ParquetTable:
             return
         for value in self._partition_values(predicate):
             self._rewrite_partition(value, lambda df: df.filter(~predicate))
+
+    # -- snapshots / time travel ------------------------------------------
+    def _snapshot_dir(self, tag: str | None = None) -> str:
+        base = self.path.rstrip("/") + ".snapshots"
+        return os.path.join(base, tag) if tag else base
+
+    def snapshot(self, tag: str) -> str:
+        """Create a named snapshot of the table's CURRENT files — the
+        poor-man's Delta/Iceberg version pin. On a local FS the data
+        files are HARD-LINKED (metadata-only: no bytes copied, and
+        later overwrite/compact of the live table cannot disturb the
+        pinned inodes); on an object store the same operation is a
+        manifest copy. Snapshots live in a sibling ``<path>.snapshots/``
+        directory so the live table's scans never pick them up.
+
+        Mutations after a snapshot behave correctly by construction:
+        ``append`` adds new files only to the live directory;
+        ``overwrite``/``compact`` stage-and-swap the live directory but
+        the snapshot's links keep the original file contents alive.
+        """
+        if not self.exists():
+            raise FileNotFoundError(f"cannot snapshot missing table {self.path}")
+        dst = self._snapshot_dir(tag)
+        if os.path.exists(dst):
+            raise FileExistsError(f"snapshot {tag!r} already exists")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+
+        def _link(src: str, d: str) -> None:
+            try:
+                os.link(src, d)
+            except OSError:  # cross-device / FS without hard links
+                shutil.copy2(src, d)
+
+        shutil.copytree(self.path, dst, copy_function=_link)
+        return dst
+
+    def snapshots(self) -> list[str]:
+        base = self._snapshot_dir()
+        if not os.path.isdir(base):
+            return []
+        return sorted(os.listdir(base))
+
+    def read_snapshot(self, tag: str) -> DataFrame:
+        """Time-travel read: the table exactly as of ``snapshot(tag)``,
+        with the same version-dedup semantics as ``read_current``."""
+        dst = self._snapshot_dir(tag)
+        if not os.path.isdir(dst):
+            raise FileNotFoundError(f"no snapshot {tag!r} for {self.path}")
+        df = self.spark.read.parquet(dst)
+        if self.partition_col:
+            df = df.drop(self.partition_col)
+        if self.version_col:
+            df = dedup_latest(df, self.key, self.version_col)
+        return df
+
+    def restore(self, tag: str) -> None:
+        """Roll the live table back to a snapshot via the same atomic
+        stage-and-swap as ``overwrite`` (the snapshot itself is left
+        intact, so a restore can be undone by restoring another tag)."""
+        dst = self._snapshot_dir(tag)
+        if not os.path.isdir(dst):
+            raise FileNotFoundError(f"no snapshot {tag!r} for {self.path}")
+        tmp = self.path.rstrip("/") + ".stage.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        def _link(src: str, d: str) -> None:
+            try:
+                os.link(src, d)
+            except OSError:
+                shutil.copy2(src, d)
+
+        shutil.copytree(dst, tmp, copy_function=_link)
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.rename(tmp, self.path)
+        self.spark.catalog.refreshByPath(self.path)
+
+    def drop_snapshot(self, tag: str) -> None:
+        dst = self._snapshot_dir(tag)
+        if not os.path.isdir(dst):
+            raise FileNotFoundError(f"no snapshot {tag!r} for {self.path}")
+        shutil.rmtree(dst)
 
 
 def migrate_csv_to_table(

@@ -277,3 +277,47 @@ def test_dedup_latest_keeps_winning_rows_nulls(spark):
     out = {r["symbol"]: (r["update_dt"], r["name"])
            for r in dedup_latest(df, "symbol").collect()}
     assert out == {"A": (2, None), "B": (2, "new")}
+
+
+def test_snapshot_time_travel_and_restore(spark, tmp_path):
+    """Snapshots pin the table's exact state through later appends,
+    overwrites, and compaction; restore rolls the live table back via
+    the atomic stage-and-swap; hard-linked snapshot files survive the
+    originals' deletion."""
+    t = stock_price_table(spark, str(tmp_path / "price"))
+    t.overwrite(spark.createDataFrame(price_rows(), PRICE_COLS))
+    base_count = t.read_raw().count()
+
+    t.snapshot("v1")
+    assert t.snapshots() == ["v1"]
+
+    # append after the snapshot: live grows, snapshot does not
+    t.append(
+        spark.createDataFrame(
+            [("000099", D(2024, 3, 9), 50.0, 1, 1, TS(2024, 3, 9), TS(2024, 3, 9))],
+            PRICE_COLS,
+        )
+    )
+    assert t.read_raw().count() == base_count + 1
+    assert t.read_snapshot("v1").count() == base_count
+
+    # overwrite (deletes the original files) — the hard links keep v1 alive
+    t.overwrite(spark.createDataFrame(price_rows()[:3], PRICE_COLS))
+    assert t.read_raw().count() == 3
+    assert t.read_snapshot("v1").count() == base_count
+
+    # restore: live table back to v1 exactly (order-insensitive rows)
+    t.restore("v1")
+    got = {tuple(map(str, r)) for r in t.read_raw().collect()}
+    want = {tuple(map(str, r)) for r in t.read_snapshot("v1").collect()}
+    assert got == want and len(got) == base_count
+
+    # duplicate tag refused; drop removes it
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        t.snapshot("v1")
+    t.drop_snapshot("v1")
+    assert t.snapshots() == []
+    with _pytest.raises(FileNotFoundError):
+        t.read_snapshot("v1")
