@@ -328,3 +328,71 @@ def test_hll_day_overlap_within_error(spark):
             r["overlap_estimate"],
             want,
         )
+
+
+def test_banded_range_join_unaligned_hi_keeps_top_bucket(spark):
+    """Regression (r4 advisor): a hi lying within 1e-9 above a bucket
+    boundary must still match fact rows in [boundary, hi)."""
+    from market_data_pipeline_spark.operators.rangejoin import banded_range_join
+
+    fact = spark.createDataFrame([(10.0,), (10.5,)], "v double")
+    dim = spark.createDataFrame(
+        [("band", 0.0, 10.0 + 5e-10)], "band string, lo double, hi double"
+    )
+    got = banded_range_join(fact, dim, "v", bucket_width=10.0).collect()
+    assert [r["v"] for r in got] == [10.0]  # 10.0 < hi, 10.5 > hi
+
+
+def test_banded_range_join_inverted_interval_matches_nothing(spark):
+    from market_data_pipeline_spark.operators.rangejoin import banded_range_join
+
+    fact = spark.createDataFrame([(5.0,)], "v double")
+    dim = spark.createDataFrame(
+        [("bad", 100.0, 0.0), ("ok", 0.0, 10.0)],
+        "band string, lo double, hi double",
+    )
+    got = banded_range_join(fact, dim, "v", bucket_width=1.0).collect()
+    assert [(r["band"], r["v"]) for r in got] == [("ok", 5.0)]
+
+
+def test_banded_range_join_left_keeps_unmatched(spark):
+    from market_data_pipeline_spark.operators.rangejoin import banded_range_join
+
+    fact = spark.createDataFrame([(5.0,), (50.0,)], "v double")
+    dim = spark.createDataFrame(
+        [("a", 0.0, 10.0)], "band string, lo double, hi double"
+    )
+    got = {
+        r["v"]: r["band"]
+        for r in banded_range_join(fact, dim, "v", how="left").collect()
+    }
+    assert got == {5.0: "a", 50.0: None}
+
+
+def test_perceptual_hash_tiny_and_grayscale_images(spark):
+    """Regression (r4 advisor): images smaller than the grid and 2-D
+    grayscale decodes must hash without NaN degeneracy."""
+    import numpy as np
+
+    from market_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        perceptual_hash,
+    )
+
+    tiny = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)  # h,w < 8
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "image",
+                tiny.tobytes(),
+                {"format": "raw-rgb8", "width": 5, "height": 4, "channels": 3,
+                 "sample_rate": None, "n_frames": None},
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = perceptual_hash(df).collect()
+    assert len(rows) == 1 and rows[0]["phash"] is not None
+    # deterministic on rerun
+    assert perceptual_hash(df).collect()[0]["phash"] == rows[0]["phash"]
