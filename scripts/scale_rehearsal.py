@@ -248,19 +248,58 @@ def rehearse_skew_join(spark, n_fact: int = 6_000_000, n_dim: int = 50_000) -> d
     return {"n_fact": n_fact, "n_dim": n_dim, "hot_key_share": 0.5, **results}
 
 
+def rehearse_chained_streaming(spark, events_copies: int = 10) -> dict:
+    """D. Chained stateful streaming (the st13 shape: dedup-agg ->
+    count-agg, two state stores) at 10x the events volume, across state
+    partition counts. The chained form doubles the per-micro-batch
+    state-store commit count vs a single aggregation, so the
+    state-partitioning rule (§A: choose from state volume, don't inherit
+    the batch shuffle setting) matters twice as much here — this
+    measures it on the two-operator topology."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    sf1 = os.path.join(SCRATCH, f"events_x{events_copies}")
+    # warmup at bench scale (class loading / state-store init)
+    sj.run_stream_to_memory(
+        sj.streaming_distinct_users(sj.read_events_stream(spark, SRC)),
+        "rehearsal_d_warmup",
+        output_mode="append",
+        state_partitions=8,
+    ).count()
+    results: dict[str, dict] = {}
+    for parts in (4, 8, 32):
+        t0 = time.perf_counter()
+        out = sj.run_stream_to_memory(
+            sj.streaming_distinct_users(sj.read_events_stream(spark, sf1)),
+            f"rehearsal_d_{parts}",
+            output_mode="append",
+            state_partitions=parts,
+        )
+        n = out.count()
+        results[str(parts)] = {
+            "state_partitions": parts,
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "rows": n,
+        }
+        print(f"  state_partitions={parts}: {results[str(parts)]}", flush=True)
+    rows = {r["rows"] for r in results.values()}
+    assert len(rows) == 1, f"result rows differ across partitionings: {results}"
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--events-copies", type=int, default=10)
     ap.add_argument("--doc-copies", type=int, default=10)
     ap.add_argument(
-        "--only", choices=["A", "B", "C"], default=None,
-        help="run a single section instead of all three",
+        "--only", choices=["A", "B", "C", "D"], default=None,
+        help="run a single section instead of all",
     )
     args = ap.parse_args()
 
     from market_data_pipeline_spark.session import get_spark
 
-    if args.only in (None, "A", "B"):
+    if args.only in (None, "A", "B", "D"):
         build_scratch(args.events_copies, args.doc_copies)
     spark = get_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
@@ -275,6 +314,9 @@ def main() -> int:
     if args.only in (None, "C"):
         print("C. skewed-key join: AQE split vs explicit salting", flush=True)
         out["skew_join"] = rehearse_skew_join(spark)
+    if args.only in (None, "D"):
+        print(f"D. chained stateful streaming @ {args.events_copies}x events", flush=True)
+        out["chained_streaming"] = rehearse_chained_streaming(spark, args.events_copies)
     print(json.dumps(out, indent=2))
     return 0
 
