@@ -220,6 +220,7 @@ _COST = {
     "k13_ivf_balance": 0.80, "fx4_winsorized_returns": 0.80,
     "e22_anomalous_days": 0.50, "e23_funnel_3step": 0.90,
     "r12_percent_rank": 0.80, "apx6_hll_day_overlap": 0.70,
+    "e24_event_pagerank": 3.50,
 }
 
 

@@ -7734,6 +7734,32 @@ def apx6_hll_day_overlap(spark, sf_dir):
     )
 
 
+@query("e24_event_pagerank")
+def e24_event_pagerank(spark, sf_dir):
+    """PageRank over the event-type follow graph (which event type
+    accumulates attention mass under random-surfer dynamics) — the
+    canonical distributed ITERATIVE algorithm done the scale-correct
+    way: one join + one map-combined aggregate per iteration, the
+    normalized edge list checkpointed once as the loop invariant, ranks
+    checkpointed every 3 iterations to bound plan depth, dangling mass
+    redistributed via a broadcast scalar. The type graph here is small;
+    the operator is node-count-agnostic (nothing driver-side but the
+    iteration counter). No oracle (iterative fixed point is not
+    SQL-expressible); parity vs a dense numpy power iteration is pinned
+    by pytest to 1e-9. See operators.graph.pagerank."""
+    from market_data_pipeline_spark.operators.graph import (
+        pagerank,
+        session_follow_edges,
+    )
+
+    edges = session_follow_edges(load_table(spark, sf_dir, "events"))
+    return (
+        pagerank(edges, iterations=10)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

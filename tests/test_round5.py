@@ -396,3 +396,48 @@ def test_perceptual_hash_tiny_and_grayscale_images(spark):
     assert len(rows) == 1 and rows[0]["phash"] is not None
     # deterministic on rerun
     assert perceptual_hash(df).collect()[0]["phash"] == rows[0]["phash"]
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """Distributed PageRank equals a dense numpy power iteration on a
+    small graph with a dangling node and weighted (duplicate) edges."""
+    import numpy as np
+
+    from market_data_pipeline_spark.operators.graph import pagerank
+
+    # nodes 0..3; node 3 dangles; edge 0->1 doubled (weight 2)
+    edge_list = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=25).collect()}
+
+    n, d = 4, 0.85
+    M = np.zeros((n, n))
+    from collections import Counter
+
+    cnt = Counter(edge_list)
+    deg = Counter(s for s, _ in edge_list)
+    for (s, t), m in cnt.items():
+        M[t][s] = m / deg[s]
+    r = np.full(n, 1 / n)
+    for _ in range(25):
+        dangling = sum(r[i] for i in range(n) if i not in deg)
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_session_follow_edges_ordering(spark):
+    from market_data_pipeline_spark.operators.graph import session_follow_edges
+
+    df = _events(
+        spark,
+        [
+            (1, T0, 1, "view", 0.0),
+            (2, T0 + dt.timedelta(seconds=1), 1, "click", 0.0),
+            (3, T0 + dt.timedelta(seconds=2), 1, "purchase", 0.0),
+            (4, T0, 2, "view", 0.0),  # single event: no edge
+        ],
+    )
+    got = {(r["src"], r["dst"]) for r in session_follow_edges(df).collect()}
+    assert got == {("view", "click"), ("click", "purchase")}
