@@ -1261,3 +1261,41 @@ def charset_stats(
         F.when(F.col("_n") > 0, _ratio(r"[^ \t\n\r]")).alias("space_ratio"),
         F.when(F.col("_n") > 0, _ratio(r"[^A-Z]")).alias("upper_ratio"),
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "42",
+) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement via
+    Efraimidis-Spirakis exponential keys: each row gets the key
+    ``u^(1/w)`` for a uniform u, and the k largest keys are exactly a
+    weighted sample without replacement — the one-pass, shuffle-free
+    rewrite of "draw k times proportionally, removing winners" (which is
+    inherently sequential and unrunnable on a cluster).
+
+    The uniform is the deterministic md5 construction every sampler here
+    uses (first 6 hex digits of md5(seed:key)), so the sample is
+    reproducible and engine-independent; top-k runs as
+    TakeOrderedAndProject (per-partition heaps, no full sort). Ties on
+    the ES key break on the row key. Weights must be > 0; non-positive
+    weights are filtered out (they can never be drawn).
+    Adds an ``es_key`` column to the kept rows.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string")).cast("binary")
+    )
+    u = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") / F.lit(16777216.0)
+    # guard u=0 (would force key 0 regardless of weight): bump to the
+    # smallest representable step of the 24-bit uniform
+    u_safe = F.greatest(u, F.lit(1.0 / 16777216.0))
+    es_key = F.pow(u_safe, F.lit(1.0) / weight)
+    return (
+        df.filter(weight > 0)
+        .withColumn("es_key", es_key)
+        .orderBy(F.desc("es_key"), key_col)
+        .limit(k)
+    )

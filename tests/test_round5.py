@@ -441,3 +441,41 @@ def test_session_follow_edges_ordering(spark):
     )
     got = {(r["src"], r["dst"]) for r in session_follow_edges(df).collect()}
     assert got == {("view", "click"), ("click", "purchase")}
+
+
+def test_es_weighted_sample_matches_reference(spark):
+    """The distributed ES top-k equals a pure-Python computation of the
+    same deterministic keys, and heavier weights dominate: with weights
+    1000 vs 1, the top-k is (overwhelmingly) the heavy rows."""
+    import hashlib
+
+    from market_data_pipeline_spark.operators.text import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        r["doc_id"]
+        for r in weighted_sample_without_replacement(
+            df, F.col("w"), k=8, key_col="doc_id"
+        ).collect()
+    ]
+
+    def es_key(i, w):
+        u = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:6], 16) / 16777216.0
+        u = max(u, 1 / 16777216.0)
+        return u ** (1.0 / w)
+
+    want = sorted(rows, key=lambda r: (-es_key(*r), r[0]))[:8]
+    assert got == [i for i, _ in want]
+    # weight dominance is probabilistic, not absolute (a light row with an
+    # extreme uniform can legitimately win — that IS the ES distribution):
+    # the 10 heavy rows (5% of the population) must be overrepresented
+    assert sum(1 for i in got if i < 10) >= 4
+    # zero/negative weights are never drawn
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 1.0)], "doc_id long, w double"
+    )
+    got2 = weighted_sample_without_replacement(df2, F.col("w"), k=3).collect()
+    assert [r["doc_id"] for r in got2] == [3]
