@@ -300,3 +300,63 @@ def test_radius_search_no_post_scan_shuffle(plans):
     facts = plans("k8_radius_search")
     assert facts["smj"] == 0
     assert facts["scans"] == 2  # corpus + query slice
+
+
+# --- round-5 plan shapes -----------------------------------------------------
+
+
+def test_a13_breadth_line_broadcasts_master(plans):
+    # the returns->market join must broadcast the symbol dim; the
+    # cumulative AD window partitions by market (never SinglePartition)
+    facts = plans("a13_advance_decline")
+    assert facts["bhj"] >= 1
+    assert facts["unbounded_single_partition"] == 0
+
+
+def test_j12_top_customers_broadcasts_nation(plans):
+    facts = plans("j12_nation_top_customers")
+    assert facts["bhj"] >= 1          # 25-row nation dim must broadcast
+    assert facts["unbounded_single_partition"] == 0
+
+
+def test_e23_funnel_single_scan(plans):
+    # three chained conditional-min windows share ONE events scan and one
+    # user-key shuffle — the whole point vs the oracle's three self-joins
+    facts = plans("e23_funnel_3step")
+    assert facts["scans"] == 1
+    assert facts["smj"] == 0
+
+
+def test_dq4_ship_lag_prunes_columns(plans):
+    # the lineitem side must read only (l_orderkey, l_shipdate)
+    facts = plans("dq4_ship_lag")
+    assert facts["max_read_cols"] <= 4
+
+
+def test_smp9_systematic_no_single_task_rank(plans):
+    # the global row number comes from the range-partitioned rank path
+    facts = plans("smp9_systematic_sample")
+    assert facts["unbounded_single_partition"] == 0
+
+
+def test_k13_ivf_balance_broadcast_centroids(plans):
+    # centroid scoring joins against a broadcast (tiny centroid set);
+    # the corpus never reaches a sort-merge join
+    facts = plans("k13_ivf_balance")
+    assert facts["smj"] == 0
+    assert (facts["bhj"] + facts["plan_text"].count("BroadcastNestedLoopJoin")) >= 1
+
+
+def test_fx4_winsorize_date_partitioned_window(plans):
+    # the percentile window partitions by trade_date (bounded by the
+    # universe) — no unbounded single-partition exchange
+    facts = plans("fx4_winsorized_returns")
+    assert facts["unbounded_single_partition"] == 0
+
+
+def test_tx18_tx20_map_only(plans):
+    for name in ("tx18_charset_stats", "tx20_lexical_diversity"):
+        facts = plans(name)
+        assert facts["scans"] == 1
+        assert facts["smj"] == 0 and facts["bhj"] == 0
+        assert facts["max_read_cols"] <= 2
