@@ -1174,3 +1174,96 @@ def mmr_select(
     return spark.createDataFrame(
         out_rows, f"rank long, {id_col} long, relevance double, mmr_score double"
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """PERSIST an IVF index: corpus vectors written to parquet
+    hive-partitioned by their nearest centroid (one directory per
+    inverted list). Build once, probe many — the serving shape
+    :func:`knn_ivf` computes transiently.
+
+    At 100 TB this is the difference between an index and a scan: a
+    probe filters on ``centroid_id`` and Spark's partition pruning
+    reduces the FILE LISTING to the probed directories — the other
+    (n_centroids - n_probe)/n_centroids of the corpus is never opened,
+    not even its footers. Each list directory is internally one or few
+    files (repartitioned by centroid before the write, the
+    storage-layout discipline ParquetTable uses).
+    """
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, keep_vec=True)
+    (
+        assigned.select(id_col, vec_col, "centroid_id")
+        .repartition(F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Probe a persisted IVF index (:func:`build_ivf_index`): rank each
+    query's ``n_probe`` nearest centroids, read ONLY those inverted-list
+    partitions (the ``centroid_id`` IN-filter prunes at the file-listing
+    level), and rank exactly within the probed lists.
+
+    The probe set is collected driver-side — bounded by
+    |queries| x n_probe centroid IDS (integers, never vectors) — so the
+    partition filter is a literal IN-list the scan can prune on;
+    per-query assignment then re-filters the union of probed lists.
+    Returns (query_id, vec_id, cosine, rank) like :func:`knn_ivf`.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
+    )
+    qsim = cosine(F.col("_qvec"), F.col("_cvec"))
+    if round_digits is not None:
+        qsim = F.round(qsim, round_digits)
+    qw = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_qcsim"), F.col("centroid_id")
+    )
+    probes = (
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+        .crossJoin(F.broadcast(c))
+        .select(
+            F.col(query_id_col),
+            F.col("_qvec"),
+            F.col("centroid_id"),
+            qsim.alias("_qcsim"),
+        )
+        .withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, "_qvec", "centroid_id")
+    )
+    probed_ids = sorted(
+        {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
+    )  # bounded: <= |queries| x n_probe integers
+    lists = spark.read.parquet(path).filter(F.col("centroid_id").isin(probed_ids))
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(F.col(query_id_col), F.col(id_col), sim.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -479,3 +479,39 @@ def test_es_weighted_sample_matches_reference(spark):
     )
     got2 = weighted_sample_without_replacement(df2, F.col("w"), k=3).collect()
     assert [r["doc_id"] for r in got2] == [3]
+
+
+def test_ivf_index_persisted_probe_matches_transient(spark, tmp_path):
+    """A persisted IVF index probed from disk returns exactly the
+    transient knn_ivf results, and the probe's scan prunes to the probed
+    centroid partitions (partition filter visible in the plan)."""
+    from market_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        query_ivf_index,
+    )
+    from market_data_pipeline_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, cents)
+
+    got = query_ivf_index(spark, path, queries, cents, k=5, n_probe=3)
+    want = knn_ivf(
+        emb, queries, k=5, n_centroids=8, n_probe=3, centroids=cents
+    )
+    as_set = lambda df: {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"]) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want) and len(as_set(got)) > 0
+
+    # partition pruning: the index scan's partition filter names centroid_id
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
+    assert len(dirs) == 8  # one inverted-list directory per centroid
