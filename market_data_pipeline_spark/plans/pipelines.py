@@ -182,13 +182,20 @@ def run_daily_update(
     raw_delisted: DataFrame,
     backup_dir: str | None = None,
     now: dt.datetime | None = None,
+    snapshot_tag: str | None = None,
 ) -> dict:
     """The full daily batch (reference:
     scripts/daily_stock_master_update.py:333-367): listed-stock upsert,
     new-listing sync, delisted sync, compaction ("OPTIMIZE FINAL"), stats.
 
     Safe to re-run: every step is insert-if-absent or a keyed overwrite.
+    ``snapshot_tag`` pins a pre-update table snapshot first (hard-linked,
+    metadata-only) so a bad upstream feed is one ``master.restore(tag)``
+    away from undone — the rollback story the reference's timestamped
+    parquet backups approximate with full copies.
     """
+    if snapshot_tag is not None and master.exists():
+        master.snapshot(snapshot_tag)
     inserted_listed = update_listed_stocks(master, per_market_listings, now)
     inserted_new = sync_new_listings(master, raw_new_listings, now)
     delisted_stats = sync_delisted_stocks(
@@ -210,5 +217,6 @@ def run_daily_update(
         "inserted_listed": inserted_listed,
         "inserted_new_listings": inserted_new,
         "delisted_sync": delisted_stats,
+        "pre_update_snapshot": snapshot_tag,
         **counts,
     }

@@ -215,3 +215,34 @@ def test_fdr_feeds_daily_pipeline(spark, tmp_path):
     n = PL.update_listed_stocks(master, src.fetch_all(markets=("KOSPI",)), now=NOW)
     assert n == 1  # bootstrap write reports the real row count
     assert master.read_current().count() == 1
+
+
+def test_daily_update_pre_snapshot_rollback(spark, master, tmp_path):
+    """A snapshot-tagged daily update is one restore away from undone:
+    run once to seed, snapshot-run a second batch, restore, and the
+    table equals its pre-second-batch state exactly."""
+    delisted_src = krx.KrxDelistedSource(spark, transport=euc_kr_transport(DELISTED_HTML))
+    listing_src = krx.KrxNewListingSource(spark, transport=euc_kr_transport(LISTING_HTML))
+    raw_delisted = delisted_src.fetch_market("KOSPI")
+    raw_new = listing_src.fetch_market("KOSDAQ")
+
+    PL.run_daily_update(master, _listings(spark), raw_new, raw_delisted, now=NOW)
+    before = {tuple(map(str, r)) for r in master.read_current().collect()}
+
+    extra = spark.createDataFrame(
+        [("999999", "Late Entrant")], ["symbol", "name"]
+    )
+    report = PL.run_daily_update(
+        master,
+        {"KOSPI": extra},
+        raw_new,
+        raw_delisted,
+        now=NOW,
+        snapshot_tag="pre_batch2",
+    )
+    assert report["pre_update_snapshot"] == "pre_batch2"
+    assert report["inserted_listed"] == 1  # the batch did change the table
+
+    master.restore("pre_batch2")
+    after = {tuple(map(str, r)) for r in master.read_current().collect()}
+    assert after == before
