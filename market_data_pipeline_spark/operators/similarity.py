@@ -1267,3 +1267,27 @@ def query_ivf_index(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a persisted IVF index
+    (:func:`build_ivf_index`): assign the new vectors against the SAME
+    centroids and append into the existing inverted-list partitions —
+    the continuous-ingest path (a full rebuild is only needed when the
+    centroids themselves are re-learned, i.e. on distribution drift, not
+    on every batch). Appends touch only the lists the new vectors land
+    in; existing files are never rewritten."""
+    assigned = ivf_assign(new_vectors, centroids, id_col, vec_col, keep_vec=True)
+    (
+        assigned.select(id_col, vec_col, "centroid_id")
+        .repartition(F.col("centroid_id"))
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )

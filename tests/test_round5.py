@@ -515,3 +515,36 @@ def test_ivf_index_persisted_probe_matches_transient(spark, tmp_path):
 
     dirs = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
     assert len(dirs) == 8  # one inverted-list directory per centroid
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """Appending new vectors to a persisted index makes them probeable
+    without rebuilding, and the combined index equals a from-scratch
+    build over the union."""
+    from market_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from market_data_pipeline_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter(F.col("vec_id") >= 300)
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+
+    inc_path = str(tmp_path / "ivf_inc")
+    build_ivf_index(old, inc_path, cents)
+    append_to_ivf_index(new, inc_path, cents)
+
+    full_path = str(tmp_path / "ivf_full")
+    build_ivf_index(emb, full_path, cents)
+
+    as_set = lambda df: {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"]) for r in df.collect()
+    }
+    got = as_set(query_ivf_index(spark, inc_path, queries, cents, k=5, n_probe=3))
+    want = as_set(query_ivf_index(spark, full_path, queries, cents, k=5, n_probe=3))
+    assert got == want and len(got) > 0
