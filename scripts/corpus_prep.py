@@ -36,11 +36,21 @@ def prepare_corpus(
     chunk_tokens: int = 64,
     overlap: int = 16,
     n_shards: int = 8,
+    min_ascii_ratio: float | None = None,
+    min_ttr: float | None = None,
+    max_dup_sentence_ratio: float | None = None,
 ):
     """Run the full prep pipeline on a documents DataFrame.
 
     Returns (chunks_df_with_shards, stage_counts dict). Library entry so
     tests drive the identical composition the CLI runs.
+
+    The optional round-5 gates are OFF by default (None): a minimum
+    printable-ASCII ratio (binary-spill / mojibake floor — leave off for
+    intentionally multilingual corpora), a minimum type-token ratio
+    (template/repetition floor), and a maximum within-doc duplicate-
+    sentence ratio (boilerplate floor). All three are map-only column
+    expressions folded into the same quality scan.
     """
     from pyspark.sql import functions as F
 
@@ -51,6 +61,30 @@ def prepare_corpus(
     # 1. quality floor: drop empty/ultra-short docs (permissive default —
     # quality scoring is advisory, hard floors only remove degenerate rows)
     q = docs.filter(tx.token_count(F.col("text")) >= min_tokens)
+    if min_ascii_ratio is not None:
+        kept = F.length(F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", ""))
+        q = q.filter(kept >= min_ascii_ratio * F.length(F.col("text")))
+    if min_ttr is not None:
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        )
+        q = q.filter(
+            F.size(F.array_distinct(toks)) >= min_ttr * F.size(toks)
+        )
+    if max_dup_sentence_ratio is not None:
+        sents = F.filter(
+            F.transform(
+                F.split(F.trim(F.col("text")), r"[.!?]+"), lambda s: F.trim(s)
+            ),
+            lambda s: s != "",
+        )
+        q = q.filter(
+            (F.size(sents) == 0)
+            | (
+                F.size(sents) - F.size(F.array_distinct(sents))
+                <= max_dup_sentence_ratio * F.size(sents)
+            )
+        )
     # the survivor set feeds four downstream consumers (exact dedup,
     # minhash, cluster survivor join, chunking) — materialize once
     q = q.localCheckpoint(eager=False)
@@ -125,6 +159,12 @@ def main() -> int:
     ap.add_argument("--chunk-tokens", type=int, default=64)
     ap.add_argument("--overlap", type=int, default=16)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--min-ascii-ratio", type=float, default=None,
+                    help="drop docs below this printable-ASCII ratio (off by default)")
+    ap.add_argument("--min-ttr", type=float, default=None,
+                    help="drop docs below this type-token ratio (off by default)")
+    ap.add_argument("--max-dup-sentence-ratio", type=float, default=None,
+                    help="drop docs above this duplicate-sentence ratio (off by default)")
     args = ap.parse_args()
 
     from market_data_pipeline_spark.session import get_spark
@@ -142,6 +182,9 @@ def main() -> int:
         chunk_tokens=args.chunk_tokens,
         overlap=args.overlap,
         n_shards=args.shards,
+        min_ascii_ratio=args.min_ascii_ratio,
+        min_ttr=args.min_ttr,
+        max_dup_sentence_ratio=args.max_dup_sentence_ratio,
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
     counts["output"] = args.output

@@ -107,3 +107,35 @@ def test_train_val_test_split_fractions(spark):
     assert 0.74 < counts["train"] / n < 0.85
     assert 0.06 < counts["val"] / n < 0.14
     assert 0.06 < counts["test"] / n < 0.14
+
+
+def test_prepare_corpus_round5_gates(spark):
+    """The optional charset/TTR/dup-sentence gates drop exactly the
+    crafted offenders and leave clean docs alone; defaults (None) change
+    nothing."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from corpus_prep import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a clean document with several distinct words here. and one more sentence too.", "en", "s", 10),
+            (2, "中文内容 全部都是 非ASCII 字符 的文档 测试用", "zh", "s", 10),  # low ascii ratio
+            (3, "spam spam spam spam spam spam spam spam", "en", "s", 10),  # low TTR
+            (4, "buy now. buy now. buy now. buy now. unique tail words follow here.", "en", "s", 10),  # dup sentences
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # defaults: all four survive the quality stage
+    _, counts0 = prepare_corpus(spark, docs, min_tokens=2, n_shards=2)
+    assert counts0["after_quality"] == 4
+    _, counts = prepare_corpus(
+        spark,
+        docs,
+        min_tokens=2,
+        n_shards=2,
+        min_ascii_ratio=0.8,
+        min_ttr=0.3,
+        max_dup_sentence_ratio=0.5,
+    )
+    assert counts["after_quality"] == 1
