@@ -200,27 +200,27 @@ _COST = {
     "fx1_feature_matrix": 0.55, "fx2_point_in_time_join": 0.90,
     "smp8_purged_split": 0.55, "apx5_sliding_actives_hll": 0.60,
     # round-5 additions (estimates from sf0.01 oracle-check wall times)
-    "e16_interarrival_stats": 0.50, "e17_hourly_profile": 0.45,
-    "e18_first_touch_attribution": 0.55, "e19_event_type_pairs": 0.50,
-    "e20_stickiness": 0.45, "dq4_ship_lag": 0.55, "dq5_benford_digits": 0.40,
-    "ts29_ulcer_index": 1.30, "ts30_obv": 1.30, "ts31_streaks": 1.35,
-    "r10_share_of_total": 0.80, "r11_close_quartiles": 0.50,
-    "smp9_systematic_sample": 1.10, "k10_centroid_distances": 0.75,
-    "tx18_charset_stats": 0.55, "a13_advance_decline": 1.40,
-    "cdc3_point_in_time_status": 0.45, "k11_norm_stats": 0.65,
-    "fx3_lagged_features": 0.50, "tx19_dup_sentences": 0.50,
-    "j12_nation_top_customers": 0.70, "ts32_monthly_seasonality": 1.10,
-    "st13_streaming_distinct_users": 1.60,
+    "e16_interarrival_stats": 0.48, "e17_hourly_profile": 0.38,
+    "e18_first_touch_attribution": 0.43, "e19_event_type_pairs": 0.28,
+    "e20_stickiness": 0.32, "dq4_ship_lag": 0.68, "dq5_benford_digits": 0.22,
+    "ts29_ulcer_index": 1.52, "ts30_obv": 1.84, "ts31_streaks": 3.09,
+    "r10_share_of_total": 1.67, "r11_close_quartiles": 0.34,
+    "smp9_systematic_sample": 0.83, "k10_centroid_distances": 0.51,
+    "tx18_charset_stats": 0.69, "a13_advance_decline": 0.84,
+    "cdc3_point_in_time_status": 0.26, "k11_norm_stats": 0.39,
+    "fx3_lagged_features": 0.33, "tx19_dup_sentences": 0.26,
+    "j12_nation_top_customers": 0.62, "ts32_monthly_seasonality": 0.38,
+    "st13_streaming_distinct_users": 1.81,
     # round-5 batch 3/4 (measured in-session at sf0.1)
-    "dp3_profile_orders": 2.25, "iv6_activity_span": 0.76,
-    "dd15_prefix_dup_groups": 0.44, "ts33_weekly_atr": 0.89,
-    "a14_hhi_concentration": 2.65, "k12_mmr_diverse": 0.95,
-    "mm7_scene_changes": 5.57, "tx20_lexical_diversity": 0.60,
-    "e21_dwell_time": 0.80, "ts34_calmar": 1.40, "a15_listing_flows": 0.40,
-    "k13_ivf_balance": 0.80, "fx4_winsorized_returns": 0.80,
-    "e22_anomalous_days": 0.50, "e23_funnel_3step": 0.90,
-    "r12_percent_rank": 0.80, "apx6_hll_day_overlap": 0.70,
-    "e24_event_pagerank": 3.50,
+    "dp3_profile_orders": 1.84, "iv6_activity_span": 0.38,
+    "dd15_prefix_dup_groups": 0.24, "ts33_weekly_atr": 0.39,
+    "a14_hhi_concentration": 1.79, "k12_mmr_diverse": 0.57,
+    "mm7_scene_changes": 0.83, "tx20_lexical_diversity": 0.41,
+    "e21_dwell_time": 0.40, "ts34_calmar": 1.31, "a15_listing_flows": 0.33,
+    "k13_ivf_balance": 0.84, "fx4_winsorized_returns": 0.27,
+    "e22_anomalous_days": 0.31, "e23_funnel_3step": 0.54,
+    "r12_percent_rank": 1.80, "apx6_hll_day_overlap": 0.27,
+    "e24_event_pagerank": 3.01,
 }
 
 
