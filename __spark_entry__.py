@@ -221,6 +221,11 @@ _COST = {
     "e22_anomalous_days": 0.31, "e23_funnel_3step": 0.54,
     "r12_percent_rank": 1.80, "apx6_hll_day_overlap": 0.27,
     "e24_event_pagerank": 3.01,
+    # round-6 bank: oracled now, cost-pinned past this round's exactly-full
+    # window so they become the automated round-6 backlog (round_open.py)
+    "smp10_es_weighted_sample": 9.90, "ts35_rolling_sharpe": 9.90,
+    "ts36_inverse_vol_weights": 9.90, "dd16_source_jaccard": 9.90,
+    "a16_monthly_momentum": 9.90,
 }
 
 

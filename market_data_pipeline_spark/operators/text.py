@@ -1269,6 +1269,7 @@ def weighted_sample_without_replacement(
     k: int,
     key_col: str = "doc_id",
     seed: str = "42",
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Distributed weighted sampling WITHOUT replacement via
     Efraimidis-Spirakis exponential keys: each row gets the key
@@ -1280,9 +1281,13 @@ def weighted_sample_without_replacement(
     The uniform is the deterministic md5 construction every sampler here
     uses (first 6 hex digits of md5(seed:key)), so the sample is
     reproducible and engine-independent; top-k runs as
-    TakeOrderedAndProject (per-partition heaps, no full sort). Ties on
-    the ES key break on the row key. Weights must be > 0; non-positive
-    weights are filtered out (they can never be drawn).
+    TakeOrderedAndProject (per-partition heaps, no full sort). The
+    ordering key is ROUNDED to ``round_digits`` (pow() is not correctly
+    rounded and drifts between engines in the last ulps; rounding before
+    the top-k keeps the selected set engine-identical — an
+    infinitesimal, distribution-preserving perturbation), with the row
+    key as tiebreak. Weights must be > 0; non-positive weights are
+    filtered out (they can never be drawn).
     Adds an ``es_key`` column to the kept rows.
     """
     h = F.md5(
@@ -1293,6 +1298,8 @@ def weighted_sample_without_replacement(
     # smallest representable step of the 24-bit uniform
     u_safe = F.greatest(u, F.lit(1.0 / 16777216.0))
     es_key = F.pow(u_safe, F.lit(1.0) / weight)
+    if round_digits is not None:
+        es_key = F.round(es_key, round_digits)
     return (
         df.filter(weight > 0)
         .withColumn("es_key", es_key)

@@ -22,6 +22,7 @@ rules that make the hash-compare meaningful:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -7758,6 +7759,243 @@ def e24_event_pagerank(spark, sf_dir):
         .select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
     )
+
+
+# ===========================================================================
+# Round-6 bank: registered with oracles now, cost-pinned PAST this round's
+# exactly-full recording window (they sort after every windowed query and
+# become the automated round-6 backlog via scripts/round_open.py).
+# ===========================================================================
+
+
+@query(
+    "smp10_es_weighted_sample",
+    """WITH kd AS (
+  SELECT doc_id, n_chars,
+         ROUND(POW(GREATEST(
+                 ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                   / 16777216.0,
+                 1.0 / 16777216.0),
+               1.0 / n_chars), 6) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, es_key
+FROM kd ORDER BY es_key DESC, doc_id LIMIT 25""",
+)
+def smp10_es_weighted_sample(spark, sf_dir):
+    """Weighted sample WITHOUT replacement (k=25, weight = document
+    length) via Efraimidis-Spirakis exponential keys — the one-pass
+    distributed rewrite of sequential draw-and-remove. Deterministic
+    md5 uniforms + rounded ordering keys make the selected set
+    engine-identical; top-k is per-partition heaps. See
+    operators.text.weighted_sample_without_replacement."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.weighted_sample_without_replacement(
+        docs, F.col("n_chars"), k=25, key_col="doc_id"
+    ).select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), "es_key")
+
+
+@query(
+    "ts35_rolling_sharpe",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol, trade_date,
+         close_price / LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM price WHERE symbol IN ({_RET_IN})
+)
+SELECT symbol, trade_date,
+       ROUND(AVG(ret) OVER w60 / STDDEV_SAMP(ret) OVER w60 * SQRT(252), 6)
+           AS rolling_sharpe
+FROM r WHERE ret IS NOT NULL
+WINDOW w60 AS (PARTITION BY symbol ORDER BY trade_date
+               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+ORDER BY symbol, trade_date""",
+)
+def ts35_rolling_sharpe(spark, sf_dir):
+    """Annualized 60-day rolling Sharpe per symbol — ts22's full-history
+    ratio made a monitoring series. One window pass computes both
+    moments (Catalyst shares the WindowExec); the ratio is rounded
+    because variance accumulation is engine-order dependent (the ts2
+    discipline). Symbol-pruned at the scan."""
+    p = price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    r = p.select(
+        "symbol",
+        "trade_date",
+        (F.col("close_price") / F.lag("close_price").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    w60 = w.rowsBetween(-59, 0)
+    sharpe = F.round(
+        F.avg("ret").over(w60) / F.stddev_samp("ret").over(w60) * math.sqrt(252), 6
+    )
+    return r.select("symbol", "trade_date", sharpe.alias("rolling_sharpe")).orderBy(
+        "symbol", "trade_date"
+    )
+
+
+@query(
+    "ts36_inverse_vol_weights",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol, trade_date,
+         close_price / LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM price WHERE close_price IS NOT NULL
+), v AS (
+  SELECT symbol, ROUND(STDDEV_SAMP(ret), 6) AS vol
+  FROM r WHERE ret IS NOT NULL GROUP BY 1 HAVING STDDEV_SAMP(ret) > 0
+), iv AS (
+  SELECT symbol, CAST(ROUND(1e9 / vol) AS BIGINT) AS iv_fp FROM v
+)
+SELECT symbol,
+       iv_fp * 1.0 / SUM(iv_fp) OVER () AS weight
+FROM iv ORDER BY symbol""",
+)
+def ts36_inverse_vol_weights(spark, sf_dir):
+    """Inverse-volatility portfolio weights across the whole universe
+    (risk-parity first cut): w_i = (1/vol_i) / sum(1/vol). Volatilities
+    are rounded (variance is order-dependent), inverse vols fixed-point
+    to integers so the normalizing window sum is exact BIGINT — the
+    weight vector is engine-identical and sums to 1. The unpartitioned
+    window sum runs over one POST-AGGREGATION row per symbol (bounded
+    by the universe, the allowed SinglePartition shape)."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    r = p.select(
+        "symbol",
+        (F.col("close_price") / F.lag("close_price").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    v = (
+        r.groupBy("symbol")
+        .agg(F.round(F.stddev_samp("ret"), 6).alias("vol"))
+        .filter(F.col("vol") > 0)
+    )
+    iv = v.select("symbol", F.round(1e9 / F.col("vol")).cast("long").alias("_iv"))
+    return (
+        iv.select(
+            "symbol",
+            (F.col("_iv") * 1.0 / F.sum("_iv").over(Window.partitionBy())).alias(
+                "weight"
+            ),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "dd16_source_jaccard",
+    r"""WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), idx AS (
+  SELECT source, t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3
+), sh AS (
+  SELECT DISTINCT source,
+         t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] || ' '
+           || t[CAST(i AS INT) + 3] AS g
+  FROM idx
+), sizes AS (
+  SELECT source, COUNT(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2
+)
+SELECT sa AS source_a, sb AS source_b, CAST(ni AS BIGINT) AS n_shared,
+       ROUND(ni * 1.0 / (x.n + y.n - ni), 6) AS jaccard
+FROM inter JOIN sizes x ON x.source = sa JOIN sizes y ON y.source = sb
+ORDER BY 1, 2""",
+)
+def dd16_source_jaccard(spark, sf_dir):
+    """Cross-source word-trigram Jaccard similarity (which sources share
+    phrasing — mirror detection and contamination triage at the SOURCE
+    granularity). The gram self-join is bounded per gram by the SOURCE
+    vocabulary (a gram in s sources emits C(s,2) <= C(|sources|,2)
+    pairs), never by document count — the same vocabulary-bound argument
+    as event_type_pairs; only overlapping pairs are emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    staged = docs.select("source", toks.alias("_t")).filter(F.size("_t") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - 3),
+        lambda i: F.concat_ws(
+            " ", F.col("_t")[i], F.col("_t")[i + 1], F.col("_t")[i + 2]
+        ),
+    )
+    sh = (
+        staged.select("source", F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")), "source_a"
+        )
+        .withColumnRenamed("_n", "_na")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")), "source_b"
+        )
+        .withColumnRenamed("_n", "_nb")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                * 1.0
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "a16_monthly_momentum",
+    f"""WITH {PRICE_CTE},
+m AS (
+  SELECT strftime(trade_date, '%Y-%m') AS month,
+         CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS turnover
+  FROM price GROUP BY 1
+)
+SELECT month, turnover,
+       ROUND(turnover / LAG(turnover) OVER (ORDER BY month) - 1, 6)
+           AS mom_growth
+FROM m ORDER BY month""",
+)
+def a16_monthly_momentum(spark, sf_dir):
+    """Month-over-month market turnover growth: monthly decimal-exact
+    totals + one lag over the month series (bounded by the calendar —
+    the allowed post-aggregation global window). The operational KPI
+    line every exchange report leads with."""
+    p = price_frame(spark, sf_dir)
+    m = p.groupBy(F.date_format("trade_date", "yyyy-MM").alias("month")).agg(
+        F.sum(F.col("amount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("turnover")
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "turnover",
+        F.round(F.col("turnover") / F.lag("turnover").over(w) - 1, 6).alias(
+            "mom_growth"
+        ),
+    ).orderBy("month")
 
 
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on

@@ -465,7 +465,7 @@ def test_es_weighted_sample_matches_reference(spark):
     def es_key(i, w):
         u = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:6], 16) / 16777216.0
         u = max(u, 1 / 16777216.0)
-        return u ** (1.0 / w)
+        return round(u ** (1.0 / w), 6)  # operator orders on the rounded key
 
     want = sorted(rows, key=lambda r: (-es_key(*r), r[0]))[:8]
     assert got == [i for i, _ in want]
