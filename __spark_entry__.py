@@ -225,7 +225,9 @@ _COST = {
     # window so they become the automated round-6 backlog (round_open.py)
     "smp10_es_weighted_sample": 9.90, "ts35_rolling_sharpe": 9.90,
     "ts36_inverse_vol_weights": 9.90, "dd16_source_jaccard": 9.90,
-    "a16_monthly_momentum": 9.90,
+    "a16_monthly_momentum": 9.90, "e25_cohort_ltv": 9.91,
+    "iv7_gap_histogram": 9.91, "tx21_bigram_entropy": 9.91,
+    "ts37_updown_capture": 9.91, "e26_session_percentiles": 9.91,
 }
 
 

@@ -7998,6 +7998,285 @@ def a16_monthly_momentum(spark, sf_dir):
     ).orderBy("month")
 
 
+@query(
+    "e25_cohort_ltv",
+    """WITH wk AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week, event_type, value FROM events
+), first_wk AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1
+), rev AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, w.week) / 7 AS BIGINT) AS week_offset,
+         CAST(SUM(CAST(w.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM wk w JOIN first_wk f ON w.user_id = f.user_id
+  WHERE w.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, revenue,
+       CAST(SUM(CAST(revenue * 100 AS BIGINT))
+                OVER (PARTITION BY cohort_week ORDER BY week_offset
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100
+           AS cumulative_ltv
+FROM rev ORDER BY cohort_week, week_offset""",
+)
+def e25_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime value: purchase revenue per signup-week cohort at
+    each week offset, with the running cumulative LTV — e6's retention
+    matrix upgraded from presence counts to money. Decimal-exact
+    revenue; the cumulative window rides exact integer cents and
+    partitions by cohort (bounded by the calendar). Two shuffles: the
+    user-key cohort join, then the (cohort, offset) aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    wk = events.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "event_type",
+        "value",
+    )
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    rev = (
+        wk.join(first_wk, "user_id")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        "cohort_week",
+        "week_offset",
+        "revenue",
+        (
+            F.sum((F.col("revenue") * 100).cast("long")).over(w).cast("double")
+            / 100
+        ).alias("cumulative_ltv"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+@query(
+    "iv7_gap_histogram",
+    """WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(GREATEST(0, FLOOR(LOG10(GREATEST(gap, 1) / 1e6 + 1))) AS BIGINT)
+           AS log10_gap_sec_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def iv7_gap_histogram(spark, sf_dir):
+    """Inter-event gap histogram in log10-second buckets per event type
+    (the cadence fingerprint: bots pile into the low buckets, humans
+    spread) — e16's per-user stats rolled up to a constant-size
+    distribution. Gaps are exact integer microseconds; the bucket edges
+    are integer log10 of whole seconds, deterministic everywhere."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    staged = events.select("event_type", gap.alias("_gap")).filter(
+        F.col("_gap").isNotNull()
+    )
+    bucket = F.greatest(
+        F.lit(0), F.floor(F.log10(F.greatest(F.col("_gap"), F.lit(1)) / 1e6 + 1))
+    ).cast("long")
+    return (
+        staged.groupBy("event_type", bucket.alias("log10_gap_sec_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "log10_gap_sec_bucket")
+    )
+
+
+@query(
+    "tx21_bigram_entropy",
+    r"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM toks WHERE len(t) >= 2
+), bg AS (
+  SELECT doc_id,
+         t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+  FROM idx
+), cnt AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1
+)
+SELECT c.doc_id, CAST(MAX(t.n) AS BIGINT) AS n_bigrams,
+       SUM(CAST(ROUND(-(c.c * 1.0 / t.n) * LN(c.c * 1.0 / t.n) * 1e9 / LN(2))
+                AS BIGINT)) / 1e9 AS bigram_entropy_bits
+FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY 1 ORDER BY c.doc_id""",
+)
+def tx21_bigram_entropy(spark, sf_dir):
+    """Per-document word-bigram Shannon entropy in bits — the
+    information-density quality signal (templates and keyword-stuffed
+    spam sit low; natural prose high). Per-term contributions
+    -p*log2(p) are fixed-pointed to 1e-9 before summing, so the entropy
+    is engine-identical despite ln()'s last-ulp drift; one (doc, gram)
+    aggregate + one per-doc reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    staged = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - 2),
+        lambda i: F.concat_ws(" ", F.col("_t")[i], F.col("_t")[i + 1]),
+    )
+    bg = staged.select("doc_id", F.explode_outer(grams).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    cnt = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    term = F.round(-p * F.log(p) * 1e9 / math.log(2)).cast("long")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            (F.sum(term) / 1e9).alias("bigram_entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ts37_updown_capture",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol, trade_date,
+         close_price / LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM price WHERE close_price IS NOT NULL
+), mkt AS (
+  SELECT trade_date,
+         SUM(CAST(ROUND(ret * 1e9) AS DECIMAL(38,0))) / 1e9 / COUNT(*) AS mret
+  FROM r WHERE ret IS NOT NULL GROUP BY 1
+), j AS (
+  SELECT r.symbol, r.ret, m.mret FROM r JOIN mkt m USING (trade_date)
+  WHERE r.ret IS NOT NULL AND r.symbol IN ({_RET_IN})
+)
+SELECT symbol,
+       ROUND((SUM(CASE WHEN mret > 0 THEN CAST(ROUND(ret * 1e9) AS DECIMAL(38,0)) END) / 1e9)
+           / (SUM(CASE WHEN mret > 0 THEN CAST(ROUND(mret * 1e9) AS DECIMAL(38,0)) END) / 1e9), 6)
+           AS up_capture,
+       ROUND((SUM(CASE WHEN mret < 0 THEN CAST(ROUND(ret * 1e9) AS DECIMAL(38,0)) END) / 1e9)
+           / (SUM(CASE WHEN mret < 0 THEN CAST(ROUND(mret * 1e9) AS DECIMAL(38,0)) END) / 1e9), 6)
+           AS down_capture
+FROM j GROUP BY 1 ORDER BY symbol""",
+)
+def ts37_updown_capture(spark, sf_dir):
+    """Up/down capture vs the equal-weight market: the symbol's summed
+    return on market-up days over the market's, and likewise for down
+    days — the asymmetric-beta diagnostic. The market series reuses the
+    shared returns stage's exact fixed-point mean; all sums accumulate
+    as DECIMAL(38,0) micro-units so both ratios are engine-identical."""
+    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
+    mkt = r.groupBy("trade_date").agg(
+        (
+            F.sum(F.round(F.col("ret") * 1e9).cast("decimal(38,0)"))
+            / 1e9
+            / F.count(F.lit(1))
+        ).alias("mret")
+    )
+    j = (
+        r.filter(F.col("symbol").isin(RETURN_SYMBOLS))
+        .join(mkt, "trade_date")
+        .select("symbol", "ret", "mret")
+    )
+    fp = lambda c: F.round(c * 1e9).cast("decimal(38,0)")
+    up_n = F.sum(F.when(F.col("mret") > 0, fp(F.col("ret")))) / 1e9
+    up_d = F.sum(F.when(F.col("mret") > 0, fp(F.col("mret")))) / 1e9
+    dn_n = F.sum(F.when(F.col("mret") < 0, fp(F.col("ret")))) / 1e9
+    dn_d = F.sum(F.when(F.col("mret") < 0, fp(F.col("mret")))) / 1e9
+    return (
+        j.groupBy("symbol")
+        .agg(
+            F.round(up_n / up_d, 6).alias("up_capture"),
+            F.round(dn_n / dn_d, 6).alias("down_capture"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "e26_session_percentiles",
+    """WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sess AS (
+  SELECT user_id, sid,
+         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1e6 AS dur_sec
+  FROM numbered GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(quantile_cont(dur_sec, 0.5), 6) AS p50_sec,
+       ROUND(quantile_cont(dur_sec, 0.9), 6) AS p90_sec,
+       ROUND(quantile_cont(dur_sec, 0.99), 6) AS p99_sec
+FROM sess""",
+)
+def e26_session_percentiles(spark, sf_dir):
+    """Exact session-duration percentiles (p50/p90/p99) over 30-minute
+    gap sessions — the latency-style SLO report for engagement.
+    Durations are exact integer-microsecond spans; the exact
+    interpolated percentile runs as ONE global aggregate over
+    session-level rows (bounded: one row per session, the
+    post-aggregation shape), rounded for the lerp arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    staged = events.withColumn(
+        "_new",
+        (gap_us.isNull() | (gap_us > 1800 * 1_000_000)).cast("int"),
+    ).withColumn(
+        "_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess = staged.groupBy("user_id", "_sid").agg(
+        (
+            (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
+            / 1e6
+        ).alias("dur_sec")
+    )
+    q = F.expr("percentile(dur_sec, array(0.5, 0.9, 0.99))")
+    return sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"), q.alias("_q")
+    ).select(
+        "n_sessions",
+        F.round(F.col("_q")[0], 6).alias("p50_sec"),
+        F.round(F.col("_q")[1], 6).alias("p90_sec"),
+        F.round(F.col("_q")[2], 6).alias("p99_sec"),
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
