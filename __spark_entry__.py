@@ -228,6 +228,9 @@ _COST = {
     "a16_monthly_momentum": 9.90, "e25_cohort_ltv": 9.91,
     "iv7_gap_histogram": 9.91, "tx21_bigram_entropy": 9.91,
     "ts37_updown_capture": 9.91, "e26_session_percentiles": 9.91,
+    "dp4_price_histogram": 9.92, "tx22_keyword_in_context": 9.92,
+    "ts38_rank_churn": 9.92, "k15_label_confusion": 9.92,
+    "dq6_monthly_coverage": 9.92,
 }
 
 

@@ -8277,6 +8277,271 @@ def e26_session_percentiles(spark, sf_dir):
     )
 
 
+@query(
+    "dp4_price_histogram",
+    """WITH stats AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+), b AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - s.lo) / ((s.hi - s.lo) / 20)) AS BIGINT),
+               19) AS bin,
+         s.lo, s.hi
+  FROM orders, stats s
+)
+SELECT bin,
+       ROUND(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
+       ROUND(lo + (bin + 1) * ((hi - lo) / 20), 6) AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2, 3 ORDER BY bin""",
+)
+def dp4_price_histogram(spark, sf_dir):
+    """Equi-width 20-bin histogram of order totals (the numeric-profile
+    companion to dp1/dp3's min/max: the SHAPE of the distribution, not
+    just its range). Min/max are one broadcast scalar aggregate; binning
+    is map-only integer arithmetic with the top edge clamped into the
+    last bin — two passes, both cheap, deterministic bin edges."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / 20
+    binned = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("_lo")) / width).cast("long"),
+            F.lit(19),
+        ).alias("bin"),
+        F.col("_lo"),
+        F.col("_hi"),
+    )
+    return (
+        binned.groupBy("bin", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo")) / 20, 6).alias("bin_lo"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / 20, 6).alias("bin_hi"),
+            "n",
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "tx22_keyword_in_context",
+    r"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), hit AS (
+  SELECT doc_id, t, list_position(t, 'customer') AS pos FROM toks
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       array_to_string(t[GREATEST(pos - 3, 1):LEAST(pos + 3, len(t))], ' ')
+           AS context
+FROM hit WHERE pos IS NOT NULL AND pos > 0 ORDER BY doc_id""",
+)
+def tx22_keyword_in_context(spark, sf_dir):
+    """Keyword-in-context (KWIC) extraction: the ±3-token window around
+    each document's FIRST occurrence of a term — the concordance view
+    behind corpus exploration and PII/term triage. array_position +
+    slice, map-only HOFs, one scan; 1-based positions match between
+    engines by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    staged = docs.select("doc_id", toks.alias("_t")).select(
+        "doc_id", "_t", F.array_position("_t", "customer").alias("pos")
+    )
+    lo = F.greatest(F.col("pos") - 3, F.lit(1))
+    n = F.least(F.col("pos") + 3, F.size("_t")) - lo + 1
+    return (
+        staged.filter(F.col("pos") > 0)
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice("_t", lo, n)).alias("context"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ts38_rank_churn",
+    f"""WITH {PRICE_CTE},
+m AS (
+  SELECT symbol, strftime(trade_date, '%Y-%m') AS month,
+         CAST(SUM(CAST(amount AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM price GROUP BY 1, 2
+), rk AS (
+  SELECT symbol, month,
+         ROW_NUMBER() OVER (PARTITION BY month ORDER BY cents DESC, symbol) AS rnk
+  FROM m
+), paired AS (
+  SELECT a.month AS month, a.rnk AS r1, b.rnk AS r2
+  FROM rk a JOIN rk b ON a.symbol = b.symbol
+    AND b.month = strftime(CAST(a.month || '-01' AS DATE) + INTERVAL 1 MONTH, '%Y-%m')
+)
+SELECT month, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+       ROUND(CORR(r1, r2), 6) AS rank_autocorr
+FROM paired GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY month""",
+)
+def ts38_rank_churn(spark, sf_dir):
+    """Month-over-month turnover-rank stability (Spearman via Pearson on
+    ranks): high autocorrelation = a stable leaderboard, drops flag
+    regime changes. Monthly cents totals are decimal-exact so ranks are
+    deterministic (symbol tiebreak); the correlation is rounded (moment
+    accumulation order). Rank windows partition by month — bounded by
+    the universe per month."""
+    p = price_frame(spark, sf_dir)
+    m = p.groupBy(
+        "symbol", F.date_format("trade_date", "yyyy-MM").alias("month")
+    ).agg(
+        (F.sum(F.col("amount").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("month").orderBy(F.desc("cents"), "symbol")
+    rk = m.select("symbol", "month", F.row_number().over(w).alias("rnk"))
+    nxt = F.date_format(
+        F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), 1),
+        "yyyy-MM",
+    )
+    a = rk.select("symbol", "month", F.col("rnk").alias("r1"), nxt.alias("_next"))
+    b = rk.select(
+        "symbol", F.col("month").alias("_next"), F.col("rnk").alias("r2")
+    )
+    paired = a.join(b, ["symbol", "_next"])
+    return (
+        paired.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_symbols"),
+            F.round(F.corr("r1", "r2"), 6).alias("rank_autocorr"),
+        )
+        .filter(F.col("n_symbols") > 1)
+        .orderBy("month")
+    )
+
+
+@query(
+    "k15_label_confusion",
+    """WITH idx AS (
+  SELECT label, vec_id, embedding, unnest(range(len(embedding))) AS x
+  FROM embeddings
+), ex AS (
+  SELECT label, vec_id, CAST(x AS INTEGER) AS dim0,
+         CAST(embedding[CAST(x AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM idx
+), cm AS (
+  SELECT label, dim0,
+         (SUM(CAST(ROUND(v * 1e6) AS BIGINT)) / 1e6) / COUNT(*) AS mv
+  FROM ex GROUP BY 1, 2
+), d AS (
+  SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+         SUM(CAST(ROUND((e.v - c.mv) * (e.v - c.mv) * 1e9) AS BIGINT)) / 1e9
+             AS sq
+  FROM ex e JOIN cm c ON e.dim0 = c.dim0
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, true_label, cand AS nearest_label FROM (
+    SELECT vec_id, true_label, cand,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sq, cand) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT true_label, nearest_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM best GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def k15_label_confusion(spark, sf_dir):
+    """Nearest-centroid label confusion matrix: every embedding assigned
+    to its closest LABEL CENTROID (exact fixed-point means + fixed-point
+    squared distances, argmin tie on label), counted against its true
+    label — the class-separability report before trusting labels for
+    training. Centroids broadcast; the per-vector argmin is one
+    map-side pass (the ivf_assign shape against label centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.group_centroids(emb, "label").select(
+        F.col("label").alias("cand"), "centroid"
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: F.round((x - y) * (x - y) * 1e9).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ) / 1e9
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "cand",
+            sq.alias("_sq"),
+        )
+    )
+    best = scored.groupBy("vec_id", "true_label").agg(
+        F.min_by("cand", F.struct(F.col("_sq"), F.col("cand"))).alias(
+            "nearest_label"
+        )
+    )
+    return (
+        best.groupBy("true_label", "nearest_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_label", "nearest_label")
+    )
+
+
+@query(
+    "dq6_monthly_coverage",
+    f"""WITH {PRICE_CTE},
+cal AS (
+  SELECT strftime(trade_date, '%Y-%m') AS month,
+         COUNT(DISTINCT trade_date) AS n_days
+  FROM price GROUP BY 1
+), per_sym AS (
+  SELECT strftime(trade_date, '%Y-%m') AS month, symbol,
+         COUNT(DISTINCT trade_date) AS sym_days
+  FROM price WHERE symbol IN ({_STOCK_IN}) GROUP BY 1, 2
+)
+SELECT p.month, p.symbol, CAST(p.sym_days AS BIGINT) AS sym_days,
+       CAST(c.n_days AS BIGINT) AS cal_days,
+       ROUND(p.sym_days * 1.0 / c.n_days, 6) AS coverage
+FROM per_sym p JOIN cal c ON p.month = c.month
+ORDER BY p.month, p.symbol""",
+)
+def dq6_monthly_coverage(spark, sf_dir):
+    """Per-symbol monthly data coverage: the symbol's distinct trading
+    days over the whole market's that month — the freshness/completeness
+    rate that catches silently-stalled feeds before they poison
+    backtests (ts15's calendar fill repairs gaps; this MEASURES them).
+    Two distinct-count aggregates joined on the month key."""
+    p = price_frame(spark, sf_dir)
+    month = F.date_format("trade_date", "yyyy-MM").alias("month")
+    cal = p.groupBy(month).agg(
+        F.countDistinct("trade_date").cast("long").alias("cal_days")
+    )
+    per_sym = (
+        p.filter(F.col("symbol").isin(STOCK_SYMBOLS))
+        .groupBy(month, F.col("symbol"))
+        .agg(F.countDistinct("trade_date").cast("long").alias("sym_days"))
+    )
+    return (
+        per_sym.join(F.broadcast(cal), "month")
+        .select(
+            "month",
+            "symbol",
+            "sym_days",
+            "cal_days",
+            F.round(F.col("sym_days") * 1.0 / F.col("cal_days"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("month", "symbol")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
