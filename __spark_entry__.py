@@ -230,7 +230,9 @@ _COST = {
     "ts37_updown_capture": 9.91, "e26_session_percentiles": 9.91,
     "dp4_price_histogram": 9.92, "tx22_keyword_in_context": 9.92,
     "ts38_rank_churn": 9.92, "k15_label_confusion": 9.92,
-    "dq6_monthly_coverage": 9.92,
+    "dq6_monthly_coverage": 9.92, "f11_target_encoding": 9.93,
+    "smp11_balanced_downsample": 9.93, "tx23_vocab_coverage": 9.93,
+    "k16_simplified_silhouette": 9.93,
 }
 
 

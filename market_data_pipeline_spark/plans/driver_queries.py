@@ -8542,6 +8542,233 @@ def dq6_monthly_coverage(spark, sf_dir):
     )
 
 
+@query(
+    "f11_target_encoding",
+    """WITH w AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_orderpriority) AS cat_cents,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cat_n
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       (cat_cents - cents) * 1.0 / (cat_n - 1) / 100 AS loo_target_mean
+FROM w WHERE cat_n > 1 ORDER BY o_orderkey""",
+)
+def f11_target_encoding(spark, sf_dir):
+    """Leakage-safe leave-one-out target encoding: each row's category
+    mean EXCLUDES its own label ((sum - own)/(n - 1)) — the categorical
+    feature every tabular-ML pipeline derives, with the leakage guard
+    built into the formula instead of bolted on. Decimal window sums
+    make the encoding exact; one category-key window partition
+    (bounded by category cardinality balance, AQE-splittable)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    staged = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents.alias("_p"),
+        F.sum(cents).over(w).alias("_s"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    # exact integer cents, then ONE double division sequence mirrored in
+    # the oracle — decimal division scale/rounding differs across engines
+    return (
+        staged.filter(F.col("_n") > 1)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (
+                (F.col("_s") - F.col("_p")) * 1.0 / (F.col("_n") - 1) / 100
+            ).alias("loo_target_mean"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "smp11_balanced_downsample",
+    """WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents
+), floor_n AS (
+  SELECT MIN(cnt) AS n FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS rn
+FROM ranked r, floor_n f WHERE r.rn <= f.n
+ORDER BY r.lang, r.rn""",
+)
+def smp11_balanced_downsample(spark, sf_dir):
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents, chosen by a deterministic md5-shuffled
+    order — the imbalance fix applied before training when upweighting
+    is off the table. One per-class window (bounded by class sizes,
+    md5 order reproducible across engines) + a broadcast scalar floor."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")).cast("binary")),
+        F.col("doc_id"),
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rn")
+    )
+    floor_n = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.min("_c").alias("_n"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rn") <= F.col("_n"))
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+@query(
+    "tx23_vocab_coverage",
+    r"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), top AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS c FROM ex GROUP BY 1
+    ORDER BY c DESC, term LIMIT 100
+  )
+)
+SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN t.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_vocab,
+       ROUND(SUM(CASE WHEN t.term IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS vocab_coverage
+FROM ex e LEFT JOIN top t ON e.term = t.term
+GROUP BY 1 ORDER BY e.doc_id""",
+)
+def tx23_vocab_coverage(spark, sf_dir):
+    """Per-document coverage by the corpus's top-100 vocabulary (the
+    cheap OOV-rate proxy: low coverage flags jargon, gibberish, or
+    out-of-domain text). The vocabulary is a bounded top-k
+    (count-ordered, term tiebreak) broadcast against the exploded
+    tokens — one corpus aggregate + one map-side membership join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    ex = docs.select("doc_id", F.explode_outer(toks).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    top = (
+        ex.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), "term")
+        .limit(100)
+        .select("term", F.lit(1).alias("_hit"))
+    )
+    return (
+        ex.join(F.broadcast(top), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            F.round(F.col("n_in_vocab") * 1.0 / F.col("n_tokens"), 6).alias(
+                "vocab_coverage"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "k16_simplified_silhouette",
+    """WITH idx AS (
+  SELECT label, vec_id, embedding, unnest(range(len(embedding))) AS x
+  FROM embeddings
+), ex AS (
+  SELECT label, vec_id, CAST(x AS INTEGER) AS dim0,
+         CAST(embedding[CAST(x AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM idx
+), cm AS (
+  SELECT label, dim0,
+         (SUM(CAST(ROUND(v * 1e6) AS BIGINT)) / 1e6) / COUNT(*) AS mv
+  FROM ex GROUP BY 1, 2
+), d AS (
+  SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+         SQRT(SUM(CAST(ROUND((e.v - c.mv) * (e.v - c.mv) * 1e9) AS BIGINT)) / 1e9)
+             AS dist
+  FROM ex e JOIN cm c ON e.dim0 = c.dim0
+  GROUP BY 1, 2, 3
+), split AS (
+  SELECT vec_id, true_label,
+         MAX(CASE WHEN cand = true_label THEN dist END) AS a,
+         MIN(CASE WHEN cand <> true_label THEN dist END) AS b
+  FROM d GROUP BY 1, 2
+)
+SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       SUM(CAST(ROUND((b - a) / GREATEST(a, b) * 1e6) AS BIGINT)) / 1e6
+         / COUNT(*) AS mean_silhouette
+FROM split GROUP BY 1 ORDER BY label""",
+)
+def k16_simplified_silhouette(spark, sf_dir):
+    """Simplified silhouette per label (centroid form: a = distance to
+    own centroid, b = distance to nearest other centroid, score =
+    (b-a)/max(a,b)) — the cluster-quality grade that tells you whether
+    labels are separable BEFORE training on them. Centroid distances
+    reuse the exact fixed-point machinery (k9/k15); per-vector scores
+    fixed-pointed before the label mean so the grade is
+    engine-identical. Quadratic only in |labels|."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.group_centroids(emb, "label").select(
+        F.col("label").alias("cand"), "centroid"
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("centroid"),
+                lambda x, y: F.round((x - y) * (x - y) * 1e9).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        / 1e9
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "cand",
+        dist.alias("_d"),
+    )
+    split = scored.groupBy("vec_id", "true_label").agg(
+        F.max(F.when(F.col("cand") == F.col("true_label"), F.col("_d"))).alias("_a"),
+        F.min(F.when(F.col("cand") != F.col("true_label"), F.col("_d"))).alias("_b"),
+    )
+    sil = (F.col("_b") - F.col("_a")) / F.greatest(F.col("_a"), F.col("_b"))
+    return (
+        split.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            (
+                F.sum(F.round(sil * 1e6).cast("long")) / 1e6 / F.count(F.lit(1))
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
