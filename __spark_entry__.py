@@ -232,7 +232,9 @@ _COST = {
     "ts38_rank_churn": 9.92, "k15_label_confusion": 9.92,
     "dq6_monthly_coverage": 9.92, "f11_target_encoding": 9.93,
     "smp11_balanced_downsample": 9.93, "tx23_vocab_coverage": 9.93,
-    "k16_simplified_silhouette": 9.93,
+    "k16_simplified_silhouette": 9.93, "dq7_orphan_rates": 9.94,
+    "tx24_pii_by_source": 9.94, "f12_feature_binning": 9.94,
+    "k17_ivf_recall": 9.94,
 }
 
 

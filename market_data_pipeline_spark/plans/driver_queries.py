@@ -8769,6 +8769,202 @@ def k16_simplified_silhouette(spark, sf_dir):
     )
 
 
+@query(
+    "dq7_orphan_rates",
+    """SELECT
+  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+  CAST((SELECT COUNT(*) FROM orders o ANTI JOIN lineitem l
+        ON l.l_orderkey = o.o_orderkey) AS BIGINT) AS childless_orders,
+  ROUND((SELECT COUNT(*) FROM orders o ANTI JOIN lineitem l
+         ON l.l_orderkey = o.o_orderkey) * 1.0
+        / (SELECT COUNT(*) FROM orders), 6) AS childless_rate,
+  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_lineitems,
+  CAST((SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+        ON o.o_orderkey = l.l_orderkey) AS BIGINT) AS orphan_lineitems,
+  ROUND((SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+         ON o.o_orderkey = l.l_orderkey) * 1.0
+        / (SELECT COUNT(*) FROM lineitem), 6) AS orphan_rate""",
+)
+def dq7_orphan_rates(spark, sf_dir):
+    """One-row referential-integrity scorecard: childless-order and
+    orphan-lineitem counts AND rates in both directions of the fact/dim
+    relation — dq3's detail list rolled into the dashboard number. Two
+    anti-joins (each side reduced to distinct keys before the shuffle)
+    + scalar counts, all broadcast-combined into one row."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    n_orders = o.count()
+    n_lineitems = li.count()
+    childless = o.join(li, "o_orderkey", "left_anti").count()
+    orphans = li.join(o, "o_orderkey", "left_anti").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_orders,
+                childless,
+                round(childless / n_orders, 6),
+                n_lineitems,
+                orphans,
+                round(orphans / n_lineitems, 6),
+            )
+        ],
+        "n_orders long, childless_orders long, childless_rate double,"
+        " n_lineitems long, orphan_lineitems long, orphan_rate double",
+    )
+
+
+@query(
+    "tx24_pii_by_source",
+    rf"""SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{tx.EMAIL_RE}'))) AS BIGINT)
+           AS n_emails,
+       CAST(SUM(len(regexp_extract_all(text, '{tx.PHONE_RE}'))) AS BIGINT)
+           AS n_phones,
+       ROUND(SUM(CASE WHEN len(regexp_extract_all(text, '{tx.EMAIL_RE}')) > 0
+                       OR len(regexp_extract_all(text, '{tx.PHONE_RE}')) > 0
+                 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pii_doc_rate
+FROM documents GROUP BY 1 ORDER BY source""",
+)
+def tx24_pii_by_source(spark, sf_dir):
+    """PII incidence rollup per source (email/phone match counts and the
+    fraction of documents carrying any) — the privacy-audit dashboard
+    over tx9's per-document redaction, telling you WHICH feeds need the
+    scrubber hardened. Map-only regexp counting (Java∩RE2 patterns) +
+    one source-key aggregate."""
+    from market_data_pipeline_spark.operators.text import EMAIL_RE, PHONE_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_em = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+    n_ph = F.regexp_count(F.col("text"), F.lit(PHONE_RE))
+    staged = docs.select("source", n_em.alias("_e"), n_ph.alias("_p"))
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_e").cast("long").alias("n_emails"),
+            F.sum("_p").cast("long").alias("n_phones"),
+            F.round(
+                F.sum(
+                    F.when((F.col("_e") > 0) | (F.col("_p") > 0), 1).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pii_doc_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "f12_feature_binning",
+    f"""WITH {PRICE_CTE}
+SELECT symbol, trade_date, close_price,
+       CAST(NTILE(4) OVER (PARTITION BY symbol
+                           ORDER BY close_price, trade_date) AS BIGINT)
+           AS price_quartile_bin
+FROM price WHERE symbol IN ({_RET_IN})
+ORDER BY symbol, trade_date""",
+)
+def f12_feature_binning(spark, sf_dir):
+    """Quantile feature discretization: each observation's close price
+    binned into its symbol's own quartiles (per-series NTILE with a date
+    tiebreak for a total order) — the standard tree-model/monotonic
+    binning step of tabular feature prep. Per-series windows bounded by
+    history length; symbol-pruned at the scan."""
+    p = price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS)
+    w = Window.partitionBy("symbol").orderBy("close_price", "trade_date")
+    return p.select(
+        "symbol",
+        "trade_date",
+        "close_price",
+        F.ntile(4).over(w).cast("long").alias("price_quartile_bin"),
+    ).orderBy("symbol", "trade_date")
+
+
+@query(
+    "k17_ivf_recall",
+    f"""WITH q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5
+), brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COSINE_SQL} DESC, e.vec_id) AS rn
+    FROM embeddings e, q WHERE e.vec_id <> q.vec_id
+  ) WHERE rn <= 10
+), c AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.embedding')} DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e, c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.centroid_id
+           ) AS rn
+    FROM q, c
+  ) WHERE rn <= 2
+), ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {_cos_sql('e.embedding', 'q.embedding')} DESC,
+                                       e.vec_id) AS rn
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN probes p ON p.centroid_id = a.centroid_id
+    JOIN q ON q.vec_id = p.query_id
+    WHERE e.vec_id <> p.query_id
+  ) WHERE rn <= 10
+)
+SELECT b.query_id,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS n_recovered,
+       ROUND(COUNT(i.vec_id) * 1.0 / 10, 6) AS recall_at_10
+FROM brute b LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+GROUP BY 1 ORDER BY b.query_id""",
+)
+def k17_ivf_recall(spark, sf_dir):
+    """Recall@10 of the IVF index vs exact brute force, PER QUERY — the
+    ANN quality audit as a first-class query (not just a pytest), so
+    index health is monitorable in production. Both retrievals are the
+    already-oracled k2/k4 shapes; the audit is one join + ratio. At
+    scale the brute side runs on a SAMPLE of queries — recall needs a
+    few hundred probes, not the full query log."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = emb.filter(F.col("vec_id") < 8)
+    brute = similarity.knn_batch(emb, queries, k=10).select("query_id", "vec_id")
+    ivf = similarity.knn_ivf(
+        emb, queries, k=10, n_centroids=8, n_probe=2, centroids=cents
+    ).select("query_id", F.col("vec_id").alias("_iv"))
+    return (
+        brute.join(
+            ivf,
+            (brute.query_id == ivf.query_id) & (brute.vec_id == ivf._iv),
+            "left",
+        )
+        .groupBy(brute.query_id)
+        .agg(
+            F.count("_iv").cast("long").alias("n_recovered"),
+            F.round(F.count("_iv") * 1.0 / 10, 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
