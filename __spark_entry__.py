@@ -234,7 +234,9 @@ _COST = {
     "smp11_balanced_downsample": 9.93, "tx23_vocab_coverage": 9.93,
     "k16_simplified_silhouette": 9.93, "dq7_orphan_rates": 9.94,
     "tx24_pii_by_source": 9.94, "f12_feature_binning": 9.94,
-    "k17_ivf_recall": 9.94,
+    "k17_ivf_recall": 9.94, "e28_wau_trend": 9.95,
+    "ts40_return_moments": 9.95, "a18_turnover_gini": 9.95,
+    "tx25_langid_confusion": 9.95,
 }
 
 

@@ -8965,6 +8965,198 @@ def k17_ivf_recall(spark, sf_dir):
     )
 
 
+@query(
+    "e28_wau_trend",
+    """WITH w AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM events GROUP BY 1
+)
+SELECT week, wau,
+       ROUND(wau * 1.0 / LAG(wau) OVER (ORDER BY week) - 1, 6) AS wow_growth
+FROM w ORDER BY week""",
+)
+def e28_wau_trend(spark, sf_dir):
+    """Weekly active users with week-over-week growth — the topline
+    engagement trend. One exact distinct aggregate per week + a lag over
+    the week series (bounded by the calendar, post-aggregation)."""
+    events = load_table(spark, sf_dir, "events")
+    w = events.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    lw = Window.orderBy("week")
+    return w.select(
+        "week",
+        "wau",
+        F.round(F.col("wau") * 1.0 / F.lag("wau").over(lw) - 1, 6).alias(
+            "wow_growth"
+        ),
+    ).orderBy("week")
+
+
+@query(
+    "ts40_return_moments",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol,
+         close_price / LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM price WHERE symbol IN ({_RET_IN})
+), s AS (
+  SELECT symbol, COUNT(*) AS n,
+         SUM(CAST(ROUND(ret * 1e9) AS DECIMAL(38,0))) / 1e9 AS s1,
+         SUM(CAST(ROUND(ret * ret * 1e12) AS DECIMAL(38,0))) / 1e12 AS s2,
+         SUM(CAST(ROUND(ret * ret * ret * 1e15) AS DECIMAL(38,0))) / 1e15 AS s3,
+         SUM(CAST(ROUND(ret * ret * ret * ret * 1e15) AS DECIMAL(38,0))) / 1e15 AS s4
+  FROM r WHERE ret IS NOT NULL GROUP BY 1
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_returns,
+       ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POW(s1 / n, 3))
+             / POW(s2 / n - POW(s1 / n, 2), 1.5), 6) AS skewness,
+       ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * POW(s1 / n, 2) * (s2 / n) - 3 * POW(s1 / n, 4))
+             / POW(s2 / n - POW(s1 / n, 2), 2) - 3, 6) AS excess_kurtosis
+FROM s ORDER BY symbol""",
+)
+def ts40_return_moments(spark, sf_dir):
+    """Return skewness and excess kurtosis per symbol (crash asymmetry
+    and tail weight — the distribution diagnostics behind every risk
+    model's normality assumption) computed from EXACT fixed-point power
+    sums, then identical closed-form moment algebra in both engines —
+    sidestepping the fact that Spark's and DuckDB's built-in
+    skewness/kurtosis aggregates use different bias conventions. One
+    series-key window + one aggregate."""
+    p = price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS)
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    r = p.select(
+        "symbol",
+        (F.col("close_price") / F.lag("close_price").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    ret = F.col("ret")
+    s = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        # DECIMAL(38,0), not BIGINT: synthetic price jumps make ret^4
+        # femto-units exceed 2^63 (measured overflow at sf0.01)
+        (F.sum(F.round(ret * 1e9).cast("decimal(38,0)")) / 1e9).alias("s1"),
+        (F.sum(F.round(ret * ret * 1e12).cast("decimal(38,0)")) / 1e12).alias("s2"),
+        (F.sum(F.round(ret * ret * ret * 1e15).cast("decimal(38,0)")) / 1e15).alias("s3"),
+        (F.sum(F.round(ret * ret * ret * ret * 1e15).cast("decimal(38,0)")) / 1e15).alias(
+            "s4"
+        ),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    m4 = F.col("s4") / F.col("n")
+    var = m2 - F.pow(m1, 2)
+    skew = (m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3)) / F.pow(var, 1.5)
+    kurt = (
+        m4 - 4 * m1 * m3 + 6 * F.pow(m1, 2) * m2 - 3 * F.pow(m1, 4)
+    ) / F.pow(var, 2) - 3
+    return s.select(
+        "symbol",
+        F.col("n").cast("long").alias("n_returns"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy("symbol")
+
+
+@query(
+    "a18_turnover_gini",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE}, {_TOTALS_CTE},
+rk AS (
+  SELECT market, CAST(ROUND(total_amount * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY market
+                            ORDER BY CAST(ROUND(total_amount * 100) AS BIGINT),
+                                     symbol) AS i,
+         COUNT(*) OVER (PARTITION BY market) AS n,
+         SUM(CAST(ROUND(total_amount * 100) AS BIGINT))
+             OVER (PARTITION BY market) AS tot
+  FROM totals
+)
+SELECT market, CAST(MAX(n) AS BIGINT) AS n_symbols,
+       ROUND(2.0 * SUM(i * cents) / (MAX(n) * MAX(tot))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+FROM rk GROUP BY 1 ORDER BY market""",
+)
+def a18_turnover_gini(spark, sf_dir):
+    """Gini coefficient of turnover per market (0 = perfectly even,
+    ->1 = winner-take-all) via the sorted-rank closed form
+    2*Σ(i*x_i)/(n*Σx) - (n+1)/n — a18 completes the concentration family
+    next to a14's HHI and r9's Pareto curve. Ranks and sums are exact
+    integer arithmetic on deterministic cent totals; one market-key
+    window + one aggregate."""
+    cents = F.round(F.col("total_amount") * 100).cast("long")
+    wm = Window.partitionBy("market")
+    wr = wm.orderBy(cents, F.col("symbol"))
+    rk = _symbol_totals(spark, sf_dir).select(
+        "market",
+        cents.alias("_c"),
+        F.row_number().over(wr).alias("_i"),
+        F.count(F.lit(1)).over(wm).alias("_n"),
+        F.sum(cents).over(wm).alias("_t"),
+    )
+    return (
+        rk.groupBy("market")
+        .agg(
+            F.max("_n").cast("long").alias("n_symbols"),
+            F.round(
+                2.0 * F.sum(F.col("_i") * F.col("_c")) / (F.max("_n") * F.max("_t"))
+                - (F.max("_n") + 1.0) / F.max("_n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("market")
+    )
+
+
+@query(
+    "tx25_langid_confusion",
+    rf"""WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+         len(list_filter(t, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS en_score,
+         len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','los'], x))) AS es_score,
+         len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','un'], x))) AS fr_score,
+         len(list_filter(t, x -> list_contains(['der','die','das','und','ist','von','ein'], x))) AS de_score,
+         len(list_filter(t, x -> list_contains(['的','是','了','在','和','有','我'], x))) AS zh_score
+  FROM toks
+), pred AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN GREATEST(en_score, es_score, fr_score, de_score, zh_score) = 0
+             THEN 'unknown'
+           WHEN en_score = GREATEST(en_score, es_score, fr_score, de_score, zh_score) THEN 'en'
+           WHEN es_score = GREATEST(en_score, es_score, fr_score, de_score, zh_score) THEN 'es'
+           WHEN fr_score = GREATEST(en_score, es_score, fr_score, de_score, zh_score) THEN 'fr'
+           WHEN de_score = GREATEST(en_score, es_score, fr_score, de_score, zh_score) THEN 'de'
+           ELSE 'zh' END AS predicted_lang
+  FROM scores
+)
+SELECT lang AS true_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def tx25_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the stopword classifier's
+    predictions (tx3) counted against the labeled language — the
+    accuracy report that decides whether the cheap heuristic suffices
+    for routing or a model is needed. Composition: detect_language +
+    one (true, predicted) aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.detect_language(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_lang", "predicted_lang")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
