@@ -236,7 +236,9 @@ _COST = {
     "tx24_pii_by_source": 9.94, "f12_feature_binning": 9.94,
     "k17_ivf_recall": 9.94, "e28_wau_trend": 9.95,
     "ts40_return_moments": 9.95, "a18_turnover_gini": 9.95,
-    "tx25_langid_confusion": 9.95,
+    "tx25_langid_confusion": 9.95, "ts41_pain_index": 9.96,
+    "e30_hourly_conversion": 9.96, "dd18_shingle_df_profile": 9.96,
+    "smp12_proportional_strata": 9.96,
 }
 
 

@@ -9157,6 +9157,179 @@ def tx25_langid_confusion(spark, sf_dir):
     )
 
 
+@query(
+    "ts41_pain_index",
+    f"""WITH {PRICE_CTE},
+dd AS (
+  SELECT symbol, trade_date, close_price,
+         close_price / MAX(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date
+                   ROWS UNBOUNDED PRECEDING) - 1 AS drawdown
+  FROM price WHERE close_price > 0 AND symbol IN ({_RET_IN})
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       SUM(CAST(ROUND(-drawdown * 1e9) AS DECIMAL(38,0))) / 1e9 / COUNT(*)
+           AS pain_index,
+       ROUND(MIN(drawdown), 6) AS max_drawdown
+FROM dd GROUP BY 1 ORDER BY symbol""",
+)
+def ts41_pain_index(spark, sf_dir):
+    """Pain index per symbol: the MEAN drawdown over the whole history
+    (depth x duration in one number — the linear companion to ts29's
+    quadratic Ulcer). Per-row drawdowns are IEEE-deterministic; the
+    mean is an exact fixed-point ratio. One running-max window + one
+    aggregate on the series key."""
+    p = price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS).filter(
+        F.col("close_price") > 0
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = F.col("close_price") / F.max("close_price").over(w) - 1
+    staged = p.select("symbol", dd.alias("_dd"))
+    return (
+        staged.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.sum(F.round(-F.col("_dd") * 1e9).cast("decimal(38,0)"))
+                / 1e9
+                / F.count(F.lit(1))
+            ).alias("pain_index"),
+            F.round(F.min("_dd"), 6).alias("max_drawdown"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "e30_hourly_conversion",
+    """SELECT CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS purchase_rate
+FROM events GROUP BY 1 ORDER BY hour""",
+)
+def e30_hourly_conversion(spark, sf_dir):
+    """Purchase-rate seasonality by hour of day (when traffic actually
+    converts — the staffing/bidding curve next to e17's raw volume
+    heatmap). One 24-group conditional aggregate, map-side combined,
+    constant-size output."""
+    events = load_table(spark, sf_dir, "events")
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return (
+        events.groupBy(F.hour("ts").cast("long").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(is_p).cast("long").alias("n_purchases"),
+            F.round(F.sum(is_p) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "purchase_rate"
+            ),
+        )
+        .orderBy("hour")
+    )
+
+
+@query(
+    "dd18_shingle_df_profile",
+    r"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] || ' '
+           || t[CAST(i AS INT) + 3] AS g
+  FROM idx
+), df AS (
+  SELECT g, COUNT(*) AS doc_freq FROM sh GROUP BY 1
+)
+SELECT CAST(FLOOR(LOG2(doc_freq)) AS BIGINT) AS log2_df_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(MAX(doc_freq) AS BIGINT) AS max_df_in_bucket
+FROM df GROUP BY 1 ORDER BY log2_df_bucket""",
+)
+def dd18_shingle_df_profile(spark, sf_dir):
+    """Shingle document-frequency profile: how many word-trigrams live
+    in 1, 2-3, 4-7, ... documents (log2 buckets) — THE audit that
+    justifies the dedup family's max_doc_freq cap: the viral-boilerplate
+    tail on this histogram is exactly the mass the cap refuses to
+    pair-expand. Distinct (doc, gram) -> per-gram df -> constant-size
+    histogram; the gram key is hashed text, never full documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    staged = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - 3),
+        lambda i: F.concat_ws(
+            " ", F.col("_t")[i], F.col("_t")[i + 1], F.col("_t")[i + 2]
+        ),
+    )
+    sh = (
+        staged.select("doc_id", F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    df = sh.groupBy("g").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        df.groupBy(
+            F.floor(F.log2("doc_freq")).cast("long").alias("log2_df_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.max("doc_freq").cast("long").alias("max_df_in_bucket"),
+        )
+        .orderBy("log2_df_bucket")
+    )
+
+
+@query(
+    "smp12_proportional_strata",
+    """WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_g
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= CAST(ROUND(n_g * 0.2) AS BIGINT)
+ORDER BY lang, rn""",
+)
+def smp12_proportional_strata(spark, sf_dir):
+    """Proportional stratified sampling with EXACT per-stratum quotas
+    (each language keeps round(20%) of its docs, not a Bernoulli
+    approximation — smp2's expectation made a guarantee) over the
+    deterministic md5-shuffled order. One per-class window; quota
+    arithmetic is integer-exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")).cast("binary")),
+        F.col("doc_id"),
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("_n"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.round(F.col("_n") * 0.2).cast("long"))
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
