@@ -238,7 +238,8 @@ _COST = {
     "ts40_return_moments": 9.95, "a18_turnover_gini": 9.95,
     "tx25_langid_confusion": 9.95, "ts41_pain_index": 9.96,
     "e30_hourly_conversion": 9.96, "dd18_shingle_df_profile": 9.96,
-    "smp12_proportional_strata": 9.96,
+    "smp12_proportional_strata": 9.96, "e31_new_vs_returning": 9.97,
+    "a19_market_share_trend": 9.97,
 }
 
 

@@ -9330,6 +9330,87 @@ def smp12_proportional_strata(spark, sf_dir):
     )
 
 
+@query(
+    "e31_new_vs_returning",
+    """WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+), daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+)
+SELECT d.day,
+       CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+       CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS returning_users,
+       ROUND(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS returning_share
+FROM daily d JOIN first_seen f ON d.user_id = f.user_id
+GROUP BY 1 ORDER BY d.day""",
+)
+def e31_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning active split (the acquisition/retention
+    decomposition every growth dashboard leads with): first-seen date
+    per user joined back onto distinct daily actives — two user-key
+    aggregates sharing one shuffle, exact counts."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("_first")
+    )
+    daily = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    is_new = F.when(F.col("day") == F.col("_first"), 1).otherwise(0)
+    is_ret = F.when(F.col("day") > F.col("_first"), 1).otherwise(0)
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(is_new).cast("long").alias("new_users"),
+            F.sum(is_ret).cast("long").alias("returning_users"),
+            F.round(F.sum(is_ret) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "returning_share"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "a19_market_share_trend",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE},
+m AS (
+  SELECT mm.market, strftime(p.trade_date, '%Y-%m') AS month,
+         SUM(CAST(ROUND(p.amount * 100) AS BIGINT)) AS cents
+  FROM price p JOIN master mm USING (symbol)
+  GROUP BY 1, 2
+)
+SELECT market, month,
+       CAST(cents AS DOUBLE) / 100 AS turnover,
+       cents * 1.0 / SUM(cents) OVER (PARTITION BY month) AS market_share
+FROM m ORDER BY market, month""",
+)
+def a19_market_share_trend(spark, sf_dir):
+    """Monthly market-share trend: each market's slice of total monthly
+    turnover (the competitive-dynamics series behind venue analysis).
+    Exact integer cents throughout — the share's window denominator
+    partitions by month over one POST-AGGREGATION row per (market,
+    month), bounded by markets x calendar."""
+    p = price_frame(spark, sf_dir)
+    mast = master_frame(spark, sf_dir).select("symbol", "market")
+    m = (
+        p.join(F.broadcast(mast), "symbol")
+        .groupBy(
+            "market", F.date_format("trade_date", "yyyy-MM").alias("month")
+        )
+        .agg(F.sum(F.round(F.col("amount") * 100).cast("long")).alias("_cents"))
+    )
+    wm = Window.partitionBy("month")
+    return m.select(
+        "market",
+        "month",
+        (F.col("_cents").cast("double") / 100).alias("turnover"),
+        (F.col("_cents") * 1.0 / F.sum("_cents").over(wm)).alias("market_share"),
+    ).orderBy("market", "month")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
