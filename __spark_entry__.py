@@ -239,7 +239,8 @@ _COST = {
     "tx25_langid_confusion": 9.95, "ts41_pain_index": 9.96,
     "e30_hourly_conversion": 9.96, "dd18_shingle_df_profile": 9.96,
     "smp12_proportional_strata": 9.96, "e31_new_vs_returning": 9.97,
-    "a19_market_share_trend": 9.97,
+    "a19_market_share_trend": 9.97, "e32_session_depth": 9.98,
+    "ts42_up_day_ratio": 9.98, "dd19_dedup_savings": 9.98,
 }
 
 

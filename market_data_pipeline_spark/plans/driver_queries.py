@@ -9411,6 +9411,136 @@ def a19_market_share_trend(spark, sf_dir):
     ).orderBy("market", "month")
 
 
+@query(
+    "e32_session_depth",
+    """WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), depth AS (
+  SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY 1, 2
+)
+SELECT CAST(LEAST(FLOOR(LOG2(n_events)), 6) AS BIGINT) AS log2_depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM depth GROUP BY 1 ORDER BY log2_depth_bucket""",
+)
+def e32_session_depth(spark, sf_dir):
+    """Session-depth distribution: sessions bucketed by log2 of their
+    event count (capped at 2^6+) — the engagement-shape histogram
+    (single-hit bounces on the left, marathon sessions on the right)
+    that a mean session length hides. Sessionization is e3's
+    two-window shape; the histogram is constant-size."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    staged = events.withColumn(
+        "_ns", (gap_us.isNull() | (gap_us > 1800 * 1_000_000)).cast("int")
+    ).withColumn(
+        "_sid", F.sum("_ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    depth = staged.groupBy("user_id", "_sid").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bucket = F.least(F.floor(F.log2("n_events")), F.lit(6)).cast("long")
+    return (
+        depth.groupBy(bucket.alias("log2_depth_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("log2_depth_bucket")
+    )
+
+
+@query(
+    "ts42_up_day_ratio",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol,
+         SIGN(close_price - LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date)) AS sgn
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       ROUND(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS up_ratio,
+       ROUND((SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) - 0.5 * COUNT(*))
+             / (0.5 * SQRT(COUNT(*))), 6) AS binomial_z
+FROM r WHERE sgn IS NOT NULL GROUP BY 1 ORDER BY symbol""",
+)
+def ts42_up_day_ratio(spark, sf_dir):
+    """Up-day ratio per symbol with its binomial z-score against a fair
+    coin — the drift-significance screen (|z| > 2 separates trending
+    series from noise at a glance). Pure integer counts; the z-score's
+    sqrt is the only float op, computed identically from exact inputs."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    sgn = F.signum(F.col("close_price") - F.lag("close_price").over(w))
+    staged = p.select("symbol", sgn.alias("_s")).filter(F.col("_s").isNotNull())
+    n_up = F.sum(F.when(F.col("_s") == 1, 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return (
+        staged.groupBy("symbol")
+        .agg(
+            n.cast("long").alias("n_days"),
+            n_up.cast("long").alias("n_up"),
+            F.round(n_up * 1.0 / n, 6).alias("up_ratio"),
+            F.round((n_up - 0.5 * n) / (0.5 * F.sqrt(n)), 6).alias("binomial_z"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "dd19_dedup_savings",
+    """WITH per_text AS (
+  SELECT source, text, COUNT(*) AS copies, MAX(n_chars) AS chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(copies) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+       CAST(SUM(copies * chars) AS BIGINT) AS bytes_before,
+       CAST(SUM(chars) AS BIGINT) AS bytes_after,
+       CAST(SUM((copies - 1) * chars) AS BIGINT) AS bytes_saved
+FROM per_text GROUP BY 1 ORDER BY source""",
+)
+def dd19_dedup_savings(spark, sf_dir):
+    """Exact-dedup savings report per source: documents vs distinct
+    texts and the bytes a dedup pass would reclaim — the
+    cost-justification number every dedup rollout leads with (and the
+    per-feed duplication scoreboard afterwards). One (source, text-hash)
+    aggregate; at scale the groupBy key is the 128-bit text hash, the
+    text itself never shuffles (lengths ride as ints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_text = docs.groupBy("source", F.md5("text").alias("_h")).agg(
+        F.count(F.lit(1)).alias("copies"), F.max("n_chars").alias("chars")
+    )
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("copies").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_texts"),
+            F.sum(F.col("copies") * F.col("chars")).cast("long").alias("bytes_before"),
+            F.sum("chars").cast("long").alias("bytes_after"),
+            F.sum((F.col("copies") - 1) * F.col("chars"))
+            .cast("long")
+            .alias("bytes_saved"),
+        )
+        .orderBy("source")
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
