@@ -9,6 +9,7 @@ import datetime as dt
 import itertools
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -211,3 +212,73 @@ def test_stickiness_matches_reference(spark, pairs):
     assert r["stickiness"] == pytest.approx(
         len(du) / len(days) / len(users), abs=1e-9
     )
+
+
+# --- Gini closed form vs brute-force mean-absolute-difference -----------------
+
+
+@SET
+@given(st.lists(st.integers(min_value=1, max_value=10000), min_size=2, max_size=30))
+def test_gini_closed_form_matches_definition(spark, amounts):
+    """The sorted-rank Gini (a18's closed form) equals the
+    mean-absolute-difference definition G = sum|xi-xj| / (2 n^2 mu)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(f"s{i:03d}", float(a)) for i, a in enumerate(amounts)],
+        "symbol string, total_amount double",
+    )
+    cents = F.round(F.col("total_amount") * 100).cast("long")
+    wr = Window.orderBy(cents, F.col("symbol"))
+    rk = df.select(
+        cents.alias("_c"),
+        F.row_number().over(wr).alias("_i"),
+    )
+    n = len(amounts)
+    tot = sum(a * 100 for a in amounts)
+    got = rk.agg(
+        (
+            2.0 * F.sum(F.col("_i") * F.col("_c")) / (n * tot)
+            - (n + 1.0) / n
+        ).alias("g")
+    ).collect()[0]["g"]
+    xs = [a * 100 for a in amounts]
+    mad = sum(abs(x - y) for x in xs for y in xs)
+    want = mad / (2 * n * n * (sum(xs) / n))
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+# --- exact-power-sum moments vs numpy ----------------------------------------
+
+
+@SET
+@given(
+    st.lists(
+        st.floats(min_value=-0.2, max_value=0.2, allow_nan=False),
+        min_size=5,
+        max_size=50,
+    )
+)
+def test_moment_algebra_matches_numpy(spark, rets):
+    """ts40's closed-form skew/kurtosis from fixed-point power sums
+    matches numpy's population moments (within the 1e-9/1e-15
+    fixed-point granularity)."""
+    import numpy as np
+
+    arr = np.round(np.array(rets), 6)  # stay well inside fp granularity
+    if np.var(arr) < 1e-8:
+        return
+    n = len(arr)
+    s1 = np.round(arr * 1e9).sum() / 1e9
+    s2 = np.round(arr * arr * 1e12).sum() / 1e12
+    s3 = np.round(arr**3 * 1e15).sum() / 1e15
+    s4 = np.round(arr**4 * 1e15).sum() / 1e15
+    m1, m2, m3, m4 = s1 / n, s2 / n, s3 / n, s4 / n
+    var = m2 - m1**2
+    skew_cf = (m3 - 3 * m1 * m2 + 2 * m1**3) / var**1.5
+    kurt_cf = (m4 - 4 * m1 * m3 + 6 * m1**2 * m2 - 3 * m1**4) / var**2 - 3
+    c = arr - arr.mean()
+    skew_np = (c**3).mean() / ((c**2).mean()) ** 1.5
+    kurt_np = (c**4).mean() / ((c**2).mean()) ** 2 - 3
+    assert skew_cf == pytest.approx(skew_np, abs=1e-4)
+    assert kurt_cf == pytest.approx(kurt_np, abs=1e-3)
