@@ -287,12 +287,80 @@ def rehearse_chained_streaming(spark, events_copies: int = 10) -> dict:
     return results
 
 
+def rehearse_ivf_index(spark, vec_copies: int = 25, n_centroids: int = 32,
+                       n_probe: int = 4) -> dict:
+    """E. Persisted IVF index: pruned probes vs brute scan at scale.
+
+    Replicates the sf0.1 embeddings ``vec_copies``x (disjoint ids,
+    jittered vectors so copies aren't exact dups), builds the
+    centroid-partitioned index once, then measures a 3-query top-10:
+    brute force over the raw table vs the persisted index probing
+    n_probe/n_centroids of the lists. The claim under test is the
+    partition-pruning story: the probe's scan should touch ~n_probe/k of
+    the corpus and beat brute wall time accordingly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from market_data_pipeline_spark.operators import similarity as sim
+    from market_data_pipeline_spark.sources.catalog import load_table
+
+    base = load_table(spark, SRC, "embeddings").toPandas()
+    frames = []
+    for i in range(vec_copies):
+        c = base.copy()
+        c["vec_id"] = c["vec_id"] + i * 10_000_000
+        rng = np.random.default_rng(i)
+        c["embedding"] = c["embedding"].map(
+            lambda v: [float(x) + float(e) for x, e in
+                       zip(v, rng.normal(scale=0.01, size=len(v)))]
+        )
+        frames.append(c)
+    big_pd = pd.concat(frames, ignore_index=True)
+    big = spark.createDataFrame(
+        big_pd, "vec_id long, embedding array<double>, label int"
+    ).localCheckpoint()
+    n_vec = big.count()
+
+    cents = big.filter(big.vec_id < n_centroids)
+    queries = big.filter(big.vec_id.isin([0, 1, 2]))
+
+    idx_path = os.path.join(SCRATCH, f"ivf_x{vec_copies}")
+    import shutil
+
+    shutil.rmtree(idx_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    sim.build_ivf_index(big, idx_path, cents)
+    build_sec = round(time.perf_counter() - t0, 2)
+
+    t1 = time.perf_counter()
+    brute = sim.knn_batch(big, queries, k=10).count()
+    brute_sec = round(time.perf_counter() - t1, 2)
+
+    t2 = time.perf_counter()
+    probed = sim.query_ivf_index(
+        spark, idx_path, queries, cents, k=10, n_probe=n_probe
+    ).count()
+    probe_sec = round(time.perf_counter() - t2, 2)
+
+    return {
+        "n_vectors": n_vec,
+        "n_centroids": n_centroids,
+        "n_probe": n_probe,
+        "build_sec": build_sec,
+        "brute_rows": brute,
+        "brute_sec": brute_sec,
+        "probe_rows": probed,
+        "probe_sec": probe_sec,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--events-copies", type=int, default=10)
     ap.add_argument("--doc-copies", type=int, default=10)
     ap.add_argument(
-        "--only", choices=["A", "B", "C", "D"], default=None,
+        "--only", choices=["A", "B", "C", "D", "E"], default=None,
         help="run a single section instead of all",
     )
     args = ap.parse_args()
@@ -317,6 +385,9 @@ def main() -> int:
     if args.only in (None, "D"):
         print(f"D. chained stateful streaming @ {args.events_copies}x events", flush=True)
         out["chained_streaming"] = rehearse_chained_streaming(spark, args.events_copies)
+    if args.only in (None, "E"):
+        print("E. persisted IVF index: pruned probes vs brute scan", flush=True)
+        out["ivf_index"] = rehearse_ivf_index(spark)
     print(json.dumps(out, indent=2))
     return 0
 
