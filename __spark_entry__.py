@@ -241,6 +241,7 @@ _COST = {
     "smp12_proportional_strata": 9.96, "e31_new_vs_returning": 9.97,
     "a19_market_share_trend": 9.97, "e32_session_depth": 9.98,
     "ts42_up_day_ratio": 9.98, "dd19_dedup_savings": 9.98,
+    "k18_text_ann_end_to_end": 9.99,
 }
 
 

@@ -1306,3 +1306,58 @@ def weighted_sample_without_replacement(
         .orderBy(F.desc("es_key"), key_col)
         .limit(k)
     )
+
+
+def hashed_embedding(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed bag-of-words embedding: tokens hash into ``dim``
+    buckets (xxhash64 mod dim, sign from a second hash bit) and the
+    signed counts are L2-normalized — the model-free text vectorizer
+    (Weinberger et al.'s hashing trick) that turns any corpus into
+    ANN-ready ``array<double>`` vectors with zero vocabulary state.
+
+    Entirely JVM expressions: explode tokens -> per-(doc, bucket) signed
+    counts (one map-combined shuffle, the same shape as the TF pass) ->
+    bounded sorted reassembly into the dense array (dim entries max per
+    doc) -> in-row L2 normalization via higher-order fold. No UDF, no
+    driver data, composes directly with the similarity/ANN family.
+    Documents with no tokens are dropped (they have no direction).
+    Returns (id_col, embedding array<double> unit-norm).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    ex = docs.select(F.col(id_col), F.explode_outer(toks).alias("_t")).filter(
+        F.col("_t").isNotNull()
+    )
+    bucket = F.pmod(F.xxhash64("_t"), F.lit(dim)).cast("int")
+    sign = F.when(F.pmod(F.xxhash64("_t", F.lit(1)), F.lit(2)) == 0, 1).otherwise(-1)
+    per_bucket = (
+        ex.select(F.col(id_col), bucket.alias("_b"), sign.alias("_s"))
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").cast("double").alias("_v"))
+    )
+    # dense vector: start from dim zeros, overwrite the present buckets
+    # (bounded reassembly: <= dim entries per doc reach the collect_list)
+    sparse = per_bucket.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        # element_at on a MAP is key-based (no 1-indexing like arrays)
+        lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0.0)),
+    )
+    norm = F.sqrt(
+        F.aggregate(dense, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    staged = sparse.select(F.col(id_col), dense.alias("_d"), norm.alias("_n"))
+    return staged.filter(F.col("_n") > 0).select(
+        F.col(id_col),
+        F.transform(F.col("_d"), lambda v: v / F.col("_n")).alias("embedding"),
+    )

@@ -9541,6 +9541,26 @@ def dd19_dedup_savings(spark, sf_dir):
     )
 
 
+@query("k18_text_ann_end_to_end")
+def k18_text_ann_end_to_end(spark, sf_dir):
+    """Model-free text-to-ANN pipeline end to end: documents ->
+    feature-hashed unit vectors (the hashing trick, pure JVM
+    expressions, zero vocabulary state) -> cosine top-3 neighbors for
+    three probe documents. Closes the gap between the text family and
+    the similarity family without an embedding model in the container.
+    No oracle (the xxhash64 bucket assignment is engine-internal);
+    determinism, unit-norm, and ANN-composition are pinned by pytest.
+    See operators.text.hashed_embedding."""
+    from market_data_pipeline_spark.operators.text import hashed_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hashed_embedding(docs, dim=64).withColumnRenamed("doc_id", "vec_id")
+    probes = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    return similarity.knn_batch(emb, probes, k=3).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

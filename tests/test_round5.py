@@ -548,3 +548,40 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     got = as_set(query_ivf_index(spark, inc_path, queries, cents, k=5, n_probe=3))
     want = as_set(query_ivf_index(spark, full_path, queries, cents, k=5, n_probe=3))
     assert got == want and len(got) > 0
+
+
+def test_hashed_embedding_properties(spark):
+    """Feature-hashed embeddings: unit norm, deterministic across reruns
+    and partitionings, identical texts map to identical vectors, empty
+    docs dropped, and the vectors compose with the ANN family (cosine of
+    a doc with itself = 1)."""
+    import math
+
+    from market_data_pipeline_spark.operators.similarity import knn_batch
+    from market_data_pipeline_spark.operators.text import hashed_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fox"),  # identical text
+            (3, "entirely different words here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["embedding"] for r in hashed_embedding(df, dim=16).collect()}
+    assert set(rows) == {1, 2, 3}  # empty doc dropped
+    for v in rows.values():
+        assert math.sqrt(sum(x * x for x in v)) == pytest.approx(1.0, abs=1e-9)
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    # deterministic across repartitioning
+    again = {
+        r["doc_id"]: r["embedding"]
+        for r in hashed_embedding(df.repartition(7), dim=16).collect()
+    }
+    assert again == rows
+    # composes with ANN: self-similarity 1.0 at rank 1
+    emb = hashed_embedding(df, dim=16).withColumnRenamed("doc_id", "vec_id")
+    top = knn_batch(emb, emb.filter(F.col("vec_id") == 1), k=1).collect()[0]
+    assert top["vec_id"] == 2 and top["cosine"] == pytest.approx(1.0)
