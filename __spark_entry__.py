@@ -27,60 +27,84 @@ def entry(spark: SparkSession) -> DataFrame:
     return a6_daily_market_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-5 recording order. The driver records only a ~50-row PREFIX of
+# Round-6 recording order. The driver records only a ~50-row PREFIX of
 # queries() iteration order per round; rounds 2-4 proved that ordering
 # tier 1 cheapest-first lets newly registered cheap queries starve the
-# expensive never-recorded ones indefinitely. Round 4's frozen backlog of
-# 27 drained fully (CORRECTNESS_r04.json: 50/50 green). Round 5 freezes
-# the remaining 13 oracled queries with no green driver row in ANY
-# CORRECTNESS_r0{1..4}.json at the absolute front; 13 < ~50 slots, so this
-# round completes driver-green coverage of the entire oracled surface
-# while leaving ~37 slots for new registrations.
-_BACKLOG_R5 = frozenset({
-    "a12_weighted_market_return", "cdc2_status_history",
-    "dd14_crossdoc_sentences", "e11_rfm_scores", "fx2_point_in_time_join",
-    "k9_label_centroids", "r9_pareto_symbols", "st11_streaming_burst",
-    "st12_streaming_sliding", "ts25_xs_momentum", "ts26_amihud_illiquidity",
-    "ts28_drawdown_duration", "tx15_zipf_slope",
+# expensive never-recorded ones indefinitely. Round 5's frozen backlog of
+# 13 was recorded 13/13 (12 green + k9's array-shape error, fixed this
+# round by emitting scalar rows). Round 6 freezes ALL 37 oracled queries
+# with no green driver row in ANY CORRECTNESS_r0{1..5}.json at the
+# absolute front — the 36 round-5 registrations deliberately cost-pinned
+# past r5's exactly-full window, plus the reshaped k9. 37 < ~50 slots, so
+# this round completes driver-green coverage of the entire oracled
+# surface while leaving ~13 slots for round-6 registrations (tier 1).
+_BACKLOG_R6 = frozenset({
+    "a16_monthly_momentum", "a18_turnover_gini", "a19_market_share_trend",
+    "dd16_source_jaccard", "dd18_shingle_df_profile", "dd19_dedup_savings",
+    "dp4_price_histogram", "dq6_monthly_coverage", "dq7_orphan_rates",
+    "e25_cohort_ltv", "e26_session_percentiles", "e28_wau_trend",
+    "e30_hourly_conversion", "e31_new_vs_returning", "e32_session_depth",
+    "f11_target_encoding", "f12_feature_binning", "iv7_gap_histogram",
+    "k15_label_confusion", "k16_simplified_silhouette", "k17_ivf_recall",
+    "k9_label_centroids",
+    "smp10_es_weighted_sample", "smp11_balanced_downsample",
+    "smp12_proportional_strata", "ts35_rolling_sharpe",
+    "ts36_inverse_vol_weights", "ts37_updown_capture",
+    "ts38_rank_churn", "ts40_return_moments", "ts41_pain_index",
+    "ts42_up_day_ratio", "tx21_bigram_entropy", "tx22_keyword_in_context",
+    "tx23_vocab_coverage", "tx24_pii_by_source", "tx25_langid_confusion",
 })
 
-# Queries with a green (hash_match) driver row in CORRECTNESS_r01..r04.
-_GREEN_R1_R4 = frozenset({
-    "a10_dedup_latest", "a11_modal_priority", "a1_market_summary",
-    "a2_stock_count_stats", "a3_delisted_report", "a4_table_info",
-    "a5_correlation_matrix", "a6_daily_market_summary", "a7_market_counts",
-    "a8_all_symbols", "apx1_approx_distinct", "apx2_price_quantiles",
-    "apx3_sketch_rollup", "cdc1_snapshot_diff", "ck1_chunk_documents",
-    "dc1_decontaminate", "dd10_dedup_keep_best", "dd11_incremental_dedup",
-    "dd12_crossdoc_ngram", "dd13_span_dedup", "dd1_exact_dedup",
+# Queries with a green (hash_match) driver row in CORRECTNESS_r01..r05.
+_GREEN_R1_R5 = frozenset({
+    "a10_dedup_latest", "a11_modal_priority", "a12_weighted_market_return",
+    "a13_advance_decline", "a14_hhi_concentration", "a15_listing_flows",
+    "a1_market_summary", "a2_stock_count_stats", "a3_delisted_report",
+    "a4_table_info", "a5_correlation_matrix", "a6_daily_market_summary",
+    "a7_market_counts", "a8_all_symbols", "apx1_approx_distinct",
+    "apx2_price_quantiles", "apx3_sketch_rollup", "cdc1_snapshot_diff",
+    "cdc2_status_history", "cdc3_point_in_time_status",
+    "ck1_chunk_documents", "dc1_decontaminate", "dd10_dedup_keep_best",
+    "dd11_incremental_dedup", "dd12_crossdoc_ngram", "dd13_span_dedup",
+    "dd14_crossdoc_sentences", "dd15_prefix_dup_groups", "dd1_exact_dedup",
     "dd2_ngram_jaccard", "dd5_cosine_near_dup", "dd7_dup_clusters",
     "dd8_capped_dedup_corpus", "dd8_dedup_corpus",
     "dd9_ngram_jaccard_capped", "dp1_profile_lineitem",
-    "dp2_quantity_drift", "dq1_lineitem_constraints", "dq2_freshness",
-    "dq3_childless_orders", "e10_conversion_latency", "e12_burst_detection",
-    "e13_bounce_rate", "e14_sliding_active_users", "e15_session_paths",
-    "e1_tumbling_window", "e2_sliding_window", "e3_sessionize",
-    "e4_json_props", "e5_funnel_users", "e6_retention_cohorts",
-    "e7_cumulative_users", "e8_last_touch_attribution",
-    "e9_markov_transitions", "er1_similar_supplier_names",
-    "f10_time_features", "f1_normalize_chain", "f9_month_buckets",
-    "fx1_feature_matrix", "iv1_interval_join", "iv2_concurrent_sessions",
-    "iv3_nearest_event", "iv4_allen_relations", "iv5_interval_coverage",
-    "ivm1_merged_summary", "j10_bloom_semi_join", "j11_band_range_join",
-    "j1_stock_data", "j3_latest_prices", "j4_backtest_universe",
-    "j5_insert_if_absent", "j7_revenue_by_nation", "j8_segment_top_orders",
-    "j9_salted_join", "k1_knn_topk", "k2_knn_batch", "k4_knn_ivf",
-    "k6_knn_graph", "k8_radius_search", "mix1_domain_quota",
+    "dp2_quantity_drift", "dp3_profile_orders", "dq1_lineitem_constraints",
+    "dq2_freshness", "dq3_childless_orders", "dq4_ship_lag",
+    "dq5_benford_digits", "e10_conversion_latency", "e11_rfm_scores",
+    "e12_burst_detection", "e13_bounce_rate", "e14_sliding_active_users",
+    "e15_session_paths", "e16_interarrival_stats", "e17_hourly_profile",
+    "e18_first_touch_attribution", "e19_event_type_pairs",
+    "e1_tumbling_window", "e20_stickiness", "e21_dwell_time",
+    "e22_anomalous_days", "e23_funnel_3step", "e2_sliding_window",
+    "e3_sessionize", "e4_json_props", "e5_funnel_users",
+    "e6_retention_cohorts", "e7_cumulative_users",
+    "e8_last_touch_attribution", "e9_markov_transitions",
+    "er1_similar_supplier_names", "f10_time_features", "f1_normalize_chain",
+    "f9_month_buckets", "fx1_feature_matrix", "fx2_point_in_time_join",
+    "fx3_lagged_features", "fx4_winsorized_returns", "iv1_interval_join",
+    "iv2_concurrent_sessions", "iv3_nearest_event", "iv4_allen_relations",
+    "iv5_interval_coverage", "iv6_activity_span", "ivm1_merged_summary",
+    "j10_bloom_semi_join", "j11_band_range_join",
+    "j12_nation_top_customers", "j1_stock_data", "j3_latest_prices",
+    "j4_backtest_universe", "j5_insert_if_absent", "j7_revenue_by_nation",
+    "j8_segment_top_orders", "j9_salted_join", "k10_centroid_distances",
+    "k11_norm_stats", "k13_ivf_balance", "k1_knn_topk", "k2_knn_batch",
+    "k4_knn_ivf", "k6_knn_graph", "k8_radius_search", "mix1_domain_quota",
     "mix2_temperature_resample", "o1_topk_orders", "p2_validate_rows",
     "p2_validate_stats", "pk1_pack_sequences", "pk2_bucketed_batches",
+    "r10_share_of_total", "r11_close_quartiles", "r12_percent_rank",
     "r1_top3_per_market", "r2_rollup_market_year", "r3_cube_flag_status",
     "r4_pivot_market_year", "r5_symbol_deciles", "r6_rank_functions",
-    "r7_grouping_sets", "r8_unpivot_ohlc", "s13_symbol_coverage",
-    "sd1_semantic_dedup", "shf1_shuffle_shards", "shf2_interleave_sources",
-    "smp1_hash_sample", "smp2_stratified", "smp3_group_split",
-    "smp4_weighted_sample", "smp5_negative_sampling",
+    "r7_grouping_sets", "r8_unpivot_ohlc", "r9_pareto_symbols",
+    "s13_symbol_coverage", "sd1_semantic_dedup", "shf1_shuffle_shards",
+    "shf2_interleave_sources", "smp1_hash_sample", "smp2_stratified",
+    "smp3_group_split", "smp4_weighted_sample", "smp5_negative_sampling",
     "smp6_quantile_stratified", "smp7_group_reservoir", "smp8_purged_split",
-    "st10_streaming_running_stats", "st1_streaming_tumbling",
+    "smp9_systematic_sample", "st10_streaming_running_stats",
+    "st11_streaming_burst", "st12_streaming_sliding",
+    "st13_streaming_distinct_users", "st1_streaming_tumbling",
     "st2_streaming_user_totals", "st3_streaming_sessions",
     "st4_streaming_dedup", "st5_stream_static_join",
     "st6_stream_stream_join", "st7_streaming_ingest_dedup",
@@ -100,17 +124,21 @@ _GREEN_R1_R4 = frozenset({
     "ts13_market_beta", "ts14_ewma", "ts15_calendar_fill",
     "ts16_rolling_median", "ts17_cusum", "ts18_adjusted_close", "ts19_vwap",
     "ts1_sma", "ts20_seasonal_baseline", "ts21_robust_scale", "ts22_sharpe",
-    "ts23_donchian", "ts24_return_autocorr", "ts27_candlestick_flags",
-    "ts2_volatility", "ts3_drawdown", "ts4_weekly_ohlc", "ts5_asof_prices",
-    "ts6_range_avg", "ts7_bollinger", "ts8_rsi", "ts9_rolling_corr",
-    "tx10_repetition_stats", "tx11_lm_quality", "tx12_bm25",
-    "tx13_bigram_lm", "tx14_sentence_stats", "tx16_quality_gate",
-    "tx17_bpe_pairs", "tx1_quality_stats", "tx2_token_counts",
-    "tx3_detect_language", "tx4_fingerprint", "tx5_vocabulary",
-    "tx6_length_histogram", "tx7_clean_corpus", "tx8_tfidf_terms",
-    "tx9_redact_pii", "u1_union_relaxed", "u4_intersect_symbols",
-    "u5_bag_difference", "u6_symmetric_difference", "w1_top_performers",
-    "w2_calculate_returns",
+    "ts23_donchian", "ts24_return_autocorr", "ts25_xs_momentum",
+    "ts26_amihud_illiquidity", "ts27_candlestick_flags",
+    "ts28_drawdown_duration", "ts29_ulcer_index", "ts2_volatility",
+    "ts30_obv", "ts31_streaks", "ts32_monthly_seasonality",
+    "ts33_weekly_atr", "ts34_calmar", "ts3_drawdown", "ts4_weekly_ohlc",
+    "ts5_asof_prices", "ts6_range_avg", "ts7_bollinger", "ts8_rsi",
+    "ts9_rolling_corr", "tx10_repetition_stats", "tx11_lm_quality",
+    "tx12_bm25", "tx13_bigram_lm", "tx14_sentence_stats", "tx15_zipf_slope",
+    "tx16_quality_gate", "tx17_bpe_pairs", "tx18_charset_stats",
+    "tx19_dup_sentences", "tx1_quality_stats", "tx20_lexical_diversity",
+    "tx2_token_counts", "tx3_detect_language", "tx4_fingerprint",
+    "tx5_vocabulary", "tx6_length_histogram", "tx7_clean_corpus",
+    "tx8_tfidf_terms", "tx9_redact_pii", "u1_union_relaxed",
+    "u4_intersect_symbols", "u5_bag_difference", "u6_symmetric_difference",
+    "w1_top_performers", "w2_calculate_returns",
 })
 
 # Measured driver wall-times (BENCH_r01/r02, sf0.1, seconds) — used only to
@@ -195,7 +223,7 @@ _COST = {
     "tx16_quality_gate": 0.50, "st12_streaming_sliding": 1.30,
     "ts28_drawdown_duration": 1.56, "smp7_group_reservoir": 0.40,
     "r9_pareto_symbols": 2.27, "f10_time_features": 0.45,
-    "tx17_bpe_pairs": 0.55, "k9_label_centroids": 0.60,
+    "tx17_bpe_pairs": 0.55, "k9_label_centroids": 0.53,
     "apx4_heavy_hitters": 0.70, "e15_session_paths": 0.55,
     "fx1_feature_matrix": 0.55, "fx2_point_in_time_join": 0.90,
     "smp8_purged_split": 0.55, "apx5_sliding_actives_hll": 0.60,
@@ -221,37 +249,39 @@ _COST = {
     "e22_anomalous_days": 0.31, "e23_funnel_3step": 0.54,
     "r12_percent_rank": 1.80, "apx6_hll_day_overlap": 0.27,
     "e24_event_pagerank": 3.01,
-    # round-6 bank: oracled now, cost-pinned past this round's exactly-full
-    # window so they become the automated round-6 backlog (round_open.py)
-    "smp10_es_weighted_sample": 9.90, "ts35_rolling_sharpe": 9.90,
-    "ts36_inverse_vol_weights": 9.90, "dd16_source_jaccard": 9.90,
-    "a16_monthly_momentum": 9.90, "e25_cohort_ltv": 9.91,
-    "iv7_gap_histogram": 9.91, "tx21_bigram_entropy": 9.91,
-    "ts37_updown_capture": 9.91, "e26_session_percentiles": 9.91,
-    "dp4_price_histogram": 9.92, "tx22_keyword_in_context": 9.92,
-    "ts38_rank_churn": 9.92, "k15_label_confusion": 9.92,
-    "dq6_monthly_coverage": 9.92, "f11_target_encoding": 9.93,
-    "smp11_balanced_downsample": 9.93, "tx23_vocab_coverage": 9.93,
-    "k16_simplified_silhouette": 9.93, "dq7_orphan_rates": 9.94,
-    "tx24_pii_by_source": 9.94, "f12_feature_binning": 9.94,
-    "k17_ivf_recall": 9.94, "e28_wau_trend": 9.95,
-    "ts40_return_moments": 9.95, "a18_turnover_gini": 9.95,
-    "tx25_langid_confusion": 9.95, "ts41_pain_index": 9.96,
-    "e30_hourly_conversion": 9.96, "dd18_shingle_df_profile": 9.96,
-    "smp12_proportional_strata": 9.96, "e31_new_vs_returning": 9.97,
-    "a19_market_share_trend": 9.97, "e32_session_depth": 9.98,
-    "ts42_up_day_ratio": 9.98, "dd19_dedup_savings": 9.98,
-    "k18_text_ann_end_to_end": 9.99,
+    # round-5 bank, now MEASURED at sf0.1 (r5 verdict #4): 34 values from
+    # the BENCH_r05 driver run's per-query tail, 4 re-measured in-session
+    # (smp10/ts35/ts36 were clipped from the tail; k9 was re-timed after
+    # its scalar reshape). No estimate or pin remains in this table.
+    "smp10_es_weighted_sample": 0.36, "ts35_rolling_sharpe": 0.85,
+    "ts36_inverse_vol_weights": 1.68, "dd16_source_jaccard": 1.58,
+    "a16_monthly_momentum": 1.24, "e25_cohort_ltv": 0.45,
+    "iv7_gap_histogram": 0.36, "tx21_bigram_entropy": 1.21,
+    "ts37_updown_capture": 0.45, "e26_session_percentiles": 0.46,
+    "dp4_price_histogram": 0.30, "tx22_keyword_in_context": 0.41,
+    "ts38_rank_churn": 3.88, "k15_label_confusion": 1.31,
+    "dq6_monthly_coverage": 0.64, "f11_target_encoding": 0.59,
+    "smp11_balanced_downsample": 0.24, "tx23_vocab_coverage": 0.58,
+    "k16_simplified_silhouette": 1.26, "dq7_orphan_rates": 0.99,
+    "tx24_pii_by_source": 0.35, "f12_feature_binning": 0.33,
+    "k17_ivf_recall": 1.08, "e28_wau_trend": 0.20,
+    "ts40_return_moments": 0.42, "a18_turnover_gini": 1.58,
+    "tx25_langid_confusion": 0.55, "ts41_pain_index": 0.27,
+    "e30_hourly_conversion": 0.18, "dd18_shingle_df_profile": 0.94,
+    "smp12_proportional_strata": 0.20, "e31_new_vs_returning": 0.69,
+    "a19_market_share_trend": 2.46, "e32_session_depth": 0.79,
+    "ts42_up_day_ratio": 1.76, "dd19_dedup_savings": 0.43,
+    "k18_text_ann_end_to_end": 6.34,
 }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tier(name: str) -> int:
-        if name in _BACKLOG_R5:
-            return 0  # frozen: the last 13 never-green oracled queries
+        if name in _BACKLOG_R6:
+            return 0  # frozen: the 37 never-green oracled queries
         if name not in ORACLES:
             return 3  # no-oracle: can never hash-green, record dead last
-        return 2 if name in _GREEN_R1_R4 else 1  # 1 = new registrations
+        return 2 if name in _GREEN_R1_R5 else 1  # 1 = new registrations
 
     ordered = sorted(QUERIES, key=lambda n: (tier(n), _COST.get(n, 1.0), n))
     return {n: QUERIES[n] for n in ordered}

@@ -292,14 +292,18 @@ def cosine_near_dup_lsh(
     # pushed filter (see dedup.minhash_signatures for the measured case)
     bucket_udf = pandas_udf(buckets, "array<long>").asNondeterministic()
 
-    digits = round_digits or 6
-
     def confirm(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         vm = np.vstack(pdf["_nvec"].to_numpy())            # (n, dim)
         bks = np.vstack(pdf["_bks"].to_numpy())            # (n, n_bands)
         band = int(pdf["_bd"].iloc[0])
         sims = vm @ vm.T
+        # threshold the ROUNDED cosine, exactly like the declared oracle
+        # cosine_near_dup_pairs (r5 advice #2: a pair with true cosine in
+        # [threshold-5e-7, threshold) rounds up and must be emitted by
+        # both paths); round_digits=None means raw on both paths too
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
         ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
         if len(ia):
             # emit only where THIS band is the first colliding band —
@@ -311,9 +315,7 @@ def cosine_near_dup_lsh(
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
-        return pd.DataFrame(
-            {"vec_a": a2, "vec_b": b2, "cosine": np.round(sims[ia, ib], digits)}
-        )
+        return pd.DataFrame({"vec_a": a2, "vec_b": b2, "cosine": sims[ia, ib]})
 
     banded = nv.select(
         F.col(id_col), F.col("_nvec"), bucket_udf(F.col("_nvec")).alias("_bks")
@@ -618,16 +620,19 @@ def semantic_dedup(
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     # sort-free argmax (see ivf_assign): map-side partials collapse the
-    # |V|x|centroids| fan-out to one row per vector before the shuffle
-    ord_key = F.struct(F.col("_sim"), (-F.col("centroid_id")).alias("_negc"))
+    # |V|x|centroids| fan-out to one row per vector before the shuffle.
+    # min_by over (-sim, centroid_id) = highest sim, lowest-id tiebreak —
+    # and unlike negating the id it works for STRING centroid ids too
+    # (struct comparison is lexicographic per field)
+    ord_key = F.struct((-F.col("_sim")).alias("_negs"), F.col("centroid_id"))
     vecs = (
         embeddings.select(F.col(id_col), dd.alias("_dvec"))
         .crossJoin(F.broadcast(c))
         .select(F.col(id_col), F.col("_dvec"), F.col("centroid_id"), sim.alias("_sim"))
         .groupBy(id_col)
         .agg(
-            F.max_by("_dvec", ord_key).alias("_dvec"),
-            F.max_by("centroid_id", ord_key).alias("centroid_id"),
+            F.min_by("_dvec", ord_key).alias("_dvec"),
+            F.min_by("centroid_id", ord_key).alias("centroid_id"),
         )
     )
 
@@ -645,25 +650,31 @@ def semantic_dedup(
         # strictly-lower-triangular near-dup mask: row i dups of j < i
         mask = np.tril(C >= thr, k=-1)
         has_dup = mask.any(axis=1)
-        dup_of = np.where(has_dup, ids[mask.argmax(axis=1)], 0)
+        dup_idx = mask.argmax(axis=1)
+        # pass native id values through untouched (r5 advice #3: int()
+        # coercion broke string-typed id_cols, which every sibling
+        # operator here supports via the same id_type derivation)
         return pd.DataFrame(
             {
                 "vec_id": ids,
                 "centroid_id": pdf["centroid_id"].to_numpy(),
                 "dup_of": pd.array(
-                    [int(d) if h else None for d, h in zip(dup_of, has_dup)],
-                    dtype="Int64",
+                    [ids[j] if h else None for j, h in zip(dup_idx, has_dup)],
+                    dtype="object",
                 ),
                 "keep": ~has_dup,
             }
         )
 
+    # centroid ids may come from an external centroids frame (kmeans) with
+    # a different type than id_col — derive both types, never hardcode
+    cid_type = c.schema["centroid_id"].dataType.simpleString()
     out = (
         vecs.withColumnRenamed(id_col, "_id_sort")
         .groupBy("centroid_id")
         .applyInPandas(
             dedup_cluster,
-            f"vec_id {id_type}, centroid_id long, dup_of {id_type}, keep boolean",
+            f"vec_id {id_type}, centroid_id {cid_type}, dup_of {id_type}, keep boolean",
         )
     )
     return out.withColumnRenamed("vec_id", id_col).orderBy(id_col)
@@ -788,6 +799,7 @@ def pq_train(
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> list:
     """Train product-quantization codebooks: split the vector into ``m``
     subspaces and run a small seeded Lloyd's k-means per subspace on a
@@ -795,14 +807,26 @@ def pq_train(
     centroids summarize the space; the sample, not the corpus, bounds
     the work). Returns ``m`` numpy arrays of shape (k_codes, dim/m).
 
-    Deterministic: seeded sample + seeded init + fixed iterations.
+    Deterministic AND layout-independent (r5 advice #5): the sample is
+    the ``sample_limit`` rows with the smallest md5(seed:id) key — the
+    same rerun-stable idiom the hash samplers use — so the codebooks do
+    not depend on partition count or cluster width. (The previous
+    ``sample(1.0).limit(n)`` selected rows by partition layout.) The
+    TakeOrdered is bounded by sample_limit. Seeded init + fixed
+    iterations as before.
     """
     import numpy as np
 
     sample = (
-        embeddings.select(vec_col)
-        .sample(fraction=1.0, seed=seed)
+        embeddings.select(
+            F.col(vec_col),
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))).alias(
+                "_smp"
+            ),
+        )
+        .orderBy("_smp")
         .limit(sample_limit)
+        .select(vec_col)
         .collect()
     )
     X = np.array([r[0] for r in sample], dtype=np.float64)

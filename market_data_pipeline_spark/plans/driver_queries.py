@@ -5945,26 +5945,36 @@ def tx17_bpe_pairs(spark, sf_dir):
     """WITH idx AS (
   SELECT label, embedding, unnest(range(len(embedding))) AS x FROM embeddings
 ), ex AS (
-  SELECT label, CAST(x AS INTEGER) AS dim0,
+  SELECT label, CAST(x AS BIGINT) AS dim,
          CAST(embedding[CAST(x AS INTEGER) + 1] AS DOUBLE) AS v
   FROM idx
-), per_dim AS (
-  SELECT label, dim0,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(CAST(ROUND(v * 1e6) AS BIGINT)) / 1e6 AS s
-  FROM ex GROUP BY 1, 2
 )
-SELECT label, MAX(n) AS n_vectors,
-       list(s / n ORDER BY dim0) AS centroid
-FROM per_dim GROUP BY 1 ORDER BY label""",
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors, dim,
+       SUM(CAST(ROUND(v * 1e6) AS BIGINT)) / 1e6 / COUNT(*) AS component
+FROM ex GROUP BY label, dim ORDER BY label, dim""",
 )
 def k9_label_centroids(spark, sf_dir):
     """Exact per-label embedding centroid, distributed by DIMENSION
-    (posexplode -> fixed-point per-(label, dim) sums -> bounded sorted
-    reassembly) — engine-exact means feeding coverage analyses and the
-    IVF/SemDeDup centroid inputs. See operators.similarity.group_centroids."""
+    (posexplode -> fixed-point per-(label, dim) sums) — engine-exact means
+    feeding coverage analyses and the IVF/SemDeDup centroid inputs. See
+    operators.similarity.group_centroids.
+
+    Emitted as SCALAR rows (label, n_vectors, dim, component) — r5 verdict
+    #1: the driver's pandas canonicalizer cannot hash array columns, so no
+    oracled query may return array/map (pinned registry-wide by
+    tests/test_plan_quality.py). The array form remains available as
+    similarity.group_centroids for IVF/SemDeDup composition."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.group_centroids(emb, "label").orderBy("label")
+    cent = similarity.group_centroids(emb, "label")
+    return (
+        cent.select(
+            "label",
+            "n_vectors",
+            F.posexplode("centroid").alias("dim", "component"),
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+        .orderBy("label", "dim")
+    )
 
 
 # ===========================================================================
@@ -7711,18 +7721,31 @@ def apx6_hll_day_overlap(spark, sf_dir):
         .groupBy("day")
         .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("_sk"))
     )
-    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-1, 0)
+    # The union is VALUE-based (rangeBetween on the day ordinal) while lag
+    # is ROW-based; after a calendar gap the previous ROW is not the
+    # previous DAY and inclusion-exclusion would silently degrade to
+    # prev_day_users. Carry the lagged ordinal and keep only rows whose
+    # previous row IS the adjacent calendar day (r5 advice #1) — matching
+    # the range semantics sliding_active_users_hll already uses.
+    ord_ = F.unix_date(F.col("day"))
+    wo = Window.orderBy(ord_)
+    w = wo.rangeBetween(-1, 0)
     paired = daily.select(
         "day",
         F.hll_sketch_estimate("_sk").cast("long").alias("day_users"),
-        F.lag("_sk").over(Window.orderBy(F.unix_date(F.col("day")))).alias("_prev"),
+        F.lag("_sk").over(wo).alias("_prev"),
+        F.lag(ord_).over(wo).alias("_prev_ord"),
+        ord_.alias("_ord"),
         F.hll_sketch_estimate(F.hll_union_agg("_sk").over(w))
         .cast("long")
         .alias("_union2"),
     )
     prev_est = F.hll_sketch_estimate(F.col("_prev")).cast("long")
     return (
-        paired.filter(F.col("_prev").isNotNull())
+        paired.filter(
+            F.col("_prev").isNotNull()
+            & (F.col("_prev_ord") == F.col("_ord") - 1)
+        )
         .select(
             "day",
             "day_users",

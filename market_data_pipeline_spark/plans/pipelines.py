@@ -194,8 +194,14 @@ def run_daily_update(
     away from undone — the rollback story the reference's timestamped
     parquet backups approximate with full copies.
     """
+    # record the tag only if a snapshot was actually taken (r5 advice #4:
+    # reporting the requested tag on a first run — master absent, nothing
+    # snapshotted — invites master.restore(tag) FileNotFoundError during
+    # incident rollback, the worst possible moment)
+    snapshot_taken: str | None = None
     if snapshot_tag is not None and master.exists():
         master.snapshot(snapshot_tag)
+        snapshot_taken = snapshot_tag
     inserted_listed = update_listed_stocks(master, per_market_listings, now)
     inserted_new = sync_new_listings(master, raw_new_listings, now)
     delisted_stats = sync_delisted_stocks(
@@ -217,6 +223,6 @@ def run_daily_update(
         "inserted_listed": inserted_listed,
         "inserted_new_listings": inserted_new,
         "delisted_sync": delisted_stats,
-        "pre_update_snapshot": snapshot_tag,
+        "pre_update_snapshot": snapshot_taken,
         **counts,
     }
