@@ -55,8 +55,20 @@ def main() -> None:
     t0 = time.perf_counter()
     table.overwrite(rows)
     elapsed = time.perf_counter() - t0
-
     written = spark.read.parquet(target).count()
+
+    # same write WITHOUT the in-file (symbol, trade_date) sort — isolates
+    # what the clustered layout costs at ingest (r5 verdict #7: the sort
+    # buys row-group min/max pruning on read; record what it costs on
+    # write so the trade is a measured number, not an assumption)
+    nosort_dir = target + "_nosort"
+    staged = rows.withColumn(
+        "trade_month", F.date_format("trade_date", "yyyyMM")
+    ).repartition(F.col("trade_month"))
+    t1 = time.perf_counter()
+    staged.write.mode("overwrite").partitionBy("trade_month").parquet(nosort_dir)
+    elapsed_nosort = time.perf_counter() - t1
+
     print(
         json.dumps(
             {
@@ -66,11 +78,18 @@ def main() -> None:
                 "rows": written,
                 "elapsed_sec": round(elapsed, 2),
                 "layout": "hive trade_month partitions, sortWithinPartitions(symbol, trade_date), snappy",
+                "nosort_rows_per_sec": round(written / elapsed_nosort),
+                "nosort_elapsed_sec": round(elapsed_nosort, 2),
+                "sort_overhead_pct": round(
+                    100.0 * (elapsed - elapsed_nosort) / elapsed_nosort, 1
+                ),
             }
         )
     )
     if tmp:
         shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(nosort_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
