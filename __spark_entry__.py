@@ -272,6 +272,14 @@ _COST = {
     "a19_market_share_trend": 2.46, "e32_session_depth": 0.79,
     "ts42_up_day_ratio": 1.76, "dd19_dedup_savings": 0.43,
     "k18_text_ann_end_to_end": 6.34,
+    # round-6 registrations (measured in-session at sf0.1, best-of-2)
+    "dd20_containment_pairs": 1.75, "tx26_word_length_profile": 0.55,
+    "iv8_peak_concurrency": 0.72, "e33_daypart_rollup": 0.54,
+    "e34_active_gap_histogram": 0.50, "ts43_series_gaps": 1.43,
+    "u7_bag_intersect": 0.44, "dq8_natural_key_collisions": 0.33,
+    "k19_dim_variance": 0.40, "f13_minmax_log_features": 0.40,
+    "o2_keyset_pagination": 0.28, "a20_breadth_thrust": 0.35,
+    "pipeline1_daily_update": 4.98,
 }
 
 

@@ -152,6 +152,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "lang",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTED near-duplicate pairs by n-gram CONTAINMENT:
+    C(a in b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|.
+
+    Jaccard misses the quote/excerpt case — a short document wholly
+    contained in a long one has tiny Jaccard (union dominated by the long
+    doc) but containment 1.0. This is the dedup signal for "A is embedded
+    in B" (boilerplate wrappers, quoted posts, chunk-of-document leaks;
+    the same asymmetric measure Broder's original shingling paper pairs
+    with resemblance).
+
+    Same single-shuffle harness as :func:`ngram_jaccard_pairs` (shingle
+    once, hash-bucket pair generation via pairs_within_groups, per-doc
+    sizes carried on the exploded rows, ``max_doc_freq`` stop-shingle
+    cap); each undirected pair then emits its two directions and the
+    threshold filters — no second pass over the text.
+    Returns (doc_id, other_id, common, containment) — containment of
+    doc_id's shingles inside other_id — ordered by (doc_id, other_id).
+    """
+    from market_data_pipeline_spark.operators.util import pairs_within_groups
+
+    group = [group_col] if group_col else []
+    sh = (
+        shingled(df, id_col, text_col, n, extra_cols=tuple(group))
+        .select(
+            F.col(id_col),
+            *group,
+            F.size("shingles").alias("sz"),
+            F.explode_outer("shingles").alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .select(F.col(id_col), *group, F.col("sz"), F.xxhash64(F.col("_s")).alias("shingle"))
+    )
+    pairs = pairs_within_groups(
+        sh, [*group, "shingle"], id_col, ["sz"], max_group_size=max_doc_freq
+    )
+    und = pairs.groupBy(
+        F.col(f"a.{id_col}").alias("_ida"),
+        F.col(f"b.{id_col}").alias("_idb"),
+        F.col("a.sz").alias("_sza"),
+        F.col("b.sz").alias("_szb"),
+    ).agg(F.count("*").alias("common"))
+    fwd = und.select(
+        F.col("_ida").alias(id_col),
+        F.col("_idb").alias("other_id"),
+        "common",
+        (F.col("common") / F.col("_sza")).alias("containment"),
+    )
+    rev = und.select(
+        F.col("_idb").alias(id_col),
+        F.col("_ida").alias("other_id"),
+        "common",
+        (F.col("common") / F.col("_szb")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= threshold)
+        .orderBy(id_col, "other_id")
+    )
+
+
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic universal-hash parameters (odd 31-bit multiplier,
     31-bit offset): h_i(x) = a_i * (x & 0x7fffffff) + b_i. Operands are

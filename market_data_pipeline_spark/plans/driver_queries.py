@@ -9584,6 +9584,645 @@ def k18_text_ann_end_to_end(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-6 batch: containment dedup, word-length profile, interval sweep,
+# daypart rollup, activity-gap histogram, series-gap audit, bag intersect,
+# natural-key collisions, per-dimension embedding stats, feature scaling,
+# keyset pagination, breadth thrust.
+# ===========================================================================
+
+
+@query(
+    "dd20_containment_pairs",
+    r"""WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh0 AS (
+  SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM sh0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dir AS (
+  SELECT p.doc_a AS doc_id, p.doc_b AS other_id, p.common,
+         p.common / sa.sz AS containment
+  FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+  UNION ALL
+  SELECT p.doc_b, p.doc_a, p.common, p.common / sb.sz
+  FROM pairs p JOIN sizes sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_id, other_id, common, containment
+FROM dir WHERE containment >= 0.8 ORDER BY doc_id, other_id""",
+)
+def dd20_containment_pairs(spark, sf_dir):
+    """DIRECTED n-gram containment pairs (|A∩B|/|A| >= 0.8): the
+    quote/excerpt dedup signal Jaccard misses — a short doc embedded in a
+    long one has tiny Jaccard but containment ~1. Same single-shuffle
+    shingle harness as dd2; each undirected pair emits both directions.
+    See operators.dedup.containment_pairs."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        group_col="lang",
+        n=3,
+        threshold=0.8,
+    )
+
+
+@query(
+    "tx26_word_length_profile",
+    r"""WITH w AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), nz AS (SELECT source, length(word) AS wl FROM w WHERE word <> '')
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wl) AS BIGINT) AS total_chars,
+       CAST(MAX(wl) AS BIGINT) AS max_word_len,
+       CAST(SUM(CASE WHEN wl > 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_words,
+       SUM(wl) / COUNT(*) AS mean_word_len
+FROM nz GROUP BY source ORDER BY source""",
+)
+def tx26_word_length_profile(spark, sf_dir):
+    """Per-source word-length profile (mean/max length, long-word count) —
+    the OCR-artifact / boilerplate / tokenizer-blowup quality signal a
+    corpus intake gate reads before training. Map-only explode + one
+    map-combined aggregate; the mean is exact-BIGINT division."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = (
+        docs.select(
+            "source",
+            F.explode_outer(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("word"),
+        )
+        .filter(F.col("word").isNotNull())
+        .select("source", F.length("word").alias("wl"))
+    )
+    return (
+        wl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("wl").cast("long").alias("total_chars"),
+            F.max("wl").cast("long").alias("max_word_len"),
+            F.sum(F.when(F.col("wl") > 12, 1).otherwise(0))
+            .cast("long")
+            .alias("n_long_words"),
+            (F.sum("wl") / F.count(F.lit(1))).alias("mean_word_len"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "iv8_peak_concurrency",
+    """WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(floor(value * 60 * 1e6) AS BIGINT) AS e_us
+  FROM events
+), pts AS (
+  SELECT event_type, s_us AS t_us, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e_us, CAST(-1 AS BIGINT) FROM iv
+), sweep AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t_us, delta
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM pts
+)
+SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak_concurrency
+FROM sweep GROUP BY event_type ORDER BY event_type""",
+)
+def iv8_peak_concurrency(spark, sf_dir):
+    """Peak concurrent activity per event type via the classic +1/-1
+    boundary sweep: each event holds for value minutes; the running sum
+    of interval boundaries (ends sort before starts at the same instant
+    -> half-open intervals) peaks at the max concurrency. One shuffle on
+    event_type; the sweep is an integer cumulative sum, engine-exact.
+    Completes the interval family with the O(n log n) sweep pattern (the
+    interval-join approach to this is quadratic)."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = events.select(
+        "event_type",
+        us.alias("s_us"),
+        (us + F.floor(F.col("value") * 60 * 1e6).cast("long")).alias("e_us"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s_us").alias("t_us"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        iv.select(
+            "event_type",
+            F.col("e_us").alias("t_us"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t_us", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.withColumn("live", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("long").alias("peak_concurrency"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "e33_daypart_rollup",
+    """SELECT event_type,
+       CASE WHEN hour(ts) < 6 THEN 'night'
+            WHEN hour(ts) < 12 THEN 'morning'
+            WHEN hour(ts) < 18 THEN 'afternoon'
+            ELSE 'evening' END AS daypart,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def e33_daypart_rollup(spark, sf_dir):
+    """Event volume/reach/value by (type, daypart) — the engagement-mix
+    rollup behind send-time optimization. Pure map + one map-combined
+    aggregate; value sums in DECIMAL(18,2) (the repo's exact-sum rule)."""
+    events = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+    daypart = (
+        F.when(h < 6, "night")
+        .when(h < 12, "morning")
+        .when(h < 18, "afternoon")
+        .otherwise("evening")
+    )
+    return (
+        events.groupBy("event_type", daypart.alias("daypart"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type", "daypart")
+    )
+
+
+@query(
+    "e34_active_gap_histogram",
+    """WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), gaps AS (
+  SELECT user_id,
+         day - LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+  FROM days
+)
+SELECT CAST(gap AS BIGINT) AS gap_days, CAST(COUNT(*) AS BIGINT) AS n
+FROM gaps WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""",
+)
+def e34_active_gap_histogram(spark, sf_dir):
+    """Histogram of per-user gaps between consecutive ACTIVE days — the
+    churn-risk / resurrection-lag distribution (how long do users go
+    dark). Per-user lag windows (series-key shuffle), then a tiny
+    grouped count; the histogram is bounded by the calendar span."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        days.withColumn("gap", F.datediff(F.col("day"), F.lag("day").over(w)))
+        .filter(F.col("gap").isNotNull())
+        .groupBy(F.col("gap").cast("long").alias("gap_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("gap_days")
+    )
+
+
+@query(
+    "ts43_series_gaps",
+    f"""WITH {PRICE_CTE}, g AS (
+  SELECT symbol,
+         trade_date - LAG(trade_date)
+             OVER (PARTITION BY symbol ORDER BY trade_date) AS gap
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+       CAST(SUM(gap) AS BIGINT) AS total_gap_days
+FROM g WHERE gap IS NOT NULL GROUP BY symbol ORDER BY symbol""",
+)
+def ts43_series_gaps(spark, sf_dir):
+    """Per-symbol trading-calendar gap audit (max/total days between
+    consecutive observations) — the staleness check run before any
+    rolling-window computation trusts its windows. Integer day counts
+    only (no float means), one series-key shuffle."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    return (
+        p.withColumn(
+            "gap", F.datediff(F.col("trade_date"), F.lag("trade_date").over(w))
+        )
+        .filter(F.col("gap").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+            F.sum("gap").cast("long").alias("total_gap_days"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "u7_bag_intersect",
+    """SELECT l_partkey AS part_key,
+       CAST(SUM(CASE WHEN year(l_shipdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_1995,
+       CAST(SUM(CASE WHEN year(l_shipdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_1996,
+       CAST(LEAST(SUM(CASE WHEN year(l_shipdate) = 1995 THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN year(l_shipdate) = 1996 THEN 1 ELSE 0 END)) AS BIGINT)
+         AS common
+FROM lineitem
+WHERE year(l_shipdate) IN (1995, 1996)
+GROUP BY 1
+HAVING SUM(CASE WHEN year(l_shipdate) = 1995 THEN 1 ELSE 0 END) > 0
+   AND SUM(CASE WHEN year(l_shipdate) = 1996 THEN 1 ELSE 0 END) > 0
+ORDER BY 1""",
+)
+def u7_bag_intersect(spark, sf_dir):
+    """Multiset (bag) INTERSECTION between two year-slices of the fact
+    stream: per key, min of the two multiplicities — completes the
+    set-op family (u5 is bag difference). ONE scan with conditional
+    counts and one shuffle — not two aggregations joined (which would
+    scan and shuffle twice)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    c95 = F.sum(F.when(yr == 1995, 1).otherwise(0)).cast("long")
+    c96 = F.sum(F.when(yr == 1996, 1).otherwise(0)).cast("long")
+    return (
+        li.filter(yr.isin(1995, 1996))
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(c95.alias("n_1995"), c96.alias("n_1996"))
+        .filter((F.col("n_1995") > 0) & (F.col("n_1996") > 0))
+        .withColumn("common", F.least("n_1995", "n_1996").cast("long"))
+        .orderBy("part_key")
+    )
+
+
+@query(
+    "dq8_natural_key_collisions",
+    """WITH k AS (
+  SELECT p_brand, p_type, p_size, COUNT(*) AS n
+  FROM part GROUP BY 1, 2, 3
+)
+SELECT p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collisions,
+       CAST(MAX(n) AS BIGINT) AS max_group
+FROM k GROUP BY 1 ORDER BY 1""",
+)
+def dq8_natural_key_collisions(spark, sf_dir):
+    """Natural-key uniqueness audit: does (brand, type, size) identify a
+    part? Per-brand collision counts and the worst group size — the
+    pre-join data-quality check that catches fan-out before a 'unique
+    key' join silently multiplies rows. Two map-combined aggregates."""
+    p = load_table(spark, sf_dir, "part")
+    k = p.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        k.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_parts"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_collisions"),
+            F.max("n").cast("long").alias("max_group"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "k19_dim_variance",
+    """WITH idx AS (
+  SELECT embedding, unnest(range(len(embedding))) AS x FROM embeddings
+), ex AS (
+  SELECT CAST(x AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(x AS INTEGER) + 1] AS DOUBLE) * 1e6)
+              AS BIGINT) AS q
+  FROM idx
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(q) / 1e6 / COUNT(*) AS mean,
+       SUM(q * q) / 1e12 / COUNT(*)
+         - (SUM(q) / 1e6 / COUNT(*)) * (SUM(q) / 1e6 / COUNT(*)) AS variance
+FROM ex GROUP BY dim ORDER BY dim""",
+)
+def k19_dim_variance(spark, sf_dir):
+    """Per-DIMENSION mean/variance of the embedding corpus — the feature
+    health check (dead dims, dominant dims, normalization drift) run
+    before trusting any cosine geometry. Fixed-point BIGINT sums (values
+    and squares) make the moments engine-exact (same trick as k9); one
+    posexplode + one map-combined aggregate, shuffle bounded by dim x
+    partitions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "v")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("v") * 1e6).cast("long").alias("q"),
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("q")
+    s2 = F.sum(F.col("q") * F.col("q"))
+    mean = s1 / 1e6 / n
+    return (
+        ex.groupBy("dim")
+        .agg(
+            n.cast("long").alias("n"),
+            mean.alias("mean"),
+            (s2 / 1e12 / n - mean * mean).alias("variance"),
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "f13_minmax_log_features",
+    f"""WITH {PRICE_CTE}
+SELECT symbol, trade_date, close_price,
+       CASE WHEN MAX(close_price) OVER w = MIN(close_price) OVER w THEN NULL
+            ELSE (close_price - MIN(close_price) OVER w)
+                 / (MAX(close_price) OVER w - MIN(close_price) OVER w) END
+         AS close_scaled,
+       ln(1 + volume) AS log_volume
+FROM price
+WHERE symbol IN ('3', '7', '21', '42', '101') AND close_price IS NOT NULL
+WINDOW w AS (PARTITION BY symbol)
+ORDER BY symbol, trade_date""",
+)
+def f13_minmax_log_features(spark, sf_dir):
+    """Feature scaling for model input: per-symbol min-max normalized
+    close (NULL on constant series — no divide-by-zero poison) and
+    log1p(volume). Per-series unordered windows (map-side after the one
+    series shuffle); every expression is per-row deterministic IEEE so
+    the oracle hashes exactly."""
+    p = price_frame(spark, sf_dir, RETURN_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
+    )
+    w = Window.partitionBy("symbol")
+    mn, mx = F.min("close_price").over(w), F.max("close_price").over(w)
+    return p.select(
+        "symbol",
+        "trade_date",
+        "close_price",
+        F.when(mx == mn, F.lit(None).cast("double"))
+        .otherwise((F.col("close_price") - mn) / (mx - mn))
+        .alias("close_scaled"),
+        F.log(F.lit(1) + F.col("volume")).alias("log_volume"),
+    ).orderBy("symbol", "trade_date")
+
+
+@query(
+    "o2_keyset_pagination",
+    """WITH cur AS (
+  SELECT o_totalprice AS cp, o_orderkey AS ck
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 99
+)
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+FROM orders, cur
+WHERE o_totalprice < cp OR (o_totalprice = cp AND o_orderkey > ck)
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+)
+def o2_keyset_pagination(spark, sf_dir):
+    """Keyset (seek-method) pagination: page 3 of the price-ranked order
+    list via a (o_totalprice, o_orderkey) cursor instead of OFFSET. The
+    cursor row is ONE driver-side value from a TakeOrdered(100); the
+    page is then a pushed-down filter + TakeOrdered(50) — at 100 TB an
+    OFFSET shuffles and discards the whole prefix on every page, while
+    the seek scans stay O(page) per request. Total order via the
+    orderkey tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    cur = (
+        o.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .orderBy(F.asc("o_totalprice"), F.desc("o_orderkey"))
+        .limit(1)
+        .collect()[0]
+    )  # bounded: exactly one cursor row crosses to the driver
+    cp, ck = cur["o_totalprice"], cur["o_orderkey"]
+    return (
+        o.filter(
+            (F.col("o_totalprice") < cp)
+            | ((F.col("o_totalprice") == cp) & (F.col("o_orderkey") > ck))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "a20_breadth_thrust",
+    f"""WITH {PRICE_CTE}, lagged AS (
+  SELECT symbol, trade_date, close_price,
+         LAG(close_price) OVER (PARTITION BY symbol ORDER BY trade_date)
+           AS prev_close
+  FROM price WHERE close_price IS NOT NULL
+), daily AS (
+  SELECT trade_date,
+         SUM(CASE WHEN close_price > prev_close THEN 1 ELSE 0 END) AS adv,
+         SUM(CASE WHEN close_price < prev_close THEN 1 ELSE 0 END) AS dec
+  FROM lagged WHERE prev_close IS NOT NULL
+  GROUP BY 1 HAVING SUM(CASE WHEN close_price > prev_close THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN close_price < prev_close THEN 1 ELSE 0 END) > 0
+), bp AS (
+  SELECT trade_date, CAST(adv AS BIGINT) AS adv, CAST(dec AS BIGINT) AS dec,
+         CAST(ROUND(adv / (adv + dec) * 1e6) AS BIGINT) AS breadth_ppm
+  FROM daily
+)
+SELECT trade_date, adv, dec, breadth_ppm,
+       SUM(breadth_ppm) OVER w / 1e6
+         / COUNT(*) OVER w AS breadth_sma10,
+       SUM(breadth_ppm) OVER w / 1e6 / COUNT(*) OVER w >= 0.615 AS thrust
+FROM bp
+WINDOW w AS (ORDER BY trade_date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+ORDER BY trade_date""",
+)
+def a20_breadth_thrust(spark, sf_dir):
+    """Market breadth (advancers / movers) with its 10-day SMA and the
+    Zweig breadth-thrust flag (SMA >= 0.615). The sliding mean runs over
+    fixed-point ppm INTEGERS so window accumulation order (segment trees
+    vs sequential) cannot change the float result. The unpartitioned
+    window is post-aggregation over the trading CALENDAR — bounded
+    domain, the a16 pattern."""
+    r = returns_frame(spark, sf_dir)
+    daily = (
+        r.filter(F.col("ret").isNotNull())
+        .groupBy("trade_date")
+        .agg(
+            F.sum(F.when(F.col("ret") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("adv"),
+            F.sum(F.when(F.col("ret") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("dec"),
+        )
+        .filter((F.col("adv") + F.col("dec")) > 0)
+    )
+    bp = daily.withColumn(
+        "breadth_ppm",
+        F.round(F.col("adv") / (F.col("adv") + F.col("dec")) * 1e6).cast("long"),
+    )
+    w = Window.orderBy("trade_date").rowsBetween(-9, 0)
+    sma = F.sum("breadth_ppm").over(w) / 1e6 / F.count(F.lit(1)).over(w)
+    return bp.select(
+        "trade_date",
+        "adv",
+        "dec",
+        "breadth_ppm",
+        sma.alias("breadth_sma10"),
+        (sma >= 0.615).alias("thrust"),
+    ).orderBy("trade_date")
+
+
+# ===========================================================================
+# Round-6: the reference's §3.1 flagship PIPELINE as an oracled query
+# (r5 verdict #8 stretch — every reference query was oracled, but the
+# daily-update pipeline itself was pytest-only until now).
+# ===========================================================================
+
+
+@query(
+    "pipeline1_daily_update",
+    """WITH listed AS (
+  SELECT CAST(100000 + s_suppkey AS VARCHAR) AS symbol,
+         trim(s_name) AS name, 'KOSPI' AS market,
+         CAST(NULL AS DATE) AS listing_date
+  FROM supplier
+  UNION ALL
+  SELECT CAST(200000 + c_custkey AS VARCHAR),
+         trim(c_name), 'KOSDAQ', CAST(NULL AS DATE)
+  FROM customer
+), newl AS (
+  SELECT CAST(400000 + p_partkey AS VARCHAR) AS symbol,
+         trim(p_name) AS name, 'KONEX' AS market,
+         CASE CAST(p_partkey % 3 AS INTEGER)
+           WHEN 0 THEN DATE '2024-01-15'
+           WHEN 1 THEN DATE '2024-02-20'
+           ELSE DATE '2024-03-10' END AS listing_date
+  FROM part WHERE p_partkey <= 400
+), del AS (
+  SELECT CAST(100000 + s_suppkey AS VARCHAR) AS symbol,
+         CASE CAST(s_suppkey % 3 AS INTEGER)
+           WHEN 0 THEN DATE '2023-12-31'
+           WHEN 1 THEN DATE '2023-10-25'
+           ELSE DATE '2023-11-30' END AS ddate,
+         'reason-' || CAST(s_suppkey % 5 AS VARCHAR) AS dreason
+  FROM supplier WHERE s_suppkey % 7 = 0
+)
+SELECT l.symbol, l.name, l.market,
+       CAST(NULL AS VARCHAR) AS sector, CAST(NULL AS VARCHAR) AS industry,
+       l.listing_date,
+       d.ddate AS delisting_date, d.dreason AS delisting_reason,
+       CAST(CASE WHEN d.symbol IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS is_active,
+       TIMESTAMP '2024-06-01 02:00:00' AS create_dt,
+       TIMESTAMP '2024-06-01 02:00:00' AS update_dt
+FROM (SELECT * FROM listed UNION ALL SELECT * FROM newl) l
+LEFT JOIN del d ON l.symbol = d.symbol
+ORDER BY l.symbol""",
+)
+def pipeline1_daily_update(spark, sf_dir):
+    """The reference's §3.1 daily batch END TO END as one oracled query
+    (reference: scripts/daily_stock_master_update.py:333-367): per-market
+    listing upsert -> new-listing sync (multi-format date parse, Korean
+    number fields) -> delisted sync (validation chain + set-based master
+    update) -> compaction -> final master. Inputs are deterministic
+    crawl-shaped frames derived from the TPC-H dims (suppliers = KOSPI
+    listings, customers = KOSDAQ, parts = new listings, every 7th
+    supplier delists), so DuckDB can replay the pipeline's NET semantics
+    as plain set logic while the Spark side runs the REAL storage path:
+    ParquetTable bootstrap, insert-if-absent anti-joins, the
+    full-outer-join delisting update, ReplacingMergeTree-style
+    compaction, and read_current() dedup. Symbol ranges are disjoint by
+    construction (1xxxxx/2xxxxx/4xxxxx) so the oracle needs no
+    tie-break modeling. The injectable ``now`` pins the audit columns.
+
+    The write lands in a per-call temp directory (the returned DataFrame
+    reads from it lazily); at sf0.1 the master is ~16k rows — dim-scale
+    by design, like the reference's."""
+    import datetime as _dt
+    import tempfile
+
+    from market_data_pipeline_spark.plans import pipelines as PL
+    from market_data_pipeline_spark.storage.table import stock_master_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    kospi = sup.select(
+        (F.col("s_suppkey") + 100000).cast("string").alias("symbol"),
+        F.col("s_name").alias("name"),
+    )
+    kosdaq = cust.select(
+        (F.col("c_custkey") + 200000).cast("string").alias("symbol"),
+        F.col("c_name").alias("name"),
+    )
+    pk3 = F.col("p_partkey") % 3
+    raw_new = part.filter(F.col("p_partkey") <= 400).select(
+        F.col("p_name").alias("company_name"),
+        (F.col("p_partkey") + 400000).cast("string").alias("company_code"),
+        F.when(pk3 == 0, F.lit("2024.01.15"))
+        .when(pk3 == 1, F.lit("20240220"))
+        .otherwise(F.lit("2024-03-10"))
+        .alias("listing_date"),
+        F.lit("500원").alias("par_value"),
+        F.lit("1,000원").alias("ipo_price"),
+        F.lit("KONEX").alias("market"),
+    )
+    sk3 = F.col("s_suppkey") % 3
+    raw_delisted = sup.filter(F.col("s_suppkey") % 7 == 0).select(
+        F.col("s_name").alias("company_name"),
+        (F.col("s_suppkey") + 100000).cast("string").alias("company_code"),
+        F.when(sk3 == 0, F.lit("2023.12.31"))
+        .when(sk3 == 1, F.lit("20231025"))
+        .otherwise(F.lit("2023-11-30"))
+        .alias("delisting_date"),
+        F.concat(
+            F.lit("reason-"), (F.col("s_suppkey") % 5).cast("string")
+        ).alias("delisting_reason"),
+        F.lit("KOSPI").alias("market"),
+    )
+
+    path = tempfile.mkdtemp(prefix="mdps_pipeline1_") + "/master"
+    master = stock_master_table(spark, path)
+    PL.run_daily_update(
+        master,
+        {"KOSPI": kospi, "KOSDAQ": kosdaq},
+        raw_new,
+        raw_delisted,
+        now=_dt.datetime(2024, 6, 1, 2, 0, 0),
+    )
+    return master.read_current().orderBy("symbol")
+
+
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
