@@ -280,7 +280,30 @@ _COST = {
     "k19_dim_variance": 0.40, "f13_minmax_log_features": 0.40,
     "o2_keyset_pagination": 0.28, "a20_breadth_thrust": 0.35,
     "pipeline1_daily_update": 4.98,
+    # round-7 bank (measured in-session at sf0.1, best-of-2)
+    "cdc4_scd2_dimension": 1.55, "iv9_interval_stabbing": 0.61,
+    "smp13_kfold_assign": 0.27, "tx27_stopword_profile": 0.73,
+    "dp5_column_drift": 0.91, "ts44_parkinson_vol": 1.50,
+    "f14_cyclic_time_features": 0.40, "a22_turn_of_month": 0.31,
+    "dd21_dup_provenance": 0.60, "e35_repeat_latency": 0.44,
+    "k20_label_knn_purity": 1.52, "dq9_source_completeness": 0.30,
 }
+
+
+# Oracled registrations deliberately deferred to ROUND 7: the 50-row
+# window is exactly full (37 backlog + 13 round-6 registrations), so
+# anything registered after it sorts here — an explicit tier, not the
+# r5-era fake cost pins (_COST now holds only measurements, r5 verdict
+# #4; this set is what makes that possible). scripts/round_open.py
+# folds these into the next round's frozen backlog automatically (they
+# are oracled-never-green, which is all the fold looks at).
+_BANK_R7 = frozenset({
+    "a22_turn_of_month", "cdc4_scd2_dimension", "dd21_dup_provenance",
+    "dp5_column_drift", "dq9_source_completeness", "e35_repeat_latency",
+    "f14_cyclic_time_features", "iv9_interval_stabbing",
+    "k20_label_knn_purity", "smp13_kfold_assign", "ts44_parkinson_vol",
+    "tx27_stopword_profile",
+})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -288,8 +311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in _BACKLOG_R6:
             return 0  # frozen: the 37 never-green oracled queries
         if name not in ORACLES:
-            return 3  # no-oracle: can never hash-green, record dead last
-        return 2 if name in _GREEN_R1_R5 else 1  # 1 = new registrations
+            return 4  # no-oracle: can never hash-green, record dead last
+        if name in _BANK_R7:
+            return 2  # deferred past this round's exactly-full window
+        return 3 if name in _GREEN_R1_R5 else 1  # 1 = round-6 registrations
 
     ordered = sorted(QUERIES, key=lambda n: (tier(n), _COST.get(n, 1.0), n))
     return {n: QUERIES[n] for n in ordered}

@@ -104,3 +104,47 @@ def collapse_runs(
         )
         .drop("_island")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Materialize an SCD-Type-2 dimension from an event stream: one
+    validity interval per (key, value run) with ``valid_from`` /
+    ``valid_to`` / ``is_current`` — the warehouse shape downstream
+    point-in-time joins consume (the reference's master table keeps only
+    is_active/delisting_date; this is the full history generalization).
+
+    Stage 1 collapses the stream to ONE value per (key, date) —
+    ``max_by(value, tiebreak)``, the latest writer wins deterministically
+    — so run start dates are strictly increasing per key and the SCD
+    intervals partition the timeline (without this, same-day value
+    flapping makes interval bounds order-dependent). Stage 2 is
+    :func:`collapse_runs`; stage 3 closes each interval at the NEXT
+    run's start minus one day (LEAD over the key partition; NULL = open
+    interval, flagged ``is_current``).
+
+    Every window and aggregate partitions on the key: one shuffle.
+    Returns (key_col, value_col, valid_from, valid_to, is_current,
+    n_days).
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(F.col(key_col), F.col(date_col).alias("_d")).agg(
+        F.max_by(value_col, F.col(tiebreak_col)).alias(value_col)
+    )
+    runs = collapse_runs(daily, key_col, ["_d"], value_col)
+    w = Window.partitionBy(key_col).orderBy("run_start")
+    nxt = F.lead("run_start").over(w)
+    return runs.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.col("run_start").alias("valid_from"),
+        F.date_sub(nxt, 1).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("n_rows").alias("n_days"),
+    )

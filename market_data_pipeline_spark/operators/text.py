@@ -1361,3 +1361,72 @@ def hashed_embedding(
         F.col(id_col),
         F.transform(F.col("_d"), lambda v: v / F.col("_n")).alias("embedding"),
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment by md5 bucket
+    ranges — the rerun- and engine-stable alternative to rand() folds
+    (the same idiom as :func:`train_val_test_split`, generalized to k
+    contiguous ranges of the 256 two-hex-digit buckets; fold sizes
+    differ by at most one bucket, ~0.4%). Keying on a group column keeps
+    whole groups in one fold (leakage guard). Map-only.
+    Adds a ``fold`` column (0..k-1).
+    """
+    if not 2 <= k <= 256:
+        raise ValueError(f"k must be in [2, 256], got {k}")
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
+        1,
+        2,
+    )
+    bounds = [format(256 * i // k, "02x") for i in range(1, k)]
+    fold = F.when(h < bounds[0], 0)
+    for i, b in enumerate(bounds[1:], start=1):
+        fold = fold.when(h < b, i)
+    return df.withColumn("fold", fold.otherwise(k - 1).cast("long"))
+
+
+def stopword_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language function-word density over the corpus, each language
+    measured against its OWN stopword list: a corpus-intake language
+    sanity check (a lang bucket whose stopword density collapses is
+    mislabeled or machine-generated). One explode + one map-combined
+    aggregate; the ratio is exact-BIGINT division.
+    Returns (lang, n_docs, n_tokens, n_stop, stop_ratio).
+    """
+    stop_expr = F.lit(False)
+    for lang, words in STOPWORDS.items():
+        stop_expr = F.when(F.col("lang") == lang, F.col("_w").isin(*words)).otherwise(
+            stop_expr
+        )
+    toks = (
+        df.select(
+            "lang",
+            F.col("doc_id"),
+            F.explode_outer(
+                F.filter(tokens(F.col(text_col)), lambda t: t != "")
+            ).alias("_w"),
+        )
+        .filter(F.col("_w").isNotNull())
+        .select("lang", "doc_id", stop_expr.alias("_is_stop"))
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_is_stop"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_stop"),
+            (
+                F.sum(F.when(F.col("_is_stop"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("stop_ratio"),
+        )
+        .orderBy("lang")
+    )

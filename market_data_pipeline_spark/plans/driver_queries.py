@@ -10102,6 +10102,583 @@ def a20_breadth_thrust(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-7 bank, batch 1: SCD-2 dimension build, interval stabbing,
+# k-fold assignment, per-language stopword profile. Registered and
+# oracled now, deferred past round 6's exactly-full window via the
+# explicit _BANK_R7 tier in __spark_entry__ (honest tier, no cost pins).
+# ===========================================================================
+
+
+@query(
+    "cdc4_scd2_dimension",
+    """WITH s AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         arg_max(o_orderstatus, o_orderkey) AS o_orderstatus
+  FROM orders GROUP BY 1, 2
+), n AS (
+  SELECT o_custkey, d, o_orderstatus,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d)
+       - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus ORDER BY d)
+           AS island
+  FROM s
+), runs AS (
+  SELECT o_custkey, o_orderstatus, MIN(d) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM n GROUP BY o_custkey, o_orderstatus, island
+)
+SELECT o_custkey, o_orderstatus, valid_from,
+       LEAD(valid_from) OVER w - 1 AS valid_to,
+       LEAD(valid_from) OVER w IS NULL AS is_current,
+       n_days
+FROM runs
+WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)
+ORDER BY o_custkey, valid_from""",
+)
+def cdc4_scd2_dimension(spark, sf_dir):
+    """Full SCD-Type-2 dimension materialization (valid_from / valid_to /
+    is_current) from the order-status stream — the warehouse history
+    shape point-in-time joins consume. Daily latest-writer-wins
+    (max_by on orderkey) makes run starts strictly increasing per key,
+    so intervals partition the timeline deterministically; everything
+    partitions on the customer key (one shuffle). See
+    operators.incremental.scd2_history."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    return ivm.scd2_history(
+        orders, "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey"
+    ).orderBy("o_custkey", "valid_from")
+
+
+@query(
+    "iv9_interval_stabbing",
+    """WITH m AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+probes AS (
+  SELECT CAST(r.range AS BIGINT) AS probe_idx,
+         t0 + CAST(r.range * 21600000000 AS BIGINT) AS probe_us
+  FROM m, range(12) r
+), iv AS (
+  SELECT epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(floor(value * 60 * 1e6) AS BIGINT) AS e_us
+  FROM events
+)
+SELECT p.probe_idx, p.probe_us,
+       CAST(SUM(CASE WHEN iv.s_us <= p.probe_us AND p.probe_us < iv.e_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covering
+FROM iv, probes p
+GROUP BY 1, 2 ORDER BY 1""",
+)
+def iv9_interval_stabbing(spark, sf_dir):
+    """Interval STABBING query: how many live activity intervals (each
+    event holds for ``value`` minutes) cover each of 12 probe instants
+    (6-hour grid from the stream's start)? The probe set broadcasts and
+    the corpus streams through ONCE with a per-row 12-way conditional
+    count — no interval index, no shuffle beyond the 12-group aggregate.
+    The grid anchor is one driver-side MIN scalar (bounded, the o2
+    cursor pattern). Complements iv8's sweep (all-time peak) with
+    point-in-time depth."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    t0 = events.agg(F.min(us).alias("t0")).collect()[0]["t0"]
+    probes = spark.range(12).select(
+        F.col("id").cast("long").alias("probe_idx"),
+        (F.lit(t0) + F.col("id") * F.lit(21600000000)).cast("long").alias("probe_us"),
+    )
+    iv = events.select(
+        us.alias("s_us"),
+        (us + F.floor(F.col("value") * 60 * 1e6).cast("long")).alias("e_us"),
+    )
+    covered = (F.col("s_us") <= F.col("probe_us")) & (
+        F.col("probe_us") < F.col("e_us")
+    )
+    return (
+        iv.crossJoin(F.broadcast(probes))
+        .groupBy("probe_idx", "probe_us")
+        .agg(
+            F.sum(F.when(covered, 1).otherwise(0)).cast("long").alias("n_covering")
+        )
+        .orderBy("probe_idx")
+    )
+
+
+@query(
+    "smp13_kfold_assign",
+    """SELECT doc_id, lang,
+       CAST(CASE WHEN substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 2) < '33' THEN 0
+            WHEN substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 2) < '66' THEN 1
+            WHEN substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 2) < '99' THEN 2
+            WHEN substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 3
+            ELSE 4 END AS BIGINT) AS fold
+FROM documents ORDER BY doc_id""",
+)
+def smp13_kfold_assign(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment by md5 bucket
+    ranges — rerun- and engine-stable (no rand()), fold sizes within one
+    256th of uniform, map-only. See operators.text.kfold_assign."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tx.kfold_assign(docs, key_col="doc_id", k=5)
+        .select("doc_id", "lang", "fold")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tx27_stopword_profile",
+    r"""WITH w AS (
+  SELECT lang, doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), nz AS (
+  SELECT lang, doc_id,
+         CASE lang
+           WHEN 'en' THEN word IN ('the','a','of','and','in','to','is')
+           WHEN 'es' THEN word IN ('el','la','de','que','y','en','los')
+           WHEN 'fr' THEN word IN ('le','la','de','et','les','des','un')
+           WHEN 'de' THEN word IN ('der','die','das','und','ist','von','ein')
+           WHEN 'zh' THEN word IN ('的','是','了','在','和','有','我')
+           ELSE FALSE END AS is_stop
+  FROM w WHERE word <> ''
+)
+SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) / COUNT(*) AS stop_ratio
+FROM nz GROUP BY lang ORDER BY lang""",
+)
+def tx27_stopword_profile(spark, sf_dir):
+    """Per-language function-word density, each language scored against
+    its OWN stopword list — the corpus-intake sanity check that flags
+    mislabeled or machine-generated language buckets (their stopword
+    density collapses). One explode + one map-combined aggregate. See
+    operators.text.stopword_profile."""
+    return tx.stopword_profile(load_table(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Round-7 bank, batch 2: column drift profile, Parkinson volatility,
+# cyclic time features, turn-of-month effect.
+# ===========================================================================
+
+
+@query(
+    "dp5_column_drift",
+    """WITH a AS (
+  SELECT
+    CAST(SUM(CASE WHEN year(l_shipdate)=1995 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS s_qty_95,
+    CAST(COUNT(CASE WHEN year(l_shipdate)=1995 THEN l_quantity END) AS BIGINT) AS n_qty_95,
+    CAST(SUM(CASE WHEN year(l_shipdate)=1996 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS s_qty_96,
+    CAST(COUNT(CASE WHEN year(l_shipdate)=1996 THEN l_quantity END) AS BIGINT) AS n_qty_96,
+    CAST(SUM(CASE WHEN year(l_shipdate)=1995 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_px_95,
+    CAST(COUNT(CASE WHEN year(l_shipdate)=1995 THEN l_extendedprice END) AS BIGINT) AS n_px_95,
+    CAST(SUM(CASE WHEN year(l_shipdate)=1996 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_px_96,
+    CAST(COUNT(CASE WHEN year(l_shipdate)=1996 THEN l_extendedprice END) AS BIGINT) AS n_px_96,
+    CAST(SUM(CASE WHEN year(l_shipdate)=1995 THEN CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE) AS s_d_95,
+    CAST(COUNT(CASE WHEN year(l_shipdate)=1995 THEN l_discount END) AS BIGINT) AS n_d_95,
+    CAST(SUM(CASE WHEN year(l_shipdate)=1996 THEN CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE) AS s_d_96,
+    CAST(COUNT(CASE WHEN year(l_shipdate)=1996 THEN l_discount END) AS BIGINT) AS n_d_96,
+    CAST(SUM(CASE WHEN year(l_shipdate)=1995 THEN CAST(l_tax AS DECIMAL(18,2)) END) AS DOUBLE) AS s_t_95,
+    CAST(COUNT(CASE WHEN year(l_shipdate)=1995 THEN l_tax END) AS BIGINT) AS n_t_95,
+    CAST(SUM(CASE WHEN year(l_shipdate)=1996 THEN CAST(l_tax AS DECIMAL(18,2)) END) AS DOUBLE) AS s_t_96,
+    CAST(COUNT(CASE WHEN year(l_shipdate)=1996 THEN l_tax END) AS BIGINT) AS n_t_96
+  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+), u AS (
+  SELECT 'l_quantity' AS column_name, n_qty_95 AS n_1995, s_qty_95 AS s_1995,
+         n_qty_96 AS n_1996, s_qty_96 AS s_1996 FROM a
+  UNION ALL SELECT 'l_extendedprice', n_px_95, s_px_95, n_px_96, s_px_96 FROM a
+  UNION ALL SELECT 'l_discount', n_d_95, s_d_95, n_d_96, s_d_96 FROM a
+  UNION ALL SELECT 'l_tax', n_t_95, s_t_95, n_t_96, s_t_96 FROM a
+)
+SELECT column_name, n_1995, s_1995 / n_1995 AS mean_1995,
+       n_1996, s_1996 / n_1996 AS mean_1996,
+       (s_1996 / n_1996 - s_1995 / n_1995) / (s_1995 / n_1995) * 100.0
+         AS drift_pct
+FROM u ORDER BY column_name""",
+)
+def dp5_column_drift(spark, sf_dir):
+    """Year-over-year column-drift report for the fact table's numeric
+    columns (the feature-drift check a training pipeline runs before
+    trusting a new data dump): exact DECIMAL sums per (column, year) in
+    ONE conditional-aggregate scan, unpivoted with stack — no per-column
+    re-scan, no join. Means are exact-sum / exact-count divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    cols = {
+        "qty": "l_quantity",
+        "px": "l_extendedprice",
+        "d": "l_discount",
+        "t": "l_tax",
+    }
+    aggs = []
+    for tag, c in cols.items():
+        for y in (1995, 1996):
+            aggs.append(
+                F.sum(F.when(yr == y, F.col(c).cast("decimal(18,2)")))
+                .cast("double")
+                .alias(f"s_{tag}_{y % 100}")
+            )
+            aggs.append(
+                F.count(F.when(yr == y, F.col(c)))
+                .cast("long")
+                .alias(f"n_{tag}_{y % 100}")
+            )
+    a = li.filter(yr.isin(1995, 1996)).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{tag}_95, s_{tag}_95, n_{tag}_96, s_{tag}_96"
+        for tag, c in cols.items()
+    )
+    u = a.select(
+        F.expr(
+            f"stack(4, {stack_args}) as (column_name, n_1995, s_1995, n_1996, s_1996)"
+        )
+    )
+    m95 = F.col("s_1995") / F.col("n_1995")
+    m96 = F.col("s_1996") / F.col("n_1996")
+    return u.select(
+        "column_name",
+        "n_1995",
+        m95.alias("mean_1995"),
+        "n_1996",
+        m96.alias("mean_1996"),
+        ((m96 - m95) / m95 * 100.0).alias("drift_pct"),
+    ).orderBy("column_name")
+
+
+@query(
+    "ts44_parkinson_vol",
+    f"""WITH {PRICE_CTE}, wk AS (
+  SELECT symbol, date_trunc('week', trade_date) AS bucket,
+         MAX(close_price) AS h, MIN(close_price) AS l
+  FROM price WHERE close_price IS NOT NULL GROUP BY 1, 2
+), q AS (
+  SELECT symbol,
+         CAST(ROUND(ln(h / l) * ln(h / l) * 1e12) AS BIGINT) AS qv
+  FROM wk WHERE l > 0
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       sqrt(SUM(qv) / 1e12 / COUNT(*) / (4 * ln(2))) AS parkinson_vol
+FROM q GROUP BY symbol ORDER BY symbol""",
+)
+def ts44_parkinson_vol(spark, sf_dir):
+    """Parkinson range-based volatility per symbol (mean weekly
+    ln(H/L)² / 4ln2, square-rooted) — the high/low estimator that is
+    ~5x more statistically efficient than close-to-close vol. Weekly
+    range bars from one hash aggregate; the squared-log terms are
+    fixed-pointed to 1e-12 BIGINTs before summing so accumulation order
+    cannot move the mean. Full-universe, one series shuffle."""
+    import math as _math
+
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    wk = p.groupBy(
+        "symbol", F.date_trunc("week", F.col("trade_date")).alias("bucket")
+    ).agg(F.max("close_price").alias("h"), F.min("close_price").alias("l"))
+    lhl = F.log(F.col("h") / F.col("l"))
+    q = wk.filter(F.col("l") > 0).select(
+        "symbol", F.round(lhl * lhl * 1e12).cast("long").alias("qv")
+    )
+    n = F.count(F.lit(1))
+    return (
+        q.groupBy("symbol")
+        .agg(
+            n.cast("long").alias("n_weeks"),
+            F.sqrt(
+                F.sum("qv") / 1e12 / n / F.lit(4 * _math.log(2))
+            ).alias("parkinson_vol"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "f14_cyclic_time_features",
+    f"""WITH {PRICE_CTE}
+SELECT symbol, trade_date,
+       ROUND(sin(2 * pi() * isodow(trade_date) / 7), 6) + 0 AS dow_sin,
+       ROUND(cos(2 * pi() * isodow(trade_date) / 7), 6) + 0 AS dow_cos,
+       ROUND(sin(2 * pi() * month(trade_date) / 12), 6) + 0 AS month_sin,
+       ROUND(cos(2 * pi() * month(trade_date) / 12), 6) + 0 AS month_cos
+FROM price
+WHERE symbol IN ('3', '7', '21', '42', '101') AND close_price IS NOT NULL
+ORDER BY symbol, trade_date""",
+)
+def f14_cyclic_time_features(spark, sf_dir):
+    """Cyclic (sin/cos) encodings of day-of-week and month — the feature
+    shape that lets a model see Sunday and Monday as adjacent (a raw
+    ordinal puts them 6 apart). Map-only per-row trigonometry, rounded
+    to 6 dp so libm ULP differences cannot leak into the hash, then
+    ``+ 0`` to collapse IEEE negative zero (DuckDB's ROUND keeps -0.0,
+    Spark's BigDecimal round does not); ISO day-of-week on both
+    engines."""
+    import math as _math
+
+    p = price_frame(spark, sf_dir, RETURN_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
+    )
+    two_pi = F.lit(2 * _math.pi)
+    dow = ((F.dayofweek("trade_date") + 5) % 7 + 1).cast("int")
+    month = F.month("trade_date")
+    return p.select(
+        "symbol",
+        "trade_date",
+        (F.round(F.sin(two_pi * dow / 7), 6) + 0).alias("dow_sin"),
+        (F.round(F.cos(two_pi * dow / 7), 6) + 0).alias("dow_cos"),
+        (F.round(F.sin(two_pi * month / 12), 6) + 0).alias("month_sin"),
+        (F.round(F.cos(two_pi * month / 12), 6) + 0).alias("month_cos"),
+    ).orderBy("symbol", "trade_date")
+
+
+@query(
+    "a22_turn_of_month",
+    f"""WITH {PRICE_CTE}, lagged AS (
+  SELECT symbol, trade_date, close_price,
+         LAG(close_price) OVER (PARTITION BY symbol ORDER BY trade_date)
+           AS prev_close
+  FROM price WHERE close_price IS NOT NULL
+), q AS (
+  SELECT CAST(day(trade_date) AS BIGINT) AS day_of_month,
+         CAST(ROUND((close_price / prev_close - 1) * 1e9) AS BIGINT) AS qret
+  FROM lagged WHERE prev_close IS NOT NULL
+)
+SELECT day_of_month, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       SUM(qret) / 1e9 / COUNT(*) AS mean_ret
+FROM q GROUP BY 1 ORDER BY 1""",
+)
+def a22_turn_of_month(spark, sf_dir):
+    """Calendar-anomaly screen: mean daily return by day-of-month across
+    the whole market (the turn-of-month effect test). Returns are
+    fixed-pointed to 1e-9 BIGINTs before the cross-sectional mean so
+    the sum is accumulation-order-free; reuses the memoized
+    returns_frame stage (one lineitem scan shared with a12/a20/ts25)."""
+    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
+    q = r.select(
+        F.dayofmonth("trade_date").cast("long").alias("day_of_month"),
+        F.round(F.col("ret") * 1e9).cast("long").alias("qret"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        q.groupBy("day_of_month")
+        .agg(
+            n.cast("long").alias("n_obs"),
+            (F.sum("qret") / 1e9 / n).alias("mean_ret"),
+        )
+        .orderBy("day_of_month")
+    )
+
+
+# ===========================================================================
+# Round-7 bank, batch 3: cross-source duplication matrix, repeat
+# latency, kNN label purity, source completeness audit.
+# ===========================================================================
+
+
+@query(
+    "dd21_dup_provenance",
+    """WITH s AS (
+  SELECT DISTINCT doc_id, source,
+         md5(unnest(list_filter(list_transform(
+             string_split_regex(trim(text), '[.!?]+'), x -> trim(x)),
+             x -> x <> ''))) AS sh
+  FROM documents
+), g AS (
+  SELECT sh, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+  FROM s GROUP BY sh
+)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated,
+       CAST(SUM(CASE WHEN g.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_source
+FROM s JOIN g USING (sh)
+GROUP BY 1 ORDER BY 1""",
+)
+def dd21_dup_provenance(spark, sf_dir):
+    """Duplication PROVENANCE report per source: of each source's
+    distinct (doc, sentence-hash) pairs, how many hashes also occur in
+    another document, and how many cross a SOURCE boundary — the report
+    that splits dedup losses into "source self-duplicates" (template
+    boilerplate — fix the extractor) vs "cross-source re-scrapes" (fix
+    the crawl). Sentences use the repo's [.!?]+ convention; hashes
+    shuffle, text does not; the sentence-hash group table is the only
+    join side and it is aggregated before joining."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.trim(F.col("text")), r"[.!?]+"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    s = (
+        docs.select("doc_id", "source", F.explode_outer(sents).alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select("doc_id", "source", F.md5(F.col("_s").cast("binary")).alias("sh"))
+        .distinct()
+    )
+    g = s.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        s.join(g, "sh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_duplicated"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_source"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "e35_repeat_latency",
+    """WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), ranked AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM days
+), firsts AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn = 2 THEN day END)
+           - MAX(CASE WHEN rn = 1 THEN day END) AS latency
+  FROM ranked WHERE rn <= 2 GROUP BY user_id
+)
+SELECT CAST(latency AS BIGINT) AS latency_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM firsts WHERE latency IS NOT NULL GROUP BY 1 ORDER BY 1""",
+)
+def e35_repeat_latency(spark, sf_dir):
+    """Time-to-second-visit distribution: days between each user's first
+    and second ACTIVE day, histogrammed — the activation-lag metric
+    behind onboarding funnels (users who never return simply drop out of
+    the histogram). Per-user windows bounded at two rows; output bounded
+    by the calendar span."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    ranked = days.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    firsts = ranked.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.when(F.col("rn") == 2, F.col("day"))),
+            F.max(F.when(F.col("rn") == 1, F.col("day"))),
+        ).alias("latency")
+    )
+    return (
+        firsts.filter(F.col("latency").isNotNull())
+        .groupBy(F.col("latency").cast("long").alias("latency_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("latency_days")
+    )
+
+
+@query(
+    "k20_label_knn_purity",
+    f"""WITH knn AS (
+  SELECT src_id, nbr_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+                                 ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rank
+  FROM (
+    SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+           {{cos}} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  )
+  QUALIFY rank <= 5
+), lbl AS (SELECT vec_id, label FROM embeddings),
+scored AS (
+  SELECT ls.label AS label,
+         CASE WHEN ls.label = ln.label THEN 1 ELSE 0 END AS hit
+  FROM knn k
+  JOIN lbl ls ON ls.vec_id = k.src_id
+  JOIN lbl ln ON ln.vec_id = k.nbr_id
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(hit) AS BIGINT) AS n_same_label,
+       SUM(hit) / COUNT(*) AS purity
+FROM scored GROUP BY label ORDER BY label""".replace("{cos}", _cos_sql("a.embedding", "b.embedding")),
+)
+def k20_label_knn_purity(spark, sf_dir):
+    """kNN label consistency per class: of each vector's exact 5 nearest
+    neighbors, what fraction shares its label — the embedding-quality
+    metric (a class whose neighbors disagree is not separable in this
+    space, and no ANN index will fix that). Exact graph from the blocked
+    knn_graph harness; labels broadcast-joined; purity is exact-BIGINT
+    division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = similarity.knn_graph(emb, k=5).select("src_id", "nbr_id")
+    lbl = emb.select("vec_id", "label")
+    scored = (
+        knn.join(
+            F.broadcast(lbl.withColumnRenamed("vec_id", "src_id").withColumnRenamed("label", "_src_lbl")),
+            "src_id",
+        )
+        .join(
+            F.broadcast(lbl.withColumnRenamed("vec_id", "nbr_id").withColumnRenamed("label", "_nbr_lbl")),
+            "nbr_id",
+        )
+        .select(
+            F.col("_src_lbl").alias("label"),
+            F.when(F.col("_src_lbl") == F.col("_nbr_lbl"), 1).otherwise(0).alias("hit"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("label")
+        .agg(
+            n.cast("long").alias("n_edges"),
+            F.sum("hit").cast("long").alias("n_same_label"),
+            (F.sum("hit") / n).alias("purity"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "dq9_source_completeness",
+    """SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty_text,
+       CAST(SUM(CASE WHEN length(text) < 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short_text,
+       CAST(SUM(CASE WHEN lang IS NULL OR trim(lang) = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missing_lang,
+       CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_char_count
+FROM documents GROUP BY source ORDER BY source""",
+)
+def dq9_source_completeness(spark, sf_dir):
+    """Per-source field-completeness audit (empty/short text, missing
+    language tag, and whether the materialized n_chars column actually
+    equals length(text)) — the intake contract check before a source is
+    admitted to the corpus. One map-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            cnt(F.col("text").isNull() | (F.trim("text") == "")).alias(
+                "n_empty_text"
+            ),
+            cnt(F.length("text") < 20).alias("n_short_text"),
+            cnt(F.col("lang").isNull() | (F.trim("lang") == "")).alias(
+                "n_missing_lang"
+            ),
+            cnt(F.col("n_chars") != F.length("text")).alias("n_bad_char_count"),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
 # Round-6: the reference's §3.1 flagship PIPELINE as an oracled query
 # (r5 verdict #8 stretch — every reference query was oracled, but the
 # daily-update pipeline itself was pytest-only until now).

@@ -246,3 +246,129 @@ def test_pq_train_codebooks_layout_independent(spark):
     assert len(b1) == len(b8) == 2
     for c1, c8 in zip(b1, b8):
         np.testing.assert_allclose(c1, c8, rtol=0, atol=0)
+
+
+def test_containment_pairs_catches_embedded_quote(spark):
+    """A short doc fully quoted inside a long one: containment(short in
+    long) = 1.0 even though Jaccard is far below any dedup threshold —
+    the directed signal the operator exists for."""
+    from market_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"word{i}" for i in range(60))
+    long = filler + " " + short + " " + " ".join(f"tail{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short, "en"), (2, long, "en"), (3, "totally different text here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["doc_id"], r["other_id"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}, got
+    jac = ngram_jaccard_pairs(df, threshold=0.8).collect()
+    assert jac == [], "Jaccard must NOT fire on the quote pair"
+
+
+def test_peak_concurrency_sweep(spark, tmp_path):
+    """Planted overlap: three 10-minute holds starting 0/5/8 min apart
+    peak at 3 concurrent; a lone event peaks at 1."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.plans.driver_queries import (
+        iv8_peak_concurrency,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, "a", t0, 10.0),
+        (2, 2, "a", t0 + dt.timedelta(minutes=5), 10.0),
+        (3, 3, "a", t0 + dt.timedelta(minutes=8), 10.0),
+        (4, 4, "a", t0 + dt.timedelta(minutes=30), 10.0),
+        (5, 5, "b", t0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["event_type"]: r["peak_concurrency"] for r in
+           iv8_peak_concurrency(spark, str(tmp_path)).collect()}
+    assert got == {"a": 3, "b": 1}
+
+
+def test_keyset_pagination_is_contiguous(spark, sf_dir):
+    """Page 3 via keyset must equal rows 101-150 of the global
+    (o_totalprice DESC, o_orderkey) order — the seek method loses no row
+    and duplicates no row at the cursor boundary."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        o2_keyset_pagination,
+    )
+    from market_data_pipeline_spark.sources.catalog import load_table
+
+    got = [
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in o2_keyset_pagination(spark, sf_dir).collect()
+    ]
+    full = (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(150)
+        .collect()
+    )
+    want = [(r["o_orderkey"], r["o_totalprice"]) for r in full[100:150]]
+    assert got == want
+
+
+def test_scd2_history_same_day_flapping_is_deterministic(spark):
+    """Same-day value flapping must resolve via latest-writer-wins
+    (max_by on the tiebreak) so SCD-2 intervals partition the timeline
+    regardless of input order."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators.incremental import scd2_history
+
+    d = dt.date
+    rows = [
+        # key 1: F(k1), O(k2) SAME day -> day resolves to O; then F later
+        (1, d(2024, 1, 1), "F", 1),
+        (1, d(2024, 1, 1), "O", 2),
+        (1, d(2024, 1, 5), "F", 3),
+        # key 2: single status, one open interval
+        (2, d(2024, 1, 2), "P", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, dt date, status string, seq long"
+    )
+    out = sorted(
+        (r["k"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, "k", "dt", "status", "seq").collect()
+    )
+    assert out == [
+        (1, "F", d(2024, 1, 5), None, True),
+        (1, "O", d(2024, 1, 1), d(2024, 1, 4), False),
+        (2, "P", d(2024, 1, 2), None, True),
+    ]
+
+
+def test_kfold_assign_covers_all_folds_and_is_stable(spark):
+    """k-fold assignment: every fold 0..k-1 used, near-uniform sizes,
+    identical across reruns and partitionings."""
+    from market_data_pipeline_spark.operators.text import kfold_assign
+
+    df1 = spark.range(0, 2000).withColumnRenamed("id", "doc_id").repartition(1)
+    df8 = spark.range(0, 2000).withColumnRenamed("id", "doc_id").repartition(8)
+    a = {r["doc_id"]: r["fold"] for r in kfold_assign(df1, k=5).collect()}
+    b = {r["doc_id"]: r["fold"] for r in kfold_assign(df8, k=5).collect()}
+    assert a == b
+    sizes = [list(a.values()).count(f) for f in range(5)]
+    assert all(s > 0 for s in sizes)
+    assert max(sizes) - min(sizes) < 2000 * 0.1  # ~uniform within 10pp
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kfold_assign(df1, k=1)
