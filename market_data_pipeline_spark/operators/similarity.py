@@ -345,10 +345,11 @@ def ivf_assign(
     cosine (deterministic ties: lowest centroid id).
 
     Centroids are broadcast (small by construction), so the scoring cross
-    join is map-side; the argmax window partitions by vector id, which the
-    scored stream is already clustered on (each input row fans out to its
-    |centroids| scores within the same partition), so AQE coalesces the
-    exchange cheaply.
+    join is map-side; the argmax groups on a pre-fan-out per-row key, which
+    the scored stream is already clustered on (each input row fans out to
+    its |centroids| scores within the same partition), so AQE coalesces the
+    exchange cheaply — and duplicate ids each keep their own assignment
+    (an index must never silently drop rows).
 
     ``keep_vec`` carries the vector column through the argmax so callers
     that need vectors downstream (IVF probe, SemDeDup) don't re-join
@@ -370,17 +371,28 @@ def ivf_assign(
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     carry = [F.col(vec_col)] if keep_vec else []
-    scored = embeddings.crossJoin(F.broadcast(c)).select(
-        F.col(id_col), *carry, F.col(centroid_id_col), sim.alias("cosine")
+    # the argmax groups on a per-ROW synthetic key, not on id_col: with a
+    # duplicate id in the input, grouping by id silently collapsed the
+    # duplicates AND stitched the output from different rows (max cosine
+    # from one, centroid from another) — caught by the round-6 IVF
+    # hypothesis property (duplicate-id append case). The synthetic key
+    # is assigned BEFORE the fan-out, so each input row's |centroids|
+    # scores still share it and map-side partials still collapse them;
+    # it never leaves this operator, so rerun instability of
+    # monotonically_increasing_id cannot leak into results.
+    staged = embeddings.withColumn("_rk", F.monotonically_increasing_id())
+    scored = staged.crossJoin(F.broadcast(c)).select(
+        F.col("_rk"), F.col(id_col), *carry, F.col(centroid_id_col), sim.alias("cosine")
     )
     ord_key = F.struct(F.col("cosine"), (-F.col(centroid_id_col)).alias("_negc"))
     aggs = [
+        F.max_by(F.col(id_col), ord_key).alias(id_col),
         F.max_by(centroid_id_col, ord_key).alias(centroid_id_col),
         F.max("cosine").alias("cosine"),
     ]
     if keep_vec:
         aggs.append(F.max_by(vec_col, ord_key).alias(vec_col))
-    out = scored.groupBy(id_col).agg(*aggs)
+    out = scored.groupBy("_rk").agg(*aggs)
     cols = [id_col, centroid_id_col, "cosine", *([vec_col] if keep_vec else [])]
     return out.select(*cols)
 
