@@ -287,6 +287,8 @@ _COST = {
     "f14_cyclic_time_features": 0.40, "a22_turn_of_month": 0.31,
     "dd21_dup_provenance": 0.60, "e35_repeat_latency": 0.44,
     "k20_label_knn_purity": 1.52, "dq9_source_completeness": 0.30,
+    "ts45_hurst_exponent": 1.33, "e36_second_order_markov": 0.82,
+    "tx28_ngram_novelty": 1.49, "pipeline2_delisted_sync": 4.06,
 }
 
 
@@ -303,6 +305,8 @@ _BANK_R7 = frozenset({
     "f14_cyclic_time_features", "iv9_interval_stabbing",
     "k20_label_knn_purity", "smp13_kfold_assign", "ts44_parkinson_vol",
     "tx27_stopword_profile",
+    "ts45_hurst_exponent", "e36_second_order_markov",
+    "tx28_ngram_novelty", "pipeline2_delisted_sync",
 })
 
 
@@ -312,9 +316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 0  # frozen: the 37 never-green oracled queries
         if name not in ORACLES:
             return 4  # no-oracle: can never hash-green, record dead last
+        if name in _GREEN_R1_R5:
+            return 3  # green outranks bank: a banked query that greens
+            # must NOT burn another window slot next round
         if name in _BANK_R7:
             return 2  # deferred past this round's exactly-full window
-        return 3 if name in _GREEN_R1_R5 else 1  # 1 = round-6 registrations
+        return 1  # round-6 registrations
 
     ordered = sorted(QUERIES, key=lambda n: (tier(n), _COST.get(n, 1.0), n))
     return {n: QUERIES[n] for n in ordered}

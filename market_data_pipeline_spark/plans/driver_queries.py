@@ -10679,6 +10679,251 @@ def dq9_source_completeness(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-7 bank, batch 4: Hurst exponent, second-order Markov chains,
+# n-gram novelty scoring, the §3.2 delisted-sync pipeline end-to-end.
+# ===========================================================================
+
+
+@query(
+    "ts45_hurst_exponent",
+    f"""WITH {PRICE_CTE}, sel AS (
+  SELECT symbol, trade_date, close_price
+  FROM price
+  WHERE symbol IN ('3', '7', '21', '42', '101') AND close_price IS NOT NULL
+), lags AS (
+  SELECT symbol, 1 AS q,
+         close_price / LAG(close_price, 1)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret_q
+  FROM sel
+  UNION ALL
+  SELECT symbol, 2 AS q,
+         close_price / LAG(close_price, 2)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret_q
+  FROM sel
+  UNION ALL
+  SELECT symbol, 4 AS q,
+         close_price / LAG(close_price, 4)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret_q
+  FROM sel
+  UNION ALL
+  SELECT symbol, 8 AS q,
+         close_price / LAG(close_price, 8)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret_q
+  FROM sel
+  UNION ALL
+  SELECT symbol, 16 AS q,
+         close_price / LAG(close_price, 16)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret_q
+  FROM sel
+), vars_ AS (
+  SELECT symbol, q, ROUND(var_samp(ret_q), 6) AS v
+  FROM lags WHERE ret_q IS NOT NULL GROUP BY 1, 2
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_scales,
+       ROUND(regr_slope(ln(v), ln(CAST(q AS DOUBLE))) / 2, 6) AS hurst
+FROM vars_ WHERE v > 0 GROUP BY symbol ORDER BY symbol""",
+)
+def ts45_hurst_exponent(spark, sf_dir):
+    """Hurst exponent per symbol via the aggregated-variance method:
+    var of q-day returns regressed on q in log-log space, slope/2 —
+    H>0.5 trending, H<0.5 mean-reverting, the long-memory diagnostic.
+    One fixed-lag window pass per scale (lag offsets must be literals),
+    all over the same 5-symbol series shuffle; variances round to 6dp
+    BEFORE the log-log regression so the cross-engine regression inputs
+    are bit-identical (the ts12 rule applied twice)."""
+    p = price_frame(spark, sf_dir, RETURN_SYMBOLS).filter(
+        F.col("close_price").isNotNull()
+    )
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    parts = [
+        p.select(
+            "symbol",
+            F.lit(q).alias("q"),
+            (F.col("close_price") / F.lag("close_price", q).over(w) - 1).alias(
+                "ret_q"
+            ),
+        )
+        for q in (1, 2, 4, 8, 16)
+    ]
+    lagged = parts[0]
+    for part in parts[1:]:
+        lagged = lagged.unionByName(part)
+    vars_ = (
+        lagged.filter(F.col("ret_q").isNotNull())
+        .groupBy("symbol", "q")
+        .agg(F.round(F.var_samp("ret_q"), 6).alias("v"))
+    )
+    return (
+        vars_.filter(F.col("v") > 0)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scales"),
+            F.round(
+                F.regr_slope(F.log("v"), F.log(F.col("q").cast("double"))) / 2, 6
+            ).alias("hurst"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "e36_second_order_markov",
+    """WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 2) OVER w AS p2,
+         LAG(event_type, 1) OVER w AS p1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT p2, p1, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT p2, p1, nxt, n,
+       n / SUM(n) OVER (PARTITION BY p2, p1) AS prob
+FROM tri ORDER BY p2, p1, nxt""",
+)
+def e36_second_order_markov(spark, sf_dir):
+    """SECOND-order Markov transitions over per-user event sequences
+    (trigram context): where the first-order chain (e9) says "click
+    follows view", this distinguishes "view,view→click" from
+    "purchase,view→click" — the memory a path model actually needs.
+    Per-user lag windows (one series shuffle); the conditional
+    probability divides exact BIGINT counts inside a context-bounded
+    window (|event_types|² partitions)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.col("event_type").alias("nxt"),
+    ).filter(F.col("p2").isNotNull())
+    tri = seq.groupBy("p2", "p1", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ctx = Window.partitionBy("p2", "p1")
+    return tri.select(
+        "p2", "p1", "nxt", "n", (F.col("n") / F.sum("n").over(ctx)).alias("prob")
+    ).orderBy("p2", "p1", "nxt")
+
+
+@query(
+    "tx28_ngram_novelty",
+    r"""WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sh0 AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM sh0
+), df AS (
+  SELECT shingle, COUNT(*) AS docfreq FROM sh GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.docfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       SUM(CASE WHEN d.docfreq = 1 THEN 1 ELSE 0 END) / COUNT(*) AS novelty
+FROM sh s JOIN df d USING (shingle)
+GROUP BY s.doc_id ORDER BY s.doc_id""",
+)
+def tx28_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    3-gram shingles that occur in NO other document — the
+    information-contribution score dedup-aware data mixing weights by
+    (a doc whose shingles all exist elsewhere adds nothing even if no
+    single document duplicates it). Shingle hashes shuffle, text does
+    not; the docfreq table is aggregated before the join back."""
+    docs = load_table(spark, sf_dir, "documents")
+    from market_data_pipeline_spark.operators.dedup import shingled
+
+    sh = (
+        shingled(docs, "doc_id", "text", 3)
+        .select("doc_id", F.explode_outer("shingles").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select("doc_id", F.xxhash64("_s").alias("shingle"))
+        .distinct()
+    )
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("docfreq"))
+    n = F.count(F.lit(1))
+    uniq = F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0))
+    return (
+        sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_shingles"),
+            uniq.cast("long").alias("n_unique"),
+            (uniq / n).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pipeline2_delisted_sync",
+    """WITH listed AS (
+  SELECT CAST(100000 + s_suppkey AS VARCHAR) AS symbol,
+         CASE WHEN s_suppkey % 2 = 0 THEN 'KOSPI' ELSE 'KOSDAQ' END AS market,
+         s_suppkey
+  FROM supplier
+), del AS (
+  SELECT symbol, market,
+         CASE CAST(s_suppkey % 3 AS INTEGER)
+           WHEN 0 THEN DATE '2023-12-31'
+           WHEN 1 THEN DATE '2023-10-25'
+           ELSE DATE '2023-11-30' END AS ddate
+  FROM listed WHERE s_suppkey % 5 = 0
+)
+SELECT market, CAST(COUNT(*) AS BIGINT) AS delisted_count,
+       MIN(ddate) AS earliest, MAX(ddate) AS latest
+FROM del GROUP BY market
+ORDER BY delisted_count DESC, market""",
+)
+def pipeline2_delisted_sync(spark, sf_dir):
+    """The reference's §3.2 delisted-sync script end-to-end (reference:
+    scripts/sync_delisted_stocks.py:219-304): bootstrap a two-market
+    master from supplier-derived listings, run the full sync
+    (normalization chain, multi-format date parse, validation,
+    set-based full-outer delisting update, timestamped report) through
+    the REAL ParquetTable storage path, and return the reference's
+    closing delisted REPORT (per-market counts + date range). Every 5th
+    supplier delists with a format-rotating date string; symbol ranges
+    and markets are deterministic so DuckDB replays the net semantics
+    as set logic."""
+    import datetime as _dt
+    import tempfile
+
+    from market_data_pipeline_spark.plans import pipelines as PL
+    from market_data_pipeline_spark.storage.table import stock_master_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    sym = (F.col("s_suppkey") + 100000).cast("string")
+    kospi = sup.filter(F.col("s_suppkey") % 2 == 0).select(
+        sym.alias("symbol"), F.col("s_name").alias("name")
+    )
+    kosdaq = sup.filter(F.col("s_suppkey") % 2 == 1).select(
+        sym.alias("symbol"), F.col("s_name").alias("name")
+    )
+    sk3 = F.col("s_suppkey") % 3
+    raw_delisted = sup.filter(F.col("s_suppkey") % 5 == 0).select(
+        F.col("s_name").alias("company_name"),
+        sym.alias("company_code"),
+        F.when(sk3 == 0, F.lit("2023.12.31"))
+        .when(sk3 == 1, F.lit("20231025"))
+        .otherwise(F.lit("2023-11-30"))
+        .alias("delisting_date"),
+        F.when(F.col("s_suppkey") % 2 == 0, "KOSPI")
+        .otherwise("KOSDAQ")
+        .alias("market"),
+    )
+    path = tempfile.mkdtemp(prefix="mdps_pipeline2_") + "/master"
+    master = stock_master_table(spark, path)
+    now = _dt.datetime(2024, 6, 1, 2, 0, 0)
+    PL.update_listed_stocks(master, {"KOSPI": kospi, "KOSDAQ": kosdaq}, now)
+    PL.sync_delisted_stocks(master, raw_delisted, force=True, now=now)
+    return PL.delisted_report(master)
+
+
+# ===========================================================================
 # Round-6: the reference's §3.1 flagship PIPELINE as an oracled query
 # (r5 verdict #8 stretch — every reference query was oracled, but the
 # daily-update pipeline itself was pytest-only until now).
