@@ -289,6 +289,7 @@ _COST = {
     "k20_label_knn_purity": 1.52, "dq9_source_completeness": 0.30,
     "ts45_hurst_exponent": 1.33, "e36_second_order_markov": 0.82,
     "tx28_ngram_novelty": 1.49, "pipeline2_delisted_sync": 4.06,
+    "k21_pca_variance": 0.89,
 }
 
 

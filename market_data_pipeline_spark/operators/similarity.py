@@ -1327,3 +1327,94 @@ def append_to_ivf_index(
         .partitionBy("centroid_id")
         .parquet(path)
     )
+
+
+def pca_explained_variance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    top_k: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Explained-variance spectrum of the embedding corpus — the
+    intrinsic-dimensionality diagnostic (how many directions carry the
+    geometry; a spectrum collapsing onto few components means the
+    64-dim space is mostly dead weight, an anisotropic one breaks
+    cosine calibration).
+
+    The scalable single-pass PCA shape: one Arrow-batched pass
+    accumulates per-partition Gram partials (X^T X, column sums, count)
+    — dim x dim doubles per PARTITION, not per row — which ship to the
+    driver (numPartitions x dim² floats, bounded) where the covariance
+    eigendecomposition runs on the dim x dim matrix with numpy. The
+    corpus never shuffles; only the sketch-sized partials move. Valid
+    while dim² fits in memory (64-dim -> 4096 doubles; even 4096-dim ->
+    16M doubles per partition is fine); past that you want randomized
+    SVD, which composes on the same partial-Gram pass.
+
+    No oracle (eigendecomposition is iterative); parity vs a direct
+    numpy PCA is pinned by pytest. Accumulation order varies with
+    partitioning, so eigenvalues are reproducible only to float
+    accumulation noise — rounded to ``round_digits`` for stability.
+    Returns (component, eigenvalue, explained_ratio, cumulative_ratio)
+    for the top_k components, variance-descending.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+
+    def partials(it):
+        n = 0
+        s = None
+        ss = None
+        for pdf in it:
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            g = X.T @ X
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    rows = (
+        embeddings.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col)
+        )
+        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
+        .collect()
+    )  # bounded: one row per partition, dim² doubles each
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "component long, eigenvalue double, explained_ratio double, "
+            "cumulative_ratio double",
+        )
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    dim = len(s)
+    ss = np.sum([np.asarray(r["ss"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    evals = np.clip(evals, 0.0, None)  # clip float-noise negatives
+    total = evals.sum()
+    out = []
+    cum = 0.0
+    for i, ev in enumerate(evals[:top_k]):
+        ratio = float(ev / total) if total > 0 else 0.0
+        cum += ratio
+        out.append(
+            (
+                i,
+                round(float(ev), round_digits),
+                round(ratio, round_digits),
+                round(cum, round_digits),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "component long, eigenvalue double, explained_ratio double, "
+        "cumulative_ratio double",
+    )

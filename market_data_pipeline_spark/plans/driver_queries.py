@@ -10923,6 +10923,20 @@ def pipeline2_delisted_sync(spark, sf_dir):
     return PL.delisted_report(master)
 
 
+@query("k21_pca_variance")
+def k21_pca_variance(spark, sf_dir):
+    """Explained-variance spectrum of the embedding corpus (top-16
+    principal components) — the intrinsic-dimensionality diagnostic
+    behind ANN index sizing and embedding-health dashboards. Scalable
+    single-pass PCA: per-partition Gram partials (dim² doubles each)
+    ship to the driver, the corpus never shuffles; the dim x dim
+    eigendecomposition is driver-side numpy. No oracle (eigensolve is
+    iterative); parity vs direct numpy PCA pinned by pytest
+    (tests/test_round6.py). See similarity.pca_explained_variance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_explained_variance(emb, top_k=16)
+
+
 # ===========================================================================
 # Round-6: the reference's §3.1 flagship PIPELINE as an oracled query
 # (r5 verdict #8 stretch — every reference query was oracled, but the

@@ -372,3 +372,42 @@ def test_kfold_assign_covers_all_folds_and_is_stable(spark):
 
     with _pytest.raises(ValueError):
         kfold_assign(df1, k=1)
+
+
+def test_pca_explained_variance_matches_numpy(spark, sf_dir):
+    """The distributed single-pass Gram PCA must match a direct numpy
+    PCA on the collected vectors (population covariance, descending
+    eigenvalues) within float accumulation noise."""
+    import numpy as np
+
+    from market_data_pipeline_spark.operators.similarity import (
+        pca_explained_variance,
+    )
+    from market_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = pca_explained_variance(emb, top_k=16).collect()
+    X = np.vstack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals = np.clip(np.linalg.eigvalsh(cov)[::-1], 0.0, None)
+    ratios = evals / evals.sum()
+    assert len(got) == 16
+    for r in got:
+        i = r["component"]
+        assert abs(r["eigenvalue"] - evals[i]) < 1e-5, (i, r["eigenvalue"], evals[i])
+        assert abs(r["explained_ratio"] - ratios[i]) < 1e-5
+    # spectrum must be descending and ratios cumulative-consistent
+    vals = [r["eigenvalue"] for r in got]
+    assert vals == sorted(vals, reverse=True)
+    assert abs(got[-1]["cumulative_ratio"] - sum(r["explained_ratio"] for r in got)) < 1e-4
+
+
+def test_pca_explained_variance_empty_input(spark):
+    from market_data_pipeline_spark.operators.similarity import (
+        pca_explained_variance,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert pca_explained_variance(df).collect() == []
