@@ -289,7 +289,8 @@ _COST = {
     "k20_label_knn_purity": 1.52, "dq9_source_completeness": 0.30,
     "ts45_hurst_exponent": 1.33, "e36_second_order_markov": 0.82,
     "tx28_ngram_novelty": 1.49, "pipeline2_delisted_sync": 4.06,
-    "k21_pca_variance": 0.89,
+    "k21_pca_variance": 0.89, "f15_doc_feature_matrix": 1.77,
+    "tx29_bpe_merges": 3.92,
 }
 
 
@@ -308,6 +309,7 @@ _BANK_R7 = frozenset({
     "tx27_stopword_profile",
     "ts45_hurst_exponent", "e36_second_order_markov",
     "tx28_ngram_novelty", "pipeline2_delisted_sync",
+    "f15_doc_feature_matrix",
 })
 
 

@@ -1430,3 +1430,99 @@ def stopword_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Train byte-pair-encoding merges over the corpus, DISTRIBUTED — the
+    real tokenizer-training loop, not just one merge's pair counts
+    (tx17): iteratively (1) count adjacent symbol pairs over the
+    word-frequency table, (2) pick the most frequent pair (count desc,
+    pair asc — deterministic), (3) apply the merge to every word's
+    symbol sequence; repeat ``n_merges`` times.
+
+    Scale shape: the corpus is touched ONCE (word-frequency aggregation
+    — the 100 TB pass); every iteration then runs on the DISTINCT-WORD
+    table (orders of magnitude smaller, Zipf), with one map-combined
+    pair count + a driver-side 1-row argmax + one Arrow-batched merge
+    application per iteration — the PageRank loop discipline applied to
+    tokenizer training (lineage checkpointed every ``checkpoint_every``
+    iterations, argmax is the only driver crossing and it is one row).
+    Merge application is per-word sequential (BPE's own definition:
+    leftmost-first, non-overlapping), vectorized across words via Arrow.
+
+    Returns (merge_rank, left, right, pair_count) — the learned merge
+    table, rank-ordered; apply it with any standard BPE encoder.
+    """
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    words = (
+        df.select(
+            F.explode_outer(
+                F.filter(tokens(F.col(text_col)), lambda t: t != "")
+            ).alias("_w")
+        )
+        .filter(F.col("_w").isNotNull())
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.split(F.col("_w"), "").alias("_syms"),
+            F.col("_n"),
+        )
+    ).localCheckpoint()
+
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            words.select(
+                F.posexplode(
+                    F.expr(
+                        "transform(slice(_syms, 1, size(_syms) - 1), "
+                        "(s, i) -> struct(s as l, _syms[i + 1] as r))"
+                    )
+                ).alias("_i", "_p"),
+                "_n",
+            )
+            .groupBy("_p")
+            .agg(F.sum("_n").alias("_cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("_cnt"), F.col("_p.l"), F.col("_p.r"))
+            .limit(1)
+            .collect()
+        )  # bounded: ONE row per iteration crosses to the driver
+        if not top:
+            break
+        left, right, cnt = top[0]["_p"]["l"], top[0]["_p"]["r"], int(top[0]["_cnt"])
+        merges.append((rank, left, right, cnt))
+
+        def apply_merge(col: "pd.Series") -> "pd.Series":
+            out = []
+            for syms in col:
+                res = []
+                i, m = 0, len(syms)
+                while i < m:
+                    if i + 1 < m and syms[i] == left and syms[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        apply_merge.__annotations__ = {"col": pd.Series, "return": pd.Series}
+        merge_udf = pandas_udf(apply_merge, "array<string>").asNondeterministic()
+        words = words.select(merge_udf(F.col("_syms")).alias("_syms"), "_n")
+        if (rank + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, pair_count long"
+    )

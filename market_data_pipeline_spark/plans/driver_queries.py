@@ -10937,6 +10937,123 @@ def k21_pca_variance(spark, sf_dir):
     return similarity.pca_explained_variance(emb, top_k=16)
 
 
+@query("tx29_bpe_merges")
+def tx29_bpe_merges(spark, sf_dir):
+    """Train 8 real BPE merges over the document corpus, distributed —
+    the full tokenizer-training LOOP (tx17 is one merge's counts): the
+    corpus is scanned once into a word-frequency table; each iteration
+    is a map-combined pair count over DISTINCT words + a one-row driver
+    argmax + an Arrow-batched merge application (PageRank loop
+    discipline: checkpoint every 3 iterations). No oracle (iterative
+    argmax chain is not SQL-expressible); the merge sequence is pinned
+    by pytest parity vs a sequential pure-python BPE
+    (tests/test_round6.py). See operators.text.bpe_train."""
+    return tx.bpe_train(
+        load_table(spark, sf_dir, "documents"), n_merges=8
+    ).orderBy("merge_rank")
+
+
+@query(
+    "f15_doc_feature_matrix",
+    r"""WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), w AS (
+  SELECT b.doc_id, b.lang, unnest(b.t) AS word FROM base b
+), nz AS (
+  SELECT doc_id, lang, word, length(word) AS wl FROM w WHERE word <> ''
+), tok AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(wl) / COUNT(*) AS mean_word_len,
+         SUM(CASE WHEN CASE lang
+               WHEN 'en' THEN word IN ('the','a','of','and','in','to','is')
+               WHEN 'es' THEN word IN ('el','la','de','que','y','en','los')
+               WHEN 'fr' THEN word IN ('le','la','de','et','les','des','un')
+               WHEN 'de' THEN word IN ('der','die','das','und','ist','von','ein')
+               WHEN 'zh' THEN word IN ('的','是','了','在','和','有','我')
+               ELSE FALSE END THEN 1 ELSE 0 END) / COUNT(*) AS stop_ratio
+  FROM nz GROUP BY doc_id
+), sh0 AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM base
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM sh0
+), df_ AS (
+  SELECT shingle, COUNT(*) AS docfreq FROM sh GROUP BY 1
+), nov AS (
+  SELECT s.doc_id,
+         SUM(CASE WHEN d.docfreq = 1 THEN 1 ELSE 0 END) / COUNT(*) AS novelty
+  FROM sh s JOIN df_ d USING (shingle) GROUP BY s.doc_id
+)
+SELECT b.doc_id, b.lang, b.source, CAST(b.n_chars AS BIGINT) AS n_chars,
+       tok.n_tokens, tok.mean_word_len, tok.stop_ratio, nov.novelty
+FROM base b
+JOIN tok ON tok.doc_id = b.doc_id
+LEFT JOIN nov ON nov.doc_id = b.doc_id
+ORDER BY b.doc_id""",
+)
+def f15_doc_feature_matrix(spark, sf_dir):
+    """The per-document FEATURE MATRIX a quality classifier trains on —
+    token stats, own-language stopword density, and corpus-level n-gram
+    novelty joined into one wide frame. Integration query: composes the
+    tx26/tx27/tx28 building blocks end-to-end (each already oracled
+    alone); two explode passes over text, hash-only shuffles for the
+    novelty join, exact-integer ratios throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode_outer(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("word"),
+        )
+        .filter(F.col("word").isNotNull())
+        .select("doc_id", "lang", "word", F.length("word").alias("wl"))
+    )
+    stop_expr = F.lit(False)
+    for lang, words_ in tx.STOPWORDS.items():
+        stop_expr = F.when(
+            F.col("lang") == lang, F.col("word").isin(*words_)
+        ).otherwise(stop_expr)
+    n = F.count(F.lit(1))
+    tok = toks.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        (F.sum("wl") / n).alias("mean_word_len"),
+        (F.sum(F.when(stop_expr, 1).otherwise(0)) / n).alias("stop_ratio"),
+    )
+    from market_data_pipeline_spark.operators.dedup import shingled
+
+    sh = (
+        shingled(docs, "doc_id", "text", 3)
+        .select("doc_id", F.explode_outer("shingles").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select("doc_id", F.xxhash64("_s").alias("shingle"))
+        .distinct()
+    )
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("docfreq"))
+    nov = (
+        sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0)) / n).alias(
+                "novelty"
+            )
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", "source", F.col("n_chars").cast("long"))
+        .join(tok, "doc_id")
+        .join(nov, "doc_id", "left")
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Round-6: the reference's §3.1 flagship PIPELINE as an oracled query
 # (r5 verdict #8 stretch — every reference query was oracled, but the

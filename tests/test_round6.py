@@ -411,3 +411,56 @@ def test_pca_explained_variance_empty_input(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert pca_explained_variance(df).collect() == []
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed BPE loop must learn the same merge sequence as a
+    sequential pure-python BPE (count desc, (left, right) asc tiebreak)
+    over a small corpus."""
+    from market_data_pipeline_spark.operators.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(df, n_merges=8).collect()
+    ]
+
+    # pure-python reference
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    want = []
+    for rank in range(8):
+        pairs = Counter()
+        for w, n in words.items():
+            syms = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, left, right, cnt))
+        for w in vocab:
+            syms = vocab[w]
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            vocab[w] = res
+    assert got == want
+    assert len(got) == 8
