@@ -184,3 +184,23 @@ def test_round4_ops_empty(spark, empty):
     dim = empty("band string, lo double, hi double")
     assert banded_range_join(fact, dim, "v").count() == 0
     assert banded_range_join(fact, dim, "v", how="left").count() == 0
+
+
+def test_round6_ops_empty(spark, empty):
+    """Round-6 operators: containment pairs, SCD-2, k-fold, stopword
+    profile, BPE training, PCA all survive 0-row inputs."""
+    from market_data_pipeline_spark.operators.incremental import scd2_history
+
+    docs = empty("doc_id long, text string, lang string")
+    assert DD.containment_pairs(docs).count() == 0
+    assert TX.kfold_assign(empty("doc_id long")).count() == 0
+    assert TX.stopword_profile(docs).count() == 0
+    assert TX.bpe_train(docs).count() == 0
+    assert (
+        scd2_history(
+            empty("k long, dt date, status string, seq long"),
+            "k", "dt", "status", "seq",
+        ).count()
+        == 0
+    )
+    assert SIM.pca_explained_variance(empty(EMB)).count() == 0
