@@ -46,16 +46,19 @@ def main() -> None:
     src = open(ENTRY).read()
     green_name = re.search(r"(_GREEN_R1_R\d+) = frozenset", src)
     backlog_name = re.search(r"(_BACKLOG_R\d+) = frozenset", src)
+    bank_name = re.search(r"(_BANK_R\d+) = frozenset", src)
     if not green_name:
         sys.exit("no _GREEN_R1_R<N> frozenset found in __spark_entry__.py")
     green_name = green_name.group(1)
     backlog_name = backlog_name.group(1) if backlog_name else None
+    bank_name = bank_name.group(1) if bank_name else None
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
 
     green = set(getattr(entry, green_name))
     backlog = set(getattr(entry, backlog_name)) if backlog_name else set()
+    bank = set(getattr(entry, bank_name)) if bank_name else set()
     added = []
     for path in args:
         for name, row in json.load(open(path)).items():
@@ -64,10 +67,14 @@ def main() -> None:
                 added.append(name)
     drained = sorted(backlog & green)
     backlog -= green
+    bank_drained = sorted(bank & green)
+    bank -= green
 
     print(f"# +{len(added)} newly green: {sorted(added)}")
     if backlog_name:
         print(f"# backlog drained: {drained}; {len(backlog)} remain: {sorted(backlog)}")
+    if bank_name:
+        print(f"# bank drained: {bank_drained}; {len(bank)} remain: {sorted(bank)}")
     print(_block(green_name, green))
 
     if apply and added:
@@ -88,8 +95,20 @@ def main() -> None:
             )
             if n != 1:
                 sys.exit("could not locate the backlog frozenset block to replace")
+        if bank_name:
+            new_src, n = re.subn(
+                bank_name + r" = frozenset\((?:\{.*?\})?\)",
+                _block(bank_name, bank),
+                new_src,
+                flags=re.S,
+            )
+            if n != 1:
+                sys.exit("could not locate the bank frozenset block to replace")
         open(ENTRY, "w").write(new_src)
-        print(f"# applied ({len(added)} green added, {len(drained)} backlog drained)")
+        print(
+            f"# applied ({len(added)} green added, {len(drained)} backlog "
+            f"drained, {len(bank_drained)} bank drained)"
+        )
 
 
 if __name__ == "__main__":
