@@ -291,6 +291,10 @@ _COST = {
     "tx28_ngram_novelty": 1.49, "pipeline2_delisted_sync": 4.06,
     "k21_pca_variance": 0.89, "f15_doc_feature_matrix": 1.77,
     "tx29_bpe_merges": 3.92,
+    # round-7 bank batch 6 (measured in-session at sf0.1, best-of-2)
+    "dq10_order_price_reconciliation": 2.50, "ts46_garman_klass_vol": 2.18,
+    "ts47_roll_spread": 0.64, "e37_retention_survival": 0.43,
+    "e38_event_type_lift": 0.78, "a23_high_proximity": 1.24,
 }
 
 
@@ -310,6 +314,9 @@ _BANK_R7 = frozenset({
     "ts45_hurst_exponent", "e36_second_order_markov",
     "tx28_ngram_novelty", "pipeline2_delisted_sync",
     "f15_doc_feature_matrix",
+    "dq10_order_price_reconciliation", "ts46_garman_klass_vol",
+    "ts47_roll_spread", "e37_retention_survival", "e38_event_type_lift",
+    "a23_high_proximity",
 })
 
 

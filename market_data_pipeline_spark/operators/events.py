@@ -931,3 +931,102 @@ def stickiness(
             / F.countDistinct(key_col)
         ).alias("stickiness"),
     )
+
+
+def event_type_lift(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Association lift for unordered event-type pairs: for each pair
+    (a < b), lift = P(a and b) / (P(a) * P(b)) over the key universe —
+    the market-basket strength measure that separates "co-occurs because
+    both are popular" (lift ~ 1) from genuine association (lift >> 1).
+    Extends event_type_pairs with the marginals.
+
+    Same scale shape as event_type_pairs: one distinct (key, type) pass
+    collapses the event volume, the pair self-join fans out at most
+    C(|types|, 2) per key, and the two marginal frames are type-keyed
+    (|types| rows) so both joins and the total-count scalar are
+    broadcasts — no extra key-partitioned shuffle beyond the pair count.
+    Lift arithmetic is per-row IEEE on exact BIGINT counts, rounded.
+    Returns (type_a, type_b, n_a, n_b, n_both, lift).
+    """
+    kt = df.select(F.col(key_col).alias("_k"), F.col(type_col).alias("_t")).distinct()
+    total = kt.select(F.countDistinct("_k").cast("long").alias("_n_total"))
+    per_type = kt.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_nt"))
+    a = kt.select("_k", F.col("_t").alias("type_a"))
+    b = kt.select("_k", F.col("_t").alias("type_b"))
+    pairs = (
+        a.join(b, "_k")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ma = per_type.select(F.col("_t").alias("type_a"), F.col("_nt").alias("n_a"))
+    mb = per_type.select(F.col("_t").alias("type_b"), F.col("_nt").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("_n_total")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                round_digits,
+            ).alias("lift"),
+        )
+    )
+
+
+def retention_survival(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Observed-lifetime survival curve: per key, lifetime = days between
+    first and last event; for each observed lifetime value k, report how
+    many keys survive at least k days and the survival fraction — the
+    Kaplan-Meier-style engagement-decay curve (no censoring model: the
+    capture window is fixed, as in an offline training-data snapshot).
+
+    One key-partitioned aggregate (billions of events -> one row per
+    key), one lifetime-keyed count, then the reverse cumulative sum runs
+    on a single-partition window over the LIFETIME DOMAIN — bounded by
+    the calendar span of the capture window (days, not keys), the same
+    bounded-domain argument as the monthly-momentum rollup. Counts are
+    exact BIGINTs; the rate is one IEEE division per row.
+    Returns (lifetime_days, n_keys, surviving, survival_rate).
+    """
+    per_key = df.groupBy(key_col).agg(
+        F.datediff(F.max(F.to_date(ts_col)), F.min(F.to_date(ts_col))).alias(
+            "lifetime_days"
+        )
+    )
+    by_lt = per_key.groupBy("lifetime_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
+    w_rev = (
+        Window.orderBy(F.col("lifetime_days").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return by_lt.select(
+        "lifetime_days",
+        "n_keys",
+        F.sum("n_keys").over(w_rev).cast("long").alias("surviving"),
+        F.round(
+            F.sum("n_keys").over(w_rev).cast("double") / F.sum("n_keys").over(w_all),
+            round_digits,
+        ).alias("survival_rate"),
+    )

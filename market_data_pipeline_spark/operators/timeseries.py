@@ -1232,3 +1232,84 @@ def streak_stats(
         F.max(F.when(F.col("_sgn") == 1, F.col("_len"))).cast("long").alias("longest_up"),
         F.max(F.when(F.col("_sgn") == -1, F.col("_len"))).cast("long").alias("longest_down"),
     )
+
+
+def garman_klass_vol(
+    df: DataFrame,
+    value_col: str = "close_price",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    freq: str = "week",
+) -> DataFrame:
+    """Garman-Klass OHLC volatility per series from `freq` range bars:
+    per bar, 0.5*ln(H/L)^2 - (2ln2-1)*ln(C/O)^2 with O/C the first/last
+    value in the bar and H/L the extremes; per series, sqrt of the mean
+    bar estimate (floored at 0 — the estimator is unbiased, not
+    pointwise nonnegative). ~7.4x more statistically efficient than
+    close-to-close variance; the range-bar sibling of the Parkinson
+    estimator (parkinson_vol).
+
+    One hash aggregate builds the bars (min_by/max_by are single-pass,
+    tie-free because the input is one row per (series, day)), then one
+    series-keyed aggregate — two shuffles total, no window. Each bar's
+    term is fixed-pointed (round 1e-12 -> BIGINT, |term| < 1 so no
+    overflow) before summing so accumulation order cannot move the mean.
+    Returns (partition_col, n_bars, gk_vol).
+    """
+    k = 0.3862943611198906  # 2*ln(2) - 1, literal-matched with oracles
+    bars = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(partition_col, F.date_trunc(freq, F.col(order_col)).alias("_bucket"))
+        .agg(
+            F.min_by(value_col, order_col).alias("_o"),
+            F.max_by(value_col, order_col).alias("_c"),
+            F.max(value_col).alias("_h"),
+            F.min(value_col).alias("_l"),
+        )
+        .filter((F.col("_l") > 0) & (F.col("_o") > 0))
+    )
+    lhl = F.log(F.col("_h") / F.col("_l"))
+    lco = F.log(F.col("_c") / F.col("_o"))
+    term = F.lit(0.5) * lhl * lhl - F.lit(k) * lco * lco
+    q = bars.select(
+        partition_col, F.round(term * 1e12).cast("long").alias("_qv")
+    )
+    n = F.count(F.lit(1))
+    return q.groupBy(partition_col).agg(
+        n.cast("long").alias("n_bars"),
+        F.sqrt(F.greatest(F.lit(0.0), F.sum("_qv") / 1e12 / n)).alias("gk_vol"),
+    )
+
+
+def roll_spread(
+    df: DataFrame,
+    ret_col: str = "ret",
+    partition_col: str = "symbol",
+    order_col: str = "trade_date",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Roll (1984) implied effective spread per series: 2*sqrt(-cov) of
+    adjacent returns when the first-order autocovariance is negative
+    (bid-ask bounce induces negative serial covariance), else 0 — the
+    microstructure liquidity estimator that needs only the price series,
+    no quote data.
+
+    One per-series lag window + one series-keyed covar_pop aggregate —
+    single shuffle on the series key. covar_pop accumulates in floating
+    point, but returns are O(1e-2) so per-series accumulation error is
+    ~1e-18, far inside the 6-dp output rounding (the corr/ROUND idiom
+    used by the correlation family).
+    Returns (partition_col, n_obs, roll_spread).
+    """
+    w = _series_window(partition_col, order_col)
+    staged = (
+        df.withColumn("_prev", F.lag(ret_col).over(w))
+        .filter(F.col(ret_col).isNotNull() & F.col("_prev").isNotNull())
+    )
+    cov = F.covar_pop(ret_col, "_prev")
+    return staged.groupBy(partition_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.round(
+            F.lit(2.0) * F.sqrt(F.greatest(F.lit(0.0), -cov)), round_digits
+        ).alias("roll_spread"),
+    )

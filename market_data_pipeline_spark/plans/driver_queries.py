@@ -11178,4 +11178,272 @@ def pipeline1_daily_update(spark, sf_dir):
 
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on
 # import (kept in a separate module; the registry decorator lives here).
+
+# ===========================================================================
+# Round-7 bank batch 6: cross-table reconciliation audit, OHLC volatility
+# (Garman-Klass), Roll implied spread, survival/retention curve, event-type
+# association lift, 52-week-high proximity screen.
+# ===========================================================================
+
+
+@query(
+    "dq10_order_price_reconciliation",
+    """WITH li AS (
+  SELECT l_orderkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(8,4))
+                        * CAST(1 + l_tax AS DECIMAL(8,4))), 2)
+              AS DECIMAL(18,2)) AS computed
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderstatus AS order_status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN li.computed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_childless,
+       CAST(SUM(CASE WHEN li.computed IS NOT NULL
+                      AND abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - li.computed)
+                          <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+       CAST(SUM(CASE WHEN li.computed IS NOT NULL
+                      AND abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - li.computed)
+                          > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       CAST(SUM(CASE WHEN li.computed IS NOT NULL
+                     THEN abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - li.computed)
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_abs_diff
+FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+GROUP BY 1 ORDER BY order_status""",
+)
+def dq10_order_price_reconciliation(spark, sf_dir):
+    """Cross-table money reconciliation: does orders.o_totalprice equal the
+    sum of its lineitems' extended charge? Reports, per order status, how
+    many orders reconcile within one cent, how many disagree, and the
+    total absolute drift — the invariant audit a warehouse runs after
+    every load (the TPC-H totalprice identity; the reference's validation
+    chain audits row-level invariants the same way,
+    src/utils/validation.py).
+
+    The lineitem side map-side-combines to one row per orderkey before
+    the join, so the join input is order-cardinality, not lineitem-
+    cardinality; at 100 TB both sides hash-partition on the orderkey
+    (co-partitioned if the tables are bucketed on it) and the final
+    status rollup is a 3-row aggregate. All money stays DECIMAL end to
+    end (per-row 6-dp cast, exact sums, half-up 2-dp recast on both
+    engines); the output total is cast to DOUBLE only for display."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # each factor is cast to decimal BEFORE multiplying: the sources are
+    # generated at <=2/4 dp, so the double->decimal rounding is far from
+    # any tie on both engines, and the product/sum stay exact decimal —
+    # casting the double PRODUCT instead leaves ulp-ties that drift the
+    # corpus total by parts in 1e8 between engines. The oracle wraps its
+    # final 2-dp recast in ROUND(): DuckDB's decimal->decimal CAST
+    # TRUNCATES while Spark's rounds HALF_UP — ROUND aligns them.
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount")).cast("decimal(8,4)")
+            * (1 + F.col("l_tax")).cast("decimal(8,4)")
+        )
+        .cast("decimal(18,2)")
+        .alias("computed")
+    )
+    j = orders.join(
+        computed, orders.o_orderkey == computed.l_orderkey, "left"
+    )
+    diff = F.col("o_totalprice").cast("decimal(18,2)") - F.col("computed")
+    has = F.col("computed").isNotNull()
+    return (
+        j.groupBy(F.col("o_orderstatus").alias("order_status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(~has, 1).otherwise(0)).cast("long").alias("n_childless"),
+            F.sum(F.when(has & (F.abs(diff) <= 0.01), 1).otherwise(0))
+            .cast("long")
+            .alias("n_reconciled"),
+            F.sum(F.when(has & (F.abs(diff) > 0.01), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatched"),
+            F.sum(
+                F.when(has, F.abs(diff)).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("total_abs_diff"),
+        )
+        .orderBy("order_status")
+    )
+
+
+@query(
+    "ts46_garman_klass_vol",
+    f"""WITH {PRICE_CTE},
+bars AS (
+  SELECT symbol, date_trunc('week', trade_date) AS bucket,
+         arg_min(close_price, trade_date) AS o,
+         arg_max(close_price, trade_date) AS c,
+         MAX(close_price) AS h, MIN(close_price) AS l
+  FROM price WHERE close_price IS NOT NULL
+  GROUP BY 1, 2
+), q AS (
+  SELECT symbol,
+         CAST(ROUND((0.5 * ln(h / l) * ln(h / l)
+                     - 0.3862943611198906 * ln(c / o) * ln(c / o)) * 1e12)
+              AS BIGINT) AS qv
+  FROM bars WHERE l > 0 AND o > 0
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_bars,
+       sqrt(GREATEST(0.0, SUM(qv) / 1e12 / COUNT(*))) AS gk_vol
+FROM q GROUP BY 1 ORDER BY symbol""",
+)
+def ts46_garman_klass_vol(spark, sf_dir):
+    """Garman-Klass range-based volatility per symbol from weekly OHLC
+    bars — the open/close-corrected sibling of ts44's Parkinson
+    estimator (~7.4x more efficient than close-to-close variance). Bars
+    come from one tie-free min_by/max_by hash aggregate (input is one
+    row per (symbol, day)); per-bar terms are fixed-pointed to 1e-12
+    BIGINTs so the per-symbol mean is accumulation-order-proof. Two
+    shuffles, no window. See operators.timeseries.garman_klass_vol."""
+    return tseries.garman_klass_vol(price_frame(spark, sf_dir)).orderBy("symbol")
+
+
+@query(
+    "ts47_roll_spread",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol, trade_date,
+         close_price / LAG(close_price) OVER w - 1 AS ret
+  FROM price WHERE close_price IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+), p AS (
+  SELECT symbol, ret,
+         LAG(ret) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev
+  FROM r
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(2.0 * sqrt(GREATEST(0.0, -COVAR_POP(ret, prev))), 6) AS roll_spread
+FROM p WHERE ret IS NOT NULL AND prev IS NOT NULL
+GROUP BY 1 ORDER BY symbol""",
+)
+def ts47_roll_spread(spark, sf_dir):
+    """Roll (1984) implied effective spread per symbol: 2*sqrt(-cov) of
+    adjacent daily returns when the lag-1 autocovariance is negative
+    (bid-ask bounce), else 0 — the quote-free microstructure liquidity
+    estimator, complementing ts26's Amihud illiquidity. Full universe,
+    single series-key shuffle; rides the memoized returns stage. See
+    operators.timeseries.roll_spread."""
+    return tseries.roll_spread(returns_frame(spark, sf_dir)).orderBy("symbol")
+
+
+@query(
+    "e37_retention_survival",
+    """WITH pk AS (
+  SELECT user_id,
+         CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+              AS INTEGER) AS lifetime_days
+  FROM events GROUP BY 1
+), lt AS (
+  SELECT lifetime_days, CAST(COUNT(*) AS BIGINT) AS n_keys FROM pk GROUP BY 1
+)
+SELECT lifetime_days, n_keys,
+       CAST(SUM(n_keys) OVER (ORDER BY lifetime_days DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS surviving,
+       ROUND(CAST(SUM(n_keys) OVER (ORDER BY lifetime_days DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / SUM(n_keys) OVER (), 6) AS survival_rate
+FROM lt ORDER BY lifetime_days""",
+)
+def e37_retention_survival(spark, sf_dir):
+    """Observed-lifetime survival curve over the event stream: for each
+    observed per-user lifetime k (days between first and last event),
+    the number and fraction of users surviving >= k days — the
+    engagement-decay curve behind churn models. The reverse-cumulative
+    window runs over the LIFETIME DOMAIN (bounded by the capture
+    window's calendar span, not by users), the same bounded-domain
+    single-partition argument as a16. See
+    operators.events.retention_survival."""
+    return ev.retention_survival(load_table(spark, sf_dir, "events")).orderBy(
+        "lifetime_days"
+    )
+
+
+@query(
+    "e38_event_type_lift",
+    """WITH kt AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total FROM kt),
+m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nt FROM kt GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM kt a JOIN kt b ON a.user_id = b.user_id
+       AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, ma.nt AS n_a, mb.nt AS n_b, p.n_both,
+       ROUND(CAST(p.n_both AS DOUBLE) * tot.n_total
+             / (CAST(ma.nt AS DOUBLE) * mb.nt), 6) AS lift
+FROM pairs p
+JOIN m ma ON p.type_a = ma.event_type
+JOIN m mb ON p.type_b = mb.event_type
+CROSS JOIN tot
+ORDER BY p.type_a, p.type_b""",
+)
+def e38_event_type_lift(spark, sf_dir):
+    """Association lift for event-type pairs: n_both * N / (n_a * n_b)
+    over distinct users — separates "both types are popular" (lift ~ 1)
+    from genuine behavioral association. Extends e19's co-occurrence
+    counts with broadcast marginals; pair fan-out stays bounded by the
+    type vocabulary. See operators.events.event_type_lift."""
+    return ev.event_type_lift(load_table(spark, sf_dir, "events")).orderBy(
+        "type_a", "type_b"
+    )
+
+
+@query(
+    "a23_high_proximity",
+    f"""WITH {PRICE_CTE},
+s AS (
+  SELECT symbol,
+         MAX(trade_date) AS last_trade_date,
+         arg_max(close_price, trade_date) AS last_close,
+         MAX(close_price) AS peak_close
+  FROM price WHERE close_price IS NOT NULL GROUP BY 1
+)
+SELECT symbol, last_trade_date, last_close, peak_close,
+       ROUND(last_close / peak_close, 6) AS high_proximity,
+       CAST(CASE WHEN last_close >= peak_close THEN 1 ELSE 0 END AS INTEGER)
+           AS at_high
+FROM s ORDER BY high_proximity DESC, symbol LIMIT 100""",
+)
+def a23_high_proximity(spark, sf_dir):
+    """52-week-high-style proximity screen: each symbol's latest close as
+    a fraction of its historical peak, top-100 closest to (or at) their
+    highs — the momentum screen behind "new-highs" breadth products
+    (pairs with a20's breadth thrust). One tie-free max_by hash
+    aggregate over the price series (no window), then a global top-k:
+    TakeOrderedAndProject with a total order (proximity desc, symbol),
+    never a full sort at scale."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    s = p.groupBy("symbol").agg(
+        F.max("trade_date").alias("last_trade_date"),
+        F.max_by("close_price", "trade_date").alias("last_close"),
+        F.max("close_price").alias("peak_close"),
+    )
+    return (
+        s.select(
+            "symbol",
+            "last_trade_date",
+            "last_close",
+            "peak_close",
+            F.round(F.col("last_close") / F.col("peak_close"), 6).alias(
+                "high_proximity"
+            ),
+            F.when(F.col("last_close") >= F.col("peak_close"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("at_high"),
+        )
+        .orderBy(F.col("high_proximity").desc(), "symbol")
+        .limit(100)
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401
