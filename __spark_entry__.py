@@ -295,6 +295,10 @@ _COST = {
     "dq10_order_price_reconciliation": 2.50, "ts46_garman_klass_vol": 2.18,
     "ts47_roll_spread": 0.64, "e37_retention_survival": 0.43,
     "e38_event_type_lift": 0.78, "a23_high_proximity": 1.24,
+    # round-7 bank batch 7 (measured in-session at sf0.1, best-of-2)
+    "tx30_doc_entropy": 1.47, "smp14_anchor_positive_pairs": 0.51,
+    "k22_quantization_error": 1.69, "e39_power_users": 0.46,
+    "ts48_kaufman_er": 1.66, "dd22_jaccard_histogram": 1.85,
 }
 
 
@@ -317,6 +321,9 @@ _BANK_R7 = frozenset({
     "dq10_order_price_reconciliation", "ts46_garman_klass_vol",
     "ts47_roll_spread", "e37_retention_survival", "e38_event_type_lift",
     "a23_high_proximity",
+    "tx30_doc_entropy", "smp14_anchor_positive_pairs",
+    "k22_quantization_error", "e39_power_users", "ts48_kaufman_er",
+    "dd22_jaccard_histogram",
 })
 
 

@@ -1418,3 +1418,62 @@ def pca_explained_variance(
         "component long, eigenvalue double, explained_ratio double, "
         "cumulative_ratio double",
     )
+
+
+def quantization_error_stats(
+    embeddings: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group int8 scalar-quantization error audit: each vector is
+    quantized with its own symmetric scale (max|component| / 127),
+    dequantized, and the round-trip L2 error — absolute and relative to
+    the vector norm — is averaged per group. The go/no-go report before
+    shipping embeddings at 4x compression into an ANN index (recall loss
+    tracks relative quantization error).
+
+    Entirely map-only JVM array folds until one bounded groupBy on the
+    label: the error list is built with nested transform (no explode —
+    the vector never leaves its row), each squared term is fixed-pointed
+    (round 1e12 -> BIGINT, terms are <= (scale/254)^2 so no overflow),
+    and the group means fixed-point again (1e-9), making every stage
+    accumulation-order-proof. Zero vectors (scale 0) are excluded — a
+    0-norm vector has no relative error.
+    Returns (group_col, n_vectors, avg_l2_err, avg_rel_err).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    err = F.transform(
+        v, lambda x: x - F.round(x / mx * 127) * mx / 127
+    )
+    err2_sum = F.aggregate(
+        F.transform(err, lambda d: F.round(d * d * 1e12).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    sq_sum = F.aggregate(
+        F.transform(v, lambda x: F.round(x * x * 1e9).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    staged = (
+        embeddings.select(
+            F.col(group_col),
+            mx.alias("_mx"),
+            F.sqrt(err2_sum / 1e12).alias("_l2"),
+            F.sqrt(sq_sum / 1e9).alias("_nrm"),
+        )
+        .filter(F.col("_mx") > 0)
+    )
+    n = F.count(F.lit(1))
+    return staged.groupBy(group_col).agg(
+        n.cast("long").alias("n_vectors"),
+        (F.sum(F.round(F.col("_l2") * 1e9).cast("long")) / 1e9 / n).alias(
+            "avg_l2_err"
+        ),
+        (
+            F.sum(F.round(F.col("_l2") / F.col("_nrm") * 1e9).cast("long"))
+            / 1e9
+            / n
+        ).alias("avg_rel_err"),
+    )

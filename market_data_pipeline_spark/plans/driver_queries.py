@@ -11446,4 +11446,294 @@ def a23_high_proximity(spark, sf_dir):
     )
 
 
+
+# ===========================================================================
+# Round-7 bank batch 7: per-doc entropy, contrastive anchor-positive pairs,
+# int8 quantization-error audit, power-user concentration, Kaufman
+# efficiency ratio, Jaccard-score calibration histogram.
+# ===========================================================================
+
+
+@query(
+    "tx30_doc_entropy",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM wc GROUP BY 1
+)
+SELECT wc.doc_id, CAST(t.n AS BIGINT) AS n_tokens, t.n_distinct,
+       ROUND(SUM(CAST(ROUND(-(wc.c / t.n) * log2(wc.c / t.n) * 1e9) AS BIGINT))
+             / 1e9, 6) AS entropy
+FROM wc JOIN tot t ON wc.doc_id = t.doc_id
+GROUP BY 1, 2, 3 ORDER BY wc.doc_id""",
+)
+def tx30_doc_entropy(spark, sf_dir):
+    """Per-document unigram word entropy (bits): the within-doc
+    repetition/diversity signal a quality classifier uses alongside
+    tx20's type-token diversity (entropy also weights HOW skewed the
+    repetition is, not just how many types). Token counts shuffle once
+    on doc_id; totals come from a per-doc window (bounded by doc
+    length), and each p*log2(p) term is fixed-pointed (1e-9 -> BIGINT)
+    before summing so the per-doc sum is accumulation-order-proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    staged = wc.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(wdoc).alias("n"),
+        F.count(F.lit(1)).over(wdoc).cast("long").alias("n_distinct"),
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        staged.groupBy("doc_id", F.col("n").cast("long").alias("n_tokens"), "n_distinct")
+        .agg(
+            F.round(
+                F.sum(F.round(-p * F.log2(p) * 1e9).cast("long")) / 1e9, 6
+            ).alias("entropy")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "smp14_anchor_positive_pairs",
+    """SELECT source, doc_id AS anchor_id,
+       LEAD(doc_id) OVER w AS positive_id,
+       n_chars AS anchor_chars,
+       LEAD(n_chars) OVER w AS positive_chars
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+QUALIFY positive_id IS NOT NULL
+ORDER BY source, anchor_id""",
+)
+def smp14_anchor_positive_pairs(spark, sf_dir):
+    """Contrastive-learning pair construction: within each source,
+    chain documents sorted by (length, id) so every doc is paired with
+    its nearest-longer neighbor — a deterministic, join-free
+    anchor/positive sampler (the "same-domain, similar-length" heuristic
+    used to mine weak positives when no labels exist). One window per
+    source partition; no self-join, so the pair count is exactly
+    n_docs - n_sources regardless of corpus size."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            F.col("doc_id").alias("anchor_id"),
+            F.lead("doc_id").over(w).alias("positive_id"),
+            F.col("n_chars").alias("anchor_chars"),
+            F.lead("n_chars").over(w).alias("positive_chars"),
+        )
+        .filter(F.col("positive_id").isNotNull())
+        .orderBy("source", "anchor_id")
+    )
+
+
+@query(
+    "k22_quantization_error",
+    """WITH ex AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM ex
+), e AS (
+  SELECT label,
+         SQRT(list_sum(list_transform(
+             list_transform(v, x -> x - ROUND(x / mx * 127) * mx / 127),
+             d -> CAST(ROUND(d * d * 1e12) AS BIGINT))) / 1e12) AS l2,
+         SQRT(list_sum(list_transform(
+             v, x -> CAST(ROUND(x * x * 1e9) AS BIGINT))) / 1e9) AS nrm
+  FROM s WHERE mx > 0
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       SUM(CAST(ROUND(l2 * 1e9) AS BIGINT)) / 1e9 / COUNT(*) AS avg_l2_err,
+       SUM(CAST(ROUND(l2 / nrm * 1e9) AS BIGINT)) / 1e9 / COUNT(*)
+           AS avg_rel_err
+FROM e GROUP BY 1 ORDER BY label""",
+)
+def k22_quantization_error(spark, sf_dir):
+    """Int8 scalar-quantization round-trip error per label — the audit
+    run before shipping embeddings at 4x compression into an ANN index
+    (recall loss tracks the relative error this reports). Map-only
+    nested array folds (the vector never explodes out of its row), both
+    fold stages fixed-pointed. See
+    operators.similarity.quantization_error_stats."""
+    return similarity.quantization_error_stats(
+        load_table(spark, sf_dir, "embeddings"), group_col="label"
+    ).orderBy("label")
+
+
+@query(
+    "e39_power_users",
+    """WITH uc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1
+), d AS (
+  SELECT user_id, n_events,
+         NTILE(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+  FROM uc
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS events,
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / SUM(SUM(n_events)) OVER (), 6)
+           AS event_share
+FROM d GROUP BY 1 ORDER BY decile""",
+)
+def e39_power_users(spark, sf_dir):
+    """Activity concentration ("whales") report: users bucketed into
+    activity deciles, each decile's share of total events — the skew
+    profile that decides whether per-user operators need salting (a
+    top decile owning half the events at 100 TB means hot keys). The
+    decile assignment runs on USER-cardinality rows (already one row
+    per user after the first aggregate) with a total order
+    (n_events DESC, user_id) so NTILE is deterministic on both engines;
+    the share window is over 10 rows."""
+    uc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    d = uc.select(
+        "n_events",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("n_events").desc(), "user_id"))
+        .alias("decile"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("events"),
+        )
+        .select(
+            "decile",
+            "n_users",
+            "events",
+            F.round(
+                F.col("events").cast("double") / F.sum("events").over(w_all), 6
+            ).alias("event_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "ts48_kaufman_er",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol, trade_date, close_price,
+         ABS(close_price - LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date)) AS chg
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(ABS(arg_max(close_price, trade_date)
+                 - arg_min(close_price, trade_date))
+             / NULLIF(SUM(CAST(ROUND(chg * 1e6) AS BIGINT)) / 1e6, 0), 6)
+           AS efficiency_ratio
+FROM r GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY symbol""",
+)
+def ts48_kaufman_er(spark, sf_dir):
+    """Kaufman efficiency ratio per symbol over its full history: net
+    price displacement / total path length — 1.0 for a straight trend,
+    near 0 for pure chop; the regime filter adaptive moving averages key
+    off. One series-key window (lag) + one aggregate with tie-free
+    first/last via min_by/max_by on the date; the path-length sum is
+    fixed-pointed (1e-6 -> BIGINT) so it is accumulation-order-proof."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    r = p.withColumn(
+        "chg", F.abs(F.col("close_price") - F.lag("close_price").over(w))
+    )
+    denom = F.sum(F.round(F.col("chg") * 1e6).cast("long")) / 1e6
+    net = F.abs(
+        F.max_by("close_price", "trade_date")
+        - F.min_by("close_price", "trade_date")
+    )
+    return (
+        r.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                net / F.when(denom != 0, denom).otherwise(F.lit(None)), 6
+            ).alias("efficiency_ratio"),
+        )
+        .filter(F.col("n_days") >= 2)
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "dd22_jaccard_histogram",
+    r"""WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM sh0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT p.common / (sa.sz + sb.sz - p.common) AS jac
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+)
+SELECT CAST(floor(jac * 20) AS INTEGER) AS bucket,
+       ROUND(CAST(floor(jac * 20) AS INTEGER) / 20.0, 2) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2 ORDER BY bucket""",
+)
+def dd22_jaccard_histogram(spark, sf_dir):
+    """Jaccard-score calibration histogram over ALL candidate pairs
+    (threshold 0): the distribution a dedup operator's threshold is
+    chosen FROM — run this before picking dd2's 0.1 or dd9's cap (a
+    bimodal histogram says the threshold sits in the valley; a smooth
+    decay says shingle-collision noise dominates). Same bucketed
+    candidate generation as dd2 (pairs share >= 1 shingle within a
+    lang), so the pair count is collision-bounded, never all-pairs; the
+    0.05-wide binning is one map + a 21-row aggregate."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        group_col="lang",
+        n=3,
+        threshold=0.0,
+    )
+    bucket = F.floor(F.col("jaccard") * 20).cast("int")
+    return (
+        pairs.select(
+            bucket.alias("bucket"),
+            F.round(bucket / 20.0, 2).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bucket")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -176,3 +176,138 @@ def test_dq10_reconciliation_edges(spark, tmp_path):
     assert out["F"]["n_mismatched"] == 1
     assert out["F"]["total_abs_diff"] == pytest.approx(989.99, abs=1e-9)
     assert out["P"]["n_childless"] == 1 and out["P"]["n_mismatched"] == 0
+
+
+# --- bank batch 7 -----------------------------------------------------------
+
+
+def test_quantization_error_vs_numpy(spark):
+    """Int8 round-trip error must match a numpy reference using the same
+    symmetric per-vector scale and the same fixed-point rounding."""
+    from market_data_pipeline_spark.operators.similarity import (
+        quantization_error_stats,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((6, 8)).round(4)
+    rows = [(i, [float(x) for x in v], "L") for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = quantization_error_stats(df, group_col="label").collect()
+    assert len(out) == 1
+
+    l2s, rels = [], []
+    for v in vecs:
+        mx = np.max(np.abs(v))
+        deq = np.round(v / mx * 127) * mx / 127
+        err = v - deq
+        e2 = np.round(err * err * 1e12).astype("int64").sum() / 1e12
+        n2 = np.round(v * v * 1e9).astype("int64").sum() / 1e9
+        l2s.append(math.sqrt(e2))
+        rels.append(math.sqrt(e2) / math.sqrt(n2))
+    exp_l2 = sum(round(x * 1e9) for x in l2s) / 1e9 / len(l2s)
+    exp_rel = sum(round(x * 1e9) for x in rels) / 1e9 / len(rels)
+    assert out[0]["n_vectors"] == 6
+    assert out[0]["avg_l2_err"] == pytest.approx(exp_l2, abs=1e-12)
+    assert out[0]["avg_rel_err"] == pytest.approx(exp_rel, abs=1e-12)
+    # int8 at 8 dims: relative error should be small but nonzero
+    assert 0 < out[0]["avg_rel_err"] < 0.05
+
+
+def test_quantization_error_excludes_zero_vectors(spark):
+    from market_data_pipeline_spark.operators.similarity import (
+        quantization_error_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], "Z"), (2, [1.0, 0.0], "Z")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = quantization_error_stats(df, group_col="label").collect()
+    assert out[0]["n_vectors"] == 1  # the zero vector is excluded
+    assert out[0]["avg_l2_err"] == 0.0  # 1.0 quantizes exactly
+
+
+def test_doc_entropy_hand_computed(spark, tmp_path):
+    """'a a b b' -> 2 bits? No: p=.5/.5 -> entropy 1.0; 'a a a a' -> 0."""
+    from market_data_pipeline_spark.plans.driver_queries import tx30_doc_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a b b", "en", "s1", 7), (2, "a a a a", "en", "s1", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in tx30_doc_entropy(spark, str(tmp_path)).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 2
+    assert out[1]["entropy"] == 1.0
+    assert out[2]["entropy"] == 0.0
+
+
+def test_kaufman_er_straight_trend_is_one(spark, tmp_path):
+    """Monotone series: net displacement == path length -> ER = 1.0;
+    a perfect round trip -> ER = 0.0."""
+    from market_data_pipeline_spark.operators import timeseries as _ts  # noqa: F401
+    from market_data_pipeline_spark.plans.driver_queries import ts48_kaufman_er
+
+    rows = []
+    # symbol 1 trends 100 -> 104; symbol 2 goes 100 -> 102 -> 100
+    for i, c in enumerate([100.0, 101.0, 102.0, 103.0, 104.0]):
+        rows.append((1, 1, 1, 1, 1.0, c, 0.0, 0.0, "N", "O", dt.date(2024, 1, 1 + i)))
+    for i, c in enumerate([100.0, 102.0, 100.0]):
+        rows.append((2, 2, 1, 1, 1.0, c, 0.0, 0.0, "N", "O", dt.date(2024, 1, 1 + i)))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    )
+    li.write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = {r["symbol"]: r for r in ts48_kaufman_er(spark, str(tmp_path)).collect()}
+    assert out["1"]["efficiency_ratio"] == 1.0
+    assert out["2"]["efficiency_ratio"] == 0.0
+
+
+def test_power_users_shares_sum_to_one(spark):
+    from market_data_pipeline_spark.operators import events as _ev  # noqa: F401
+    from market_data_pipeline_spark.plans.driver_queries import e39_power_users
+    import tempfile
+
+    t = dt.datetime(2024, 1, 1, 9)
+    rows = []
+    eid = 0
+    # user u produces u events -> heavy skew, 20 users
+    for u in range(1, 21):
+        for _ in range(u):
+            eid += 1
+            rows.append((eid, u, "x", t))
+    path = tempfile.mkdtemp(prefix="e39_")
+    _events(spark, rows).write.parquet(f"{path}/events.parquet")
+    out = e39_power_users(spark, path).collect()
+    assert len(out) == 10 and sum(r["n_users"] for r in out) == 20
+    assert sum(r["events"] for r in out) == 210
+    assert abs(sum(r["event_share"] for r in out) - 1.0) < 1e-5
+    # decile 1 holds the two heaviest users (20+19 of 210)
+    assert out[0]["decile"] == 1 and out[0]["events"] == 39
+
+
+def test_jaccard_histogram_buckets_partition_pairs(spark, tmp_path):
+    """Histogram over threshold-0 candidates must cover every dd2-style
+    pair exactly once, including the identical-doc pair in bucket 20."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        dd22_jaccard_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5", "en", "s", 1),
+            (2, "w1 w2 w3 w4 w5", "en", "s", 1),  # identical -> jaccard 1.0
+            (3, "w1 w2 w3 zz yy", "en", "s", 1),  # shares shingle 'w1 w2 w3'
+            (4, "q1 q2 q3 q4 q5", "en", "s", 1),  # no shared shingle
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["bucket"]: r["n_pairs"] for r in dd22_jaccard_histogram(spark, str(tmp_path)).collect()}
+    assert sum(out.values()) == 3  # (1,2) (1,3) (2,3); doc 4 never pairs
+    assert out[20] == 1  # the identical pair at jaccard == 1.0
