@@ -299,6 +299,10 @@ _COST = {
     "tx30_doc_entropy": 1.47, "smp14_anchor_positive_pairs": 0.51,
     "k22_quantization_error": 1.69, "e39_power_users": 0.46,
     "ts48_kaufman_er": 1.66, "dd22_jaccard_histogram": 1.85,
+    # round-7 bank batch 8 (measured in-session at sf0.1, best-of-2)
+    "f16_oof_target_encoding": 1.02, "ts49_variance_ratio": 2.51,
+    "tx31_word_burstiness": 0.54, "dp6_ks_drift": 0.41,
+    "a24_equal_weight_index": 0.32,
 }
 
 
@@ -324,6 +328,8 @@ _BANK_R7 = frozenset({
     "tx30_doc_entropy", "smp14_anchor_positive_pairs",
     "k22_quantization_error", "e39_power_users", "ts48_kaufman_er",
     "dd22_jaccard_histogram",
+    "f16_oof_target_encoding", "ts49_variance_ratio",
+    "tx31_word_burstiness", "dp6_ks_drift", "a24_equal_weight_index",
 })
 
 

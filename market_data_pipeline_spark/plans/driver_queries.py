@@ -11736,4 +11736,329 @@ def dd22_jaccard_histogram(spark, sf_dir):
     )
 
 
+
+# ===========================================================================
+# Round-7 bank batch 8: out-of-fold target encoding, variance-ratio test,
+# word burstiness, binned KS drift, chain-linked equal-weight index.
+# ===========================================================================
+
+
+@query(
+    "f16_oof_target_encoding",
+    """WITH t AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(CASE WHEN substr(md5('fold:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '33' THEN 0
+              WHEN substr(md5('fold:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '66' THEN 1
+              WHEN substr(md5('fold:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '99' THEN 2
+              WHEN substr(md5('fold:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < 'cc' THEN 3
+              ELSE 4 END AS BIGINT) AS fold
+  FROM orders
+), f AS (
+  SELECT o_orderpriority, fold,
+         CAST(SUM(cents) AS BIGINT) AS fc, CAST(COUNT(*) AS BIGINT) AS fn
+  FROM t GROUP BY 1, 2
+)
+SELECT o_orderpriority AS category, fold, fn AS n_in_fold,
+       ROUND((SUM(fc) OVER (PARTITION BY o_orderpriority) - fc) * 1.0
+             / (SUM(fn) OVER (PARTITION BY o_orderpriority) - fn) / 100, 6)
+           AS oof_target_mean
+FROM f ORDER BY category, fold""",
+)
+def f16_oof_target_encoding(spark, sf_dir):
+    """K-fold out-of-fold target encoding table: for each (category,
+    fold), the target mean computed over the OTHER four folds — the
+    leakage guard f11's leave-one-out gives per row, at the granularity
+    CV training actually joins on (encode fold i's rows with statistics
+    that never saw fold i). Folds are md5-deterministic (smp13's
+    assignment, engine-stable); money sums are exact cents; the
+    out-of-fold subtraction runs on the 25-row (category, fold) frame,
+    so the only data-scale pass is one map-side-combined aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    t = tx.kfold_assign(o, key_col="o_orderkey", k=5).select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "fold",
+    )
+    f = t.groupBy("o_orderpriority", "fold").agg(
+        F.sum("cents").cast("long").alias("fc"),
+        F.count(F.lit(1)).cast("long").alias("fn"),
+    )
+    wcat = Window.partitionBy("o_orderpriority")
+    return (
+        f.select(
+            F.col("o_orderpriority").alias("category"),
+            "fold",
+            F.col("fn").alias("n_in_fold"),
+            F.round(
+                (F.sum("fc").over(wcat) - F.col("fc"))
+                * 1.0
+                / (F.sum("fn").over(wcat) - F.col("fn"))
+                / 100,
+                6,
+            ).alias("oof_target_mean"),
+        )
+        .orderBy("category", "fold")
+    )
+
+
+@query(
+    "ts49_variance_ratio",
+    f"""WITH {PRICE_CTE},
+b AS (
+  SELECT symbol, trade_date, close_price FROM price WHERE close_price IS NOT NULL
+), r AS (
+  SELECT symbol,
+         ln(close_price / LAG(close_price, 1) OVER w) AS r1,
+         ln(close_price / LAG(close_price, 5) OVER w) AS r5
+  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+), s AS (
+  SELECT symbol,
+         CAST(COUNT(r1) AS BIGINT) AS n1,
+         SUM(CAST(ROUND(r1 * 1e9) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(r1 * r1 * 1e12) AS BIGINT)) AS q1,
+         CAST(COUNT(r5) AS BIGINT) AS n5,
+         SUM(CAST(ROUND(r5 * 1e9) AS BIGINT)) AS s5,
+         SUM(CAST(ROUND(r5 * r5 * 1e12) AS BIGINT)) AS q5
+  FROM r GROUP BY 1 HAVING COUNT(r5) >= 10
+)
+SELECT symbol, n1 AS n_daily, n5 AS n_5d,
+       ROUND((q5 / 1e12 / n5 - (s5 / 1e9 / n5) * (s5 / 1e9 / n5))
+             / NULLIF(5 * (q1 / 1e12 / n1 - (s1 / 1e9 / n1) * (s1 / 1e9 / n1)), 0), 6)
+           AS vr5
+FROM s ORDER BY symbol""",
+)
+def ts49_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance ratio VR(5) per symbol: variance of
+    overlapping 5-day log returns over 5x the daily-return variance —
+    ~1 under a random walk, <1 mean-reverting, >1 trending; the classic
+    market-efficiency diagnostic. Both return series come from ONE
+    per-series window pass (lag 1 and lag 5 share the sort); variances
+    use fixed-point moment sums (1e-9 / 1e-12 -> BIGINT) so the ratio
+    is accumulation-order-proof; one series-key shuffle total."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    r = p.select(
+        "symbol",
+        F.log(F.col("close_price") / F.lag("close_price", 1).over(w)).alias("r1"),
+        F.log(F.col("close_price") / F.lag("close_price", 5).over(w)).alias("r5"),
+    )
+    s = r.groupBy("symbol").agg(
+        F.count("r1").cast("long").alias("n1"),
+        F.sum(F.round(F.col("r1") * 1e9).cast("long")).alias("s1"),
+        F.sum(F.round(F.col("r1") * F.col("r1") * 1e12).cast("long")).alias("q1"),
+        F.count("r5").cast("long").alias("n5"),
+        F.sum(F.round(F.col("r5") * 1e9).cast("long")).alias("s5"),
+        F.sum(F.round(F.col("r5") * F.col("r5") * 1e12).cast("long")).alias("q5"),
+    ).filter(F.col("n5") >= 10)
+    var1 = F.col("q1") / 1e12 / F.col("n1") - (
+        F.col("s1") / 1e9 / F.col("n1")
+    ) * (F.col("s1") / 1e9 / F.col("n1"))
+    var5 = F.col("q5") / 1e12 / F.col("n5") - (
+        F.col("s5") / 1e9 / F.col("n5")
+    ) * (F.col("s5") / 1e9 / F.col("n5"))
+    denom = 5 * var1
+    return (
+        s.select(
+            "symbol",
+            F.col("n1").alias("n_daily"),
+            F.col("n5").alias("n_5d"),
+            F.round(
+                var5 / F.when(denom != 0, denom).otherwise(F.lit(None)), 6
+            ).alias("vr5"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "tx31_word_burstiness",
+    r"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE w <> '' GROUP BY 1, 2
+), s AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(c) AS BIGINT) AS total, CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM wc GROUP BY 1
+)
+SELECT w AS word, n_docs, total,
+       ROUND((CAST(sq AS DOUBLE) / n_docs
+              - (CAST(total AS DOUBLE) / n_docs) * (CAST(total AS DOUBLE) / n_docs))
+             / (CAST(total AS DOUBLE) / n_docs), 6) AS burstiness
+FROM s ORDER BY total DESC, word LIMIT 20""",
+)
+def tx31_word_burstiness(spark, sf_dir):
+    """Church-Gale word burstiness for the top-20 corpus words: the
+    variance-to-mean ratio of per-document counts among documents
+    containing the word — ~1 for Poisson "background" words, >>1 for
+    topical words that clump (the signal separating content words from
+    function words without any stopword list). Integer moment sums are
+    exact; one (doc, word) shuffle then one word-keyed aggregate; the
+    top-20 is TakeOrdered with a total order (total DESC, word)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = wc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    return (
+        s.select(
+            F.col("w").alias("word"),
+            "n_docs",
+            "total",
+            F.round(
+                (F.col("sq").cast("double") / F.col("n_docs") - mean * mean)
+                / mean,
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy(F.col("total").desc(), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "dp6_ks_drift",
+    """WITH t AS (
+  SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bin,
+         CASE WHEN l_shipdate < DATE '1996-01-01' THEN 0 ELSE 1 END AS grp
+  FROM lineitem
+), b AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM t GROUP BY 1
+), c AS (
+  SELECT SUM(ca) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM b
+)
+SELECT CAST(na AS BIGINT) AS n_baseline, CAST(nb AS BIGINT) AS n_current,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)), 6)
+           AS ks_stat
+FROM c GROUP BY na, nb""",
+)
+def dp6_ks_drift(spark, sf_dir):
+    """Binned Kolmogorov-Smirnov drift between early (< 1996) and late
+    lineitem price distributions: max ECDF gap evaluated at fixed
+    1000-unit bin boundaries — the distribution-shape complement to
+    dp2's PSI. The binned form is the 100-TB shape: exact KS needs a
+    GLOBAL sort of every value, while binning reduces the stream to a
+    bounded bin-domain frame (one map-side-combined aggregate), and the
+    cumulative window runs over ~100 bins on one partition. KS at bin
+    granularity underestimates true KS by at most the largest bin's
+    probability mass — acceptable for drift ALERTING, documented here
+    rather than hidden."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("bin"),
+        F.when(F.col("l_shipdate") < "1996-01-01", 0).otherwise(1).alias("grp"),
+    )
+    b = t.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = b.select(
+        F.sum("ca").over(wcum).alias("cuma"),
+        F.sum("cb").over(wcum).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return c.groupBy(
+        F.col("na").cast("long").alias("n_baseline"),
+        F.col("nb").cast("long").alias("n_current"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cuma").cast("double") / F.col("na")
+                    - F.col("cumb").cast("double") / F.col("nb")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@query(
+    "a24_equal_weight_index",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol, trade_date,
+         close_price / LAG(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM price WHERE close_price IS NOT NULL
+), d AS (
+  SELECT trade_date, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+         SUM(CAST(ROUND(ret * 1e9) AS BIGINT)) / 1e9 / COUNT(*) AS mret
+  FROM r WHERE ret IS NOT NULL GROUP BY 1
+)
+SELECT trade_date, n_symbols,
+       ROUND(ln(100) + SUM(CAST(ROUND(ln(1 + mret) * 1e9) AS BIGINT))
+                       OVER (ORDER BY trade_date
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       / 1e9, 6) AS log_index_level
+FROM d ORDER BY trade_date""",
+)
+def a24_equal_weight_index(spark, sf_dir):
+    """Chain-linked equal-weight market index (base 100): the daily
+    cross-sectional mean return, compounded in LOG space
+    (base-100 log level = ln(100) + cumsum(ln(1+r))) — how an index
+    vendor builds a benchmark level from constituent returns, kept in
+    logs so the level stays exact at any horizon. The per-day mean is a fixed-point aggregate
+    over the symbol dimension (one date-key shuffle); the compounding
+    cumsum runs over the DATE DOMAIN (bounded, single partition — the
+    a16 argument) with each log term fixed-pointed so the level is
+    reproducible to 6 dp on any engine. Rides the memoized returns
+    stage shared with a12/ts25/ts26."""
+    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
+    d = r.groupBy("trade_date").agg(
+        F.count(F.lit(1)).cast("long").alias("n_symbols"),
+        (
+            F.sum(F.round(F.col("ret") * 1e9).cast("long")) / 1e9 / F.count(F.lit(1))
+        ).alias("mret"),
+    )
+    wcum = Window.orderBy("trade_date").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.select(
+            "trade_date",
+            "n_symbols",
+            # the LOG level, not exp(): the cumsum of fixed-point log
+            # terms is EXACT, while exp() of a large sum differs in the
+            # last ulp between engines (and this synthetic series
+            # compounds past 1e200, where 6-dp rounding is meaningless).
+            # Real deployments exp() at the read edge if they want the
+            # linear level.
+            F.round(
+                F.lit(math.log(100.0))
+                + F.sum(
+                    F.round(F.log(1 + F.col("mret")) * 1e9).cast("long")
+                ).over(wcum)
+                / 1e9,
+                6,
+            ).alias("log_index_level"),
+        )
+        .orderBy("trade_date")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

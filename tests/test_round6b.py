@@ -311,3 +311,121 @@ def test_jaccard_histogram_buckets_partition_pairs(spark, tmp_path):
     out = {r["bucket"]: r["n_pairs"] for r in dd22_jaccard_histogram(spark, str(tmp_path)).collect()}
     assert sum(out.values()) == 3  # (1,2) (1,3) (2,3); doc 4 never pairs
     assert out[20] == 1  # the identical pair at jaccard == 1.0
+
+
+# --- bank batch 8 -----------------------------------------------------------
+
+
+def test_oof_encoding_excludes_own_fold(spark, tmp_path):
+    """Each (category, fold) mean must be computable from the other
+    folds only: reconstruct from raw sums and compare."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        f16_oof_target_encoding,
+    )
+    from market_data_pipeline_spark.operators.text import kfold_assign
+
+    rows = [
+        (k, 1, "O", float(100 + k), dt.date(2024, 1, 1), "1-URGENT" if k % 2 else "2-HIGH")
+        for k in range(1, 41)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    orders.write.parquet(f"{tmp_path}/orders.parquet")
+    out = f16_oof_target_encoding(spark, str(tmp_path)).collect()
+
+    folds = {
+        r["o_orderkey"]: r["fold"]
+        for r in kfold_assign(orders, key_col="o_orderkey", k=5).collect()
+    }
+    for r in out:
+        other = [
+            p for k_, _, _, p, _, prio in rows
+            if prio == r["category"] and folds[k_] != r["fold"]
+        ]
+        assert r["oof_target_mean"] == pytest.approx(
+            round(sum(other) / len(other), 6), abs=1e-9
+        )
+
+
+def test_variance_ratio_random_walk_near_one(spark, tmp_path):
+    """An iid-increment log price: VR(5) ~ 1 (within sampling noise)."""
+    from market_data_pipeline_spark.plans.driver_queries import ts49_variance_ratio
+
+    rng = np.random.RandomState(3)
+    logp = np.cumsum(rng.standard_normal(400) * 0.01) + 5
+    rows = [
+        (1, 1, 1, 1, 1.0, float(np.exp(p)), 0.0, 0.0, "N", "O",
+         dt.date(2020, 1, 1) + dt.timedelta(days=i))
+        for i, p in enumerate(logp)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    )
+    li.write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = ts49_variance_ratio(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert 0.6 < out[0]["vr5"] < 1.5  # random walk: VR(5) concentrated near 1
+
+
+def test_ks_drift_identical_halves_is_zero(spark, tmp_path):
+    """Same distribution in both periods -> binned KS exactly 0."""
+    from market_data_pipeline_spark.plans.driver_queries import dp6_ks_drift
+
+    rows = []
+    k = 0
+    for period, d0 in ((0, dt.date(1995, 1, 1)), (1, dt.date(1997, 1, 1))):
+        for i in range(50):
+            k += 1
+            rows.append((k, 1, 1, 1, 1.0, 1000.0 * (i % 10) + 500, 0.0, 0.0,
+                         "N", "O", d0))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    )
+    li.write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = dp6_ks_drift(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["ks_stat"] == 0.0
+    assert out[0]["n_baseline"] == out[0]["n_current"] == 50
+
+
+def test_log_index_compounds_mean_returns(spark, tmp_path):
+    """Two symbols with identical +1%/day returns -> mean ret 0.01/day,
+    log level after d days = ln(100) + d*ln(1.01) (to fixed-point)."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        a24_equal_weight_index,
+        _RETURNS_CACHE,
+    )
+
+    rows = []
+    for sym in (1, 2):
+        price = 100.0
+        for i in range(4):
+            rows.append((sym, sym, 1, 1, 1.0, price, 0.0, 0.0, "N", "O",
+                         dt.date(2024, 1, 1) + dt.timedelta(days=i)))
+            price *= 1.01
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    )
+    li.write.parquet(f"{tmp_path}/lineitem.parquet")
+    _RETURNS_CACHE.clear()  # tmp_path reuses keys only within a test
+    out = a24_equal_weight_index(spark, str(tmp_path)).collect()
+    assert [r["n_symbols"] for r in out] == [2, 2, 2]
+    for d, r in enumerate(out, start=1):
+        mret = round(round(0.01000000000000001 * 1e9) + 0) / 1e9  # fp of the data's ret
+        # reconstruct with the operator's own fixed-point pipeline
+        term = round(math.log(1 + mret) * 1e9) / 1e9
+        assert r["log_index_level"] == pytest.approx(
+            round(math.log(100.0) + d * term, 6), abs=2e-6
+        )
