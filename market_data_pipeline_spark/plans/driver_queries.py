@@ -11598,21 +11598,20 @@ def e39_power_users(spark, sf_dir):
     activity deciles, each decile's share of total events — the skew
     profile that decides whether per-user operators need salting (a
     top decile owning half the events at 100 TB means hot keys). The
-    decile assignment runs on USER-cardinality rows (already one row
-    per user after the first aggregate) with a total order
-    (n_events DESC, user_id) so NTILE is deterministic on both engines;
+    decile assignment runs on USER-cardinality rows — unbounded at
+    100 TB, so it uses analytics.global_ntile (range-partitioned local
+    rank + exact offset arithmetic, the r5_symbol_deciles machinery)
+    rather than a partition-less NTILE window, with a total order
+    (n_events DESC, user_id) making buckets bit-identical to SQL NTILE;
     the share window is over 10 rows."""
     uc = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
-    d = uc.select(
-        "n_events",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("n_events").desc(), "user_id"))
-        .alias("decile"),
-    )
+    d = analytics.global_ntile(
+        uc, [F.col("n_events").desc(), F.col("user_id")], 10, out_col="decile"
+    ).select("n_events", F.col("decile").cast("int").alias("decile"))
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
