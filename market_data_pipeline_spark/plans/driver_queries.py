@@ -11528,7 +11528,11 @@ def smp14_anchor_positive_pairs(spark, sf_dir):
     anchor/positive sampler (the "same-domain, similar-length" heuristic
     used to mine weak positives when no labels exist). One window per
     source partition; no self-join, so the pair count is exactly
-    n_docs - n_sources regardless of corpus size."""
+    n_docs - n_sources regardless of corpus size. Skew caveat for
+    100 TB: a single dominant source makes its window partition a
+    single-task sort — shard such a source by an n_chars band first
+    (chains then break only at band edges, losing one pair per band,
+    which the mining use-case tolerates)."""
     w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     d = load_table(spark, sf_dir, "documents")
     return (
