@@ -303,6 +303,9 @@ _COST = {
     "f16_oof_target_encoding": 1.02, "ts49_variance_ratio": 2.51,
     "tx31_word_burstiness": 0.54, "dp6_ks_drift": 0.41,
     "a24_equal_weight_index": 0.32,
+    # round-7 bank batch 9 (measured in-session at sf0.1, best-of-2)
+    "ts50_sortino": 0.88, "a25_volume_volatility_corr": 2.33,
+    "tx32_vocab_coverage_curve": 0.68, "cdc5_status_change_rate": 0.89,
 }
 
 
@@ -330,6 +333,8 @@ _BANK_R7 = frozenset({
     "dd22_jaccard_histogram",
     "f16_oof_target_encoding", "ts49_variance_ratio",
     "tx31_word_burstiness", "dp6_ks_drift", "a24_equal_weight_index",
+    "ts50_sortino", "a25_volume_volatility_corr",
+    "tx32_vocab_coverage_curve", "cdc5_status_change_rate",
 })
 
 

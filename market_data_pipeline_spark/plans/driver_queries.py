@@ -12064,4 +12064,245 @@ def a24_equal_weight_index(spark, sf_dir):
     )
 
 
+
+# ===========================================================================
+# Round-7 bank batch 9: Sortino ratio, volume-volatility correlation,
+# tokenizer vocab-coverage curve, SCD status-change-rate distribution.
+# ===========================================================================
+
+
+@query(
+    "ts50_sortino",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol,
+         close_price / LAG(close_price) OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
+  FROM price WHERE close_price IS NOT NULL
+), s AS (
+  SELECT symbol, CAST(COUNT(ret) AS BIGINT) AS n_days,
+         SUM(CAST(ROUND(ret * 1e9) AS BIGINT)) / 1e9 / COUNT(ret) AS mret,
+         SUM(CAST(ROUND(CASE WHEN ret < 0 THEN ret * ret ELSE 0 END * 1e12)
+                  AS BIGINT)) / 1e12 / COUNT(ret) AS dvar
+  FROM r WHERE ret IS NOT NULL GROUP BY 1 HAVING COUNT(ret) >= 30
+)
+SELECT symbol, n_days,
+       ROUND(mret / NULLIF(sqrt(dvar), 0), 6) AS sortino
+FROM s ORDER BY symbol""",
+)
+def ts50_sortino(spark, sf_dir):
+    """Sortino ratio per symbol: mean daily return over DOWNSIDE
+    deviation (root-mean-square of negative returns only) — the
+    risk-adjusted return that does not punish upside volatility, the
+    complement of ts22's Sharpe. One aggregate over the memoized
+    returns stage; both moments fixed-pointed so the ratio is
+    accumulation-order-proof; all-positive histories (downside 0)
+    yield NULL rather than infinity."""
+    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
+    n = F.count("ret")
+    mret = F.sum(F.round(F.col("ret") * 1e9).cast("long")) / 1e9 / n
+    dvar = (
+        F.sum(
+            F.round(
+                F.when(F.col("ret") < 0, F.col("ret") * F.col("ret"))
+                .otherwise(F.lit(0.0))
+                * 1e12
+            ).cast("long")
+        )
+        / 1e12
+        / n
+    )
+    s = (
+        r.groupBy("symbol")
+        .agg(
+            n.cast("long").alias("n_days"),
+            mret.alias("_mret"),
+            F.sqrt(dvar).alias("_dd"),
+        )
+        .filter(F.col("n_days") >= 30)
+    )
+    return s.select(
+        "symbol",
+        "n_days",
+        F.round(
+            F.col("_mret")
+            / F.when(F.col("_dd") != 0, F.col("_dd")).otherwise(F.lit(None)),
+            6,
+        ).alias("sortino"),
+    ).orderBy("symbol")
+
+
+@query(
+    "a25_volume_volatility_corr",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol, volume,
+         ABS(close_price / LAG(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1) AS aret
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CORR(CAST(volume AS DOUBLE), aret), 6) AS vol_ret_corr
+FROM r WHERE aret IS NOT NULL
+GROUP BY 1 HAVING COUNT(*) >= 30 ORDER BY symbol""",
+)
+def a25_volume_volatility_corr(spark, sf_dir):
+    """Volume-volatility correlation per symbol: corr(volume, |return|)
+    — the classic mixture-of-distributions stylized fact (heavy days
+    move more); a screening feature for liquidity-aware models. One
+    series-key window + one aggregate; CORR uses the established
+    round-6 idiom (per-series accumulation error ~1e-15 against a 5e-7
+    rounding boundary)."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    r = p.select(
+        "symbol",
+        "volume",
+        F.abs(
+            F.col("close_price") / F.lag("close_price").over(w) - 1
+        ).alias("aret"),
+    ).filter(F.col("aret").isNotNull())
+    return (
+        r.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.corr(F.col("volume").cast("double"), "aret"), 6).alias(
+                "vol_ret_corr"
+            ),
+        )
+        .filter(F.col("n_days") >= 30)
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "tx32_vocab_coverage_curve",
+    r"""WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks WHERE w <> '' GROUP BY 1
+), top AS (
+  SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk
+  FROM wc ORDER BY c DESC, w LIMIT 10000
+), cum AS (
+  SELECT rnk,
+         SUM(c) OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum_c,
+         (SELECT SUM(c) FROM wc) AS total,
+         (SELECT COUNT(*) FROM wc) AS vocab
+  FROM top
+)
+SELECT CAST(rnk AS BIGINT) AS vocab_size,
+       CAST(cum_c AS BIGINT) AS covered_tokens,
+       CAST(total AS BIGINT) AS total_tokens,
+       ROUND(CAST(cum_c AS DOUBLE) / total, 6) AS coverage
+FROM cum
+WHERE rnk IN (1, 2, 5, 10, 20, 50, 100, 1000, 10000) OR rnk = vocab
+ORDER BY vocab_size""",
+)
+def tx32_vocab_coverage_curve(spark, sf_dir):
+    """Tokenizer vocab-sizing curve: what fraction of all corpus tokens
+    the top-k most frequent words cover, at log-spaced checkpoints (and
+    at the full vocabulary) — the first plot drawn when choosing a
+    vocab size or a BPE merge budget (tx29). The curve runs on the
+    TOP-10k frame only: TakeOrdered bounds the global sort at any
+    corpus size, then the cumulative window covers <= 10k rows on one
+    partition (bounded-domain argument); corpus-scale work is a single
+    map-side-combined word count. Checkpoints past the cap would need
+    the cap raised — documented, not silent: the cap IS the top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = wc.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    top = (
+        wc.orderBy(F.col("c").desc(), "w")
+        .limit(10000)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "w"))
+            .alias("rnk"),
+        )
+    )
+    wcum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = top.select(
+        "rnk", F.sum("c").over(wcum).alias("cum_c")
+    ).crossJoin(F.broadcast(totals))
+    return (
+        cum.filter(
+            F.col("rnk").isin(1, 2, 5, 10, 20, 50, 100, 1000, 10000)
+            | (F.col("rnk") == F.col("vocab"))
+        )
+        .select(
+            F.col("rnk").cast("long").alias("vocab_size"),
+            F.col("cum_c").cast("long").alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            F.round(F.col("cum_c").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@query(
+    "cdc5_status_change_rate",
+    """WITH numbered AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)
+         - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                              ORDER BY o_orderdate, o_orderkey) AS island,
+         o_orderstatus
+  FROM orders
+), runs AS (
+  SELECT o_custkey, CAST(COUNT(DISTINCT (o_orderstatus, island)) AS BIGINT)
+             AS n_runs
+  FROM numbered GROUP BY 1
+)
+SELECT CAST(n_runs - 1 AS BIGINT) AS n_changes,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM runs GROUP BY 1 ORDER BY n_changes""",
+)
+def cdc5_status_change_rate(spark, sf_dir):
+    """Distribution of status-change counts per customer: how many
+    times each customer's order status flipped over their ordered
+    history (cdc2's gaps-and-islands runs, reduced to a change-rate
+    histogram) — the CDC volume-planning statistic (changes/key sizes
+    an SCD-2 dimension's growth). Two same-key window passes + two
+    aggregates, all partitioned on the customer key; output is bounded
+    by the maximum change count."""
+    o = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_st = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    numbered = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        (F.row_number().over(w_all) - F.row_number().over(w_st)).alias("island"),
+    )
+    runs = (
+        numbered.select("o_custkey", "o_orderstatus", "island")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_runs"))
+    )
+    return (
+        runs.groupBy((F.col("n_runs") - 1).cast("long").alias("n_changes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("n_changes")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -429,3 +429,81 @@ def test_log_index_compounds_mean_returns(spark, tmp_path):
         assert r["log_index_level"] == pytest.approx(
             round(math.log(100.0) + d * term, 6), abs=2e-6
         )
+
+
+# --- bank batch 9 -----------------------------------------------------------
+
+
+def _li_frame(spark, tmp_path, series):
+    """Write lineitem.parquet from {symbol: [(date, close)]}."""
+    rows, k = [], 0
+    for sym, pts in series.items():
+        for d, c in pts:
+            k += 1
+            rows.append((k, sym, 1, 1, 1.0, float(c), 0.0, 0.0, "N", "O", d))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+
+def test_sortino_all_positive_is_null_and_sign(spark, tmp_path):
+    """Monotone-up series (no downside) -> NULL sortino; a series with
+    losses -> finite value with the sign of the mean return."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        ts50_sortino,
+        _RETURNS_CACHE,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    up = [(d0 + dt.timedelta(days=i), 100 * (1.01 ** i)) for i in range(40)]
+    mixed = [
+        (d0 + dt.timedelta(days=i), 100 * (1.02 if i % 2 else 0.99) ** i)
+        for i in range(40)
+    ]
+    _li_frame(spark, tmp_path, {1: up, 2: mixed})
+    _RETURNS_CACHE.clear()
+    out = {r["symbol"]: r for r in ts50_sortino(spark, str(tmp_path)).collect()}
+    assert out["1"]["sortino"] is None
+    assert out["2"]["sortino"] is not None
+
+
+def test_vocab_coverage_curve_monotone_and_complete(spark, tmp_path):
+    from market_data_pipeline_spark.plans.driver_queries import (
+        tx32_vocab_coverage_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c d", "en", "s", 1), (2, "a b b e", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = tx32_vocab_coverage_curve(spark, str(tmp_path)).collect()
+    # vocab = {a:5, b:4, c:1, d:1, e:1}, total 12; checkpoints 1, 2, 5(=vocab)
+    assert [r["vocab_size"] for r in out] == [1, 2, 5]
+    assert [r["covered_tokens"] for r in out] == [5, 9, 12]
+    assert out[-1]["coverage"] == 1.0
+    cov = [r["coverage"] for r in out]
+    assert cov == sorted(cov)
+
+
+def test_status_change_rate_hand_computed(spark, tmp_path):
+    from market_data_pipeline_spark.plans.driver_queries import (
+        cdc5_status_change_rate,
+    )
+
+    rows = []
+    # cust 1: O O F O -> 2 changes; cust 2: F F -> 0 changes
+    for i, s in enumerate(["O", "O", "F", "O"]):
+        rows.append((i + 1, 1, s, 10.0, dt.date(2024, 1, 1 + i), "x"))
+    for i, s in enumerate(["F", "F"]):
+        rows.append((i + 10, 2, s, 10.0, dt.date(2024, 1, 1 + i), "x"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    out = {r["n_changes"]: r["n_customers"] for r in cdc5_status_change_rate(spark, str(tmp_path)).collect()}
+    assert out == {0: 1, 2: 1}
