@@ -306,6 +306,9 @@ _COST = {
     # round-7 bank batch 9 (measured in-session at sf0.1, best-of-2)
     "ts50_sortino": 0.88, "a25_volume_volatility_corr": 2.33,
     "tx32_vocab_coverage_curve": 0.68, "cdc5_status_change_rate": 0.89,
+    # round-7 bank batch 10 (measured in-session at sf0.1, best-of-2)
+    "ts51_downside_beta": 2.44, "a26_new_highs_lows": 1.78,
+    "tx33_hapax_by_source": 0.53,
 }
 
 
@@ -335,6 +338,7 @@ _BANK_R7 = frozenset({
     "tx31_word_burstiness", "dp6_ks_drift", "a24_equal_weight_index",
     "ts50_sortino", "a25_volume_volatility_corr",
     "tx32_vocab_coverage_curve", "cdc5_status_change_rate",
+    "ts51_downside_beta", "a26_new_highs_lows", "tx33_hapax_by_source",
 })
 
 

@@ -12305,4 +12305,202 @@ def cdc5_status_change_rate(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-7 bank batch 10: downside beta, new-highs/new-lows breadth,
+# hapax-ratio vocabulary profile by source.
+# ===========================================================================
+
+
+@query(
+    "ts51_downside_beta",
+    f"""WITH {PRICE_CTE},
+idx AS (
+  SELECT trade_date,
+         CAST(SUM(CAST(close_price AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(close_price) AS idx_close
+  FROM price WHERE close_price IS NOT NULL GROUP BY 1
+),
+idx_ret AS (
+  SELECT trade_date,
+         idx_close / lag(idx_close) OVER (ORDER BY trade_date) - 1.0 AS mkt_ret
+  FROM idx
+),
+stk AS (
+  SELECT symbol, trade_date,
+         close_price / lag(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0 AS ret
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT s.symbol,
+       CAST(COUNT(*) AS BIGINT) AS n_down_days,
+       ROUND(regr_slope(s.ret, i.mkt_ret), 6) AS downside_beta
+FROM stk s JOIN idx_ret i USING (trade_date)
+WHERE s.ret IS NOT NULL AND i.mkt_ret < 0
+GROUP BY s.symbol HAVING COUNT(*) >= 10
+ORDER BY s.symbol""",
+)
+def ts51_downside_beta(spark, sf_dir):
+    """Downside beta: each symbol's daily returns regressed on the
+    equal-weight market index return, restricted to DOWN-market days
+    (mkt_ret < 0) — the conditional-CAPM risk measure (a stock that
+    falls hard when the market falls carries downside beta > its
+    unconditional ts13 beta). Same scale shape as ts13: the index
+    series is |dates| rows (decimal-exact average, then a tiny
+    single-partition lag window AFTER the aggregate shrinks it) and
+    broadcasts to the per-series return join; one symbol-key aggregate
+    with regr_slope. The >= 10 floor drops symbols with too few
+    down-day observations for a meaningful slope."""
+    from market_data_pipeline_spark.operators.analytics import exact_avg
+
+    price = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    idx = price.groupBy("trade_date").agg(
+        exact_avg(F.col("close_price")).alias("idx_close")
+    )
+    iw = Window.orderBy("trade_date")
+    idx_ret = (
+        idx.select(
+            "trade_date",
+            (F.col("idx_close") / F.lag("idx_close").over(iw) - 1.0).alias(
+                "mkt_ret"
+            ),
+        )
+        .filter(F.col("mkt_ret") < 0)
+    )
+    stk = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
+    joined = stk.join(F.broadcast(idx_ret), "trade_date")
+    return (
+        joined.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_down_days"),
+            F.round(F.regr_slope("ret", "mkt_ret"), 6).alias("downside_beta"),
+        )
+        .filter(F.col("n_down_days") >= 10)
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "a26_new_highs_lows",
+    f"""WITH {PRICE_CTE},
+roll AS (
+  SELECT trade_date, close_price,
+         MAX(close_price) OVER w AS hi20,
+         MIN(close_price) OVER w AS lo20,
+         COUNT(close_price) OVER w AS n_obs
+  FROM price WHERE close_price IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT trade_date,
+       CAST(SUM(CASE WHEN close_price >= hi20 THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_highs,
+       CAST(SUM(CASE WHEN close_price <= lo20 THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_lows,
+       CAST(COUNT(*) AS BIGINT) AS n_symbols
+FROM roll WHERE n_obs = 20
+GROUP BY 1 ORDER BY trade_date""",
+)
+def a26_new_highs_lows(spark, sf_dir):
+    """New-highs/new-lows market breadth: per trading day, how many
+    symbols closed at their rolling 20-observation high (resp. low) —
+    the classic market-internals gauge that complements a13's
+    advance-decline and a20's breadth thrust. Per-series bounded
+    rolling windows (ROWS 19 PRECEDING; 20 not the classic 52-week
+    lookback because the synthetic per-symbol depth is ~30 obs at
+    EVERY sf — rows and symbols scale together — so a longer frame
+    never fills and the query degenerates to 0 rows), a full-window
+    floor (n_obs = 20) so warm-up rows never count as 'new highs',
+    then one date-key aggregate. The high/low comparison is exact:
+    close_price is compared against a window max/min that contains
+    the row's own stored value, so no float tolerance is needed."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trade_date")
+        .rowsBetween(-19, 0)
+    )
+    roll = p.select(
+        "trade_date",
+        "close_price",
+        F.max("close_price").over(w).alias("hi20"),
+        F.min("close_price").over(w).alias("lo20"),
+        F.count("close_price").over(w).alias("n_obs"),
+    ).filter(F.col("n_obs") == 20)
+    return (
+        roll.groupBy("trade_date")
+        .agg(
+            F.sum(
+                F.when(F.col("close_price") >= F.col("hi20"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("new_highs"),
+            F.sum(
+                F.when(F.col("close_price") <= F.col("lo20"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("new_lows"),
+            F.count(F.lit(1)).cast("long").alias("n_symbols"),
+        )
+        .orderBy("trade_date")
+    )
+
+
+@query(
+    "tx33_hapax_by_source",
+    r"""WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), wc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE w <> '' GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_ratio
+FROM wc GROUP BY 1 ORDER BY source""",
+)
+def tx33_hapax_by_source(spark, sf_dir):
+    """Hapax-legomena vocabulary profile per source: vocabulary size,
+    token mass, and the share of words that appear exactly once — the
+    corpus-health statistic behind vocab sizing (a high hapax ratio
+    flags noisy/OCR-damaged sources whose 'vocabulary' is mostly
+    typos; Zipf's law predicts ~50% for clean natural text, which
+    tx15's slope fit complements). One explode + one (source, word)
+    hash-agg with map-side partial combine, then a per-source rollup
+    whose output is bounded by the source cardinality. Tokens never
+    leave the executor un-aggregated."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "w"
+            ),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax_count"),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

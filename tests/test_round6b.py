@@ -507,3 +507,93 @@ def test_status_change_rate_hand_computed(spark, tmp_path):
     ).write.parquet(f"{tmp_path}/orders.parquet")
     out = {r["n_changes"]: r["n_customers"] for r in cdc5_status_change_rate(spark, str(tmp_path)).collect()}
     assert out == {0: 1, 2: 1}
+
+
+def test_downside_beta_scaled_series_is_one(spark, tmp_path):
+    """Two symbols that are exact scalar multiples of one path: the
+    equal-weight index is the same path up to scale, so every return
+    matches the market return and downside beta is exactly 1.0. Prices
+    are whole integers so the DECIMAL(18,2) index average is exact."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        ts51_downside_beta,
+        _RETURNS_CACHE,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    a, path = 200, []
+    for i in range(30):
+        if i:
+            a = a - 2 if i % 2 else a + 4
+        path.append((d0 + dt.timedelta(days=i), a))
+    _li_frame(
+        spark,
+        tmp_path,
+        {1: path, 2: [(d, c / 2) for d, c in path]},
+    )
+    _RETURNS_CACHE.clear()
+    out = {
+        r["symbol"]: r
+        for r in ts51_downside_beta(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"1", "2"}
+    # odd i (1,3,...,29) are the down steps -> 15 market down days
+    assert out["1"]["n_down_days"] == 15
+    assert out["2"]["n_down_days"] == 15
+    assert out["1"]["downside_beta"] == 1.0
+    assert out["2"]["downside_beta"] == 1.0
+
+
+def test_new_highs_lows_monotone_paths(spark, tmp_path):
+    """One strictly ascending and one strictly descending 25-day path:
+    only the 6 dates with a full 20-observation window emit rows, and
+    each shows exactly one new high (the ascender) and one new low
+    (the descender)."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        a26_new_highs_lows,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    up = [(d0 + dt.timedelta(days=i), 100 + i) for i in range(25)]
+    dn = [(d0 + dt.timedelta(days=i), 1000 - i) for i in range(25)]
+    _li_frame(spark, tmp_path, {1: up, 2: dn})
+    out = a26_new_highs_lows(spark, str(tmp_path)).collect()
+    assert len(out) == 6
+    assert [r["trade_date"] for r in out] == [
+        d0 + dt.timedelta(days=i) for i in range(19, 25)
+    ]
+    for r in out:
+        assert (r["new_highs"], r["new_lows"], r["n_symbols"]) == (1, 1, 2)
+
+
+def test_hapax_by_source_hand_computed(spark, tmp_path):
+    from market_data_pipeline_spark.plans.driver_queries import (
+        tx33_hapax_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a", "en", "s1", 5),
+            (2, "c", "en", "s1", 1),
+            (3, "x x", "en", "s2", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in tx33_hapax_by_source(spark, str(tmp_path)).collect()
+    }
+    # s1: {a:2, b:1, c:1} -> vocab 3, total 4, hapax 2
+    assert (
+        out["s1"]["vocab_size"],
+        out["s1"]["total_tokens"],
+        out["s1"]["hapax_count"],
+    ) == (3, 4, 2)
+    assert out["s1"]["hapax_ratio"] == pytest.approx(0.666667)
+    # s2: {x:2} -> no hapax
+    assert (
+        out["s2"]["vocab_size"],
+        out["s2"]["total_tokens"],
+        out["s2"]["hapax_count"],
+        out["s2"]["hapax_ratio"],
+    ) == (1, 2, 0, 0.0)
