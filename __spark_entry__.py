@@ -339,6 +339,7 @@ _BANK_R7 = frozenset({
     "ts50_sortino", "a25_volume_volatility_corr",
     "tx32_vocab_coverage_curve", "cdc5_status_change_rate",
     "ts51_downside_beta", "a26_new_highs_lows", "tx33_hapax_by_source",
+    "ts52_amihud_illiquidity", "e40_bounce_rate",
 })
 
 

@@ -12503,4 +12503,115 @@ def tx33_hapax_by_source(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-7 bank batch 11: Amihud illiquidity, daily bounce rate.
+# ===========================================================================
+
+
+@query(
+    "ts52_amihud_illiquidity",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol, trade_date, amount,
+         close_price / lag(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0 AS ret
+  FROM price WHERE close_price IS NOT NULL
+)
+SELECT symbol,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(ABS(ret) * 1e9 / amount), 6) AS amihud_illiq
+FROM r WHERE ret IS NOT NULL AND amount > 0
+GROUP BY symbol HAVING COUNT(*) >= 10
+ORDER BY symbol""",
+)
+def ts52_amihud_illiquidity(spark, sf_dir):
+    """Amihud (2002) illiquidity: per symbol, the average of
+    |daily return| per unit of traded amount (scaled by 1e9 so the
+    ratio of a ~1e-2 return to a ~1e5 amount lands at O(1-100) before
+    the repo's round-6 convention is applied) — the standard
+    price-impact proxy in the microstructure literature, complementing
+    ts47's Roll spread. Rides the memoized returns stage (amount comes
+    through price_frame unchanged); one symbol-key aggregate, no
+    cross-sectional pass. The >= 10 floor mirrors ts51: too few
+    observations make the mean impact meaningless."""
+    r = returns_frame(spark, sf_dir).filter(
+        F.col("ret").isNotNull() & (F.col("amount") > 0)
+    )
+    return (
+        r.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.avg(F.abs(F.col("ret")) * 1e9 / F.col("amount")), 6
+            ).alias("amihud_illiq"),
+        )
+        .filter(F.col("n_days") >= 10)
+        .orderBy("symbol")
+    )
+
+
+@query(
+    "e40_bounce_rate",
+    """WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, sid,
+         CAST(MIN(ts) AS DATE) AS start_date,
+         COUNT(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT start_date,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS bounce_rate
+FROM sess GROUP BY 1 ORDER BY start_date""",
+)
+def e40_bounce_rate(spark, sf_dir):
+    """Daily bounce rate: of the sessions STARTING each day (session
+    dated by its first event, so a midnight-spanning session counts
+    once), the share containing exactly one event — the classic
+    engagement-quality gauge that e32's depth histogram aggregates
+    away. Sessionization is e3/e32's two-window gaps-and-islands
+    shape (30-min inactivity, per-user windows); the per-day rollup
+    is constant-width. The 1.0 multiplier in the oracle (and the
+    double cast here) keeps the ratio in DOUBLE so both engines round
+    the same value."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    staged = events.withColumn(
+        "_ns", (gap_us.isNull() | (gap_us > 1800 * 1_000_000)).cast("int")
+    ).withColumn(
+        "_sid", F.sum("_ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess = staged.groupBy("user_id", "_sid").agg(
+        F.min("ts").cast("date").alias("start_date"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sess.groupBy("start_date")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            bounce.cast("long").alias("n_bounces"),
+            F.round(
+                bounce.cast("double") / F.count(F.lit(1)), 6
+            ).alias("bounce_rate"),
+        )
+        .orderBy("start_date")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

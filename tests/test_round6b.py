@@ -597,3 +597,75 @@ def test_hapax_by_source_hand_computed(spark, tmp_path):
         out["s2"]["hapax_count"],
         out["s2"]["hapax_ratio"],
     ) == (1, 2, 0, 0.0)
+
+
+# --- bank batch 11 ----------------------------------------------------------
+
+
+def test_amihud_illiquidity_geometric_series(spark, tmp_path):
+    """Constant 10% daily return with amount == close: amihud is the
+    hand-computable mean of 0.1e9 / (100 * 1.1^d) over d = 1..11."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        ts52_amihud_illiquidity,
+        _RETURNS_CACHE,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    pts = [(d0 + dt.timedelta(days=i), 100 * 1.1**i) for i in range(12)]
+    _li_frame(spark, tmp_path, {1: pts})
+    _RETURNS_CACHE.clear()
+    out = ts52_amihud_illiquidity(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["n_days"] == 11
+    rets = [pts[i][1] / pts[i - 1][1] - 1 for i in range(1, 12)]
+    # amount goes through price_frame's DECIMAL(18,2) sum -> cent-rounded
+    expect = sum(
+        abs(r) * 1e9 / round(pts[i][1], 2)
+        for i, r in zip(range(1, 12), rets)
+    ) / 11
+    assert out[0]["amihud_illiq"] == pytest.approx(round(expect, 6), abs=2e-6)
+
+
+def test_amihud_floor_drops_short_series(spark, tmp_path):
+    from market_data_pipeline_spark.plans.driver_queries import (
+        ts52_amihud_illiquidity,
+        _RETURNS_CACHE,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    _li_frame(
+        spark,
+        tmp_path,
+        {1: [(d0 + dt.timedelta(days=i), 100 + i) for i in range(5)]},
+    )
+    _RETURNS_CACHE.clear()
+    assert ts52_amihud_illiquidity(spark, str(tmp_path)).count() == 0
+
+
+def test_bounce_rate_dates_sessions_by_first_event(spark, tmp_path):
+    """Day 1 starts three sessions (one 3-event, one 1-event bounce,
+    one 2-event spanning midnight -> still day 1); day 2 starts one
+    bounce. A midnight-spanning session must count once, on day 1."""
+    from market_data_pipeline_spark.plans.driver_queries import e40_bounce_rate
+
+    d1 = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        # user 1: 3-event session day 1 (5-min gaps)
+        (1, 1, "x", d1),
+        (2, 1, "x", d1 + dt.timedelta(minutes=5)),
+        (3, 1, "x", d1 + dt.timedelta(minutes=10)),
+        # user 2: single-event bounce day 1
+        (4, 2, "x", d1 + dt.timedelta(hours=1)),
+        # user 3: session starting 23:50 day 1, second event 00:10 day 2
+        (5, 3, "x", dt.datetime(2024, 1, 1, 23, 50)),
+        (6, 3, "x", dt.datetime(2024, 1, 2, 0, 10)),
+        # user 2 again: bounce on day 2 (> 30 min after the first)
+        (7, 2, "x", dt.datetime(2024, 1, 2, 12, 0)),
+    ]
+    _events(spark, rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r["start_date"]: r for r in e40_bounce_rate(spark, str(tmp_path)).collect()}
+    assert set(out) == {dt.date(2024, 1, 1), dt.date(2024, 1, 2)}
+    r1 = out[dt.date(2024, 1, 1)]
+    assert (r1["n_sessions"], r1["n_bounces"]) == (3, 1)
+    assert r1["bounce_rate"] == pytest.approx(0.333333)
+    r2 = out[dt.date(2024, 1, 2)]
+    assert (r2["n_sessions"], r2["n_bounces"], r2["bounce_rate"]) == (1, 1, 1.0)
