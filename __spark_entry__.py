@@ -309,6 +309,8 @@ _COST = {
     # round-7 bank batch 10 (measured in-session at sf0.1, best-of-2)
     "ts51_downside_beta": 2.44, "a26_new_highs_lows": 1.78,
     "tx33_hapax_by_source": 0.53,
+    # round-7 bank batch 11 (measured in-session at sf0.1, best-of-2)
+    "ts52_amihud_illiquidity": 0.91, "e40_bounce_rate": 1.06,
 }
 
 
