@@ -12614,4 +12614,75 @@ def e40_bounce_rate(spark, sf_dir):
     )
 
 
+@query(
+    "ts53_underwater_duration",
+    f"""WITH {PRICE_CTE},
+m AS (
+  SELECT symbol, trade_date, close_price,
+         MAX(close_price) OVER (PARTITION BY symbol ORDER BY trade_date
+                                ROWS UNBOUNDED PRECEDING) AS peak
+  FROM price WHERE close_price IS NOT NULL
+), f AS (
+  SELECT symbol, trade_date,
+         CASE WHEN close_price < peak THEN 1 ELSE 0 END AS uw
+  FROM m
+), g AS (
+  SELECT symbol, trade_date, uw,
+         CASE WHEN LAG(uw) OVER (PARTITION BY symbol ORDER BY trade_date)
+                   IS DISTINCT FROM uw THEN 1 ELSE 0 END AS new_run
+  FROM f
+), r AS (
+  SELECT symbol, uw,
+         SUM(new_run) OVER (PARTITION BY symbol ORDER BY trade_date
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM g
+), runs AS (
+  SELECT symbol, run_id, uw, COUNT(*) AS len FROM r GROUP BY 1, 2, 3
+)
+SELECT symbol,
+       CAST(SUM(CASE WHEN uw = 1 THEN len ELSE 0 END) AS BIGINT)
+           AS underwater_days,
+       CAST(COALESCE(MAX(CASE WHEN uw = 1 THEN len END), 0) AS BIGINT)
+           AS max_underwater_days
+FROM runs GROUP BY 1 ORDER BY symbol""",
+)
+def ts53_underwater_duration(spark, sf_dir):
+    """Underwater-spell duration: per symbol, total days and the
+    longest consecutive run spent strictly below the running peak
+    close — the TIME dimension of drawdown that ts30's ulcer index
+    and ts41's pain index (both depth-weighted) integrate away. Two
+    stacked per-series windows (running peak, then ts31's
+    gaps-and-islands on the below-peak flag) and a run-length
+    aggregate; all outputs are integer counts, exact in both engines
+    (the close-vs-peak comparison is between identical stored
+    doubles). One series-key shuffle, no cross-sectional pass."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    uw = (F.col("close_price") < F.max("close_price").over(cum)).cast("int")
+    flagged = p.withColumn("_uw", uw)
+    new_run = (
+        ~F.lag("_uw").over(w).eqNullSafe(F.col("_uw"))
+    ).cast("int")
+    runs = (
+        flagged.withColumn("_nr", new_run)
+        .withColumn("_rid", F.sum("_nr").over(cum))
+        .groupBy("symbol", "_rid", "_uw")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    uw_len = F.when(F.col("_uw") == 1, F.col("_len"))
+    return (
+        runs.groupBy("symbol")
+        .agg(
+            F.sum(F.coalesce(uw_len, F.lit(0)))
+            .cast("long")
+            .alias("underwater_days"),
+            F.coalesce(F.max(uw_len), F.lit(0))
+            .cast("long")
+            .alias("max_underwater_days"),
+        )
+        .orderBy("symbol")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

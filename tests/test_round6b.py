@@ -669,3 +669,27 @@ def test_bounce_rate_dates_sessions_by_first_event(spark, tmp_path):
     assert r1["bounce_rate"] == pytest.approx(0.333333)
     r2 = out[dt.date(2024, 1, 2)]
     assert (r2["n_sessions"], r2["n_bounces"], r2["bounce_rate"]) == (1, 1, 1.0)
+
+
+def test_underwater_duration_hand_path(spark, tmp_path):
+    """Path 100,90,95,101,98,97,102: below-peak flags 0,1,1,0,1,1,0 ->
+    two 2-day spells (total 4, max 2); a monotone riser never dips."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        ts53_underwater_duration,
+        _RETURNS_CACHE,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    dip = [100, 90, 95, 101, 98, 97, 102]
+    series = {
+        1: [(d0 + dt.timedelta(days=i), c) for i, c in enumerate(dip)],
+        2: [(d0 + dt.timedelta(days=i), 100 + i) for i in range(7)],
+    }
+    _li_frame(spark, tmp_path, series)
+    _RETURNS_CACHE.clear()
+    out = {
+        r["symbol"]: r
+        for r in ts53_underwater_duration(spark, str(tmp_path)).collect()
+    }
+    assert (out["1"]["underwater_days"], out["1"]["max_underwater_days"]) == (4, 2)
+    assert (out["2"]["underwater_days"], out["2"]["max_underwater_days"]) == (0, 0)
