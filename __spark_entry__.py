@@ -311,7 +311,7 @@ _COST = {
     "tx33_hapax_by_source": 0.53,
     # round-7 bank batch 11 (measured in-session at sf0.1, best-of-2)
     "ts52_amihud_illiquidity": 0.91, "e40_bounce_rate": 1.06,
-    "ts53_underwater_duration": 2.15,
+    "ts53_underwater_duration": 2.15, "tx35_doc_length_gini": 0.75,
 }
 
 
@@ -343,7 +343,7 @@ _BANK_R7 = frozenset({
     "tx32_vocab_coverage_curve", "cdc5_status_change_rate",
     "ts51_downside_beta", "a26_new_highs_lows", "tx33_hapax_by_source",
     "ts52_amihud_illiquidity", "e40_bounce_rate",
-    "ts53_underwater_duration",
+    "ts53_underwater_duration", "tx35_doc_length_gini",
 })
 
 

@@ -12685,4 +12685,56 @@ def ts53_underwater_duration(spark, sf_dir):
     )
 
 
+@query(
+    "tx35_doc_length_gini",
+    """WITH rk AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS i,
+         COUNT(*) OVER (PARTITION BY source) AS n,
+         SUM(n_chars) OVER (PARTITION BY source) AS tot
+  FROM documents
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(tot) AS BIGINT) AS total_chars,
+       ROUND(2.0 * SUM(i * n_chars) / (MAX(n) * MAX(tot))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS length_gini
+FROM rk GROUP BY 1 ORDER BY source""",
+)
+def tx35_doc_length_gini(spark, sf_dir):
+    """Gini coefficient of document lengths per source (0 = every doc
+    contributes equally, ->1 = a few giants carry the corpus) — the
+    corpus-contribution inequality profile that tells a training-data
+    curator whether char-budget sampling will starve a source's tail.
+    a18's sorted-rank closed form 2*Σ(i*x_i)/(n*Σx) - (n+1)/n on the
+    integer n_chars column (ties broken by doc_id so both engines rank
+    identically); ranks and sums are exact integer arithmetic, one
+    source-key window + one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source")
+    wr = ws.orderBy("n_chars", "doc_id")
+    rk = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(wr).alias("_i"),
+        F.count(F.lit(1)).over(ws).alias("_n"),
+        F.sum("n_chars").over(ws).alias("_t"),
+    )
+    return (
+        rk.groupBy("source")
+        .agg(
+            F.max("_n").cast("long").alias("n_docs"),
+            F.max("_t").cast("long").alias("total_chars"),
+            F.round(
+                2.0
+                * F.sum(F.col("_i") * F.col("n_chars"))
+                / (F.max("_n") * F.max("_t"))
+                - (F.max("_n") + 1.0) / F.max("_n"),
+                6,
+            ).alias("length_gini"),
+        )
+        .orderBy("source")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -693,3 +693,29 @@ def test_underwater_duration_hand_path(spark, tmp_path):
     }
     assert (out["1"]["underwater_days"], out["1"]["max_underwater_days"]) == (4, 2)
     assert (out["2"]["underwater_days"], out["2"]["max_underwater_days"]) == (0, 0)
+
+
+def test_doc_length_gini_known_values(spark, tmp_path):
+    """Equal lengths -> gini 0 exactly; lengths 1,1,1,97 -> closed form
+    2*(1+2+3+388)/(4*100) - 5/4 = 0.72."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        tx35_doc_length_gini,
+    )
+
+    rows = (
+        [(i, "t", "en", "even", 50) for i in range(4)]
+        + [(10, "t", "en", "skew", 1), (11, "t", "en", "skew", 1),
+           (12, "t", "en", "skew", 1), (13, "t", "en", "skew", 97)]
+    )
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in tx35_doc_length_gini(spark, str(tmp_path)).collect()
+    }
+    assert (out["even"]["n_docs"], out["even"]["total_chars"]) == (4, 200)
+    assert out["even"]["length_gini"] == 0.0
+    assert (out["skew"]["n_docs"], out["skew"]["total_chars"]) == (4, 100)
+    assert out["skew"]["length_gini"] == pytest.approx(0.72)
