@@ -12737,4 +12737,56 @@ def tx35_doc_length_gini(spark, sf_dir):
     )
 
 
+@query(
+    "e41_conversion_lag",
+    """WITH s AS (
+  SELECT user_id, MIN(ts) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+  GROUP BY 1
+)
+SELECT CAST(FLOOR((epoch_us(p.t1) - epoch_us(s.t0)) / 86400000000.0)
+            AS BIGINT) AS lag_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM s JOIN p USING (user_id)
+GROUP BY 1 ORDER BY lag_days""",
+)
+def e41_conversion_lag(spark, sf_dir):
+    """Signup-to-purchase conversion lag: per user, whole days between
+    the FIRST signup and the FIRST purchase at-or-after it, rolled into
+    a histogram — the acquisition-funnel latency curve that e23's
+    within-session funnel and e35's same-type repeat latency both miss
+    (this one crosses event types and spans sessions). Two min-aggregates
+    and two user-key joins (Catalyst collapses them onto one user-key
+    shuffle); the day bucket is integer microsecond floor-division, so
+    every output is engine-exact. Purchases BEFORE the first signup are
+    excluded by the ts >= t0 guard rather than producing negative
+    buckets."""
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    lag_days = F.floor(
+        (F.unix_micros("t1") - F.unix_micros("t0")) / 86400000000.0
+    ).cast("long")
+    return (
+        s.join(p, "user_id")
+        .groupBy(lag_days.alias("lag_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("lag_days")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

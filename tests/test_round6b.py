@@ -719,3 +719,30 @@ def test_doc_length_gini_known_values(spark, tmp_path):
     assert out["even"]["length_gini"] == 0.0
     assert (out["skew"]["n_docs"], out["skew"]["total_chars"]) == (4, 100)
     assert out["skew"]["length_gini"] == pytest.approx(0.72)
+
+
+def test_conversion_lag_first_pair_only(spark, tmp_path):
+    """u1 converts in 0 days (same day), u2 in 2 days; u3's only
+    purchase PRECEDES signup (excluded); u4 never signs up; a second,
+    later purchase by u1 must not shift the first-pair lag."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        e41_conversion_lag,
+    )
+
+    d = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        (1, 1, "signup", d),
+        (2, 1, "purchase", d + dt.timedelta(hours=5)),
+        (3, 1, "purchase", d + dt.timedelta(days=9)),
+        (4, 2, "signup", d),
+        (5, 2, "purchase", d + dt.timedelta(days=2, hours=1)),
+        (6, 3, "purchase", d),
+        (7, 3, "signup", d + dt.timedelta(days=1)),
+        (8, 4, "purchase", d),
+    ]
+    _events(spark, rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r["lag_days"]: r["n_users"]
+        for r in e41_conversion_lag(spark, str(tmp_path)).collect()
+    }
+    assert out == {0: 1, 2: 1}
