@@ -312,7 +312,7 @@ _COST = {
     # round-7 bank batch 11 (measured in-session at sf0.1, best-of-2)
     "ts52_amihud_illiquidity": 0.91, "e40_bounce_rate": 1.06,
     "ts53_underwater_duration": 2.15, "tx35_doc_length_gini": 0.75,
-    "e41_conversion_lag": 0.89,
+    "e41_conversion_lag": 0.89, "ts54_return_autocorr": 0.72,
 }
 
 
@@ -345,7 +345,7 @@ _BANK_R7 = frozenset({
     "ts51_downside_beta", "a26_new_highs_lows", "tx33_hapax_by_source",
     "ts52_amihud_illiquidity", "e40_bounce_rate",
     "ts53_underwater_duration", "tx35_doc_length_gini",
-    "e41_conversion_lag",
+    "e41_conversion_lag", "ts54_return_autocorr",
 })
 
 

@@ -12789,4 +12789,50 @@ def e41_conversion_lag(spark, sf_dir):
     )
 
 
+@query(
+    "ts54_return_autocorr",
+    f"""WITH {PRICE_CTE},
+r AS (
+  SELECT symbol, trade_date,
+         close_price / lag(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0 AS ret
+  FROM price WHERE close_price IS NOT NULL
+),
+pairs AS (
+  SELECT symbol, ret,
+         lag(ret) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_ret
+  FROM r WHERE ret IS NOT NULL
+)
+SELECT symbol,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(corr(ret, prev_ret), 6) AS autocorr_lag1
+FROM pairs WHERE prev_ret IS NOT NULL
+GROUP BY symbol HAVING COUNT(*) >= 10
+ORDER BY symbol""",
+)
+def ts54_return_autocorr(spark, sf_dir):
+    """Lag-1 return autocorrelation per symbol: corr of today's return
+    with yesterday's — the momentum/mean-reversion diagnostic that
+    ts48's Kaufman ER and ts49's variance ratio summarize over longer
+    horizons (negative = bid-ask bounce / reversion, the same effect
+    ts47's Roll spread converts to a cost). Two stacked per-series lag
+    windows on one symbol-key sort, then a corr aggregate rounded to 6
+    per the repo's cross-engine float convention; the >= 10 pair floor
+    mirrors ts51/ts52."""
+    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("trade_date")
+    pairs = r.withColumn("prev_ret", F.lag("ret").over(w)).filter(
+        F.col("prev_ret").isNotNull()
+    )
+    return (
+        pairs.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.corr("ret", "prev_ret"), 6).alias("autocorr_lag1"),
+        )
+        .filter(F.col("n_pairs") >= 10)
+        .orderBy("symbol")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

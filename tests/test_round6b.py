@@ -746,3 +746,25 @@ def test_conversion_lag_first_pair_only(spark, tmp_path):
         for r in e41_conversion_lag(spark, str(tmp_path)).collect()
     }
     assert out == {0: 1, 2: 1}
+
+
+def test_return_autocorr_alternating_is_minus_one(spark, tmp_path):
+    """Exact +1%/-1% alternating returns -> lag-1 autocorr = -1; a
+    5-point series falls under the 10-pair floor and is dropped."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        ts54_return_autocorr,
+        _RETURNS_CACHE,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    c, alt = 100.0, []
+    for i in range(20):
+        alt.append((d0 + dt.timedelta(days=i), c))
+        c *= 1.01 if i % 2 == 0 else 0.99
+    short = [(d0 + dt.timedelta(days=i), 100 + i) for i in range(5)]
+    _li_frame(spark, tmp_path, {1: alt, 2: short})
+    _RETURNS_CACHE.clear()
+    out = ts54_return_autocorr(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["symbol"] == "1"
+    assert out[0]["n_pairs"] == 18
+    assert out[0]["autocorr_lag1"] == pytest.approx(-1.0)
