@@ -313,6 +313,7 @@ _COST = {
     "ts52_amihud_illiquidity": 0.91, "e40_bounce_rate": 1.06,
     "ts53_underwater_duration": 2.15, "tx35_doc_length_gini": 0.75,
     "e41_conversion_lag": 0.89, "ts54_return_autocorr": 0.72,
+    "f17_robust_scale_params": 2.61,
 }
 
 
@@ -346,6 +347,7 @@ _BANK_R7 = frozenset({
     "ts52_amihud_illiquidity", "e40_bounce_rate",
     "ts53_underwater_duration", "tx35_doc_length_gini",
     "e41_conversion_lag", "ts54_return_autocorr",
+    "f17_robust_scale_params",
 })
 
 

@@ -12835,4 +12835,50 @@ def ts54_return_autocorr(spark, sf_dir):
     )
 
 
+@query(
+    "f17_robust_scale_params",
+    f"""WITH {PRICE_CTE},
+med AS (
+  SELECT symbol, quantile_cont(close_price, 0.5) AS med
+  FROM price WHERE close_price IS NOT NULL GROUP BY 1
+)
+SELECT p.symbol,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(MAX(m.med), 6) AS median_close,
+       ROUND(quantile_cont(ABS(p.close_price - m.med), 0.5), 6) AS mad_close
+FROM price p JOIN med m ON p.symbol = m.symbol
+WHERE p.close_price IS NOT NULL
+GROUP BY p.symbol ORDER BY p.symbol""",
+)
+def f17_robust_scale_params(spark, sf_dir):
+    """Robust-scaler fit parameters per symbol: the close-price median
+    and the median absolute deviation around it — the outlier-immune
+    (median, MAD) pair that replaces (mean, std) when feature-scaling
+    heavy-tailed prices, completing the f-family scaling shelf next to
+    f13's min-max/log. Two symbol-key aggregates and one symbol-key
+    join, all on the SAME key so the shuffle partitioning is reused;
+    percentile() is r11's exact PERCENTILE_CONT idiom (full sort per
+    group — fine keyed by symbol, bounded group size), interpolated
+    values rounded to 6 since the lerp arithmetic is IEEE."""
+    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    med = p.groupBy("symbol").agg(
+        F.percentile("close_price", F.lit(0.5)).alias("_med")
+    )
+    return (
+        p.join(med, "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.max("_med"), 6).alias("median_close"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("close_price") - F.col("_med")), F.lit(0.5)
+                ),
+                6,
+            ).alias("mad_close"),
+        )
+        .orderBy("symbol")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

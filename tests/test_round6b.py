@@ -768,3 +768,25 @@ def test_return_autocorr_alternating_is_minus_one(spark, tmp_path):
     assert len(out) == 1 and out[0]["symbol"] == "1"
     assert out[0]["n_pairs"] == 18
     assert out[0]["autocorr_lag1"] == pytest.approx(-1.0)
+
+
+def test_robust_scale_params_hand_computed(spark, tmp_path):
+    """Closes 10,20,30,40,100: median 30, |x-30| = 20,10,0,10,70 ->
+    MAD 10; even-count series interpolates (PERCENTILE_CONT)."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        f17_robust_scale_params,
+        _RETURNS_CACHE,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    odd = [(d0 + dt.timedelta(days=i), c) for i, c in enumerate([10, 20, 30, 40, 100])]
+    even = [(d0 + dt.timedelta(days=i), c) for i, c in enumerate([10, 20, 30, 40])]
+    _li_frame(spark, tmp_path, {1: odd, 2: even})
+    _RETURNS_CACHE.clear()
+    out = {
+        r["symbol"]: r
+        for r in f17_robust_scale_params(spark, str(tmp_path)).collect()
+    }
+    assert (out["1"]["n_days"], out["1"]["median_close"], out["1"]["mad_close"]) == (5, 30.0, 10.0)
+    # median of 10,20,30,40 = 25; |x-25| = 15,5,5,15 -> MAD = 10
+    assert (out["2"]["n_days"], out["2"]["median_close"], out["2"]["mad_close"]) == (4, 25.0, 10.0)
