@@ -310,10 +310,7 @@ _COST = {
     "ts51_downside_beta": 2.44, "a26_new_highs_lows": 1.78,
     "tx33_hapax_by_source": 0.53,
     # round-7 bank batch 11 (measured in-session at sf0.1, best-of-2)
-    "ts52_amihud_illiquidity": 0.91, "e40_bounce_rate": 1.06,
-    "ts53_underwater_duration": 2.15, "tx35_doc_length_gini": 0.75,
-    "e41_conversion_lag": 0.89, "ts54_return_autocorr": 0.72,
-    "f17_robust_scale_params": 2.61,
+    "tx35_doc_length_gini": 0.75, "a27_monthly_hhi": 3.25,
 }
 
 
@@ -344,10 +341,7 @@ _BANK_R7 = frozenset({
     "ts50_sortino", "a25_volume_volatility_corr",
     "tx32_vocab_coverage_curve", "cdc5_status_change_rate",
     "ts51_downside_beta", "a26_new_highs_lows", "tx33_hapax_by_source",
-    "ts52_amihud_illiquidity", "e40_bounce_rate",
-    "ts53_underwater_duration", "tx35_doc_length_gini",
-    "e41_conversion_lag", "ts54_return_autocorr",
-    "f17_robust_scale_params",
+    "tx35_doc_length_gini", "a27_monthly_hhi",
 })
 
 

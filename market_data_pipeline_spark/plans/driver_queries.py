@@ -12509,183 +12509,6 @@ def tx33_hapax_by_source(spark, sf_dir):
 
 
 @query(
-    "ts52_amihud_illiquidity",
-    f"""WITH {PRICE_CTE},
-r AS (
-  SELECT symbol, trade_date, amount,
-         close_price / lag(close_price)
-             OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0 AS ret
-  FROM price WHERE close_price IS NOT NULL
-)
-SELECT symbol,
-       CAST(COUNT(*) AS BIGINT) AS n_days,
-       ROUND(AVG(ABS(ret) * 1e9 / amount), 6) AS amihud_illiq
-FROM r WHERE ret IS NOT NULL AND amount > 0
-GROUP BY symbol HAVING COUNT(*) >= 10
-ORDER BY symbol""",
-)
-def ts52_amihud_illiquidity(spark, sf_dir):
-    """Amihud (2002) illiquidity: per symbol, the average of
-    |daily return| per unit of traded amount (scaled by 1e9 so the
-    ratio of a ~1e-2 return to a ~1e5 amount lands at O(1-100) before
-    the repo's round-6 convention is applied) — the standard
-    price-impact proxy in the microstructure literature, complementing
-    ts47's Roll spread. Rides the memoized returns stage (amount comes
-    through price_frame unchanged); one symbol-key aggregate, no
-    cross-sectional pass. The >= 10 floor mirrors ts51: too few
-    observations make the mean impact meaningless."""
-    r = returns_frame(spark, sf_dir).filter(
-        F.col("ret").isNotNull() & (F.col("amount") > 0)
-    )
-    return (
-        r.groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.round(
-                F.avg(F.abs(F.col("ret")) * 1e9 / F.col("amount")), 6
-            ).alias("amihud_illiq"),
-        )
-        .filter(F.col("n_days") >= 10)
-        .orderBy("symbol")
-    )
-
-
-@query(
-    "e40_bounce_rate",
-    """WITH g AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-              THEN 1 ELSE 0 END AS ns
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-), s AS (
-  SELECT user_id, ts,
-         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) AS sid
-  FROM g
-), sess AS (
-  SELECT user_id, sid,
-         CAST(MIN(ts) AS DATE) AS start_date,
-         COUNT(*) AS n_events
-  FROM s GROUP BY 1, 2
-)
-SELECT start_date,
-       CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_bounces,
-       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 6) AS bounce_rate
-FROM sess GROUP BY 1 ORDER BY start_date""",
-)
-def e40_bounce_rate(spark, sf_dir):
-    """Daily bounce rate: of the sessions STARTING each day (session
-    dated by its first event, so a midnight-spanning session counts
-    once), the share containing exactly one event — the classic
-    engagement-quality gauge that e32's depth histogram aggregates
-    away. Sessionization is e3/e32's two-window gaps-and-islands
-    shape (30-min inactivity, per-user windows); the per-day rollup
-    is constant-width. The 1.0 multiplier in the oracle (and the
-    double cast here) keeps the ratio in DOUBLE so both engines round
-    the same value."""
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    staged = events.withColumn(
-        "_ns", (gap_us.isNull() | (gap_us > 1800 * 1_000_000)).cast("int")
-    ).withColumn(
-        "_sid", F.sum("_ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    sess = staged.groupBy("user_id", "_sid").agg(
-        F.min("ts").cast("date").alias("start_date"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
-    return (
-        sess.groupBy("start_date")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            bounce.cast("long").alias("n_bounces"),
-            F.round(
-                bounce.cast("double") / F.count(F.lit(1)), 6
-            ).alias("bounce_rate"),
-        )
-        .orderBy("start_date")
-    )
-
-
-@query(
-    "ts53_underwater_duration",
-    f"""WITH {PRICE_CTE},
-m AS (
-  SELECT symbol, trade_date, close_price,
-         MAX(close_price) OVER (PARTITION BY symbol ORDER BY trade_date
-                                ROWS UNBOUNDED PRECEDING) AS peak
-  FROM price WHERE close_price IS NOT NULL
-), f AS (
-  SELECT symbol, trade_date,
-         CASE WHEN close_price < peak THEN 1 ELSE 0 END AS uw
-  FROM m
-), g AS (
-  SELECT symbol, trade_date, uw,
-         CASE WHEN LAG(uw) OVER (PARTITION BY symbol ORDER BY trade_date)
-                   IS DISTINCT FROM uw THEN 1 ELSE 0 END AS new_run
-  FROM f
-), r AS (
-  SELECT symbol, uw,
-         SUM(new_run) OVER (PARTITION BY symbol ORDER BY trade_date
-                            ROWS UNBOUNDED PRECEDING) AS run_id
-  FROM g
-), runs AS (
-  SELECT symbol, run_id, uw, COUNT(*) AS len FROM r GROUP BY 1, 2, 3
-)
-SELECT symbol,
-       CAST(SUM(CASE WHEN uw = 1 THEN len ELSE 0 END) AS BIGINT)
-           AS underwater_days,
-       CAST(COALESCE(MAX(CASE WHEN uw = 1 THEN len END), 0) AS BIGINT)
-           AS max_underwater_days
-FROM runs GROUP BY 1 ORDER BY symbol""",
-)
-def ts53_underwater_duration(spark, sf_dir):
-    """Underwater-spell duration: per symbol, total days and the
-    longest consecutive run spent strictly below the running peak
-    close — the TIME dimension of drawdown that ts30's ulcer index
-    and ts41's pain index (both depth-weighted) integrate away. Two
-    stacked per-series windows (running peak, then ts31's
-    gaps-and-islands on the below-peak flag) and a run-length
-    aggregate; all outputs are integer counts, exact in both engines
-    (the close-vs-peak comparison is between identical stored
-    doubles). One series-key shuffle, no cross-sectional pass."""
-    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
-    w = Window.partitionBy("symbol").orderBy("trade_date")
-    cum = w.rowsBetween(Window.unboundedPreceding, 0)
-    uw = (F.col("close_price") < F.max("close_price").over(cum)).cast("int")
-    flagged = p.withColumn("_uw", uw)
-    new_run = (
-        ~F.lag("_uw").over(w).eqNullSafe(F.col("_uw"))
-    ).cast("int")
-    runs = (
-        flagged.withColumn("_nr", new_run)
-        .withColumn("_rid", F.sum("_nr").over(cum))
-        .groupBy("symbol", "_rid", "_uw")
-        .agg(F.count(F.lit(1)).alias("_len"))
-    )
-    uw_len = F.when(F.col("_uw") == 1, F.col("_len"))
-    return (
-        runs.groupBy("symbol")
-        .agg(
-            F.sum(F.coalesce(uw_len, F.lit(0)))
-            .cast("long")
-            .alias("underwater_days"),
-            F.coalesce(F.max(uw_len), F.lit(0))
-            .cast("long")
-            .alias("max_underwater_days"),
-        )
-        .orderBy("symbol")
-    )
-
-
-@query(
     "tx35_doc_length_gini",
     """WITH rk AS (
   SELECT source, n_chars,
@@ -12738,146 +12561,50 @@ def tx35_doc_length_gini(spark, sf_dir):
 
 
 @query(
-    "e41_conversion_lag",
-    """WITH s AS (
-  SELECT user_id, MIN(ts) AS t0
-  FROM events WHERE event_type = 'signup' GROUP BY 1
-), p AS (
-  SELECT e.user_id, MIN(e.ts) AS t1
-  FROM events e JOIN s USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
-  GROUP BY 1
-)
-SELECT CAST(FLOOR((epoch_us(p.t1) - epoch_us(s.t0)) / 86400000000.0)
-            AS BIGINT) AS lag_days,
-       CAST(COUNT(*) AS BIGINT) AS n_users
-FROM s JOIN p USING (user_id)
-GROUP BY 1 ORDER BY lag_days""",
-)
-def e41_conversion_lag(spark, sf_dir):
-    """Signup-to-purchase conversion lag: per user, whole days between
-    the FIRST signup and the FIRST purchase at-or-after it, rolled into
-    a histogram — the acquisition-funnel latency curve that e23's
-    within-session funnel and e35's same-type repeat latency both miss
-    (this one crosses event types and spans sessions). Two min-aggregates
-    and two user-key joins (Catalyst collapses them onto one user-key
-    shuffle); the day bucket is integer microsecond floor-division, so
-    every output is engine-exact. Purchases BEFORE the first signup are
-    excluded by the ts >= t0 guard rather than producing negative
-    buckets."""
-    events = load_table(spark, sf_dir, "events")
-    s = (
-        events.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
-    )
-    p = (
-        events.filter(F.col("event_type") == "purchase")
-        .join(s, "user_id")
-        .filter(F.col("ts") >= F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    lag_days = F.floor(
-        (F.unix_micros("t1") - F.unix_micros("t0")) / 86400000000.0
-    ).cast("long")
-    return (
-        s.join(p, "user_id")
-        .groupBy(lag_days.alias("lag_days"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("lag_days")
-    )
-
-
-@query(
-    "ts54_return_autocorr",
+    "a27_monthly_hhi",
     f"""WITH {PRICE_CTE},
-r AS (
-  SELECT symbol, trade_date,
-         close_price / lag(close_price)
-             OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0 AS ret
-  FROM price WHERE close_price IS NOT NULL
+m AS (
+  SELECT strftime(trade_date, '%Y-%m') AS month, symbol,
+         SUM(CAST(ROUND(amount * 100) AS BIGINT)) AS cents
+  FROM price GROUP BY 1, 2
 ),
-pairs AS (
-  SELECT symbol, ret,
-         lag(ret) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_ret
-  FROM r WHERE ret IS NOT NULL
+sh AS (
+  SELECT month, cents,
+         SUM(cents) OVER (PARTITION BY month) AS tot
+  FROM m
 )
-SELECT symbol,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(corr(ret, prev_ret), 6) AS autocorr_lag1
-FROM pairs WHERE prev_ret IS NOT NULL
-GROUP BY symbol HAVING COUNT(*) >= 10
-ORDER BY symbol""",
+SELECT month, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+       SUM(CAST(ROUND((cents * 1.0 / tot) * (cents * 1.0 / tot) * 1e12)
+                AS BIGINT)) / 1e12 AS hhi
+FROM sh GROUP BY 1 ORDER BY month""",
 )
-def ts54_return_autocorr(spark, sf_dir):
-    """Lag-1 return autocorrelation per symbol: corr of today's return
-    with yesterday's — the momentum/mean-reversion diagnostic that
-    ts48's Kaufman ER and ts49's variance ratio summarize over longer
-    horizons (negative = bid-ask bounce / reversion, the same effect
-    ts47's Roll spread converts to a cost). Two stacked per-series lag
-    windows on one symbol-key sort, then a corr aggregate rounded to 6
-    per the repo's cross-engine float convention; the >= 10 pair floor
-    mirrors ts51/ts52."""
-    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
-    w = Window.partitionBy("symbol").orderBy("trade_date")
-    pairs = r.withColumn("prev_ret", F.lag("ret").over(w)).filter(
-        F.col("prev_ret").isNotNull()
+def a27_monthly_hhi(spark, sf_dir):
+    """Monthly turnover-concentration trend: the Herfindahl-Hirschman
+    index of symbol turnover shares computed PER MONTH — the
+    time-series view of concentration that a14's static per-market HHI
+    cannot show (is the market concentrating or broadening?). Same
+    exact-arithmetic discipline as a14: shares are cent ratios, squares
+    fixed-pointed to 1e-12 before summing so the index is
+    engine-identical; one (month, symbol) aggregate, one month-key
+    window over the shrunk frame, one month-key aggregate."""
+    p = price_frame(spark, sf_dir)
+    mo = F.date_format("trade_date", "yyyy-MM").alias("month")
+    m = p.groupBy(mo, "symbol").agg(
+        F.sum(F.round(F.col("amount") * 100).cast("long")).alias("_c")
     )
+    w = Window.partitionBy("month")
+    share = F.col("_c") / F.sum("_c").over(w)
     return (
-        pairs.groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.round(F.corr("ret", "prev_ret"), 6).alias("autocorr_lag1"),
+        m.select(
+            "month",
+            F.round(share * share * 1e12).cast("long").alias("_s2"),
         )
-        .filter(F.col("n_pairs") >= 10)
-        .orderBy("symbol")
-    )
-
-
-@query(
-    "f17_robust_scale_params",
-    f"""WITH {PRICE_CTE},
-med AS (
-  SELECT symbol, quantile_cont(close_price, 0.5) AS med
-  FROM price WHERE close_price IS NOT NULL GROUP BY 1
-)
-SELECT p.symbol,
-       CAST(COUNT(*) AS BIGINT) AS n_days,
-       ROUND(MAX(m.med), 6) AS median_close,
-       ROUND(quantile_cont(ABS(p.close_price - m.med), 0.5), 6) AS mad_close
-FROM price p JOIN med m ON p.symbol = m.symbol
-WHERE p.close_price IS NOT NULL
-GROUP BY p.symbol ORDER BY p.symbol""",
-)
-def f17_robust_scale_params(spark, sf_dir):
-    """Robust-scaler fit parameters per symbol: the close-price median
-    and the median absolute deviation around it — the outlier-immune
-    (median, MAD) pair that replaces (mean, std) when feature-scaling
-    heavy-tailed prices, completing the f-family scaling shelf next to
-    f13's min-max/log. Two symbol-key aggregates and one symbol-key
-    join, all on the SAME key so the shuffle partitioning is reused;
-    percentile() is r11's exact PERCENTILE_CONT idiom (full sort per
-    group — fine keyed by symbol, bounded group size), interpolated
-    values rounded to 6 since the lerp arithmetic is IEEE."""
-    p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
-    med = p.groupBy("symbol").agg(
-        F.percentile("close_price", F.lit(0.5)).alias("_med")
-    )
-    return (
-        p.join(med, "symbol")
-        .groupBy("symbol")
+        .groupBy("month")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.round(F.max("_med"), 6).alias("median_close"),
-            F.round(
-                F.percentile(
-                    F.abs(F.col("close_price") - F.col("_med")), F.lit(0.5)
-                ),
-                6,
-            ).alias("mad_close"),
+            F.count(F.lit(1)).cast("long").alias("n_symbols"),
+            (F.sum("_s2") / 1e12).alias("hhi"),
         )
-        .orderBy("symbol")
+        .orderBy("month")
     )
 
 

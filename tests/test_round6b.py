@@ -602,99 +602,6 @@ def test_hapax_by_source_hand_computed(spark, tmp_path):
 # --- bank batch 11 ----------------------------------------------------------
 
 
-def test_amihud_illiquidity_geometric_series(spark, tmp_path):
-    """Constant 10% daily return with amount == close: amihud is the
-    hand-computable mean of 0.1e9 / (100 * 1.1^d) over d = 1..11."""
-    from market_data_pipeline_spark.plans.driver_queries import (
-        ts52_amihud_illiquidity,
-        _RETURNS_CACHE,
-    )
-
-    d0 = dt.date(2024, 1, 1)
-    pts = [(d0 + dt.timedelta(days=i), 100 * 1.1**i) for i in range(12)]
-    _li_frame(spark, tmp_path, {1: pts})
-    _RETURNS_CACHE.clear()
-    out = ts52_amihud_illiquidity(spark, str(tmp_path)).collect()
-    assert len(out) == 1 and out[0]["n_days"] == 11
-    rets = [pts[i][1] / pts[i - 1][1] - 1 for i in range(1, 12)]
-    # amount goes through price_frame's DECIMAL(18,2) sum -> cent-rounded
-    expect = sum(
-        abs(r) * 1e9 / round(pts[i][1], 2)
-        for i, r in zip(range(1, 12), rets)
-    ) / 11
-    assert out[0]["amihud_illiq"] == pytest.approx(round(expect, 6), abs=2e-6)
-
-
-def test_amihud_floor_drops_short_series(spark, tmp_path):
-    from market_data_pipeline_spark.plans.driver_queries import (
-        ts52_amihud_illiquidity,
-        _RETURNS_CACHE,
-    )
-
-    d0 = dt.date(2024, 1, 1)
-    _li_frame(
-        spark,
-        tmp_path,
-        {1: [(d0 + dt.timedelta(days=i), 100 + i) for i in range(5)]},
-    )
-    _RETURNS_CACHE.clear()
-    assert ts52_amihud_illiquidity(spark, str(tmp_path)).count() == 0
-
-
-def test_bounce_rate_dates_sessions_by_first_event(spark, tmp_path):
-    """Day 1 starts three sessions (one 3-event, one 1-event bounce,
-    one 2-event spanning midnight -> still day 1); day 2 starts one
-    bounce. A midnight-spanning session must count once, on day 1."""
-    from market_data_pipeline_spark.plans.driver_queries import e40_bounce_rate
-
-    d1 = dt.datetime(2024, 1, 1, 9)
-    rows = [
-        # user 1: 3-event session day 1 (5-min gaps)
-        (1, 1, "x", d1),
-        (2, 1, "x", d1 + dt.timedelta(minutes=5)),
-        (3, 1, "x", d1 + dt.timedelta(minutes=10)),
-        # user 2: single-event bounce day 1
-        (4, 2, "x", d1 + dt.timedelta(hours=1)),
-        # user 3: session starting 23:50 day 1, second event 00:10 day 2
-        (5, 3, "x", dt.datetime(2024, 1, 1, 23, 50)),
-        (6, 3, "x", dt.datetime(2024, 1, 2, 0, 10)),
-        # user 2 again: bounce on day 2 (> 30 min after the first)
-        (7, 2, "x", dt.datetime(2024, 1, 2, 12, 0)),
-    ]
-    _events(spark, rows).write.parquet(f"{tmp_path}/events.parquet")
-    out = {r["start_date"]: r for r in e40_bounce_rate(spark, str(tmp_path)).collect()}
-    assert set(out) == {dt.date(2024, 1, 1), dt.date(2024, 1, 2)}
-    r1 = out[dt.date(2024, 1, 1)]
-    assert (r1["n_sessions"], r1["n_bounces"]) == (3, 1)
-    assert r1["bounce_rate"] == pytest.approx(0.333333)
-    r2 = out[dt.date(2024, 1, 2)]
-    assert (r2["n_sessions"], r2["n_bounces"], r2["bounce_rate"]) == (1, 1, 1.0)
-
-
-def test_underwater_duration_hand_path(spark, tmp_path):
-    """Path 100,90,95,101,98,97,102: below-peak flags 0,1,1,0,1,1,0 ->
-    two 2-day spells (total 4, max 2); a monotone riser never dips."""
-    from market_data_pipeline_spark.plans.driver_queries import (
-        ts53_underwater_duration,
-        _RETURNS_CACHE,
-    )
-
-    d0 = dt.date(2024, 1, 1)
-    dip = [100, 90, 95, 101, 98, 97, 102]
-    series = {
-        1: [(d0 + dt.timedelta(days=i), c) for i, c in enumerate(dip)],
-        2: [(d0 + dt.timedelta(days=i), 100 + i) for i in range(7)],
-    }
-    _li_frame(spark, tmp_path, series)
-    _RETURNS_CACHE.clear()
-    out = {
-        r["symbol"]: r
-        for r in ts53_underwater_duration(spark, str(tmp_path)).collect()
-    }
-    assert (out["1"]["underwater_days"], out["1"]["max_underwater_days"]) == (4, 2)
-    assert (out["2"]["underwater_days"], out["2"]["max_underwater_days"]) == (0, 0)
-
-
 def test_doc_length_gini_known_values(spark, tmp_path):
     """Equal lengths -> gini 0 exactly; lengths 1,1,1,97 -> closed form
     2*(1+2+3+388)/(4*100) - 5/4 = 0.72."""
@@ -721,72 +628,20 @@ def test_doc_length_gini_known_values(spark, tmp_path):
     assert out["skew"]["length_gini"] == pytest.approx(0.72)
 
 
-def test_conversion_lag_first_pair_only(spark, tmp_path):
-    """u1 converts in 0 days (same day), u2 in 2 days; u3's only
-    purchase PRECEDES signup (excluded); u4 never signs up; a second,
-    later purchase by u1 must not shift the first-pair lag."""
+def test_monthly_hhi_two_months(spark, tmp_path):
+    """Jan: shares 75/25 -> HHI 0.625; Feb: 50/50 -> HHI 0.5 exactly."""
     from market_data_pipeline_spark.plans.driver_queries import (
-        e41_conversion_lag,
-    )
-
-    d = dt.datetime(2024, 1, 1, 9)
-    rows = [
-        (1, 1, "signup", d),
-        (2, 1, "purchase", d + dt.timedelta(hours=5)),
-        (3, 1, "purchase", d + dt.timedelta(days=9)),
-        (4, 2, "signup", d),
-        (5, 2, "purchase", d + dt.timedelta(days=2, hours=1)),
-        (6, 3, "purchase", d),
-        (7, 3, "signup", d + dt.timedelta(days=1)),
-        (8, 4, "purchase", d),
-    ]
-    _events(spark, rows).write.parquet(f"{tmp_path}/events.parquet")
-    out = {
-        r["lag_days"]: r["n_users"]
-        for r in e41_conversion_lag(spark, str(tmp_path)).collect()
-    }
-    assert out == {0: 1, 2: 1}
-
-
-def test_return_autocorr_alternating_is_minus_one(spark, tmp_path):
-    """Exact +1%/-1% alternating returns -> lag-1 autocorr = -1; a
-    5-point series falls under the 10-pair floor and is dropped."""
-    from market_data_pipeline_spark.plans.driver_queries import (
-        ts54_return_autocorr,
+        a27_monthly_hhi,
         _RETURNS_CACHE,
     )
 
-    d0 = dt.date(2024, 1, 1)
-    c, alt = 100.0, []
-    for i in range(20):
-        alt.append((d0 + dt.timedelta(days=i), c))
-        c *= 1.01 if i % 2 == 0 else 0.99
-    short = [(d0 + dt.timedelta(days=i), 100 + i) for i in range(5)]
-    _li_frame(spark, tmp_path, {1: alt, 2: short})
-    _RETURNS_CACHE.clear()
-    out = ts54_return_autocorr(spark, str(tmp_path)).collect()
-    assert len(out) == 1 and out[0]["symbol"] == "1"
-    assert out[0]["n_pairs"] == 18
-    assert out[0]["autocorr_lag1"] == pytest.approx(-1.0)
-
-
-def test_robust_scale_params_hand_computed(spark, tmp_path):
-    """Closes 10,20,30,40,100: median 30, |x-30| = 20,10,0,10,70 ->
-    MAD 10; even-count series interpolates (PERCENTILE_CONT)."""
-    from market_data_pipeline_spark.plans.driver_queries import (
-        f17_robust_scale_params,
-        _RETURNS_CACHE,
+    jan, feb = dt.date(2024, 1, 10), dt.date(2024, 2, 10)
+    _li_frame(
+        spark,
+        tmp_path,
+        {1: [(jan, 75.0), (feb, 40.0)], 2: [(jan, 25.0), (feb, 40.0)]},
     )
-
-    d0 = dt.date(2024, 1, 1)
-    odd = [(d0 + dt.timedelta(days=i), c) for i, c in enumerate([10, 20, 30, 40, 100])]
-    even = [(d0 + dt.timedelta(days=i), c) for i, c in enumerate([10, 20, 30, 40])]
-    _li_frame(spark, tmp_path, {1: odd, 2: even})
     _RETURNS_CACHE.clear()
-    out = {
-        r["symbol"]: r
-        for r in f17_robust_scale_params(spark, str(tmp_path)).collect()
-    }
-    assert (out["1"]["n_days"], out["1"]["median_close"], out["1"]["mad_close"]) == (5, 30.0, 10.0)
-    # median of 10,20,30,40 = 25; |x-25| = 15,5,5,15 -> MAD = 10
-    assert (out["2"]["n_days"], out["2"]["median_close"], out["2"]["mad_close"]) == (4, 25.0, 10.0)
+    out = {r["month"]: r for r in a27_monthly_hhi(spark, str(tmp_path)).collect()}
+    assert (out["2024-01"]["n_symbols"], out["2024-01"]["hhi"]) == (2, 0.625)
+    assert (out["2024-02"]["n_symbols"], out["2024-02"]["hhi"]) == (2, 0.5)
