@@ -12608,4 +12608,73 @@ def a27_monthly_hhi(spark, sf_dir):
     )
 
 
+@query(
+    "tx36_readability",
+    r"""WITH m AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '')) AS words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+  FROM documents
+),
+fre AS (
+  SELECT source,
+         CAST(ROUND((206.835 - 1.015 * (words * 1.0 / sentences)
+                     - 84.6 * (syllables * 1.0 / words)) * 1e6)
+              AS BIGINT) AS s
+  FROM m WHERE words > 0
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+       (SUM(s) / 1e6) / COUNT(*) AS avg_flesch
+FROM fre GROUP BY 1 ORDER BY source""",
+)
+def tx36_readability(spark, sf_dir):
+    """Flesch reading-ease per source (206.835 - 1.015*words/sentence -
+    84.6*syllables/word, syllables approximated by vowel-group count —
+    the standard no-dictionary heuristic): the curation signal that
+    separates technical/legalese sources from conversational ones,
+    which tx16's length/charset quality gate cannot see. Checked
+    against the registry with scripts/concept_check.py: 0 prior
+    readability/syllable matches. Map-only regex counting per doc
+    (identical '[aeiouy]+' semantics in Java regex and RE2), per-doc
+    scores fixed-pointed to 1e-6 BIGINTs before the source-key sum so
+    the average is engine-identical. A terminator-less document counts
+    as ONE sentence (the standard readability-library fallback) — the
+    synthetic corpus contains zero '[.!?]' characters, so without the
+    fallback this query returns 0 rows and its oracle 'passes'
+    degenerately (the a26 hazard, checked by inspection per
+    BENCHNOTES); wordless docs are excluded via n_docs_scored."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+        )
+    )
+    sentences = F.greatest(
+        F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+    m = docs.select(
+        "source",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).filter(F.col("words") > 0)
+    fre = (
+        206.835
+        - 1.015 * (F.col("words") * 1.0 / F.col("sentences"))
+        - 84.6 * (F.col("syllables") * 1.0 / F.col("words"))
+    )
+    return (
+        m.select("source", F.round(fre * 1e6).cast("long").alias("_s"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_scored"),
+            ((F.sum("_s") / 1e6) / F.count(F.lit(1))).alias("avg_flesch"),
+        )
+        .orderBy("source")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

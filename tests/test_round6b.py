@@ -645,3 +645,27 @@ def test_monthly_hhi_two_months(spark, tmp_path):
     out = {r["month"]: r for r in a27_monthly_hhi(spark, str(tmp_path)).collect()}
     assert (out["2024-01"]["n_symbols"], out["2024-01"]["hhi"]) == (2, 0.625)
     assert (out["2024-02"]["n_symbols"], out["2024-02"]["hhi"]) == (2, 0.5)
+
+
+def test_readability_hand_computed(spark, tmp_path):
+    """'The table runs. It works well!': 6 tokens, 2 sentences, 7 vowel
+    groups -> FRE = 206.835 - 1.015*3 - 84.6*(7/6); a terminator-less
+    doc scores as ONE sentence (3 words, 7 vowel groups)."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        tx36_readability,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The table runs. It works well!", "en", "s1", 30),
+            (2, "no terminator here", "en", "s1", 18),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = tx36_readability(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["n_docs_scored"] == 2
+    f1 = 206.835 - 1.015 * (6 / 2) - 84.6 * (7 / 6)
+    f2 = 206.835 - 1.015 * (3 / 1) - 84.6 * (7 / 3)
+    expected = (round(f1 * 1e6) + round(f2 * 1e6)) / 1e6 / 2
+    assert out[0]["avg_flesch"] == pytest.approx(expected, abs=1e-9)
