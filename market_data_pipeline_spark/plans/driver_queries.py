@@ -12677,4 +12677,47 @@ def tx36_readability(spark, sf_dir):
     )
 
 
+@query(
+    "e42_daily_error_rate",
+    """SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+           / COUNT(*) AS error_rate,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END)
+            AS BIGINT) AS n_affected_users
+FROM events GROUP BY 1 ORDER BY day""",
+)
+def e42_daily_error_rate(spark, sf_dir):
+    """Daily reliability rollup: error share of all events plus the
+    blast radius (distinct users who hit at least one error that day) —
+    the SRE view of the event stream that no existing e-query carries
+    (concept_check: only iv3 mentions 'error', as a join example). One
+    date-key aggregate with two COUNT DISTINCTs (bounded expand, day
+    granularity); error_rate is a division of two exact integers, IEEE-
+    identical in both engines with no rounding needed."""
+    events = load_table(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    return (
+        events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(is_err, 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+            (
+                F.sum(F.when(is_err, 1).otherwise(0)) * 1.0
+                / F.count(F.lit(1))
+            ).alias("error_rate"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct(F.when(is_err, F.col("user_id")))
+            .cast("long")
+            .alias("n_affected_users"),
+        )
+        .orderBy("day")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -669,3 +669,26 @@ def test_readability_hand_computed(spark, tmp_path):
     f2 = 206.835 - 1.015 * (3 / 1) - 84.6 * (7 / 3)
     expected = (round(f1 * 1e6) + round(f2 * 1e6)) / 1e6 / 2
     assert out[0]["avg_flesch"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_daily_error_rate_hand_computed(spark, tmp_path):
+    """Day 1: 4 events (1 error) across users 1,2 with only user 1
+    erroring -> rate 0.25, affected 1 of 2; day 2: no errors -> 0.0
+    and affected 0."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        e42_daily_error_rate,
+    )
+
+    d1, d2 = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 2, 9)
+    rows = [
+        (1, 1, "view", d1), (2, 1, "error", d1),
+        (3, 2, "click", d1), (4, 2, "view", d1),
+        (5, 1, "view", d2), (6, 2, "purchase", d2),
+    ]
+    _events(spark, rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r["day"]: r for r in e42_daily_error_rate(spark, str(tmp_path)).collect()}
+    r1 = out[dt.date(2024, 1, 1)]
+    assert (r1["n_events"], r1["n_errors"], r1["n_users"], r1["n_affected_users"]) == (4, 1, 2, 1)
+    assert r1["error_rate"] == 0.25
+    r2 = out[dt.date(2024, 1, 2)]
+    assert (r2["n_errors"], r2["error_rate"], r2["n_affected_users"]) == (0, 0.0, 0)
