@@ -12720,4 +12720,48 @@ def e42_daily_error_rate(spark, sf_dir):
     )
 
 
+@query(
+    "j13_price_elasticity",
+    """WITH u AS (
+  SELECT p.p_brand AS brand,
+         ln(l.l_quantity) AS log_q,
+         ln(l.l_extendedprice / l.l_quantity) AS log_p
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(regr_slope(log_q, log_p), 6) AS elasticity
+FROM u GROUP BY 1 ORDER BY brand""",
+)
+def j13_price_elasticity(spark, sf_dir):
+    """Log-log price elasticity of demand per part brand: the OLS slope
+    of ln(quantity) on ln(unit price) across order lines — the classic
+    demand-curve diagnostic (concept_check: 0 prior elasticity/unit-
+    price matches). Fact⋈dim broadcast equi-join (the J1 shape: part is
+    the small side at every sf since both scale together — at cluster
+    scale the same join stays broadcastable or falls back to a
+    co-partitioned equi-join), then one brand-key regr_slope; ln() of
+    identical stored doubles is last-ulp stable across engines and the
+    O(1) slope is rounded at 6 per the float convention."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    u = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "brand",
+        F.log(F.col("l_quantity")).alias("log_q"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("log_p"),
+    )
+    return (
+        u.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.regr_slope("log_q", "log_p"), 6).alias("elasticity"),
+        )
+        .orderBy("brand")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -692,3 +692,35 @@ def test_daily_error_rate_hand_computed(spark, tmp_path):
     assert r1["error_rate"] == 0.25
     r2 = out[dt.date(2024, 1, 2)]
     assert (r2["n_errors"], r2["error_rate"], r2["n_affected_users"]) == (0, 0.0, 0)
+
+
+def test_price_elasticity_exact_loglog_line(spark, tmp_path):
+    """Quantities chosen so ln(q) = -2*ln(unit_price) + c exactly ->
+    slope -2; a flat-demand brand (same q at all prices) -> slope 0."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        j13_price_elasticity,
+    )
+
+    rows, k = [], 0
+    # brand A: unit prices 2,4,8; q = 64/p^2 -> 16, 4, 1 (exact line)
+    for p_, q in [(2.0, 16.0), (4.0, 4.0), (8.0, 1.0)]:
+        k += 1
+        rows.append((k, 1, 1, 1, q, p_ * q, 0.0, 0.0, "N", "O", dt.date(2024, 1, k)))
+    # brand B: q = 5 at prices 1 and 10 -> slope 0
+    for p_ in (1.0, 10.0):
+        k += 1
+        rows.append((k, 2, 1, 1, 5.0, p_ * 5.0, 0.0, 0.0, "N", "O", dt.date(2024, 1, k)))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "n1", "BRAND#A"), (2, "n2", "BRAND#B")],
+        "p_partkey long, p_name string, p_brand string",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    out = {r["brand"]: r for r in j13_price_elasticity(spark, str(tmp_path)).collect()}
+    assert out["BRAND#A"]["n_lines"] == 3
+    assert out["BRAND#A"]["elasticity"] == pytest.approx(-2.0, abs=1e-6)
+    assert out["BRAND#B"]["elasticity"] == pytest.approx(0.0, abs=1e-6)
