@@ -724,3 +724,41 @@ def test_price_elasticity_exact_loglog_line(spark, tmp_path):
     assert out["BRAND#A"]["n_lines"] == 3
     assert out["BRAND#A"]["elasticity"] == pytest.approx(-2.0, abs=1e-6)
     assert out["BRAND#B"]["elasticity"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_sourcing_entropy_hand_computed(spark, tmp_path):
+    """Customer 1 splits 50/50 across two nations -> entropy ln(2);
+    customer 2 single-sources -> 0. Both in one segment -> avg."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        j14_sourcing_entropy,
+    )
+
+    d = dt.date(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d),
+            (1, 1, 2, 2, 1.0, 100.0, 0.0, 0.0, "N", "O", d),
+            (2, 1, 1, 1, 1.0, 40.0, 0.0, 0.0, "N", "O", d),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 1, "O"), (2, 2, "O")],
+        "o_orderkey long, o_custkey long, o_orderstatus string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(f"{tmp_path}/supplier.parquet")
+    spark.createDataFrame(
+        [(10, "KOREA"), (20, "JAPAN")], "n_nationkey long, n_name string"
+    ).write.parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame(
+        [(1, "BUILDING"), (2, "BUILDING")],
+        "c_custkey long, c_mktsegment string",
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    out = j14_sourcing_entropy(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["n_customers"] == 2
+    expected = (round(math.log(2) * 1e6) + 0) / 1e6 / 2
+    assert out[0]["avg_sourcing_entropy"] == pytest.approx(expected, abs=1e-9)
