@@ -12844,4 +12844,62 @@ def j14_sourcing_entropy(spark, sf_dir):
     )
 
 
+@query(
+    "a28_price_dispersion",
+    """WITH u AS (
+  SELECT l_partkey AS pk, l_extendedprice / l_quantity AS up
+  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+),
+pr AS (
+  SELECT pk, COUNT(*) AS n_lines,
+         CAST(ROUND(ln(MAX(up) / MIN(up)) * 1e6) AS BIGINT) AS lr6
+  FROM u GROUP BY pk HAVING COUNT(*) >= 2
+)
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       (SUM(pr.lr6) / 1e6) / COUNT(*) AS avg_log_price_range
+FROM pr JOIN part p ON pr.pk = p.p_partkey
+GROUP BY 1 ORDER BY brand""",
+)
+def a28_price_dispersion(spark, sf_dir):
+    """Law-of-one-price violation per brand: the SAME part sells at
+    different unit prices across order lines; per part (>= 2 lines)
+    take ln(max/min unit price), fix-point it to 1e-6, and average per
+    brand — the price-dispersion measure from the search-cost
+    literature, complementing j13's demand slope (checker: only an
+    incidental q20 match). One partkey aggregate, a broadcast dim join,
+    one brand aggregate; max/min of identical stored doubles are exact,
+    the single ln per part is last-ulp stable, and the brand average
+    sums BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    up = F.col("l_extendedprice") / F.col("l_quantity")
+    pr = (
+        li.select(F.col("l_partkey").alias("pk"), up.alias("_up"))
+        .groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.round(F.log(F.max("_up") / F.min("_up")) * 1e6)
+            .cast("long")
+            .alias("_lr6"),
+        )
+        .filter(F.col("_n") >= 2)
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    return (
+        pr.join(F.broadcast(part), pr.pk == part.p_partkey)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            ((F.sum("_lr6") / 1e6) / F.count(F.lit(1))).alias(
+                "avg_log_price_range"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -762,3 +762,35 @@ def test_sourcing_entropy_hand_computed(spark, tmp_path):
     assert len(out) == 1 and out[0]["n_customers"] == 2
     expected = (round(math.log(2) * 1e6) + 0) / 1e6 / 2
     assert out[0]["avg_sourcing_entropy"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_price_dispersion_hand_computed(spark, tmp_path):
+    """Part 1 sells at unit prices 10 and 20 -> ln(2); part 2 has one
+    line (dropped); part 3 sells at one price twice -> ln(1) = 0."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        a28_price_dispersion,
+    )
+
+    d = dt.date(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d),
+            (2, 1, 1, 1, 2.0, 40.0, 0.0, 0.0, "N", "O", d),
+            (3, 2, 1, 1, 1.0, 7.0, 0.0, 0.0, "N", "O", d),
+            (4, 3, 1, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", d),
+            (5, 3, 1, 1, 3.0, 15.0, 0.0, 0.0, "N", "O", d),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "n", "B#A"), (2, "n", "B#A"), (3, "n", "B#B")],
+        "p_partkey long, p_name string, p_brand string",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    out = {r["brand"]: r for r in a28_price_dispersion(spark, str(tmp_path)).collect()}
+    assert out["B#A"]["n_parts"] == 1  # part 2's single line dropped
+    assert out["B#A"]["avg_log_price_range"] == pytest.approx(
+        round(math.log(2) * 1e6) / 1e6, abs=1e-9
+    )
+    assert (out["B#B"]["n_parts"], out["B#B"]["avg_log_price_range"]) == (1, 0.0)
