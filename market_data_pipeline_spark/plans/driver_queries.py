@@ -12902,4 +12902,59 @@ def a28_price_dispersion(spark, sf_dir):
     )
 
 
+@query(
+    "a29_return_rates",
+    """WITH l AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(r) AS BIGINT) AS n_returned,
+       SUM(r) * 1.0 / COUNT(*) AS line_return_rate,
+       SUM(CASE WHEN r = 1 THEN cents ELSE 0 END) * 1.0 / SUM(cents)
+           AS revenue_return_rate
+FROM l GROUP BY 1 ORDER BY brand""",
+)
+def a29_return_rates(spark, sf_dir):
+    """Return/refund analytics per brand: the share of order lines
+    returned (l_returnflag = 'R') and — the number merchants actually
+    watch — the share of DISCOUNTED REVENUE those returns represent
+    (high-ticket returns hurt more than many cheap ones). No existing
+    query reports a return rate (checker: tpch_q10 only totals returned
+    revenue per customer). Broadcast dim join + one brand aggregate;
+    both rates are divisions of exact BIGINTs (cents fixed-point for
+    revenue), IEEE-identical with no rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    r = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "brand", r.alias("_r"), cents.alias("_c")
+    )
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("_r").cast("long").alias("n_returned"),
+            (F.sum("_r") * 1.0 / F.count(F.lit(1))).alias(
+                "line_return_rate"
+            ),
+            (
+                F.sum(F.when(F.col("_r") == 1, F.col("_c")).otherwise(0))
+                * 1.0
+                / F.sum("_c")
+            ).alias("revenue_return_rate"),
+        )
+        .orderBy("brand")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -794,3 +794,31 @@ def test_price_dispersion_hand_computed(spark, tmp_path):
         round(math.log(2) * 1e6) / 1e6, abs=1e-9
     )
     assert (out["B#B"]["n_parts"], out["B#B"]["avg_log_price_range"]) == (1, 0.0)
+
+
+def test_return_rates_revenue_weighting(spark, tmp_path):
+    """Brand A: the returned line carries 90 of 100 revenue cents ->
+    line rate 0.5 but revenue rate 0.9 — the weighting the query
+    exists to expose."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        a29_return_rates,
+    )
+
+    d = dt.date(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 0.90, 0.0, 0.0, "R", "O", d),
+            (2, 1, 1, 1, 1.0, 0.10, 0.0, 0.0, "N", "O", d),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "n", "B#A")], "p_partkey long, p_name string, p_brand string"
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    out = a29_return_rates(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_lines"], r["n_returned"], r["line_return_rate"]) == (2, 1, 0.5)
+    assert r["revenue_return_rate"] == 0.9
