@@ -12957,4 +12957,85 @@ def a29_return_rates(spark, sf_dir):
     )
 
 
+@query(
+    "k23_split_representativeness",
+    """WITH idx AS (
+  SELECT label, vec_id, embedding,
+         unnest(range(len(embedding))) AS x
+  FROM embeddings
+), ex AS (
+  SELECT label, CAST(vec_id % 2 AS INTEGER) AS par, CAST(x AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(x AS INTEGER) + 1] AS DOUBLE) * 1e6)
+              AS BIGINT) AS v6
+  FROM idx
+), m AS (
+  SELECT label, par, dim,
+         SUM(v6) / 1e6 / COUNT(*) AS mean, COUNT(*) AS n
+  FROM ex GROUP BY 1, 2, 3
+), pv AS (
+  SELECT label, dim,
+         MAX(CASE WHEN par = 0 THEN mean END) AS a,
+         MAX(CASE WHEN par = 1 THEN mean END) AS b,
+         MAX(CASE WHEN par = 0 THEN n END) AS ne,
+         MAX(CASE WHEN par = 1 THEN n END) AS no
+  FROM m GROUP BY 1, 2
+)
+SELECT label,
+       CAST(MAX(ne) AS BIGINT) AS n_even, CAST(MAX(no) AS BIGINT) AS n_odd,
+       ROUND(SUM(a * b) / (SQRT(SUM(a * a)) * SQRT(SUM(b * b))), 6)
+           AS split_cosine
+FROM pv GROUP BY 1 ORDER BY label""",
+)
+def k23_split_representativeness(spark, sf_dir):
+    """Train/test split-representativeness audit: split each label's
+    vectors by vec_id parity (the deterministic 50/50 split) and report
+    the cosine between the two half-centroids — near 1.0 means either
+    half represents the label's region and an id-hash split is safe;
+    a low value flags ordered or clustered ids leaking structure into
+    the split (checker: dp5/dp6 cover tabular drift, nothing covers
+    embedding split balance). k9's exploded-scalar discipline: per
+    (label, parity, dim) sums are 1e-6 fixed-point BIGINTs, the means
+    and the 64-term cosine are then identical double arithmetic in
+    both engines, rounded at 6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("par"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    ).select(
+        "label",
+        "par",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("v") * 1e6).cast("long").alias("v6"),
+    )
+    m = ex.groupBy("label", "par", "dim").agg(
+        (F.sum("v6") / 1e6 / F.count(F.lit(1))).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pv = m.groupBy("label", "dim").agg(
+        F.max(F.when(F.col("par") == 0, F.col("mean"))).alias("a"),
+        F.max(F.when(F.col("par") == 1, F.col("mean"))).alias("b"),
+        F.max(F.when(F.col("par") == 0, F.col("n"))).alias("ne"),
+        F.max(F.when(F.col("par") == 1, F.col("n"))).alias("no"),
+    )
+    return (
+        pv.groupBy("label")
+        .agg(
+            F.max("ne").cast("long").alias("n_even"),
+            F.max("no").cast("long").alias("n_odd"),
+            F.round(
+                F.sum(F.col("a") * F.col("b"))
+                / (
+                    F.sqrt(F.sum(F.col("a") * F.col("a")))
+                    * F.sqrt(F.sum(F.col("b") * F.col("b")))
+                ),
+                6,
+            ).alias("split_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -822,3 +822,30 @@ def test_return_rates_revenue_weighting(spark, tmp_path):
     r = out[0]
     assert (r["n_lines"], r["n_returned"], r["line_return_rate"]) == (2, 1, 0.5)
     assert r["revenue_return_rate"] == 0.9
+
+
+def test_split_representativeness_identical_halves(spark, tmp_path):
+    """Even and odd ids carry the SAME two vectors -> centroids equal ->
+    cosine exactly 1.0; a label whose halves are orthogonal -> 0.0."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        k23_split_representativeness,
+    )
+
+    rows = [
+        # label 1: both parities average to (0.5, 0.5)
+        (0, [1.0, 0.0], 1), (2, [0.0, 1.0], 1),
+        (1, [1.0, 0.0], 1), (3, [0.0, 1.0], 1),
+        # label 2: even ids on x-axis, odd ids on y-axis -> cosine 0
+        (10, [1.0, 0.0], 2), (12, [1.0, 0.0], 2),
+        (11, [0.0, 1.0], 2), (13, [0.0, 1.0], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {
+        r["label"]: r
+        for r in k23_split_representativeness(spark, str(tmp_path)).collect()
+    }
+    assert (out[1]["n_even"], out[1]["n_odd"]) == (2, 2)
+    assert out[1]["split_cosine"] == 1.0
+    assert out[2]["split_cosine"] == 0.0
