@@ -314,7 +314,7 @@ _COST = {
     "tx36_readability": 0.93, "e42_daily_error_rate": 0.98,
     "j13_price_elasticity": 1.10, "j14_sourcing_entropy": 3.80,
     "a28_price_dispersion": 1.05, "a29_return_rates": 1.36,
-    "k23_split_representativeness": 0.83,
+    "k23_split_representativeness": 0.83, "j15_supplier_risk_exposure": 1.02,
 }
 
 
@@ -349,6 +349,7 @@ _BANK_R7 = frozenset({
     "e42_daily_error_rate", "j13_price_elasticity",
     "j14_sourcing_entropy", "a28_price_dispersion",
     "a29_return_rates", "k23_split_representativeness",
+    "j15_supplier_risk_exposure",
 })
 
 

@@ -849,3 +849,32 @@ def test_split_representativeness_identical_halves(spark, tmp_path):
     assert (out[1]["n_even"], out[1]["n_odd"]) == (2, 2)
     assert out[1]["split_cosine"] == 1.0
     assert out[2]["split_cosine"] == 0.0
+
+
+def test_supplier_risk_exposure_tiers(spark, tmp_path):
+    """Supplier 1 (negative bal) carries 30 of 100 revenue cents;
+    supplier 2 (healthy) carries 70 -> shares 0.3 / 0.7 exactly."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        j15_supplier_risk_exposure,
+    )
+
+    d = dt.date(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 0.30, 0.0, 0.0, "N", "O", d),
+            (2, 1, 2, 1, 1.0, 0.70, 0.0, 0.0, "N", "O", d),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, -10.0), (2, 9000.0)], "s_suppkey long, s_acctbal double"
+    ).write.parquet(f"{tmp_path}/supplier.parquet")
+    out = {
+        r["tier"]: r
+        for r in j15_supplier_risk_exposure(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"negative", "healthy"}
+    assert (out["negative"]["n_suppliers"], out["negative"]["revenue_share"]) == (1, 0.3)
+    assert (out["healthy"]["revenue"], out["healthy"]["revenue_share"]) == (0.7, 0.7)
