@@ -13100,4 +13100,71 @@ def j15_supplier_risk_exposure(spark, sf_dir):
     )
 
 
+@query(
+    "dq12_status_invariant",
+    """WITH lines AS (
+  SELECT l_orderkey,
+         SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS nf,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+),
+expect AS (
+  SELECT o.o_orderstatus AS status,
+         CASE WHEN l.nf = l.n THEN 'F'
+              WHEN l.nf = 0 THEN 'O'
+              ELSE 'P' END AS derived
+  FROM orders o JOIN lines l ON o.o_orderkey = l.l_orderkey
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN status = derived THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_consistent,
+       CAST(SUM(CASE WHEN status <> derived THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+FROM expect GROUP BY 1 ORDER BY status""",
+)
+def dq12_status_invariant(spark, sf_dir):
+    """Cross-table status-invariant audit: TPC-H's contract is
+    o_orderstatus = 'F' iff every line is finished, 'O' iff none is,
+    'P' otherwise — derive each order's expected status from its lines
+    and count agreements/violations per declared status (checker: r7
+    and q1 only GROUP BY these columns; dq10 reconciles PRICES, this
+    reconciles STATE). One orderkey aggregate feeding the co-keyed
+    orders equi-join; all-integer outputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias(
+            "_nf"
+        ),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    derived = (
+        F.when(F.col("_nf") == F.col("_n"), "F")
+        .when(F.col("_nf") == 0, "O")
+        .otherwise("P")
+    )
+    ex = orders.join(
+        lines, orders.o_orderkey == lines.l_orderkey
+    ).select(F.col("o_orderstatus").alias("status"), derived.alias("derived"))
+    return (
+        ex.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.when(F.col("status") == F.col("derived"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_consistent"),
+            F.sum(
+                F.when(F.col("status") != F.col("derived"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .orderBy("status")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

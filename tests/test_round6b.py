@@ -878,3 +878,32 @@ def test_supplier_risk_exposure_tiers(spark, tmp_path):
     assert set(out) == {"negative", "healthy"}
     assert (out["negative"]["n_suppliers"], out["negative"]["revenue_share"]) == (1, 0.3)
     assert (out["healthy"]["revenue"], out["healthy"]["revenue_share"]) == (0.7, 0.7)
+
+
+def test_status_invariant_detects_violation(spark, tmp_path):
+    """Order 1: declared F, all lines F -> consistent. Order 2:
+    declared O but one line F (mixed) -> derived P, a violation."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        dq12_status_invariant,
+    )
+
+    d = dt.date(2024, 1, 1)
+    # lines 1-2 -> order 1 (all F); lines 3-4 -> order 2 (mixed F/O)
+    spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "F", d),
+            (1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "F", d),
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "F", d),
+            (2, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 1, "F"), (2, 1, "O")],
+        "o_orderkey long, o_custkey long, o_orderstatus string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    out = {r["status"]: r for r in dq12_status_invariant(spark, str(tmp_path)).collect()}
+    assert (out["F"]["n_consistent"], out["F"]["n_violations"]) == (1, 0)
+    assert (out["O"]["n_consistent"], out["O"]["n_violations"]) == (0, 1)
