@@ -315,7 +315,7 @@ _COST = {
     "j13_price_elasticity": 1.10, "j14_sourcing_entropy": 3.80,
     "a28_price_dispersion": 1.05, "a29_return_rates": 1.36,
     "k23_split_representativeness": 0.83, "j15_supplier_risk_exposure": 1.02,
-    "dq12_status_invariant": 1.09,
+    "dq12_status_invariant": 1.09, "a30_margin_health": 1.19,
 }
 
 
@@ -351,6 +351,7 @@ _BANK_R7 = frozenset({
     "j14_sourcing_entropy", "a28_price_dispersion",
     "a29_return_rates", "k23_split_representativeness",
     "j15_supplier_risk_exposure", "dq12_status_invariant",
+    "a30_margin_health",
 })
 
 

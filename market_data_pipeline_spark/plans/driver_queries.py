@@ -13167,4 +13167,56 @@ def dq12_status_invariant(spark, sf_dir):
     )
 
 
+@query(
+    "a30_margin_health",
+    """WITH m AS (
+  SELECT p.p_type AS part_type,
+         CASE WHEN l.l_extendedprice / l.l_quantity < p.p_retailprice
+              THEN 1 ELSE 0 END AS below,
+         CAST(ROUND((l.l_extendedprice / l.l_quantity / p.p_retailprice
+                     - 1.0) * 1e6) AS BIGINT) AS mk6
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_quantity > 0 AND p.p_retailprice > 0
+)
+SELECT part_type,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(below) AS BIGINT) AS n_below_retail,
+       SUM(below) * 1.0 / COUNT(*) AS below_retail_share,
+       (SUM(mk6) / 1e6) / COUNT(*) AS avg_markup
+FROM m GROUP BY 1 ORDER BY part_type""",
+)
+def a30_margin_health(spark, sf_dir):
+    """Pricing-health audit per part type: the share of order lines
+    sold below the part's retail price and the average realized markup
+    (unit price / retail - 1) — the discounting-discipline view q9's
+    absolute profit proxy hides, and the first analytical use of the
+    p_type dimension outside TPC-H predicates (checker: margin/markup
+    unclaimed). Broadcast dim join + one type-key aggregate; the
+    below-retail comparison is between identically-derived doubles,
+    per-line markups are 1e-6 fixed-point BIGINTs before the average,
+    and the share is an exact int/int division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice") > 0
+    ).select("p_partkey", F.col("p_type").alias("part_type"), "p_retailprice")
+    up = F.col("l_extendedprice") / F.col("l_quantity")
+    below = F.when(up < F.col("p_retailprice"), 1).otherwise(0)
+    mk6 = F.round((up / F.col("p_retailprice") - 1.0) * 1e6).cast("long")
+    m = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "part_type", below.alias("_b"), mk6.alias("_m")
+    )
+    return (
+        m.groupBy("part_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("_b").cast("long").alias("n_below_retail"),
+            (F.sum("_b") * 1.0 / F.count(F.lit(1))).alias(
+                "below_retail_share"
+            ),
+            ((F.sum("_m") / 1e6) / F.count(F.lit(1))).alias("avg_markup"),
+        )
+        .orderBy("part_type")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -907,3 +907,32 @@ def test_status_invariant_detects_violation(spark, tmp_path):
     out = {r["status"]: r for r in dq12_status_invariant(spark, str(tmp_path)).collect()}
     assert (out["F"]["n_consistent"], out["F"]["n_violations"]) == (1, 0)
     assert (out["O"]["n_consistent"], out["O"]["n_violations"]) == (0, 1)
+
+
+def test_margin_health_hand_computed(spark, tmp_path):
+    """Retail 10: one line at unit 8 (below, markup -0.2), one at 15
+    (above, +0.5) -> share 0.5, avg markup 0.15."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        a30_margin_health,
+    )
+
+    d = dt.date(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 8.0, 0.0, 0.0, "N", "O", d),
+            (2, 1, 1, 1, 2.0, 30.0, 0.0, 0.0, "N", "O", d),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "n", "B", "COPPER", 5, 10.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    out = a30_margin_health(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_lines"], r["n_below_retail"], r["below_retail_share"]) == (2, 1, 0.5)
+    assert r["avg_markup"] == pytest.approx(0.15, abs=1e-9)
