@@ -936,3 +936,29 @@ def test_margin_health_hand_computed(spark, tmp_path):
     r = out[0]
     assert (r["n_lines"], r["n_below_retail"], r["below_retail_share"]) == (2, 1, 0.5)
     assert r["avg_markup"] == pytest.approx(0.15, abs=1e-9)
+
+
+def test_vol_regimes_tercile_split(spark, tmp_path):
+    """Six months with strictly increasing |return| levels -> terciles
+    of exactly 2 months each, regime_abs_ret strictly increasing and
+    all up-shares 1.0 (monotone-up paths)."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        ts55_vol_regimes,
+        _RETURNS_CACHE,
+    )
+
+    series = []
+    c = 100.0
+    # month k (1..6): daily return ~ k%, 10 trading days per month
+    for k in range(1, 7):
+        for day in range(1, 11):
+            series.append((dt.date(2024, k, day), c))
+            c *= 1 + 0.01 * k
+    _li_frame(spark, tmp_path, {1: series})
+    _RETURNS_CACHE.clear()
+    out = ts55_vol_regimes(spark, str(tmp_path)).collect()
+    assert [r["regime"] for r in out] == ["calm", "normal", "turbulent"]
+    assert all(r["n_months"] == 2 for r in out)
+    vals = [r["regime_abs_ret"] for r in out]
+    assert vals[0] < vals[1] < vals[2]
+    assert all(r["regime_up_share"] == 1.0 for r in out)
