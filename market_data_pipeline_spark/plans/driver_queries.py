@@ -12996,7 +12996,10 @@ def k23_split_representativeness(spark, sf_dir):
     embedding split balance). k9's exploded-scalar discipline: per
     (label, parity, dim) sums are 1e-6 fixed-point BIGINTs, the means
     and the 64-term cosine are then identical double arithmetic in
-    both engines, rounded at 6."""
+    both engines, rounded at 6. A zero-norm half-centroid yields NULL
+    via try_divide, matching DuckDB's SQL x/0 semantics — found by
+    the hypothesis property (all-zero vectors in one parity crash a
+    plain division under Spark ANSI mode)."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label",
@@ -13026,10 +13029,10 @@ def k23_split_representativeness(spark, sf_dir):
             F.max("ne").cast("long").alias("n_even"),
             F.max("no").cast("long").alias("n_odd"),
             F.round(
-                F.sum(F.col("a") * F.col("b"))
-                / (
+                F.try_divide(
+                    F.sum(F.col("a") * F.col("b")),
                     F.sqrt(F.sum(F.col("a") * F.col("a")))
-                    * F.sqrt(F.sum(F.col("b") * F.col("b")))
+                    * F.sqrt(F.sum(F.col("b") * F.col("b"))),
                 ),
                 6,
             ).alias("split_cosine"),
