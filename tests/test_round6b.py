@@ -962,3 +962,27 @@ def test_vol_regimes_tercile_split(spark, tmp_path):
     vals = [r["regime_abs_ret"] for r in out]
     assert vals[0] < vals[1] < vals[2]
     assert all(r["regime_up_share"] == 1.0 for r in out)
+
+
+def test_activity_streaks_islands(spark, tmp_path):
+    """User 1: days 1,2,3 then 5,6 -> best 3; user 2: day 1 only ->
+    best 1; multiple events in one day count once."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        e43_activity_streaks,
+    )
+
+    def at(day, hour=9):
+        return dt.datetime(2024, 1, day, hour)
+
+    rows = [
+        (1, 1, "x", at(1)), (2, 1, "x", at(1, 15)),  # dup day
+        (3, 1, "x", at(2)), (4, 1, "x", at(3)),
+        (5, 1, "x", at(5)), (6, 1, "x", at(6)),
+        (7, 2, "x", at(1)),
+    ]
+    _events(spark, rows).write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r["streak_days"]: r["n_users"]
+        for r in e43_activity_streaks(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 1, 3: 1}
