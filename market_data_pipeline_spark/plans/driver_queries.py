@@ -13355,4 +13355,60 @@ def e43_activity_streaks(spark, sf_dir):
     )
 
 
+@query(
+    "a31_new_vs_repeat_revenue",
+    """WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_date
+  FROM orders GROUP BY 1
+),
+tagged AS (
+  SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+         CASE WHEN strftime(o.o_orderdate, '%Y-%m')
+                   = strftime(f.first_date, '%Y-%m')
+              THEN 1 ELSE 0 END AS is_new,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(is_new) AS BIGINT) AS n_new_customer_orders,
+       SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) / 100.0
+           AS new_customer_revenue,
+       SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) * 1.0 / SUM(cents)
+           AS new_revenue_share
+FROM tagged GROUP BY 1 ORDER BY month""",
+)
+def a31_new_vs_repeat_revenue(spark, sf_dir):
+    """New-vs-repeat revenue split per month: an order counts as 'new
+    customer' while its customer is in their FIRST order month — the
+    acquisition-vs-retention revenue mix every commerce dashboard
+    leads with (checker: e31 splits event USERS, nothing splits order
+    REVENUE). One custkey min-aggregate re-joined co-keyed to orders,
+    then a month rollup; revenue is exact cents, the share an exact
+    int/int division."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_date")
+    )
+    mo = F.date_format("o_orderdate", "yyyy-MM")
+    is_new = F.when(
+        mo == F.date_format("first_date", "yyyy-MM"), 1
+    ).otherwise(0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    tagged = orders.join(firsts, "o_custkey").select(
+        mo.alias("month"), is_new.alias("_new"), cents.alias("_c")
+    )
+    new_cents = F.sum(F.when(F.col("_new") == 1, F.col("_c")).otherwise(0))
+    return (
+        tagged.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("_new").cast("long").alias("n_new_customer_orders"),
+            (new_cents / 100.0).alias("new_customer_revenue"),
+            (new_cents * 1.0 / F.sum("_c")).alias("new_revenue_share"),
+        )
+        .orderBy("month")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -986,3 +986,32 @@ def test_activity_streaks_islands(spark, tmp_path):
         for r in e43_activity_streaks(spark, str(tmp_path)).collect()
     }
     assert out == {1: 1, 3: 1}
+
+
+def test_new_vs_repeat_revenue_split(spark, tmp_path):
+    """Customer 1 first orders in Jan (2 orders) and repeats in Feb;
+    customer 2 is new in Feb -> Jan 100% new; Feb share = 30/(30+20)."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        a31_new_vs_repeat_revenue,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, dt.date(2024, 1, 5), "p"),
+            (2, 1, "O", 15.0, dt.date(2024, 1, 20), "p"),
+            (3, 1, "O", 20.0, dt.date(2024, 2, 3), "p"),
+            (4, 2, "O", 30.0, dt.date(2024, 2, 10), "p"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    out = {
+        r["month"]: r
+        for r in a31_new_vs_repeat_revenue(spark, str(tmp_path)).collect()
+    }
+    jan, feb = out["2024-01"], out["2024-02"]
+    assert (jan["n_orders"], jan["n_new_customer_orders"]) == (2, 2)
+    assert (jan["new_customer_revenue"], jan["new_revenue_share"]) == (25.0, 1.0)
+    assert (feb["n_orders"], feb["n_new_customer_orders"]) == (2, 1)
+    assert feb["new_customer_revenue"] == 30.0
+    assert feb["new_revenue_share"] == 0.6
