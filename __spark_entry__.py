@@ -317,7 +317,7 @@ _COST = {
     "k23_split_representativeness": 0.83, "j15_supplier_risk_exposure": 1.02,
     "dq12_status_invariant": 1.09, "a30_margin_health": 1.19,
     "ts55_vol_regimes": 0.64, "e43_activity_streaks": 0.82,
-    "a31_new_vs_repeat_revenue": 1.28,
+    "a31_new_vs_repeat_revenue": 1.28, "dq13_last_digit_bias": 0.53,
 }
 
 
@@ -354,7 +354,7 @@ _BANK_R7 = frozenset({
     "a29_return_rates", "k23_split_representativeness",
     "j15_supplier_risk_exposure", "dq12_status_invariant",
     "a30_margin_health", "ts55_vol_regimes", "e43_activity_streaks",
-    "a31_new_vs_repeat_revenue",
+    "a31_new_vs_repeat_revenue", "dq13_last_digit_bias",
 })
 
 

@@ -13411,4 +13411,46 @@ def a31_new_vs_repeat_revenue(spark, sf_dir):
     )
 
 
+@query(
+    "dq13_last_digit_bias",
+    """WITH d AS (
+  SELECT CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 10 AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+       COUNT(*) * 1.0 / (SELECT COUNT(*) FROM d) AS observed_share,
+       COUNT(*) * 10.0 / (SELECT COUNT(*) FROM d) - 1.0
+           AS uniform_deviation
+FROM d GROUP BY 1 ORDER BY digit""",
+)
+def dq13_last_digit_bias(spark, sf_dir):
+    """Last-digit uniformity audit of order totals — the standard
+    forensic COMPANION to dq5's Benford first-digit test: genuine
+    transaction amounts have near-uniform trailing digits, while
+    invented or rounded figures cluster on 0 and 5 (checker: dq5 is
+    the only digit-forensics query and it tests the FIRST digit).
+    Same shape as dq5: one 10-group aggregate plus a broadcast scalar
+    total; the share and the deviation from the uniform 1/10 are
+    exact integer ratios."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        (F.floor(F.col("o_totalprice")).cast("long") % 10).alias("digit")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n") * 1.0 / F.col("_t")).alias("observed_share"),
+            (F.col("n") * 10.0 / F.col("_t") - 1.0).alias(
+                "uniform_deviation"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

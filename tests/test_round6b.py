@@ -1015,3 +1015,28 @@ def test_new_vs_repeat_revenue_split(spark, tmp_path):
     assert (feb["n_orders"], feb["n_new_customer_orders"]) == (2, 1)
     assert feb["new_customer_revenue"] == 30.0
     assert feb["new_revenue_share"] == 0.6
+
+
+def test_last_digit_bias_hand_computed(spark, tmp_path):
+    """Totals 10,20,35,47: last digits 0,0,5,7 -> digit 0 share 0.5,
+    deviation 2*10/4 - 1 = 4.0; digits 5 and 7 share 0.25 each,
+    deviation 10/4 - 1 = 1.5."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        dq13_last_digit_bias,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, dt.date(2024, 1, 1), "p"),
+            (2, 1, "O", 20.0, dt.date(2024, 1, 2), "p"),
+            (3, 1, "O", 35.5, dt.date(2024, 1, 3), "p"),
+            (4, 1, "O", 47.9, dt.date(2024, 1, 4), "p"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    out = {r["digit"]: r for r in dq13_last_digit_bias(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 5, 7}
+    assert (out[0]["n"], out[0]["observed_share"]) == (2, 0.5)
+    assert out[0]["uniform_deviation"] == 4.0
+    assert (out[5]["n"], out[5]["observed_share"], out[5]["uniform_deviation"]) == (1, 0.25, 1.5)
