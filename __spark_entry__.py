@@ -318,6 +318,7 @@ _COST = {
     "dq12_status_invariant": 1.09, "a30_margin_health": 1.19,
     "ts55_vol_regimes": 0.64, "e43_activity_streaks": 0.82,
     "a31_new_vs_repeat_revenue": 1.28, "dq13_last_digit_bias": 0.53,
+    "a32_listing_age_vol": 0.76,
 }
 
 
@@ -355,6 +356,7 @@ _BANK_R7 = frozenset({
     "j15_supplier_risk_exposure", "dq12_status_invariant",
     "a30_margin_health", "ts55_vol_regimes", "e43_activity_streaks",
     "a31_new_vs_repeat_revenue", "dq13_last_digit_bias",
+    "a32_listing_age_vol",
 })
 
 

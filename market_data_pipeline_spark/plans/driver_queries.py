@@ -13453,4 +13453,70 @@ def dq13_last_digit_bias(spark, sf_dir):
     )
 
 
+@query(
+    "a32_listing_age_vol",
+    f"""WITH {PRICE_CTE}, {MASTER_CTE},
+r AS (
+  SELECT symbol, close_price / lag(close_price)
+             OVER (PARTITION BY symbol ORDER BY trade_date) - 1.0 AS ret
+  FROM price WHERE close_price IS NOT NULL
+),
+sym AS (
+  SELECT symbol,
+         SUM(CAST(ROUND(ABS(ret) * 1e9) AS BIGINT)) / 1e9 / COUNT(*)
+             AS abs_ret
+  FROM r WHERE ret IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 10
+)
+SELECT CAST(FLOOR(datediff('day', m.listing_date, DATE '1998-12-31')
+                  / 365.0) AS BIGINT) AS age_years,
+       CAST(COUNT(*) AS BIGINT) AS n_symbols,
+       (SUM(CAST(ROUND(s.abs_ret * 1e9) AS BIGINT)) / 1e9) / COUNT(*)
+           AS avg_abs_ret
+FROM sym s JOIN master m ON s.symbol = m.symbol
+WHERE m.listing_date IS NOT NULL
+GROUP BY 1 ORDER BY age_years""",
+)
+def a32_listing_age_vol(spark, sf_dir):
+    """Seasoning effect: per listing-age bucket (whole years between
+    the master listing_date and the dataset's 1998-12-31 horizon), the
+    cross-sectional average |daily return| — the 'do seasoned listings
+    trade calmer?' conditioning table joining the master dimension's
+    listing_date (used by a15's flows but never as a RISK conditioner)
+    to the return stream. Per-symbol 1e-9 fixed-point means, broadcast
+    master join, integer datediff bucketing, then one bucket aggregate
+    re-fixed-pointing the per-symbol means — every float is fenced."""
+    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
+    sym = (
+        r.groupBy("symbol")
+        .agg(
+            (
+                F.sum(F.round(F.abs("ret") * 1e9).cast("long"))
+                / 1e9
+                / F.count(F.lit(1))
+            ).alias("abs_ret"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 10)
+    )
+    m = master_frame(spark, sf_dir).filter(
+        F.col("listing_date").isNotNull()
+    ).select("symbol", "listing_date")
+    age = F.floor(
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("listing_date"))
+        / 365.0
+    ).cast("long")
+    return (
+        sym.join(F.broadcast(m), "symbol")
+        .groupBy(age.alias("age_years"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_symbols"),
+            (
+                (F.sum(F.round(F.col("abs_ret") * 1e9).cast("long")) / 1e9)
+                / F.count(F.lit(1))
+            ).alias("avg_abs_ret"),
+        )
+        .orderBy("age_years")
+    )
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

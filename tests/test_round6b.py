@@ -1040,3 +1040,35 @@ def test_last_digit_bias_hand_computed(spark, tmp_path):
     assert (out[0]["n"], out[0]["observed_share"]) == (2, 0.5)
     assert out[0]["uniform_deviation"] == 4.0
     assert (out[5]["n"], out[5]["observed_share"], out[5]["uniform_deviation"]) == (1, 0.25, 1.5)
+
+
+def test_listing_age_vol_buckets(spark, tmp_path):
+    """Two symbols with constant |ret| 0.01 and 0.03; partkeys chosen
+    so master assigns listing ages in different year buckets."""
+    from market_data_pipeline_spark.plans.driver_queries import (
+        a32_listing_age_vol,
+        _RETURNS_CACHE,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    # master: listing_date = 1994-01-01 + (pk % 1000) days for pk % 5 != 0
+    # pk=1 -> 1994-01-02 (age ~4y); pk=901 -> 1996-07-21 (age ~2y)
+    s1 = [(d0 + dt.timedelta(days=i), 100 * 1.01**i) for i in range(15)]
+    s2 = [(d0 + dt.timedelta(days=i), 100 * 1.03**i) for i in range(15)]
+    _li_frame(spark, tmp_path, {1: s1, 901: s2})
+    spark.createDataFrame(
+        [(1, "n1", "B"), (901, "n2", "B")],
+        "p_partkey long, p_name string, p_brand string",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    _RETURNS_CACHE.clear()
+    out = {
+        r["age_years"]: r
+        for r in a32_listing_age_vol(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 2
+    ages = sorted(out)
+    young, old = out[ages[0]], out[ages[1]]
+    assert young["n_symbols"] == 1 and old["n_symbols"] == 1
+    # the younger listing (pk=901) is the 3% mover, the older the 1%
+    assert young["avg_abs_ret"] == pytest.approx(0.03, abs=1e-6)
+    assert old["avg_abs_ret"] == pytest.approx(0.01, abs=1e-6)
