@@ -27,80 +27,107 @@ def entry(spark: SparkSession) -> DataFrame:
     return a6_daily_market_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-6 recording order. The driver records only a ~50-row PREFIX of
-# queries() iteration order per round; rounds 2-4 proved that ordering
-# tier 1 cheapest-first lets newly registered cheap queries starve the
-# expensive never-recorded ones indefinitely. Round 5's frozen backlog of
-# 13 was recorded 13/13 (12 green + k9's array-shape error, fixed this
-# round by emitting scalar rows). Round 6 freezes ALL 37 oracled queries
-# with no green driver row in ANY CORRECTNESS_r0{1..5}.json at the
-# absolute front — the 36 round-5 registrations deliberately cost-pinned
-# past r5's exactly-full window, plus the reshaped k9. 37 < ~50 slots, so
-# this round completes driver-green coverage of the entire oracled
-# surface while leaving ~13 slots for round-6 registrations (tier 1).
-_BACKLOG_R6 = frozenset({
-    "a16_monthly_momentum", "a18_turnover_gini", "a19_market_share_trend",
-    "dd16_source_jaccard", "dd18_shingle_df_profile", "dd19_dedup_savings",
-    "dp4_price_histogram", "dq6_monthly_coverage", "dq7_orphan_rates",
-    "e25_cohort_ltv", "e26_session_percentiles", "e28_wau_trend",
-    "e30_hourly_conversion", "e31_new_vs_returning", "e32_session_depth",
-    "f11_target_encoding", "f12_feature_binning", "iv7_gap_histogram",
-    "k15_label_confusion", "k16_simplified_silhouette", "k17_ivf_recall",
-    "k9_label_centroids",
-    "smp10_es_weighted_sample", "smp11_balanced_downsample",
-    "smp12_proportional_strata", "ts35_rolling_sharpe",
-    "ts36_inverse_vol_weights", "ts37_updown_capture",
-    "ts38_rank_churn", "ts40_return_moments", "ts41_pain_index",
-    "ts42_up_day_ratio", "tx21_bigram_entropy", "tx22_keyword_in_context",
-    "tx23_vocab_coverage", "tx24_pii_by_source", "tx25_langid_confusion",
+# Round-7 recording order. The driver records only a ~50-row PREFIX of
+# queries() iteration order per round. Round 6 recorded 50/50 green and
+# drained the whole 37-query r6 backlog, but the round-6 session also
+# banked 58 new oracled registrations — more than the window holds for
+# the first time (r6 verdict #1). Round 7 is therefore a REGISTRATION
+# FREEZE: zero new registry entries; the entire window goes to draining
+# the bank. Tier 0 re-records the 6 rows-only queries whose only driver
+# record is an r1-era error fixed since r2 (mm1-mm5, k5 — r6 verdict
+# "missing" #2); tier 1 is the 58-query frozen backlog cheapest-first
+# (~44 fit; the most expensive ~14 roll to a round-8 backlog, which is
+# acceptable only because nothing new is registered ahead of them).
+_RERECORD_R7 = frozenset({
+    "mm1_image_stats", "mm2_resize_roundtrip", "mm3_frame_sample",
+    "mm4_image_knn", "mm5_audio_stats", "k5_knn_ivf_kmeans",
+})
+
+_BACKLOG_R7 = frozenset({
+    "a22_turn_of_month", "a23_high_proximity", "a24_equal_weight_index",
+    "a25_volume_volatility_corr", "a26_new_highs_lows", "a27_monthly_hhi",
+    "a28_price_dispersion", "a29_return_rates", "a30_margin_health",
+    "a31_new_vs_repeat_revenue", "a32_listing_age_vol",
+    "cdc4_scd2_dimension", "cdc5_status_change_rate", "dd21_dup_provenance",
+    "dd22_jaccard_histogram", "dp5_column_drift", "dp6_ks_drift",
+    "dq10_order_price_reconciliation", "dq12_status_invariant",
+    "dq13_last_digit_bias", "dq9_source_completeness", "e35_repeat_latency",
+    "e36_second_order_markov", "e37_retention_survival",
+    "e38_event_type_lift", "e39_power_users", "e42_daily_error_rate",
+    "e43_activity_streaks", "f14_cyclic_time_features",
+    "f15_doc_feature_matrix", "f16_oof_target_encoding",
+    "iv9_interval_stabbing", "j13_price_elasticity", "j14_sourcing_entropy",
+    "j15_supplier_risk_exposure", "k20_label_knn_purity",
+    "k22_quantization_error", "k23_split_representativeness",
+    "pipeline2_delisted_sync", "smp13_kfold_assign",
+    "smp14_anchor_positive_pairs", "ts44_parkinson_vol",
+    "ts45_hurst_exponent", "ts46_garman_klass_vol", "ts47_roll_spread",
+    "ts48_kaufman_er", "ts49_variance_ratio", "ts50_sortino",
+    "ts51_downside_beta", "ts55_vol_regimes", "tx27_stopword_profile",
+    "tx28_ngram_novelty", "tx30_doc_entropy", "tx31_word_burstiness",
+    "tx32_vocab_coverage_curve", "tx33_hapax_by_source",
+    "tx35_doc_length_gini", "tx36_readability",
 })
 
 # Queries with a green (hash_match) driver row in CORRECTNESS_r01..r05.
 _GREEN_R1_R5 = frozenset({
     "a10_dedup_latest", "a11_modal_priority", "a12_weighted_market_return",
     "a13_advance_decline", "a14_hhi_concentration", "a15_listing_flows",
-    "a1_market_summary", "a2_stock_count_stats", "a3_delisted_report",
-    "a4_table_info", "a5_correlation_matrix", "a6_daily_market_summary",
-    "a7_market_counts", "a8_all_symbols", "apx1_approx_distinct",
-    "apx2_price_quantiles", "apx3_sketch_rollup", "cdc1_snapshot_diff",
-    "cdc2_status_history", "cdc3_point_in_time_status",
-    "ck1_chunk_documents", "dc1_decontaminate", "dd10_dedup_keep_best",
-    "dd11_incremental_dedup", "dd12_crossdoc_ngram", "dd13_span_dedup",
-    "dd14_crossdoc_sentences", "dd15_prefix_dup_groups", "dd1_exact_dedup",
-    "dd2_ngram_jaccard", "dd5_cosine_near_dup", "dd7_dup_clusters",
-    "dd8_capped_dedup_corpus", "dd8_dedup_corpus",
-    "dd9_ngram_jaccard_capped", "dp1_profile_lineitem",
-    "dp2_quantity_drift", "dp3_profile_orders", "dq1_lineitem_constraints",
-    "dq2_freshness", "dq3_childless_orders", "dq4_ship_lag",
-    "dq5_benford_digits", "e10_conversion_latency", "e11_rfm_scores",
-    "e12_burst_detection", "e13_bounce_rate", "e14_sliding_active_users",
-    "e15_session_paths", "e16_interarrival_stats", "e17_hourly_profile",
+    "a16_monthly_momentum", "a18_turnover_gini", "a19_market_share_trend",
+    "a1_market_summary", "a20_breadth_thrust", "a2_stock_count_stats",
+    "a3_delisted_report", "a4_table_info", "a5_correlation_matrix",
+    "a6_daily_market_summary", "a7_market_counts", "a8_all_symbols",
+    "apx1_approx_distinct", "apx2_price_quantiles", "apx3_sketch_rollup",
+    "cdc1_snapshot_diff", "cdc2_status_history",
+    "cdc3_point_in_time_status", "ck1_chunk_documents", "dc1_decontaminate",
+    "dd10_dedup_keep_best", "dd11_incremental_dedup", "dd12_crossdoc_ngram",
+    "dd13_span_dedup", "dd14_crossdoc_sentences", "dd15_prefix_dup_groups",
+    "dd16_source_jaccard", "dd18_shingle_df_profile", "dd19_dedup_savings",
+    "dd1_exact_dedup", "dd20_containment_pairs", "dd2_ngram_jaccard",
+    "dd5_cosine_near_dup", "dd7_dup_clusters", "dd8_capped_dedup_corpus",
+    "dd8_dedup_corpus", "dd9_ngram_jaccard_capped", "dp1_profile_lineitem",
+    "dp2_quantity_drift", "dp3_profile_orders", "dp4_price_histogram",
+    "dq1_lineitem_constraints", "dq2_freshness", "dq3_childless_orders",
+    "dq4_ship_lag", "dq5_benford_digits", "dq6_monthly_coverage",
+    "dq7_orphan_rates", "dq8_natural_key_collisions",
+    "e10_conversion_latency", "e11_rfm_scores", "e12_burst_detection",
+    "e13_bounce_rate", "e14_sliding_active_users", "e15_session_paths",
+    "e16_interarrival_stats", "e17_hourly_profile",
     "e18_first_touch_attribution", "e19_event_type_pairs",
     "e1_tumbling_window", "e20_stickiness", "e21_dwell_time",
-    "e22_anomalous_days", "e23_funnel_3step", "e2_sliding_window",
-    "e3_sessionize", "e4_json_props", "e5_funnel_users",
-    "e6_retention_cohorts", "e7_cumulative_users",
-    "e8_last_touch_attribution", "e9_markov_transitions",
-    "er1_similar_supplier_names", "f10_time_features", "f1_normalize_chain",
-    "f9_month_buckets", "fx1_feature_matrix", "fx2_point_in_time_join",
-    "fx3_lagged_features", "fx4_winsorized_returns", "iv1_interval_join",
+    "e22_anomalous_days", "e23_funnel_3step", "e25_cohort_ltv",
+    "e26_session_percentiles", "e28_wau_trend", "e2_sliding_window",
+    "e30_hourly_conversion", "e31_new_vs_returning", "e32_session_depth",
+    "e33_daypart_rollup", "e34_active_gap_histogram", "e3_sessionize",
+    "e4_json_props", "e5_funnel_users", "e6_retention_cohorts",
+    "e7_cumulative_users", "e8_last_touch_attribution",
+    "e9_markov_transitions", "er1_similar_supplier_names",
+    "f10_time_features", "f11_target_encoding", "f12_feature_binning",
+    "f13_minmax_log_features", "f1_normalize_chain", "f9_month_buckets",
+    "fx1_feature_matrix", "fx2_point_in_time_join", "fx3_lagged_features",
+    "fx4_winsorized_returns", "iv1_interval_join",
     "iv2_concurrent_sessions", "iv3_nearest_event", "iv4_allen_relations",
-    "iv5_interval_coverage", "iv6_activity_span", "ivm1_merged_summary",
-    "j10_bloom_semi_join", "j11_band_range_join",
-    "j12_nation_top_customers", "j1_stock_data", "j3_latest_prices",
-    "j4_backtest_universe", "j5_insert_if_absent", "j7_revenue_by_nation",
-    "j8_segment_top_orders", "j9_salted_join", "k10_centroid_distances",
-    "k11_norm_stats", "k13_ivf_balance", "k1_knn_topk", "k2_knn_batch",
-    "k4_knn_ivf", "k6_knn_graph", "k8_radius_search", "mix1_domain_quota",
-    "mix2_temperature_resample", "o1_topk_orders", "p2_validate_rows",
-    "p2_validate_stats", "pk1_pack_sequences", "pk2_bucketed_batches",
+    "iv5_interval_coverage", "iv6_activity_span", "iv7_gap_histogram",
+    "iv8_peak_concurrency", "ivm1_merged_summary", "j10_bloom_semi_join",
+    "j11_band_range_join", "j12_nation_top_customers", "j1_stock_data",
+    "j3_latest_prices", "j4_backtest_universe", "j5_insert_if_absent",
+    "j7_revenue_by_nation", "j8_segment_top_orders", "j9_salted_join",
+    "k10_centroid_distances", "k11_norm_stats", "k13_ivf_balance",
+    "k15_label_confusion", "k16_simplified_silhouette", "k17_ivf_recall",
+    "k19_dim_variance", "k1_knn_topk", "k2_knn_batch", "k4_knn_ivf",
+    "k6_knn_graph", "k8_radius_search", "k9_label_centroids",
+    "mix1_domain_quota", "mix2_temperature_resample", "o1_topk_orders",
+    "o2_keyset_pagination", "p2_validate_rows", "p2_validate_stats",
+    "pipeline1_daily_update", "pk1_pack_sequences", "pk2_bucketed_batches",
     "r10_share_of_total", "r11_close_quartiles", "r12_percent_rank",
     "r1_top3_per_market", "r2_rollup_market_year", "r3_cube_flag_status",
     "r4_pivot_market_year", "r5_symbol_deciles", "r6_rank_functions",
     "r7_grouping_sets", "r8_unpivot_ohlc", "r9_pareto_symbols",
     "s13_symbol_coverage", "sd1_semantic_dedup", "shf1_shuffle_shards",
-    "shf2_interleave_sources", "smp1_hash_sample", "smp2_stratified",
-    "smp3_group_split", "smp4_weighted_sample", "smp5_negative_sampling",
+    "shf2_interleave_sources", "smp10_es_weighted_sample",
+    "smp11_balanced_downsample", "smp12_proportional_strata",
+    "smp1_hash_sample", "smp2_stratified", "smp3_group_split",
+    "smp4_weighted_sample", "smp5_negative_sampling",
     "smp6_quantile_stratified", "smp7_group_reservoir", "smp8_purged_split",
     "smp9_systematic_sample", "st10_streaming_running_stats",
     "st11_streaming_burst", "st12_streaming_sliding",
@@ -128,17 +155,23 @@ _GREEN_R1_R5 = frozenset({
     "ts26_amihud_illiquidity", "ts27_candlestick_flags",
     "ts28_drawdown_duration", "ts29_ulcer_index", "ts2_volatility",
     "ts30_obv", "ts31_streaks", "ts32_monthly_seasonality",
-    "ts33_weekly_atr", "ts34_calmar", "ts3_drawdown", "ts4_weekly_ohlc",
+    "ts33_weekly_atr", "ts34_calmar", "ts35_rolling_sharpe",
+    "ts36_inverse_vol_weights", "ts37_updown_capture", "ts38_rank_churn",
+    "ts3_drawdown", "ts40_return_moments", "ts41_pain_index",
+    "ts42_up_day_ratio", "ts43_series_gaps", "ts4_weekly_ohlc",
     "ts5_asof_prices", "ts6_range_avg", "ts7_bollinger", "ts8_rsi",
     "ts9_rolling_corr", "tx10_repetition_stats", "tx11_lm_quality",
     "tx12_bm25", "tx13_bigram_lm", "tx14_sentence_stats", "tx15_zipf_slope",
     "tx16_quality_gate", "tx17_bpe_pairs", "tx18_charset_stats",
     "tx19_dup_sentences", "tx1_quality_stats", "tx20_lexical_diversity",
-    "tx2_token_counts", "tx3_detect_language", "tx4_fingerprint",
-    "tx5_vocabulary", "tx6_length_histogram", "tx7_clean_corpus",
-    "tx8_tfidf_terms", "tx9_redact_pii", "u1_union_relaxed",
-    "u4_intersect_symbols", "u5_bag_difference", "u6_symmetric_difference",
-    "w1_top_performers", "w2_calculate_returns",
+    "tx21_bigram_entropy", "tx22_keyword_in_context", "tx23_vocab_coverage",
+    "tx24_pii_by_source", "tx25_langid_confusion",
+    "tx26_word_length_profile", "tx2_token_counts", "tx3_detect_language",
+    "tx4_fingerprint", "tx5_vocabulary", "tx6_length_histogram",
+    "tx7_clean_corpus", "tx8_tfidf_terms", "tx9_redact_pii",
+    "u1_union_relaxed", "u4_intersect_symbols", "u5_bag_difference",
+    "u6_symmetric_difference", "u7_bag_intersect", "w1_top_performers",
+    "w2_calculate_returns",
 })
 
 # Measured driver wall-times (BENCH_r01/r02, sf0.1, seconds) — used only to
@@ -322,56 +355,27 @@ _COST = {
 }
 
 
-# Oracled registrations deliberately deferred to ROUND 7: the 50-row
-# window is exactly full (37 backlog + 13 round-6 registrations), so
-# anything registered after it sorts here — an explicit tier, not the
-# r5-era fake cost pins (_COST now holds only measurements, r5 verdict
-# #4; this set is what makes that possible). scripts/round_open.py
-# folds these into the next round's frozen backlog automatically (they
-# are oracled-never-green, which is all the fold looks at).
-_BANK_R7 = frozenset({
-    "a22_turn_of_month", "cdc4_scd2_dimension", "dd21_dup_provenance",
-    "dp5_column_drift", "dq9_source_completeness", "e35_repeat_latency",
-    "f14_cyclic_time_features", "iv9_interval_stabbing",
-    "k20_label_knn_purity", "smp13_kfold_assign", "ts44_parkinson_vol",
-    "tx27_stopword_profile",
-    "ts45_hurst_exponent", "e36_second_order_markov",
-    "tx28_ngram_novelty", "pipeline2_delisted_sync",
-    "f15_doc_feature_matrix",
-    "dq10_order_price_reconciliation", "ts46_garman_klass_vol",
-    "ts47_roll_spread", "e37_retention_survival", "e38_event_type_lift",
-    "a23_high_proximity",
-    "tx30_doc_entropy", "smp14_anchor_positive_pairs",
-    "k22_quantization_error", "e39_power_users", "ts48_kaufman_er",
-    "dd22_jaccard_histogram",
-    "f16_oof_target_encoding", "ts49_variance_ratio",
-    "tx31_word_burstiness", "dp6_ks_drift", "a24_equal_weight_index",
-    "ts50_sortino", "a25_volume_volatility_corr",
-    "tx32_vocab_coverage_curve", "cdc5_status_change_rate",
-    "ts51_downside_beta", "a26_new_highs_lows", "tx33_hapax_by_source",
-    "tx35_doc_length_gini", "a27_monthly_hhi", "tx36_readability",
-    "e42_daily_error_rate", "j13_price_elasticity",
-    "j14_sourcing_entropy", "a28_price_dispersion",
-    "a29_return_rates", "k23_split_representativeness",
-    "j15_supplier_risk_exposure", "dq12_status_invariant",
-    "a30_margin_health", "ts55_vol_regimes", "e43_activity_streaks",
-    "a31_new_vs_repeat_revenue", "dq13_last_digit_bias",
-    "a32_listing_age_vol",
-})
+# ROUND-7 REGISTRATION FREEZE (r6 verdict #1): this set stays EMPTY
+# until the never-driver-green backlog fits the ~50-row window again.
+# Any future banked registration sorts here, past the window.
+_BANK_R8 = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tier(name: str) -> int:
-        if name in _BACKLOG_R6:
-            return 0  # frozen: the 37 never-green oracled queries
+        if name in _RERECORD_R7:
+            return 0  # rows-only entries whose driver record is a stale
+            # r1 error (fixed since r2) — cheap, re-record first
+        if name in _BACKLOG_R7:
+            return 1  # frozen: the 58 never-green oracled queries
         if name not in ORACLES:
-            return 4  # no-oracle: can never hash-green, record dead last
+            return 5  # no-oracle: can never hash-green, record dead last
         if name in _GREEN_R1_R5:
             return 3  # green outranks bank: a banked query that greens
             # must NOT burn another window slot next round
-        if name in _BANK_R7:
-            return 2  # deferred past this round's exactly-full window
-        return 1  # round-6 registrations
+        if name in _BANK_R8:
+            return 4  # deferred past the window (empty during the freeze)
+        return 2  # unreachable while the freeze holds: no new registrations
 
     ordered = sorted(QUERIES, key=lambda n: (tier(n), _COST.get(n, 1.0), n))
     return {n: QUERIES[n] for n in ordered}
