@@ -49,6 +49,13 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# ivf_assign inlines the centroid pool as a plan literal up to this many
+# scalar terms (|C| * dim); beyond it, a literal this size would bloat
+# the Catalyst tree and every task closure, so the broadcast-join argmax
+# takes over.
+_LITERAL_ARGMAX_TERMS = 200_000
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -344,57 +351,105 @@ def ivf_assign(
     """Inverted-file index: assign every vector to its nearest centroid by
     cosine (deterministic ties: lowest centroid id).
 
-    Centroids are broadcast (small by construction), so the scoring cross
-    join is map-side; the argmax groups on a pre-fan-out per-row key, which
-    the scored stream is already clustered on (each input row fans out to
-    its |centroids| scores within the same partition), so AQE coalesces the
-    exchange cheaply — and duplicate ids each keep their own assignment
-    (an index must never silently drop rows).
+    Two regimes, both fully DETERMINISTIC under stage retries (the r6
+    advisor flagged the previous per-row monotonically_increasing_id
+    group key: under partial stage recomputation upstream rows can be
+    re-keyed, risking duplicated or stitched argmax groups):
 
-    ``keep_vec`` carries the vector column through the argmax so callers
-    that need vectors downstream (IVF probe, SemDeDup) don't re-join
+    - **literal argmax** (centroid pool ≤ ``_LITERAL_ARGMAX_TERMS``
+      scalar terms, which is every IVF in this repo — k ~ sqrt(N) cells
+      only pays off when each cell still holds many vectors): centroids
+      are collected once (bounded — they are the broadcast side by
+      construction) and inlined as an array-of-structs literal; each
+      corpus row picks its best centroid with ``array_max`` over
+      (cosine, -centroid_id) structs inside ONE projection. Map-only,
+      ZERO shuffle, multiplicity trivially preserved — strictly better
+      than the old crossJoin + groupBy shape, which exchanged |V| rows.
+    - **join argmax** (huge centroid pools, where a multi-MB literal
+      would bloat the Catalyst tree): broadcast crossJoin then argmax
+      grouped on the FULL input row (id_col, vec_col) — a deterministic,
+      collision-free key (unlike a 64-bit hash, whose birthday collisions
+      at 1e9 rows would stitch distinct rows) — with exact-duplicate
+      multiplicity restored by a count/|C| re-expansion. Costs one |V|
+      shuffle that now carries the vector column; retry-safety is worth
+      the bytes, and the literal path covers all practical pools anyway.
+
+    Duplicate ids each keep their own assignment (an index must never
+    silently drop rows) — caught by the round-6 IVF hypothesis property
+    (duplicate-id append case), which still pins both paths.
+
+    ``keep_vec`` carries the vector column through so callers that need
+    vectors downstream (IVF probe, SemDeDup) don't re-join
     ``embeddings`` — that re-join scans the full vector column (the
     widest column in the table) a second time.
-
-    The argmax is a sort-free ``max_by`` aggregate over the
-    (cosine, -centroid_id) struct (DESC cosine, lowest-id tiebreak):
-    each input row's |centroids| scores are produced inside one map task,
-    so the map-side partial aggregation collapses the fan-out back to ONE
-    row per vector before anything shuffles — the row_number window form
-    exchanged all |V|x|C| scored rows first.
     Returns (id_col, centroid_id, cosine[, vec_col]).
     """
+    cent_rows = centroids.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    ).collect()  # bounded: centroids are the small/broadcast side
+    cid_type = centroids.schema[id_col].dataType
+    carry = [F.col(vec_col)] if keep_vec else []
+    if not cent_rows:
+        return embeddings.select(
+            F.col(id_col),
+            F.lit(None).cast(cid_type).alias(centroid_id_col),
+            F.lit(None).cast("double").alias("cosine"),
+            *carry,
+        ).filter(F.lit(False))
+
+    if len(cent_rows) * len(cent_rows[0]["_cvec"]) <= _LITERAL_ARGMAX_TERMS:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(r["_cid"]).cast(cid_type).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
+                )
+                for r in cent_rows
+            ]
+        )
+
+        def _sim(cvec):
+            s = cosine(F.col(vec_col), cvec)
+            return F.round(s, round_digits) if round_digits is not None else s
+
+        best = F.array_max(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    _sim(c["cvec"]).alias("cosine"),
+                    (-c["cid"]).alias("_negc"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        return embeddings.select(
+            F.col(id_col),
+            best["cid"].alias(centroid_id_col),
+            best["cosine"].alias("cosine"),
+            *carry,
+        )
+
     c = centroids.select(
         F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("_cvec")
     )
     sim = cosine(F.col(vec_col), F.col("_cvec"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    carry = [F.col(vec_col)] if keep_vec else []
-    # the argmax groups on a per-ROW synthetic key, not on id_col: with a
-    # duplicate id in the input, grouping by id silently collapsed the
-    # duplicates AND stitched the output from different rows (max cosine
-    # from one, centroid from another) — caught by the round-6 IVF
-    # hypothesis property (duplicate-id append case). The synthetic key
-    # is assigned BEFORE the fan-out, so each input row's |centroids|
-    # scores still share it and map-side partials still collapse them;
-    # it never leaves this operator, so rerun instability of
-    # monotonically_increasing_id cannot leak into results.
-    staged = embeddings.withColumn("_rk", F.monotonically_increasing_id())
-    scored = staged.crossJoin(F.broadcast(c)).select(
-        F.col("_rk"), F.col(id_col), *carry, F.col(centroid_id_col), sim.alias("cosine")
+    scored = embeddings.crossJoin(F.broadcast(c)).select(
+        F.col(id_col), F.col(vec_col), F.col(centroid_id_col), sim.alias("cosine")
     )
     ord_key = F.struct(F.col("cosine"), (-F.col(centroid_id_col)).alias("_negc"))
-    aggs = [
-        F.max_by(F.col(id_col), ord_key).alias(id_col),
+    grouped = scored.groupBy(id_col, vec_col).agg(
         F.max_by(centroid_id_col, ord_key).alias(centroid_id_col),
         F.max("cosine").alias("cosine"),
-    ]
-    if keep_vec:
-        aggs.append(F.max_by(vec_col, ord_key).alias(vec_col))
-    out = scored.groupBy("_rk").agg(*aggs)
-    cols = [id_col, centroid_id_col, "cosine", *([vec_col] if keep_vec else [])]
-    return out.select(*cols)
+        # each distinct (id, vec) row scored |C| times per input copy;
+        # count/|C| recovers how many identical input rows it stands for
+        (F.count(F.lit(1)) / len(cent_rows)).cast("long").alias("_dup_n"),
+    )
+    out = grouped.withColumn(
+        "_dup", F.explode(F.sequence(F.lit(1), F.col("_dup_n")))
+    )
+    return out.select(id_col, centroid_id_col, "cosine", *carry)
 
 
 def kmeans_centroids(
@@ -1435,25 +1490,29 @@ def quantization_error_stats(
     Entirely map-only JVM array folds until one bounded groupBy on the
     label: the error list is built with nested transform (no explode —
     the vector never leaves its row), each squared term is fixed-pointed
-    (round 1e12 -> BIGINT, terms are <= (scale/254)^2 so no overflow),
-    and the group means fixed-point again (1e-9), making every stage
+    (round 1e12) and accumulated in DECIMAL(38,0) — a BIGINT fold would
+    silently wrap for |component| beyond ~3e4 (norm term) / ~7e5 (error
+    term) in non-ANSI Spark (r6 advisor); 38 digits hold any realistic
+    embedding magnitude with headroom — and the group means fix-point
+    again (1e-9, also decimal-summed), making every stage
     accumulation-order-proof. Zero vectors (scale 0) are excluded — a
     0-norm vector has no relative error.
     Returns (group_col, n_vectors, avg_l2_err, avg_rel_err).
     """
+    dec = "decimal(38,0)"
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     err = F.transform(
         v, lambda x: x - F.round(x / mx * 127) * mx / 127
     )
     err2_sum = F.aggregate(
-        F.transform(err, lambda d: F.round(d * d * 1e12).cast("long")),
-        F.lit(0).cast("long"),
+        F.transform(err, lambda d: F.round(d * d * 1e12).cast(dec)),
+        F.lit(0).cast(dec),
         lambda acc, t: acc + t,
     )
     sq_sum = F.aggregate(
-        F.transform(v, lambda x: F.round(x * x * 1e9).cast("long")),
-        F.lit(0).cast("long"),
+        F.transform(v, lambda x: F.round(x * x * 1e9).cast(dec)),
+        F.lit(0).cast(dec),
         lambda acc, t: acc + t,
     )
     staged = (
@@ -1468,11 +1527,11 @@ def quantization_error_stats(
     n = F.count(F.lit(1))
     return staged.groupBy(group_col).agg(
         n.cast("long").alias("n_vectors"),
-        (F.sum(F.round(F.col("_l2") * 1e9).cast("long")) / 1e9 / n).alias(
+        (F.sum(F.round(F.col("_l2") * 1e9).cast(dec)) / 1e9 / n).alias(
             "avg_l2_err"
         ),
         (
-            F.sum(F.round(F.col("_l2") / F.col("_nrm") * 1e9).cast("long"))
+            F.sum(F.round(F.col("_l2") / F.col("_nrm") * 1e9).cast(dec))
             / 1e9
             / n
         ).alias("avg_rel_err"),

@@ -40,6 +40,28 @@ from market_data_pipeline_spark.operators import (
 from market_data_pipeline_spark.operators.setops import union_relaxed
 from market_data_pipeline_spark.sources.catalog import load_table
 
+# Scratch roots created by the pipeline composites, removed at
+# interpreter exit: each invocation needs a FRESH empty master dir (the
+# bootstrap path is part of what the query exercises), but repeated
+# bench/correctness runs used to leak one mkdtemp per call (r6 advisor).
+_PIPELINE_SCRATCH: list[str] = []
+
+
+def _pipeline_scratch(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _PIPELINE_SCRATCH:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _PIPELINE_SCRATCH
+            ]
+        )
+    d = tempfile.mkdtemp(prefix=prefix)
+    _PIPELINE_SCRATCH.append(d)
+    return d
+
 # ---------------------------------------------------------------------------
 # Derived frames: the stock-domain mapping over driver tables
 # ---------------------------------------------------------------------------
@@ -9686,7 +9708,7 @@ def tx26_word_length_profile(spark, sf_dir):
     """WITH iv AS (
   SELECT event_type, epoch_us(ts) AS s_us,
          epoch_us(ts) + CAST(floor(value * 60 * 1e6) AS BIGINT) AS e_us
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), pts AS (
   SELECT event_type, s_us AS t_us, CAST(1 AS BIGINT) AS delta FROM iv
   UNION ALL
@@ -9707,8 +9729,13 @@ def iv8_peak_concurrency(spark, sf_dir):
     -> half-open intervals) peaks at the max concurrency. One shuffle on
     event_type; the sweep is an integer cumulative sum, engine-exact.
     Completes the interval family with the O(n log n) sweep pattern (the
-    interval-join approach to this is quadratic)."""
-    events = load_table(spark, sf_dir, "events")
+    interval-join approach to this is quadratic). NULL values are
+    dropped up front — a NULL e_us boundary sorts first in Spark
+    windows but last in DuckDB, so the running sum would diverge
+    between engines (r6 advisor)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     us = F.unix_micros(F.col("ts"))
     iv = events.select(
         "event_type",
@@ -10018,14 +10045,19 @@ def o2_keyset_pagination(spark, sf_dir):
         .limit(100)
         .orderBy(F.asc("o_totalprice"), F.desc("o_orderkey"))
         .limit(1)
-        .collect()[0]
-    )  # bounded: exactly one cursor row crosses to the driver
-    cp, ck = cur["o_totalprice"], cur["o_orderkey"]
-    return (
-        o.filter(
-            (F.col("o_totalprice") < cp)
-            | ((F.col("o_totalprice") == cp) & (F.col("o_orderkey") > ck))
+        .collect()
+    )  # bounded: at most one cursor row crosses to the driver
+    if cur:
+        cp, ck = cur[0]["o_totalprice"], cur[0]["o_orderkey"]
+        after_cursor = (F.col("o_totalprice") < cp) | (
+            (F.col("o_totalprice") == cp) & (F.col("o_orderkey") > ck)
         )
+    else:
+        # fewer orders than one page: page 3 is empty, matching the
+        # oracle's cross join against an empty cursor CTE
+        after_cursor = F.lit(False)
+    return (
+        o.filter(after_cursor)
         .select(
             "o_orderkey",
             "o_custkey",
@@ -10152,7 +10184,8 @@ def cdc4_scd2_dimension(spark, sf_dir):
 
 @query(
     "iv9_interval_stabbing",
-    """WITH m AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+    """WITH m AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events
+               WHERE value IS NOT NULL),
 probes AS (
   SELECT CAST(r.range AS BIGINT) AS probe_idx,
          t0 + CAST(r.range * 21600000000 AS BIGINT) AS probe_us
@@ -10160,7 +10193,7 @@ probes AS (
 ), iv AS (
   SELECT epoch_us(ts) AS s_us,
          epoch_us(ts) + CAST(floor(value * 60 * 1e6) AS BIGINT) AS e_us
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT p.probe_idx, p.probe_us,
        CAST(SUM(CASE WHEN iv.s_us <= p.probe_us AND p.probe_us < iv.e_us
@@ -10176,8 +10209,12 @@ def iv9_interval_stabbing(spark, sf_dir):
     count — no interval index, no shuffle beyond the 12-group aggregate.
     The grid anchor is one driver-side MIN scalar (bounded, the o2
     cursor pattern). Complements iv8's sweep (all-time peak) with
-    point-in-time depth."""
-    events = load_table(spark, sf_dir, "events")
+    point-in-time depth. NULL values are dropped before building the
+    boundaries — a NULL end would otherwise make the covered predicate
+    NULL and the engines disagree on NULL ordering (r6 advisor)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     us = F.unix_micros(F.col("ts"))
     t0 = events.agg(F.min(us).alias("t0")).collect()[0]["t0"]
     probes = spark.range(12).select(
@@ -10890,7 +10927,6 @@ def pipeline2_delisted_sync(spark, sf_dir):
     and markets are deterministic so DuckDB replays the net semantics
     as set logic."""
     import datetime as _dt
-    import tempfile
 
     from market_data_pipeline_spark.plans import pipelines as PL
     from market_data_pipeline_spark.storage.table import stock_master_table
@@ -10915,7 +10951,7 @@ def pipeline2_delisted_sync(spark, sf_dir):
         .otherwise("KOSDAQ")
         .alias("market"),
     )
-    path = tempfile.mkdtemp(prefix="mdps_pipeline2_") + "/master"
+    path = _pipeline_scratch("mdps_pipeline2_") + "/master"
     master = stock_master_table(spark, path)
     now = _dt.datetime(2024, 6, 1, 2, 0, 0)
     PL.update_listed_stocks(master, {"KOSPI": kospi, "KOSDAQ": kosdaq}, now)
@@ -11121,7 +11157,6 @@ def pipeline1_daily_update(spark, sf_dir):
     reads from it lazily); at sf0.1 the master is ~16k rows — dim-scale
     by design, like the reference's."""
     import datetime as _dt
-    import tempfile
 
     from market_data_pipeline_spark.plans import pipelines as PL
     from market_data_pipeline_spark.storage.table import stock_master_table
@@ -11164,7 +11199,7 @@ def pipeline1_daily_update(spark, sf_dir):
         F.lit("KOSPI").alias("market"),
     )
 
-    path = tempfile.mkdtemp(prefix="mdps_pipeline1_") + "/master"
+    path = _pipeline_scratch("mdps_pipeline1_") + "/master"
     master = stock_master_table(spark, path)
     PL.run_daily_update(
         master,

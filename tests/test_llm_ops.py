@@ -218,6 +218,43 @@ def test_ivf_assign_deterministic_ties(spark):
     assert out == {0: 0, 1: 0, 5: 0}
 
 
+def test_ivf_assign_join_path_matches_literal_path(spark, monkeypatch):
+    """Both ivf_assign regimes (plan-literal argmax vs broadcast-join
+    argmax keyed on the full row) must agree — including exact-duplicate
+    multiplicity, which the join path restores via count/|C|."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.6, 0.8, 0.0]),
+        (2, [0.6, 0.8, 0.0]),  # exact duplicate row: must appear twice
+        (3, [0.0, 0.6, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    key = lambda r: (r.vec_id, r.centroid_id, r.cosine)  # noqa: E731
+    lit_out = sorted(map(key, SIM.ivf_assign(emb, cents).collect()))
+    monkeypatch.setattr(SIM, "_LITERAL_ARGMAX_TERMS", 0)
+    join_out = sorted(map(key, SIM.ivf_assign(emb, cents).collect()))
+    assert lit_out == join_out
+    assert len(join_out) == len(rows)
+    # keep_vec carries vectors identically through both paths
+    lit_v = sorted(
+        (r.vec_id, tuple(r.embedding))
+        for r in SIM.ivf_assign(emb, cents, keep_vec=True).collect()
+    )
+    assert lit_v.count((2, (0.6, 0.8, 0.0))) == 2
+
+
+def test_ivf_assign_empty_centroids(spark):
+    emb = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    cents = emb.filter(F.col("vec_id") < 0)
+    out = SIM.ivf_assign(emb, cents)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "centroid_id", "cosine"]
+
+
 def test_kmeans_centroids_shape_and_ivf(clustered_emb):
     cents = SIM.kmeans_centroids(clustered_emb, k=3)
     rows = cents.collect()
