@@ -1496,7 +1496,12 @@ def quantization_error_stats(
     embedding magnitude with headroom — and the group means fix-point
     again (1e-9, also decimal-summed), making every stage
     accumulation-order-proof. Zero vectors (scale 0) are excluded — a
-    0-norm vector has no relative error.
+    0-norm vector has no relative error — and so are vectors whose
+    1e-9 fixed-point norm rounds to zero (|x| ≲ 2e-5 everywhere): the
+    audit has no meaningful relative error at its own precision, and in
+    ANSI Spark both cases otherwise raise DIVIDE_BY_ZERO (found by the
+    round-7 hypothesis property). Both filters run BEFORE the divisions
+    they guard.
     Returns (group_col, n_vectors, avg_l2_err, avg_rel_err).
     """
     dec = "decimal(38,0)"
@@ -1516,13 +1521,13 @@ def quantization_error_stats(
         lambda acc, t: acc + t,
     )
     staged = (
-        embeddings.select(
+        embeddings.filter(mx > 0)
+        .select(
             F.col(group_col),
-            mx.alias("_mx"),
             F.sqrt(err2_sum / 1e12).alias("_l2"),
             F.sqrt(sq_sum / 1e9).alias("_nrm"),
         )
-        .filter(F.col("_mx") > 0)
+        .filter(F.col("_nrm") > 0)
     )
     n = F.count(F.lit(1))
     return staged.groupBy(group_col).agg(

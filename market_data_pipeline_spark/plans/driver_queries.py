@@ -11603,7 +11603,7 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
        SUM(CAST(ROUND(l2 * 1e9) AS BIGINT)) / 1e9 / COUNT(*) AS avg_l2_err,
        SUM(CAST(ROUND(l2 / nrm * 1e9) AS BIGINT)) / 1e9 / COUNT(*)
            AS avg_rel_err
-FROM e GROUP BY 1 ORDER BY label""",
+FROM e WHERE nrm > 0 GROUP BY 1 ORDER BY label""",
 )
 def k22_quantization_error(spark, sf_dir):
     """Int8 scalar-quantization round-trip error per label — the audit
@@ -11811,7 +11811,11 @@ def f16_oof_target_encoding(spark, sf_dir):
     that never saw fold i). Folds are md5-deterministic (smp13's
     assignment, engine-stable); money sums are exact cents; the
     out-of-fold subtraction runs on the 25-row (category, fold) frame,
-    so the only data-scale pass is one map-side-combined aggregate."""
+    so the only data-scale pass is one map-side-combined aggregate.
+    A category whose rows ALL land in one fold has no out-of-fold data:
+    try_divide yields NULL there, matching DuckDB's x/0 (ANSI Spark
+    raised DIVIDE_BY_ZERO — found by the round-7 hypothesis property,
+    the same class of bug the k23 property caught in round 6)."""
     o = load_table(spark, sf_dir, "orders")
     t = tx.kfold_assign(o, key_col="o_orderkey", k=5).select(
         "o_orderpriority",
@@ -11829,9 +11833,10 @@ def f16_oof_target_encoding(spark, sf_dir):
             "fold",
             F.col("fn").alias("n_in_fold"),
             F.round(
-                (F.sum("fc").over(wcat) - F.col("fc"))
-                * 1.0
-                / (F.sum("fn").over(wcat) - F.col("fn"))
+                F.try_divide(
+                    (F.sum("fc").over(wcat) - F.col("fc")) * 1.0,
+                    F.sum("fn").over(wcat) - F.col("fn"),
+                )
                 / 100,
                 6,
             ).alias("oof_target_mean"),
