@@ -487,6 +487,15 @@ def kmeans_centroids(
             "features"
         )
     )
+    spark = embeddings.sparkSession
+    # Empty-input guard (registry-wide empty sweep, r7): MLlib KMeans
+    # aborts with "Nothing has been added to this summarizer" on a 0-row
+    # fit. An empty centroid frame is the total answer — ivf_assign
+    # already maps empty centroids to an empty assignment.
+    if not feats.take(1):
+        return spark.createDataFrame(
+            [], f"{id_col} long, {vec_col} array<double>"
+        )
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     centers = model.clusterCenters()
     spark = embeddings.sparkSession
@@ -897,6 +906,14 @@ def pq_train(
         .collect()
     )
     X = np.array([r[0] for r in sample], dtype=np.float64)
+    dsub_guard = dim // m
+    # Empty-input guard (registry-wide empty sweep, r7): a 0-row sample
+    # yields a 1-D (0,) array, so axis-1 math below raises AxisError.
+    # Return one all-zero code per subspace — the degenerate codebook is
+    # total (pq_encode of the then-empty corpus is empty; knn_pq's ADC
+    # table stays well-formed) and deterministic.
+    if X.size == 0:
+        return [np.zeros((1, dsub_guard), dtype=np.float64) for _ in range(m)]
     # L2-normalize: squared distance on unit vectors is 2 - 2*cosine, so
     # ADC ranking matches the cosine ranking the exact paths use.
     # Zero-norm guard: an all-zero embedding otherwise turns into NaN

@@ -4616,7 +4616,10 @@ def k7_knn_pq(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     books = similarity.pq_train(emb, dim=64, m=8, k_codes=16)
     codes = similarity.pq_encode(emb, books)
-    query_vec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    if qrow is None:  # empty corpus: no query vector, empty result page
+        return spark.createDataFrame([], "vec_id long, cosine double")
+    query_vec = [float(x) for x in qrow["embedding"]]
     return similarity.knn_pq(
         codes, books, query_vec, k=10, rerank_with=emb, shortlist=50
     )
@@ -7256,13 +7259,17 @@ def k12_mmr_diverse(spark, sf_dir):
     diversity property (pairwise similarity of the MMR set <= plain
     top-k's) are pinned by pytest. See operators.similarity.mmr_select."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = (
+    qrows = (
         emb.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>"))
-        .collect()[0][0]
+        .collect()
     )
+    if not qrows:  # empty corpus: no query vector, empty result page
+        return spark.createDataFrame(
+            [], "rank long, vec_id long, relevance double, mmr_score double"
+        )
     return similarity.mmr_select(
-        emb.filter(F.col("vec_id") != 0), qv, k=5, pool=50
+        emb.filter(F.col("vec_id") != 0), qrows[0][0], k=5, pool=50
     )
 
 
@@ -8849,10 +8856,10 @@ def dq7_orphan_rates(spark, sf_dir):
             (
                 n_orders,
                 childless,
-                round(childless / n_orders, 6),
+                round(childless / n_orders, 6) if n_orders else None,
                 n_lineitems,
                 orphans,
-                round(orphans / n_lineitems, 6),
+                round(orphans / n_lineitems, 6) if n_lineitems else None,
             )
         ],
         "n_orders long, childless_orders long, childless_rate double,"

@@ -204,3 +204,23 @@ def test_round6_ops_empty(spark, empty):
         == 0
     )
     assert SIM.pca_explained_variance(empty(EMB)).count() == 0
+
+
+def test_round7_query_level_empty(spark, empty):
+    """Round-7 registry-wide empty sweep (scripts/empty_sweep.py) found
+    exactly four of 355 queries crashing on 0-row tables — the same
+    collect()[0] / empty-fit / div-by-zero class as the r6 o2 advisor
+    finding. Pin the operator-level fixes here."""
+    import numpy as np
+
+    vecs = empty(EMB)
+    # MLlib KMeans aborts on an empty fit; guard returns empty centroids
+    assert SIM.kmeans_centroids(vecs, k=4).count() == 0
+    # empty centroids -> empty assignment (already total), end to end
+    assert SIM.knn_ivf(vecs, vecs, centroids=SIM.kmeans_centroids(vecs, k=4)).count() == 0
+    # pq_train on a 0-row sample: degenerate one-zero-code books, right shapes
+    books = SIM.pq_train(vecs, dim=8, m=4, k_codes=16)
+    assert len(books) == 4 and all(b.shape == (1, 2) for b in books)
+    assert np.all(books[0] == 0.0)
+    # and the books stay usable: encoding an empty corpus is empty
+    assert SIM.pq_encode(vecs, books).count() == 0
