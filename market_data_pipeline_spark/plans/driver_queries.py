@@ -2990,8 +2990,15 @@ def smp3_group_split(spark, sf_dir):
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM sh0
 ), bench AS (
   SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
-), sizes AS (
+), sizes0 AS (
   SELECT doc_id, COUNT(*) AS n_shingles FROM sh WHERE doc_id % 20 <> 0 GROUP BY 1
+), sizes AS (
+  -- NULL-text docs produce no sh rows (NULL list propagates through
+  -- unnest) but must still pass through decontamination with 0
+  -- shingles, matching the Spark operator's explode_outer behavior
+  SELECT t.doc_id, COALESCE(z.n_shingles, 0) AS n_shingles
+  FROM toks t LEFT JOIN sizes0 z USING (doc_id)
+  WHERE t.doc_id % 20 <> 0
 ), ov AS (
   SELECT s.doc_id, COUNT(*) AS n_overlap
   FROM sh s JOIN bench b USING (shingle)
@@ -3073,7 +3080,11 @@ def sd1_semantic_dedup(spark, sf_dir):
 @query(
     "tx10_repetition_stats",
     r"""WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+  -- COALESCE: the Spark operator tokenizes NULL text as '' (the
+  -- documented [''] convention shared with tokens()); raw NULL would
+  -- instead propagate to NULL stats here and diverge
+  SELECT doc_id, string_split_regex(lower(trim(COALESCE(text, ''))), '\s+') AS toks
+  FROM documents
 ), b AS (
   SELECT doc_id, toks,
          CASE WHEN len(toks) >= 2
@@ -4299,9 +4310,11 @@ def e8_last_touch_attribution(spark, sf_dir):
 @query(
     "st8_streaming_ewma",
     """WITH r AS (
+  -- value IS NOT NULL: NULL values are non-observations and never
+  -- enter the streaming state (streaming_ewma filters them JVM-side)
   SELECT user_id, value,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value * pow(0.8, -rn)) / SUM(pow(0.8, -rn)), 6) AS ewma
@@ -4696,7 +4709,10 @@ def smp5_negative_sampling(spark, sf_dir):
 @query(
     "st10_streaming_running_stats",
     """WITH c AS (
-  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+  -- value IS NOT NULL: NULL values are non-observations and never
+  -- enter the streaming state (streaming_running_stats filters them)
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -8059,13 +8075,17 @@ def a16_monthly_momentum(spark, sf_dir):
 ), rev AS (
   SELECT f.cohort_week,
          CAST(date_diff('day', f.cohort_week, w.week) / 7 AS BIGINT) AS week_offset,
-         CAST(SUM(CAST(w.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         SUM(CAST(w.value AS DECIMAL(18,2))) AS rev_dec
   FROM wk w JOIN first_wk f ON w.user_id = f.user_id
   WHERE w.event_type = 'purchase'
   GROUP BY 1, 2
 )
-SELECT cohort_week, week_offset, revenue,
-       CAST(SUM(CAST(revenue * 100 AS BIGINT))
+SELECT cohort_week, week_offset,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       -- cents derive from the DECIMAL sum (exact), never from the
+       -- double: double*100 sits a ULP under the integer and Spark's
+       -- cast truncates where DuckDB's rounds
+       CAST(SUM(CAST(rev_dec * 100 AS BIGINT))
                 OVER (PARTITION BY cohort_week ORDER BY week_offset
                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100
            AS cumulative_ltv
@@ -8095,23 +8115,22 @@ def e25_cohort_ltv(spark, sf_dir):
             .cast("long")
             .alias("week_offset"),
         )
-        .agg(
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("_rev_dec"))
     )
     w = (
         Window.partitionBy("cohort_week")
         .orderBy("week_offset")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # cents derive from the DECIMAL sum (exact, engine-independent) —
+    # (double_revenue * 100).cast(long) truncated a ULP-under double
+    # where DuckDB's CAST rounds, flipping the last cent
     return rev.select(
         "cohort_week",
         "week_offset",
-        "revenue",
+        F.col("_rev_dec").cast("double").alias("revenue"),
         (
-            F.sum((F.col("revenue") * 100).cast("long")).over(w).cast("double")
+            F.sum((F.col("_rev_dec") * 100).cast("long")).over(w).cast("double")
             / 100
         ).alias("cumulative_ltv"),
     ).orderBy("cohort_week", "week_offset")
@@ -9165,8 +9184,11 @@ def a18_turnover_gini(spark, sf_dir):
 @query(
     "tx25_langid_confusion",
     rf"""WITH toks AS (
+  -- COALESCE: NULL text must score 0 on every language and classify
+  -- as 'unknown' (the Spark operator's behavior); raw NULL would
+  -- propagate through GREATEST to the ELSE branch and mislabel as 'zh'
   SELECT doc_id, lang,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(COALESCE(text, ''))), '\s+'),
                      x -> x <> '') AS t
   FROM documents
 ), scores AS (

@@ -491,6 +491,10 @@ def streaming_ewma(
     return (
         events.withWatermark(ts_col, watermark)
         .select(F.col(key_col), F.col(ts_col), F.col(value_col))
+        # NULL values are non-observations: dropped JVM-side BEFORE the
+        # stateful fold — pandas would coerce them to NaN and poison the
+        # (num, den) recurrence permanently (found by the r7 NULL sweep)
+        .filter(F.col(value_col).isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
@@ -568,6 +572,11 @@ def streaming_running_stats(
     return (
         events.withWatermark(ts_col, watermark)
         .select(F.col(key_col), F.col(ts_col), F.col(value_col))
+        # NULL values are non-observations: dropped JVM-side BEFORE the
+        # stateful fold — pandas coerces them to NaN and
+        # round(NaN*100).astype(int64) is garbage cents that corrupt the
+        # exact sums forever (found by the r7 NULL sweep)
+        .filter(F.col(value_col).isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             update,

@@ -200,3 +200,45 @@ def test_streaming_ingest_dedup_equals_batch(spark, sf_dir):
     )
     stream_ids = sorted(r["doc_id"] for r in out.collect())
     assert stream_ids == batch_ids and len(batch_ids) > 0
+
+
+def test_stateful_folds_skip_null_values(spark, tmp_path):
+    """r7 NULL sweep: a NULL value reaching the pandas state fold becomes
+    NaN — EWMA's (num, den) go NaN forever, and running-stats'
+    round(NaN*100).astype(int64) corrupts the exact cent sums. Both
+    operators must drop NULL values JVM-side and fold only observations."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), v)
+        for i, v in enumerate([10.0, None, 20.0, None, 40.0])
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    ewma_out = sj.run_stream_to_memory(
+        sj.streaming_ewma(stream, alpha=0.2), "t_null_ewma", output_mode="update"
+    ).orderBy(F.desc("n_events")).limit(1).collect()[0]
+    # closed form over [10, 20, 40] only, adjust=True, q=0.8
+    q = 0.8
+    num = 10.0 * q**2 + 20.0 * q + 40.0
+    den = q**2 + q + 1
+    assert ewma_out["n_events"] == 3
+    assert ewma_out["ewma"] == pytest.approx(round(num / den, 6))
+
+    stats_out = sj.run_stream_to_memory(
+        sj.streaming_running_stats(spark.readStream.schema(schema).parquet(src)),
+        "t_null_stats",
+        output_mode="update",
+    ).orderBy(F.desc("n_events")).limit(1).collect()[0]
+    mean = (10.0 + 20.0 + 40.0) / 3
+    var = ((10 - mean) ** 2 + (20 - mean) ** 2 + (40 - mean) ** 2) / 3
+    assert stats_out["n_events"] == 3
+    assert stats_out["mean_value"] == pytest.approx(mean)
+    assert stats_out["var_pop"] == pytest.approx(var)
