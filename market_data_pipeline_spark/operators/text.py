@@ -368,10 +368,14 @@ def repetition_stats(
     guarantees single evaluation — CollapseProject expands a
     deterministic struct UDF once per projected field.
 
-    Tokenization is ``re.split(r"\s+", ...)`` of the trimmed lowercased
-    text — identical to :func:`tokens` and the DuckDB oracle's
-    ``string_split_regex`` (including the [''] result on empty text), so
-    counts and integer-ratio fractions hash-match the oracle exactly.
+    Tokenization is ``re.split(r"\s+", ..., re.ASCII)`` of the trimmed
+    lowercased text — identical to :func:`tokens` and the DuckDB
+    oracle's ``string_split_regex`` (including the [''] result on empty
+    text), so counts and integer-ratio fractions hash-match the oracle
+    exactly. ``re.ASCII`` is load-bearing: Python ``\s`` is otherwise
+    UNICODE whitespace (NBSP, U+2028, U+3000 split here but nowhere
+    else), while JVM ``F.split`` and RE2 both treat ``\s`` as ASCII —
+    found by scripts/unicode_sweep.py.
     Returns (id, n_tokens, n_2grams, dup_2gram_frac, top_2gram_frac,
     top_token_frac) with NULL fractions for degenerate (<=1 token) docs.
     """
@@ -381,7 +385,7 @@ def repetition_stats(
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
-    ws = _re.compile(r"\s+")
+    ws = _re.compile(r"\s+", _re.ASCII)
 
     def stats(pdf_iter):
         for pdf in pdf_iter:
@@ -391,7 +395,9 @@ def repetition_stats(
                 "top_2gram_frac": [], "top_token_frac": [],
             }
             for t in pdf[text_col]:
-                toks = ws.split((t or "").strip().lower())
+                # strip(" "): F.trim and DuckDB trim remove ASCII spaces
+                # only; bare .strip() eats Unicode whitespace (NBSP) too
+                toks = ws.split((t or "").strip(" ").lower())
                 n = len(toks)
                 bgs = [toks[i] + " " + toks[i + 1] for i in range(n - 1)]
                 nb = len(bgs)

@@ -729,7 +729,7 @@ def dd1_exact_dedup(spark, sf_dir):
 @query(
     "dd2_ngram_jaccard",
     r"""WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -760,7 +760,7 @@ def dd2_ngram_jaccard(spark, sf_dir):
 @query(
     "dd9_ngram_jaccard_capped",
     r"""WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -808,7 +808,7 @@ _EN_STOPS = ",".join(f"'{w}'" for w in tx.STOPWORDS["en"])
 @query(
     "tx1_quality_stats",
     rf"""WITH t AS (
-  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+  SELECT doc_id, text, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks FROM documents
 )
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS char_count,
@@ -833,7 +833,7 @@ def tx1_quality_stats(spark, sf_dir):
 @query(
     "tx2_token_counts",
     rf"""SELECT doc_id,
-       CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS ws_tokens,
+       CAST(len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS INTEGER) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '{tx.TOKEN_PATTERN}')) AS INTEGER) AS bpe_ish_tokens
 FROM documents""",
 )
@@ -857,7 +857,7 @@ def _lang_score_sql(lang: str) -> str:
 @query(
     "tx3_detect_language",
     rf"""WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks FROM documents
 ), scored AS (
   SELECT doc_id,
          {", ".join(f"CAST({_lang_score_sql(lang)} AS INTEGER) AS {lang}_score" for lang in tx.STOPWORDS)}
@@ -1165,7 +1165,7 @@ def smp1_hash_sample(spark, sf_dir):
 @query(
     "tx5_vocabulary",
     r"""WITH toks AS (
-  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents
+  SELECT unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS token FROM documents
 )
 SELECT token, COUNT(*) AS freq
 FROM toks
@@ -1321,7 +1321,7 @@ def smp2_stratified(spark, sf_dir):
     "tx7_clean_corpus",
     rf"""WITH t AS (
   SELECT doc_id, lang, n_chars, text,
-         string_split_regex(lower(trim(text)), '\s+') AS toks
+         string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
   FROM documents
 ), feat AS (
   SELECT doc_id, lang, n_chars, text,
@@ -1588,8 +1588,8 @@ def dd4_simhash_pairs(spark, sf_dir):
 @query(
     "tx4_fingerprint",
     r"""SELECT doc_id,
-       md5(lower(trim(text))) AS fingerprint,
-       CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens
+       md5(lower(trim(text, ' '))) AS fingerprint,
+       CAST(len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS INT) AS n_tokens
 FROM documents""",
 )
 def tx4_fingerprint(spark, sf_dir):
@@ -2694,7 +2694,7 @@ def iv1_interval_join(spark, sf_dir):
 @query(
     "dd8_dedup_corpus",
     r"""WITH RECURSIVE toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -2752,7 +2752,7 @@ def dd8_dedup_corpus(spark, sf_dir):
 @query(
     "dd8_capped_dedup_corpus",
     r"""WITH RECURSIVE toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -2866,7 +2866,7 @@ def r6_rank_functions(spark, sf_dir):
 @query(
     "tx8_tfidf_terms",
     r"""WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
@@ -2912,7 +2912,7 @@ def tx9_redact_pii(spark, sf_dir):
 @query(
     "ck1_chunk_documents",
     r"""WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
 ), starts AS (
   SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 48)) AS start
   FROM toks
@@ -2938,7 +2938,7 @@ def ck1_chunk_documents(spark, sf_dir):
     r"""WITH d AS (
   SELECT doc_id,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+         CAST(len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS BIGINT)
              AS n_tokens
   FROM documents
 )
@@ -2983,7 +2983,7 @@ def smp3_group_split(spark, sf_dir):
 @query(
     "dc1_decontaminate",
     r"""WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -3083,7 +3083,7 @@ def sd1_semantic_dedup(spark, sf_dir):
   -- COALESCE: the Spark operator tokenizes NULL text as '' (the
   -- documented [''] convention shared with tokens()); raw NULL would
   -- instead propagate to NULL stats here and diverge
-  SELECT doc_id, string_split_regex(lower(trim(COALESCE(text, ''))), '\s+') AS toks
+  SELECT doc_id, string_split_regex(lower(trim(COALESCE(text, ''), ' ')), '\s+') AS toks
   FROM documents
 ), b AS (
   SELECT doc_id, toks,
@@ -3273,7 +3273,7 @@ def e6_retention_cohorts(spark, sf_dir):
     r"""WITH fp AS (
   SELECT doc_id, lang, source, n_chars,
          md5(array_to_string(
-             (string_split_regex(lower(trim(text)), '\s+'))[1:10], ' ')) AS fpr
+             (string_split_regex(lower(trim(text, ' ')), '\s+'))[1:10], ' ')) AS fpr
   FROM documents
 )
 SELECT n.doc_id, n.lang, n.source, n.n_chars
@@ -3423,7 +3423,7 @@ def iv2_concurrent_sessions(spark, sf_dir):
     r"""WITH fp AS (
   SELECT doc_id, lang, source, n_chars,
          md5(array_to_string(
-             (string_split_regex(lower(trim(text)), '\s+'))[1:10], ' ')) AS fpr
+             (string_split_regex(lower(trim(text, ' ')), '\s+'))[1:10], ' ')) AS fpr
   FROM documents
 )
 SELECT n.doc_id, n.lang, n.source, n.n_chars
@@ -3673,7 +3673,7 @@ def j9_salted_join(spark, sf_dir):
     "tx11_lm_quality",
     r"""WITH toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+         unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS term
   FROM documents
 ), t2 AS (
   SELECT doc_id, term FROM toks WHERE term <> ''
@@ -3823,7 +3823,7 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 @query(
     "tx12_bm25",
     rf"""WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                              x -> x <> '') AS t
   FROM documents
 ), stats AS (
@@ -3858,7 +3858,7 @@ def tx12_bm25(spark, sf_dir):
 @query(
     "dd12_crossdoc_ngram",
     r"""WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                              x -> x <> '') AS t
   FROM documents
 ), grams AS (
@@ -4240,7 +4240,7 @@ def apx3_sketch_rollup(spark, sf_dir):
 @query(
     "tx13_bigram_lm",
     r"""WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                              x -> x <> '') AS t
   FROM documents
 ), bg AS (
@@ -4545,7 +4545,7 @@ def dp2_quantity_drift(spark, sf_dir):
 @query(
     "dd13_span_dedup",
     r"""WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                              x -> x <> '') AS t
   FROM documents
 ), docs AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
@@ -5154,7 +5154,7 @@ def e12_burst_detection(spark, sf_dir):
     "tx14_sentence_stats",
     r"""WITH s AS (
   SELECT doc_id,
-         list_filter(list_transform(string_split_regex(trim(text), '[.!?]+'),
+         list_filter(list_transform(string_split_regex(trim(text, ' '), '[.!?]+'),
                                     x -> trim(x)), x -> x <> '') AS sents
   FROM documents
 )
@@ -5181,7 +5181,7 @@ def tx14_sentence_stats(spark, sf_dir):
 @query(
     "tx15_zipf_slope",
     r"""WITH toks AS (
-  SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+  SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                                   x -> x <> '')) AS t
   FROM documents
 ), freqs AS (
@@ -5219,7 +5219,7 @@ def tx15_zipf_slope(spark, sf_dir):
     "dd14_crossdoc_sentences",
     r"""WITH s AS (
   SELECT doc_id,
-         list_filter(list_transform(string_split_regex(lower(trim(text)), '[.!?]+'),
+         list_filter(list_transform(string_split_regex(lower(trim(text, ' ')), '[.!?]+'),
                                     x -> trim(x)), x -> x <> '') AS sents
   FROM documents
 ), ex AS (
@@ -5673,15 +5673,15 @@ def e14_sliding_active_users(spark, sf_dir):
     "pk2_bucketed_batches",
     r"""WITH staged AS (
   SELECT doc_id,
-         CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         CASE WHEN len(list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                                    x -> x <> '')) <= 32 THEN 32
-              WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              WHEN len(list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                                    x -> x <> '')) <= 64 THEN 64
-              WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              WHEN len(list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                                    x -> x <> '')) <= 128 THEN 128
               ELSE 1073741824 END AS length_bucket,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+         CAST(len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS BIGINT)
              AS n_tokens
   FROM documents
 )
@@ -5707,9 +5707,9 @@ def pk2_bucketed_batches(spark, sf_dir):
     r"""WITH staged AS (
   SELECT doc_id,
          length(text) AS chars,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                      x -> x <> '') AS toks0,
-         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         string_split_regex(lower(trim(text, ' ')), '\s+') AS toks,
          length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
   FROM documents
 ), feats AS (
@@ -5960,7 +5960,7 @@ def f10_time_features(spark, sf_dir):
 @query(
     "tx17_bpe_pairs",
     r"""WITH toks AS (
-  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+  SELECT list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                      x -> x <> '') AS t
   FROM documents
 ), idx AS (
@@ -6895,7 +6895,7 @@ def fx3_lagged_features(spark, sf_dir):
     "tx19_dup_sentences",
     """WITH s AS (
   SELECT doc_id,
-         list_filter(list_transform(string_split_regex(trim(text), '[.!?]+'),
+         list_filter(list_transform(string_split_regex(trim(text, ' '), '[.!?]+'),
                                     s -> trim(s)),
                      s -> s <> '') AS sents
   FROM documents
@@ -7321,7 +7321,7 @@ def mm7_scene_changes(spark, sf_dir):
     "tx20_lexical_diversity",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                      x -> x <> '') AS t
   FROM documents
 )
@@ -7955,7 +7955,7 @@ def ts36_inverse_vol_weights(spark, sf_dir):
     "dd16_source_jaccard",
     r"""WITH toks AS (
   SELECT source,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                      x -> x <> '') AS t
   FROM documents
 ), idx AS (
@@ -8177,7 +8177,7 @@ def iv7_gap_histogram(spark, sf_dir):
     "tx21_bigram_entropy",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                      x -> x <> '') AS t
   FROM documents
 ), idx AS (
@@ -8400,7 +8400,7 @@ def dp4_price_histogram(spark, sf_dir):
     "tx22_keyword_in_context",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                      x -> x <> '') AS t
   FROM documents
 ), hit AS (
@@ -8705,7 +8705,7 @@ def smp11_balanced_downsample(spark, sf_dir):
     "tx23_vocab_coverage",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                      x -> x <> '') AS t
   FROM documents
 ), ex AS (
@@ -9188,7 +9188,7 @@ def a18_turnover_gini(spark, sf_dir):
   -- as 'unknown' (the Spark operator's behavior); raw NULL would
   -- propagate through GREATEST to the ELSE branch and mislabel as 'zh'
   SELECT doc_id, lang,
-         list_filter(string_split_regex(lower(trim(COALESCE(text, ''))), '\s+'),
+         list_filter(string_split_regex(lower(trim(COALESCE(text, ''), ' ')), '\s+'),
                      x -> x <> '') AS t
   FROM documents
 ), scores AS (
@@ -9312,7 +9312,7 @@ def e30_hourly_conversion(spark, sf_dir):
     "dd18_shingle_df_profile",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                      x -> x <> '') AS t
   FROM documents
 ), idx AS (
@@ -9646,7 +9646,7 @@ def k18_text_ann_end_to_end(spark, sf_dir):
 @query(
     "dd20_containment_pairs",
     r"""WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -9688,7 +9688,7 @@ def dd20_containment_pairs(spark, sf_dir):
 @query(
     "tx26_word_length_profile",
     r"""WITH w AS (
-  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  SELECT source, unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS word
   FROM documents
 ), nz AS (SELECT source, length(word) AS wl FROM w WHERE word <> '')
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -10293,7 +10293,7 @@ def smp13_kfold_assign(spark, sf_dir):
     "tx27_stopword_profile",
     r"""WITH w AS (
   SELECT lang, doc_id,
-         unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+         unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS word
   FROM documents
 ), nz AS (
   SELECT lang, doc_id,
@@ -10542,7 +10542,7 @@ def a22_turn_of_month(spark, sf_dir):
     """WITH s AS (
   SELECT DISTINCT doc_id, source,
          md5(unnest(list_filter(list_transform(
-             string_split_regex(trim(text), '[.!?]+'), x -> trim(x)),
+             string_split_regex(trim(text, ' '), '[.!?]+'), x -> trim(x)),
              x -> x <> ''))) AS sh
   FROM documents
 ), g AS (
@@ -10707,7 +10707,7 @@ def k20_label_knn_purity(spark, sf_dir):
     "dq9_source_completeness",
     """SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN text IS NULL OR trim(text, ' ') = '' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_empty_text,
        CAST(SUM(CASE WHEN length(text) < 20 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_short_text,
@@ -10875,7 +10875,7 @@ def e36_second_order_markov(spark, sf_dir):
 @query(
     "tx28_ngram_novelty",
     r"""WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -11022,7 +11022,7 @@ def tx29_bpe_merges(spark, sf_dir):
     "f15_doc_feature_matrix",
     r"""WITH base AS (
   SELECT doc_id, lang, source, n_chars,
-         string_split_regex(lower(trim(text)), '\s+') AS t
+         string_split_regex(lower(trim(text, ' ')), '\s+') AS t
   FROM documents
 ), w AS (
   SELECT b.doc_id, b.lang, unnest(b.t) AS word FROM base b
@@ -11521,7 +11521,7 @@ def a23_high_proximity(spark, sf_dir):
 @query(
     "tx30_doc_entropy",
     r"""WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS w
   FROM documents
 ), wc AS (
   SELECT doc_id, w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY 1, 2
@@ -11750,7 +11750,7 @@ def ts48_kaufman_er(spark, sf_dir):
 @query(
     "dd22_jaccard_histogram",
     r"""WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t
   FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
@@ -11946,7 +11946,7 @@ def ts49_variance_ratio(spark, sf_dir):
 @query(
     "tx31_word_burstiness",
     r"""WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS w
   FROM documents
 ), wc AS (
   SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
@@ -12246,7 +12246,7 @@ def a25_volume_volatility_corr(spark, sf_dir):
 @query(
     "tx32_vocab_coverage_curve",
     r"""WITH toks AS (
-  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  SELECT unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS w
   FROM documents
 ), wc AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks WHERE w <> '' GROUP BY 1
@@ -12518,7 +12518,7 @@ def a26_new_highs_lows(spark, sf_dir):
     "tx33_hapax_by_source",
     r"""WITH toks AS (
   SELECT source,
-         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+         unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS w
   FROM documents
 ), wc AS (
   SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
@@ -12681,7 +12681,7 @@ def a27_monthly_hhi(spark, sf_dir):
     "tx36_readability",
     r"""WITH m AS (
   SELECT source,
-         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         len(list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
                          x -> x <> '')) AS words,
          GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
          len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
