@@ -4717,7 +4717,13 @@ def smp5_negative_sampling(spark, sf_dir):
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        (SUM(cents) / 100.0) / COUNT(*) AS mean_value,
-       (SUM(cents * cents) / 10000.0
+       -- HUGEINT squares: cents*cents overflows INT64 at |value|~9.6e8
+       -- (the operator's state carries the same sum exactly in decimal).
+       -- VARCHAR hop before the double: DuckDB's direct HUGEINT->DOUBLE
+       -- cast is not correctly rounded past 2^53, strtod is — matching
+       -- Python's float(int) in the operator (r7 extremes sweep)
+       (CAST(CAST(SUM(CAST(cents AS HUGEINT) * cents) AS VARCHAR) AS DOUBLE)
+          / 10000.0
         - (SUM(cents) / 100.0) * (SUM(cents) / 100.0) / COUNT(*))
          / COUNT(*) AS var_pop
 FROM c GROUP BY user_id ORDER BY user_id""",
@@ -8359,8 +8365,12 @@ def e26_session_percentiles(spark, sf_dir):
   FROM orders, stats s
 )
 SELECT bin,
-       ROUND(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
-       ROUND(lo + (bin + 1) * ((hi - lo) / 20), 6) AS bin_hi,
+       -- raw doubles, NO ROUND(x, 6): the identical expression tree
+       -- yields bit-identical edges on both engines, while double
+       -- ROUND itself diverges between engines once x*1e6 > 2^53
+       -- (r7 extremes sweep)
+       lo + bin * ((hi - lo) / 20) AS bin_lo,
+       lo + (bin + 1) * ((hi - lo) / 20) AS bin_hi,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM b GROUP BY 1, 2, 3 ORDER BY bin""",
 )
@@ -8388,8 +8398,13 @@ def dp4_price_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select(
             "bin",
-            F.round(F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo")) / 20, 6).alias("bin_lo"),
-            F.round(F.col("_lo") + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / 20, 6).alias("bin_hi"),
+            # bin * ((hi-lo)/20), NOT (bin*(hi-lo))/20: parenthesization
+            # must match the oracle exactly — at 1e11 magnitudes the two
+            # double evaluation orders differ visibly. Raw doubles, no
+            # ROUND: double ROUND(x, 6) is itself engine-divergent once
+            # x*1e6 > 2^53 (r7 extremes sweep)
+            (F.col("_lo") + F.col("bin") * ((F.col("_hi") - F.col("_lo")) / 20)).alias("bin_lo"),
+            (F.col("_lo") + (F.col("bin") + 1) * ((F.col("_hi") - F.col("_lo")) / 20)).alias("bin_hi"),
             "n",
         )
         .orderBy("bin")
@@ -11827,10 +11842,16 @@ def dd22_jaccard_histogram(spark, sf_dir):
   FROM t GROUP BY 1, 2
 )
 SELECT o_orderpriority AS category, fold, fn AS n_in_fold,
-       ROUND((SUM(fc) OVER (PARTITION BY o_orderpriority) - fc) * 1.0
-             / (SUM(fn) OVER (PARTITION BY o_orderpriority) - fn) / 100, 6)
-           AS oof_target_mean
-FROM f ORDER BY category, fold""",
+       -- exact half-up rounding to micro-dollars in INTEGER space:
+       -- round(a/b/100, 6) = ((a*20000 + b) // (2*b)) / 1e6. A double
+       -- ROUND(x, 6) at 1e10 magnitudes is engine-divergent (x*1e6
+       -- exceeds 2^53; DuckDB's multiply-based round drifts a ULP off
+       -- Spark/Python's decimal-correct round — r7 extremes sweep)
+       CASE WHEN (SUM(fn) OVER w - fn) <> 0 THEN
+         CAST(((SUM(fc) OVER w - fc) * 20000 + (SUM(fn) OVER w - fn))
+              // (2 * (SUM(fn) OVER w - fn)) AS DOUBLE) / 1000000.0
+       END AS oof_target_mean
+FROM f WINDOW w AS (PARTITION BY o_orderpriority) ORDER BY category, fold""",
 )
 def f16_oof_target_encoding(spark, sf_dir):
     """K-fold out-of-fold target encoding table: for each (category,
@@ -11842,9 +11863,12 @@ def f16_oof_target_encoding(spark, sf_dir):
     out-of-fold subtraction runs on the 25-row (category, fold) frame,
     so the only data-scale pass is one map-side-combined aggregate.
     A category whose rows ALL land in one fold has no out-of-fold data:
-    try_divide yields NULL there, matching DuckDB's x/0 (ANSI Spark
+    the CASE guard yields NULL there, matching DuckDB (ANSI Spark
     raised DIVIDE_BY_ZERO — found by the round-7 hypothesis property,
-    the same class of bug the k23 property caught in round 6)."""
+    the same class of bug the k23 property caught in round 6). The
+    6-decimal rounding runs in exact INTEGER micro-dollars on both
+    engines — double ROUND(x, 6) above ~1e10 is engine-divergent
+    (found by the r7 extremes sweep)."""
     o = load_table(spark, sf_dir, "orders")
     t = tx.kfold_assign(o, key_col="o_orderkey", k=5).select(
         "o_orderpriority",
@@ -11856,18 +11880,29 @@ def f16_oof_target_encoding(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("fn"),
     )
     wcat = Window.partitionBy("o_orderpriority")
+    # Exact half-up micro-dollar rounding in integer space (see the
+    # oracle comment): round(a/b/100, 6) = ((a*20000 + b) DIV (2*b))/1e6
+    # with a = out-of-fold cents (>= 0 here: prices are positive) and
+    # b = out-of-fold rows. The CASE guard keeps ANSI Spark from raising
+    # DIVIDE_BY_ZERO on a category whose rows all land in one fold
+    # (NULL there, matching DuckDB). Precondition: total corpus cents
+    # * 2e4 fits BIGINT, i.e. < ~4.6e14 dollars of turnover.
     return (
         f.select(
             F.col("o_orderpriority").alias("category"),
             "fold",
             F.col("fn").alias("n_in_fold"),
-            F.round(
-                F.try_divide(
-                    (F.sum("fc").over(wcat) - F.col("fc")) * 1.0,
-                    F.sum("fn").over(wcat) - F.col("fn"),
-                )
-                / 100,
-                6,
+            (F.sum("fc").over(wcat) - F.col("fc")).alias("_a"),
+            (F.sum("fn").over(wcat) - F.col("fn")).alias("_d"),
+        )
+        .select(
+            "category",
+            "fold",
+            "n_in_fold",
+            F.expr(
+                "CASE WHEN _d <> 0 THEN"
+                " CAST((_a * 20000 + _d) DIV (2 * _d) AS DOUBLE) / 1000000.0"
+                " END"
             ).alias("oof_target_mean"),
         )
         .orderBy("category", "fold")

@@ -510,7 +510,11 @@ STATS_STATE = T.StructType(
     [
         T.StructField("n", T.LongType()),
         T.StructField("s_cents", T.LongType()),
-        T.StructField("ssq", T.LongType()),
+        # DECIMAL(38,0), not LONG: the squared-cents sum crosses 2^63 at
+        # |value| ~ 9.6e8 over a single row (cents^2), and an int64
+        # state wraps silently (r7 extremes sweep). 38 digits hold
+        # cents^2 sums for any ledger whose LINEAR sum fits s_cents.
+        T.StructField("ssq", T.DecimalType(38, 0)),
     ]
 )
 
@@ -549,17 +553,26 @@ def streaming_running_stats(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, s_cents, ssq = state.get if state.exists else (0, 0, 0)
+        from decimal import Decimal
+
+        n, s_cents, ssq = state.get if state.exists else (0, 0, Decimal(0))
+        ssq = int(ssq)
         batch = pd.concat(list(pdfs), ignore_index=True)
         x = batch[value_col].to_numpy(dtype=np.float64)
         if len(x):
             cents = np.round(x * 100).astype(np.int64)
             n += len(cents)
             s_cents += int(cents.sum())
-            ssq += int((cents * cents).sum())
-        state.update((n, s_cents, ssq))
+            # squares in PYTHON ints: np.int64 * np.int64 wraps silently
+            # past 2^63 (|value| ~ 9.6e8 suffices) — r7 extremes sweep
+            ssq += sum(int(c) * int(c) for c in cents.tolist())
+        state.update((n, s_cents, Decimal(ssq)))
         s = s_cents / 100.0
-        var = (ssq / 10000.0 - s * s / n) / n if n else None
+        # float(ssq) FIRST, then divide: SQL engines cast the exact
+        # integer to double and divide in two rounding steps; Python's
+        # int/float division is correctly rounded in ONE step and sits
+        # a ULP off once ssq > 2^53 (r7 extremes sweep)
+        var = (float(ssq) / 10000.0 - s * s / n) / n if n else None
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],

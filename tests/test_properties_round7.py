@@ -267,8 +267,15 @@ def test_oof_target_encoding_matches_python(spark, tmp_path, rows):
         tot_c = sum(c for (p, _), (c, _) in per.items() if p == prio)
         tot_n = sum(n for (p, _), (_, n) in per.items() if p == prio)
         oof_c, oof_n = tot_c - fc, tot_n - fn
-        # all of a category in one fold -> 0/0 -> NULL in non-ANSI Spark
-        mean = None if oof_n == 0 else _rhu((oof_c * 1.0 / oof_n) / 100, 6)
+        # all of a category in one fold -> no out-of-fold data -> NULL;
+        # otherwise exact half-up micro-dollar rounding in integer
+        # space, the query's documented semantics (r7 extremes sweep:
+        # double ROUND(x, 6) above ~1e10 is engine-divergent)
+        mean = (
+            None
+            if oof_n == 0
+            else ((oof_c * 20000 + oof_n) // (2 * oof_n)) / 1e6
+        )
         want[(prio, fold)] = (fn, mean)
 
     assert got == want
