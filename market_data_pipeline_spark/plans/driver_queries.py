@@ -9089,12 +9089,16 @@ r AS (
              OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS ret
   FROM price WHERE symbol IN ({_RET_IN})
 ), s AS (
+  -- abs(ret) <= 100 sanity domain: a >10,000% daily move is corrupt
+  -- data, and it keeps ret^4 * 1e15 provably inside DECIMAL(38,0)
+  -- (ANSI Spark otherwise CRASHES the whole query on one glitch row —
+  -- r7 extremes sweep)
   SELECT symbol, COUNT(*) AS n,
          SUM(CAST(ROUND(ret * 1e9) AS DECIMAL(38,0))) / 1e9 AS s1,
          SUM(CAST(ROUND(ret * ret * 1e12) AS DECIMAL(38,0))) / 1e12 AS s2,
          SUM(CAST(ROUND(ret * ret * ret * 1e15) AS DECIMAL(38,0))) / 1e15 AS s3,
          SUM(CAST(ROUND(ret * ret * ret * ret * 1e15) AS DECIMAL(38,0))) / 1e15 AS s4
-  FROM r WHERE ret IS NOT NULL GROUP BY 1
+  FROM r WHERE ret IS NOT NULL AND abs(ret) <= 100 GROUP BY 1
 )
 SELECT symbol, CAST(n AS BIGINT) AS n_returns,
        ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POW(s1 / n, 3))
@@ -9117,7 +9121,10 @@ def ts40_return_moments(spark, sf_dir):
     r = p.select(
         "symbol",
         (F.col("close_price") / F.lag("close_price").over(w) - 1).alias("ret"),
-    ).filter(F.col("ret").isNotNull())
+    ).filter(F.col("ret").isNotNull() & (F.abs(F.col("ret")) <= 100))
+    # abs(ret) <= 100 sanity domain (see oracle comment): keeps the
+    # ret^4 femto-unit fixed point provably inside DECIMAL(38,0) —
+    # ANSI Spark crashed on a single corrupt-price row otherwise
     ret = F.col("ret")
     s = r.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n"),
@@ -11268,8 +11275,12 @@ def pipeline1_daily_update(spark, sf_dir):
 @query(
     "dq10_order_price_reconciliation",
     """WITH li AS (
+  -- DECIMAL(28,2), not (18,2): DuckDB multiplies narrow decimals in
+  -- their native int width and overflows INT64 once extendedprice
+  -- crosses ~9e7 (r7 extremes sweep); 28 digits force the int128 path.
+  -- Spark's decimal multiply auto-widens, so only the oracle needed it.
   SELECT l_orderkey,
-         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,2))
                         * CAST(1 - l_discount AS DECIMAL(8,4))
                         * CAST(1 + l_tax AS DECIMAL(8,4))), 2)
               AS DECIMAL(18,2)) AS computed
