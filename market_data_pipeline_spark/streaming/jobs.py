@@ -563,9 +563,15 @@ def streaming_running_stats(
             cents = np.round(x * 100).astype(np.int64)
             n += len(cents)
             s_cents += int(cents.sum())
-            # squares in PYTHON ints: np.int64 * np.int64 wraps silently
-            # past 2^63 (|value| ~ 9.6e8 suffices) — r7 extremes sweep
-            ssq += sum(int(c) * int(c) for c in cents.tolist())
+            # np.int64 * np.int64 wraps silently past 2^63 (|value|
+            # ~9.6e8 suffices — r7 extremes sweep). Fast path: when the
+            # provable bound len * max^2 fits int64, the vectorized
+            # square-sum is exact; else exact Python-int squares.
+            m = int(np.abs(cents).max()) if len(cents) else 0
+            if m == 0 or len(cents) * m * m < 2**63:
+                ssq += int(np.dot(cents, cents))
+            else:
+                ssq += sum(int(c) * int(c) for c in cents.tolist())
         state.update((n, s_cents, Decimal(ssq)))
         s = s_cents / 100.0
         # float(ssq) FIRST, then divide: SQL engines cast the exact
