@@ -15,6 +15,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 SET = settings(
     max_examples=10,
@@ -349,3 +350,68 @@ def test_quantization_error_matches_python(spark, groups):
         assert gn == n
         assert math.isclose(gl2, l2, rel_tol=0, abs_tol=1e-9)
         assert math.isclose(grel, rel, rel_tol=0, abs_tol=1e-9)
+
+
+# --- streaming_running_stats: exact state across paths and batches -----------
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-2e9, max_value=2e9, allow_nan=False, width=64),
+            # around the int64 square boundary (|cents| ~ 3e9 squares to
+            # ~9.2e18): forces the exact Python-int fallback path
+            st.floats(min_value=1e8, max_value=5e9, allow_nan=False, width=64),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_streaming_running_stats_state_exact(spark, tmp_path_factory, values, files):
+    """The (n, s_cents, ssq) state must equal exact Python-int sums over
+    the non-null values REGARDLESS of which accumulation path ran
+    (vectorized int64 fast path vs Python-int fallback — r7 extremes
+    sweep found the int64 wrap) and of how the backfill splits into
+    micro-batches (maxFilesPerTrigger)."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    src = str(tmp_path_factory.mktemp("rs"))
+    rows = [
+        (1, _dt.datetime(2024, 1, 1, 0, 0, 0) + _dt.timedelta(seconds=i), v)
+        for i, v in enumerate(values)
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).repartition(files).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = (
+        sj.run_stream_to_memory(
+            sj.streaming_running_stats(stream),
+            "t_rs_prop",
+            output_mode="update",
+        )
+        .orderBy(F.desc("n_events"))
+        .limit(1)
+        .collect()
+    )
+
+    cents = [int(np.round(np.float64(v) * 100)) for v in values if v is not None]
+    if not cents:
+        assert out == [] or out[0]["n_events"] == 0
+        return
+    n = len(cents)
+    s = sum(cents)
+    q = sum(c * c for c in cents)  # exact Python ints — the reference
+    r = out[0]
+    assert r["n_events"] == n
+    sm = s / 100.0
+    assert r["mean_value"] == sm / n
+    assert r["var_pop"] == (float(q) / 10000.0 - sm * sm / n) / n
