@@ -46,7 +46,14 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (the
+    angle is undefined). try_divide, not /: ANSI Spark otherwise raises
+    DIVIDE_BY_ZERO and one all-zero corrupt vector crashes the whole
+    corpus query — the r7 zero-vector sweep found TEN queries crashing
+    through this one helper (the round-6 k23 property had caught only
+    its own call site). DuckDB's x/0 is already NULL, so the oracles
+    agree without changes."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 # ivf_assign inlines the centroid pool as a plan literal up to this many
@@ -141,7 +148,10 @@ def normalized(
     return staged.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.transform(F.col("_dvec"), lambda x: x / n).alias("_nvec"),
+        # try_divide: a zero-norm vector has no direction — NULL
+        # components propagate to NULL similarities (filtered by any
+        # threshold) instead of an ANSI DIVIDE_BY_ZERO crash
+        F.transform(F.col("_dvec"), lambda x: F.try_divide(x, n)).alias("_nvec"),
     )
 
 
@@ -412,11 +422,17 @@ def ivf_assign(
             s = cosine(F.col(vec_col), cvec)
             return F.round(s, round_digits) if round_digits is not None else s
 
+        # NULL cosine (zero-norm centroid or query) must LOSE the argmax:
+        # struct comparison sorts NULL greatest, so one all-zero centroid
+        # otherwise swallows the entire corpus assignment (r7 zero-vector
+        # sweep). -inf in the ordering key, NULL restored on output —
+        # matching the oracle's ORDER BY cosine DESC (NULLS LAST).
+        neg_inf = F.lit(float("-inf"))
         best = F.array_max(
             F.transform(
                 cent_arr,
                 lambda c: F.struct(
-                    _sim(c["cvec"]).alias("cosine"),
+                    F.coalesce(_sim(c["cvec"]), neg_inf).alias("cosine"),
                     (-c["cid"]).alias("_negc"),
                     c["cid"].alias("cid"),
                 ),
@@ -425,7 +441,7 @@ def ivf_assign(
         return embeddings.select(
             F.col(id_col),
             best["cid"].alias(centroid_id_col),
-            best["cosine"].alias("cosine"),
+            F.when(best["cosine"] != neg_inf, best["cosine"]).alias("cosine"),
             *carry,
         )
 
@@ -438,7 +454,12 @@ def ivf_assign(
     scored = embeddings.crossJoin(F.broadcast(c)).select(
         F.col(id_col), F.col(vec_col), F.col(centroid_id_col), sim.alias("cosine")
     )
-    ord_key = F.struct(F.col("cosine"), (-F.col(centroid_id_col)).alias("_negc"))
+    # coalesce to -inf in the ORDERING key only (see the literal path):
+    # a NULL cosine would otherwise win max_by's struct comparison
+    ord_key = F.struct(
+        F.coalesce(F.col("cosine"), F.lit(float("-inf"))).alias("_c"),
+        (-F.col(centroid_id_col)).alias("_negc"),
+    )
     grouped = scored.groupBy(id_col, vec_col).agg(
         F.max_by(centroid_id_col, ord_key).alias(centroid_id_col),
         F.max("cosine").alias("cosine"),
@@ -700,7 +721,14 @@ def semantic_dedup(
     # min_by over (-sim, centroid_id) = highest sim, lowest-id tiebreak —
     # and unlike negating the id it works for STRING centroid ids too
     # (struct comparison is lexicographic per field)
-    ord_key = F.struct((-F.col("_sim")).alias("_negs"), F.col("centroid_id"))
+    # coalesce to +inf: a NULL cosine (zero-norm centroid or vector)
+    # otherwise WINS min_by's struct ordering (NULLs sort first) and one
+    # all-zero centroid swallows the corpus — r7 zero-vector sweep, the
+    # same hazard fixed in ivf_assign's two argmax paths
+    ord_key = F.struct(
+        F.coalesce(-F.col("_sim"), F.lit(float("inf"))).alias("_negs"),
+        F.col("centroid_id"),
+    )
     vecs = (
         embeddings.select(F.col(id_col), dd.alias("_dvec"))
         .crossJoin(F.broadcast(c))
@@ -788,7 +816,21 @@ def knn_graph(
 
     spark = embeddings.sparkSession
     dd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    staged = embeddings.select(F.col(id_col).alias("_id"), dd.alias("_dvec")).withColumn(
+    # The graph is DEFINED over nonzero-norm vectors: a zero vector has
+    # no direction, and its NaN cosines otherwise scramble the numpy
+    # top-k while the SQL oracle emits NULL-cosine rows — neither is a
+    # neighbor list (r7 zero-vector sweep). Oracles filter identically.
+    nonzero = (
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        > 0
+    )
+    staged = embeddings.filter(nonzero).select(
+        F.col(id_col).alias("_id"), dd.alias("_dvec")
+    ).withColumn(
         "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
     )
     block_pairs = spark.createDataFrame(
@@ -1178,14 +1220,17 @@ def norm_stats(
     Map-only until one bounded groupBy on the label.
     Returns (group_col, n_vectors, avg_norm, n_unit).
     """
+    # DECIMAL(38,0), not LONG: x^2*1e9 wraps int64 at |x| ~ 3e3 per
+    # element and ANSI Spark turns the wrap into a query-killing error
+    # (r7 zero-vector sweep; same class as the k22 advisor finding)
     sq_sum = F.aggregate(
         F.transform(
             F.col(vec_col),
             lambda x: F.round(x.cast("double") * x.cast("double") * 1e9).cast(
-                "long"
+                "decimal(38,0)"
             ),
         ),
-        F.lit(0).cast("long"),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, v: acc + v,
     )
     staged = embeddings.select(

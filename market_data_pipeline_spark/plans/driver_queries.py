@@ -3892,6 +3892,10 @@ FROM (
   SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
          {_cos_sql('a.embedding', 'b.embedding')} AS cosine
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  -- graph over nonzero-norm vectors only (zero vectors have no
+  -- direction; the operator filters them identically)
+  WHERE list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)) > 0
+    AND list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)) > 0
 )
 QUALIFY rank <= 5
 ORDER BY src_id, rank""",
@@ -6846,7 +6850,7 @@ def cdc3_point_in_time_status(spark, sf_dir):
   SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
 ), n AS (
   SELECT label, vec_id,
-         SQRT(SUM(CAST(ROUND(v * v * 1e9) AS BIGINT)) / 1e9) AS nrm
+         SQRT(SUM(CAST(ROUND(v * v * 1e9) AS HUGEINT)) / 1e9) AS nrm
   FROM ex GROUP BY 1, 2
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -8524,7 +8528,7 @@ def ts38_rank_churn(spark, sf_dir):
   FROM ex GROUP BY 1, 2
 ), d AS (
   SELECT e.vec_id, e.label AS true_label, c.label AS cand,
-         SUM(CAST(ROUND((e.v - c.mv) * (e.v - c.mv) * 1e9) AS BIGINT)) / 1e9
+         SUM(CAST(ROUND((e.v - c.mv) * (e.v - c.mv) * 1e9) AS HUGEINT)) / 1e9
              AS sq
   FROM ex e JOIN cm c ON e.dim0 = c.dim0
   GROUP BY 1, 2, 3
@@ -8549,13 +8553,15 @@ def k15_label_confusion(spark, sf_dir):
     cents = similarity.group_centroids(emb, "label").select(
         F.col("label").alias("cand"), "centroid"
     )
+    # DECIMAL(38,0), not LONG: (x-y)^2*1e9 wraps int64 at |x| ~ 3e3
+    # (r7 zero-vector sweep) — ANSI Spark errors instead of wrapping
     sq = F.aggregate(
         F.zip_with(
             F.col("embedding").cast("array<double>"),
             F.col("centroid"),
-            lambda x, y: F.round((x - y) * (x - y) * 1e9).cast("long"),
+            lambda x, y: F.round((x - y) * (x - y) * 1e9).cast("decimal(38,0)"),
         ),
-        F.lit(0).cast("long"),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, v: acc + v,
     ) / 1e9
     scored = (
@@ -8793,7 +8799,7 @@ def tx23_vocab_coverage(spark, sf_dir):
   FROM ex GROUP BY 1, 2
 ), d AS (
   SELECT e.vec_id, e.label AS true_label, c.label AS cand,
-         SQRT(SUM(CAST(ROUND((e.v - c.mv) * (e.v - c.mv) * 1e9) AS BIGINT)) / 1e9)
+         SQRT(SUM(CAST(ROUND((e.v - c.mv) * (e.v - c.mv) * 1e9) AS HUGEINT)) / 1e9)
              AS dist
   FROM ex e JOIN cm c ON e.dim0 = c.dim0
   GROUP BY 1, 2, 3
@@ -8825,9 +8831,10 @@ def k16_simplified_silhouette(spark, sf_dir):
             F.zip_with(
                 F.col("embedding").cast("array<double>"),
                 F.col("centroid"),
-                lambda x, y: F.round((x - y) * (x - y) * 1e9).cast("long"),
+                # DECIMAL(38,0): see k15 — int64 wraps at |x| ~ 3e3
+                lambda x, y: F.round((x - y) * (x - y) * 1e9).cast("decimal(38,0)"),
             ),
-            F.lit(0).cast("long"),
+            F.lit(0).cast("decimal(38,0)"),
             lambda acc, v: acc + v,
         )
         / 1e9
@@ -9992,9 +9999,11 @@ def dq8_natural_key_collisions(spark, sf_dir):
     """WITH idx AS (
   SELECT embedding, unnest(range(len(embedding))) AS x FROM embeddings
 ), ex AS (
+  -- HUGEINT, not BIGINT: q*q below needs int128 once |component|
+  -- exceeds ~3e3 (q ~ 3e9 squares past 2^63 — r7 zero-vector sweep)
   SELECT CAST(x AS BIGINT) AS dim,
          CAST(ROUND(CAST(embedding[CAST(x AS INTEGER) + 1] AS DOUBLE) * 1e6)
-              AS BIGINT) AS q
+              AS HUGEINT) AS q
   FROM idx
 )
 SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
@@ -10017,7 +10026,9 @@ def k19_dim_variance(spark, sf_dir):
         ).alias("dim", "v")
     ).select(
         F.col("dim").cast("long").alias("dim"),
-        F.round(F.col("v") * 1e6).cast("long").alias("q"),
+        # DECIMAL(38,0): q*q below wraps int64 once |component| > ~3e3
+        # (r7 zero-vector sweep) — ANSI Spark errors instead of wrapping
+        F.round(F.col("v") * 1e6).cast("decimal(38,0)").alias("q"),
     )
     n = F.count(F.lit(1))
     s1 = F.sum("q")
@@ -10674,6 +10685,8 @@ def e35_repeat_latency(spark, sf_dir):
     SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
            {{cos}} AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)) > 0
+      AND list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)) > 0
   )
   QUALIFY rank <= 5
 ), lbl AS (SELECT vec_id, label FROM embeddings),
@@ -11647,11 +11660,13 @@ def smp14_anchor_positive_pairs(spark, sf_dir):
   SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM ex
 ), e AS (
   SELECT label,
+         -- HUGEINT: the Spark operator already folds in DECIMAL(38,0)
+         -- (r6 advisor); BIGINT here wraps once |component| > ~3e3
          SQRT(list_sum(list_transform(
              list_transform(v, x -> x - ROUND(x / mx * 127) * mx / 127),
-             d -> CAST(ROUND(d * d * 1e12) AS BIGINT))) / 1e12) AS l2,
+             d -> CAST(ROUND(d * d * 1e12) AS HUGEINT))) / 1e12) AS l2,
          SQRT(list_sum(list_transform(
-             v, x -> CAST(ROUND(x * x * 1e9) AS BIGINT))) / 1e9) AS nrm
+             v, x -> CAST(ROUND(x * x * 1e9) AS HUGEINT))) / 1e9) AS nrm
   FROM s WHERE mx > 0
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,

@@ -25,6 +25,7 @@ CASES = [
     ("unicode_sweep", ["tx5_vocabulary", "tx10_repetition_stats", "tx4_fingerprint"]),
     ("ties_sweep", ["iv7_gap_histogram", "e30_hourly_conversion"]),
     ("extremes_sweep", ["dp4_price_histogram", "f16_oof_target_encoding"]),
+    ("zerovec_sweep", ["k1_knn_topk", "sd1_semantic_dedup", "k11_norm_stats"]),
 ]
 
 
