@@ -224,3 +224,44 @@ def test_round7_query_level_empty(spark, empty):
     assert np.all(books[0] == 0.0)
     # and the books stay usable: encoding an empty corpus is empty
     assert SIM.pq_encode(vecs, books).count() == 0
+
+
+def test_zero_norm_centroid_loses_argmax(spark, monkeypatch):
+    """r7 zero-vector sweep: NULL sorts GREATEST in struct-comparison
+    argmax, so an all-zero centroid (NULL cosine) silently won every
+    assignment in ivf_assign (both paths) and semantic_dedup — the
+    whole corpus moved to one centroid with no error. Pin the fix:
+    the zero centroid must lose to any real similarity on all three
+    paths, and its NULL cosine must surface as NULL."""
+    from market_data_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1]), (12, [0.0, 1.0])], EMB
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])], EMB
+    )
+
+    def check(df):
+        got = {r["vec_id"]: (r["centroid_id"], r["cosine"]) for r in df.collect()}
+        assert got[10][0] == 1 and got[11][0] == 1 and got[12][0] == 2
+        assert all(c is not None for _, c in got.values())
+
+    check(SIM.ivf_assign(emb, cents))  # literal-argmax path
+    monkeypatch.setattr(SIM, "_LITERAL_ARGMAX_TERMS", 0)
+    check(SIM.ivf_assign(emb, cents))  # broadcast-join max_by path
+    # semantic_dedup's inlined min_by assignment (zero centroid id 0)
+    sd = {
+        r["vec_id"]: r["centroid_id"]
+        for r in SIM.semantic_dedup(
+            spark.createDataFrame(
+                [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (10, [1.0, 0.0]), (11, [0.9, 0.1])],
+                EMB,
+            ),
+            n_clusters=2,  # centroids = vec_id < 2 -> zero vec + a real one
+            threshold=0.99,
+        ).collect()
+    }
+    assert sd[10] == 1 and sd[11] == 1
+    # the zero vector itself has NULL cosine everywhere -> lowest cid wins
+    assert sd[0] == 0
