@@ -44,11 +44,11 @@ def main() -> None:
         sys.exit("usage: update_green.py CORRECTNESS_rNN.json [--apply]")
 
     src = open(ENTRY).read()
-    green_name = re.search(r"(_GREEN_R1_R\d+) = frozenset", src)
+    green_name = re.search(r"(_GREEN_(?:R1_R\d+|PRIOR)) = frozenset", src)
     backlog_name = re.search(r"(_BACKLOG_R\d+) = frozenset", src)
     bank_name = re.search(r"(_BANK_R\d+) = frozenset", src)
     if not green_name:
-        sys.exit("no _GREEN_R1_R<N> frozenset found in __spark_entry__.py")
+        sys.exit("no _GREEN_* frozenset found in __spark_entry__.py")
     green_name = green_name.group(1)
     backlog_name = backlog_name.group(1) if backlog_name else None
     bank_name = bank_name.group(1) if bank_name else None
