@@ -56,6 +56,45 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
+def exact_sq_fold(terms: Column, scale: float) -> Column:
+    """Exact sum of an array of NON-NEGATIVE integral-valued doubles
+    (each term an ``F.round(... * scale)`` fixed-point square), divided
+    back by ``scale`` — the engine-identical L2/error fold under k11,
+    k15, k16 and the quantization audit.
+
+    Two-path on a provable magnitude bound (the
+    streaming_running_stats pattern, streaming/jobs.py — r7 verdict
+    #2: the unconditional DECIMAL(38,0) folds added for ANSI overflow
+    safety cost the k bench family ~+24%): when ``size * max_term <
+    2^53`` the plain DOUBLE fold is already exact — every term and
+    every partial sum is an integer below the double integer ceiling —
+    so the hot path (unit-norm embeddings: terms <= scale) never
+    allocates a per-element BigDecimal; only rows past the bound
+    (|component| ~ 4e2+ at dim 64 / scale 1e9) pay the decimal fold.
+    Both paths produce the SAME integer before the final double
+    division, so values are bit-identical on either path (pinned by
+    the two-path parity test in tests/test_llm_ops.py).
+
+    NULL/empty handling matches the decimal-only fold: NULL array or a
+    NULL element folds to NULL on either path (array_max skips NULLs,
+    but the fold itself propagates them); an empty array folds to 0.
+
+    ``terms`` must be a materialized column (alias it in a prior
+    select); inlining the term constructor would make Catalyst
+    re-evaluate it once per reference here (bound + fold).
+    """
+    fast = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    slow = F.aggregate(
+        F.transform(terms, lambda t: t.cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + t,
+    ).cast("double")
+    # size * max bounds the sum; coalesce(True) routes empty arrays
+    # (size 0 -> 0 * NULL = NULL) down the trivially-exact fast path.
+    in_bound = F.size(terms).cast("double") * F.array_max(terms) < 9.0e15
+    return F.when(F.coalesce(in_bound, F.lit(True)), fast).otherwise(slow) / scale
+
+
 # ivf_assign inlines the centroid pool as a plan literal up to this many
 # scalar terms (|C| * dim); beyond it, a literal this size would bloat
 # the Catalyst tree and every task closure, so the broadcast-join argmax
@@ -1214,27 +1253,21 @@ def norm_stats(
     thresholds and SemDeDup radii).
 
     Per-row norms fold JVM-side over the array with each squared term
-    fixed-pointed (round 1e-9 -> BIGINT sum), so the fold is exact and
-    order-independent; the group average fixed-points the norms again
-    (1e-6 -> BIGINT) — engine-identical with no output rounding.
+    fixed-pointed (round * 1e9) and summed exactly via the two-path
+    exact_sq_fold (double fold under the provable 2^53 bound,
+    DECIMAL(38,0) past it — r7 zero-vector sweep made the fold
+    overflow-safe, r7 verdict #2 made the safe path pay only when
+    needed); the group average fixed-points the norms again
+    (1e-6 -> DECIMAL sum) — engine-identical with no output rounding.
     Map-only until one bounded groupBy on the label.
     Returns (group_col, n_vectors, avg_norm, n_unit).
     """
-    # DECIMAL(38,0), not LONG: x^2*1e9 wraps int64 at |x| ~ 3e3 per
-    # element and ANSI Spark turns the wrap into a query-killing error
-    # (r7 zero-vector sweep; same class as the k22 advisor finding)
-    sq_sum = F.aggregate(
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * x.cast("double") * 1e9).cast(
-                "decimal(38,0)"
-            ),
-        ),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, v: acc + v,
+    terms = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * x.cast("double") * 1e9),
     )
-    staged = embeddings.select(
-        F.col(group_col), F.sqrt(sq_sum / 1e9).alias("_nrm")
+    staged = embeddings.select(F.col(group_col), terms.alias("_t")).select(
+        F.col(group_col), F.sqrt(exact_sq_fold(F.col("_t"), 1e9)).alias("_nrm")
     )
     return staged.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
@@ -1552,42 +1585,47 @@ def quantization_error_stats(
     Entirely map-only JVM array folds until one bounded groupBy on the
     label: the error list is built with nested transform (no explode —
     the vector never leaves its row), each squared term is fixed-pointed
-    (round 1e12) and accumulated in DECIMAL(38,0) — a BIGINT fold would
-    silently wrap for |component| beyond ~3e4 (norm term) / ~7e5 (error
-    term) in non-ANSI Spark (r6 advisor); 38 digits hold any realistic
-    embedding magnitude with headroom — and the group means fix-point
-    again (1e-9, also decimal-summed), making every stage
-    accumulation-order-proof. Zero vectors (scale 0) are excluded — a
-    0-norm vector has no relative error — and so are vectors whose
-    1e-9 fixed-point norm rounds to zero (|x| ≲ 2e-5 everywhere): the
-    audit has no meaningful relative error at its own precision, and in
-    ANSI Spark both cases otherwise raise DIVIDE_BY_ZERO (found by the
-    round-7 hypothesis property). Both filters run BEFORE the divisions
-    they guard.
+    (round 1e12 / 1e9) and summed exactly via the two-path
+    exact_sq_fold — a plain double fold under the provable 2^53 bound
+    (the overwhelmingly common unit-norm case), DECIMAL(38,0) past it
+    (a BIGINT fold would silently wrap for |component| beyond ~3e4 in
+    non-ANSI Spark and error in ANSI — r6 advisor + r7 verdict #2) —
+    and the group means fix-point again (1e-9, decimal-summed), making
+    every stage accumulation-order-proof. Zero vectors (scale 0) are
+    excluded — a 0-norm vector has no relative error — and so are
+    vectors whose 1e-9 fixed-point norm rounds to zero (|x| ≲ 2e-5
+    everywhere): the audit has no meaningful relative error at its own
+    precision, and in ANSI Spark both cases otherwise raise
+    DIVIDE_BY_ZERO (found by the round-7 hypothesis property). Both
+    filters run BEFORE the divisions they guard.
     Returns (group_col, n_vectors, avg_l2_err, avg_rel_err).
     """
     dec = "decimal(38,0)"
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    vmx = embeddings.select(
+        F.col(group_col), v.alias("_v")
+    ).select(
+        F.col(group_col),
+        F.col("_v"),
+        F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))).alias("_mx"),
+    )
     err = F.transform(
-        v, lambda x: x - F.round(x / mx * 127) * mx / 127
-    )
-    err2_sum = F.aggregate(
-        F.transform(err, lambda d: F.round(d * d * 1e12).cast(dec)),
-        F.lit(0).cast(dec),
-        lambda acc, t: acc + t,
-    )
-    sq_sum = F.aggregate(
-        F.transform(v, lambda x: F.round(x * x * 1e9).cast(dec)),
-        F.lit(0).cast(dec),
-        lambda acc, t: acc + t,
+        F.col("_v"),
+        lambda x: x - F.round(x / F.col("_mx") * 127) * F.col("_mx") / 127,
     )
     staged = (
-        embeddings.filter(mx > 0)
+        vmx.filter(F.col("_mx") > 0)
         .select(
             F.col(group_col),
-            F.sqrt(err2_sum / 1e12).alias("_l2"),
-            F.sqrt(sq_sum / 1e9).alias("_nrm"),
+            F.transform(err, lambda d: F.round(d * d * 1e12)).alias("_e2"),
+            F.transform(
+                F.col("_v"), lambda x: F.round(x * x * 1e9)
+            ).alias("_q2"),
+        )
+        .select(
+            F.col(group_col),
+            F.sqrt(exact_sq_fold(F.col("_e2"), 1e12)).alias("_l2"),
+            F.sqrt(exact_sq_fold(F.col("_q2"), 1e9)).alias("_nrm"),
         )
         .filter(F.col("_nrm") > 0)
     )

@@ -8553,24 +8553,28 @@ def k15_label_confusion(spark, sf_dir):
     cents = similarity.group_centroids(emb, "label").select(
         F.col("label").alias("cand"), "centroid"
     )
-    # DECIMAL(38,0), not LONG: (x-y)^2*1e9 wraps int64 at |x| ~ 3e3
-    # (r7 zero-vector sweep) — ANSI Spark errors instead of wrapping
-    sq = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("centroid"),
-            lambda x, y: F.round((x - y) * (x - y) * 1e9).cast("decimal(38,0)"),
-        ),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, v: acc + v,
-    ) / 1e9
+    # two-path exact fold (similarity.exact_sq_fold): double fold under
+    # the provable 2^53 bound, DECIMAL(38,0) past it — ANSI-safe at
+    # |x| ~ 3e3 (r7 zero-vector sweep) without paying BigDecimal per
+    # element on benign data (r7 verdict #2)
+    terms = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("centroid"),
+        lambda x, y: F.round((x - y) * (x - y) * 1e9),
+    )
     scored = (
         emb.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             F.col("label").alias("true_label"),
             "cand",
-            sq.alias("_sq"),
+            terms.alias("_t"),
+        )
+        .select(
+            "vec_id",
+            "true_label",
+            "cand",
+            similarity.exact_sq_fold(F.col("_t"), 1e9).alias("_sq"),
         )
     )
     best = scored.groupBy("vec_id", "true_label").agg(
@@ -8826,24 +8830,27 @@ def k16_simplified_silhouette(spark, sf_dir):
     cents = similarity.group_centroids(emb, "label").select(
         F.col("label").alias("cand"), "centroid"
     )
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding").cast("array<double>"),
-                F.col("centroid"),
-                # DECIMAL(38,0): see k15 — int64 wraps at |x| ~ 3e3
-                lambda x, y: F.round((x - y) * (x - y) * 1e9).cast("decimal(38,0)"),
-            ),
-            F.lit(0).cast("decimal(38,0)"),
-            lambda acc, v: acc + v,
-        )
-        / 1e9
+    # two-path exact fold: see k15 — double under the 2^53 bound,
+    # DECIMAL(38,0) past it (ANSI-safe without per-element BigDecimal)
+    terms = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("centroid"),
+        lambda x, y: F.round((x - y) * (x - y) * 1e9),
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        F.col("label").alias("true_label"),
-        "cand",
-        dist.alias("_d"),
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "cand",
+            terms.alias("_t"),
+        )
+        .select(
+            "vec_id",
+            "true_label",
+            "cand",
+            F.sqrt(similarity.exact_sq_fold(F.col("_t"), 1e9)).alias("_d"),
+        )
     )
     split = scored.groupBy("vec_id", "true_label").agg(
         F.max(F.when(F.col("cand") == F.col("true_label"), F.col("_d"))).alias("_a"),
@@ -10026,13 +10033,29 @@ def k19_dim_variance(spark, sf_dir):
         ).alias("dim", "v")
     ).select(
         F.col("dim").cast("long").alias("dim"),
-        # DECIMAL(38,0): q*q below wraps int64 once |component| > ~3e3
-        # (r7 zero-vector sweep) — ANSI Spark errors instead of wrapping
+        # DECIMAL(38,0): q*q wraps int64 once |component| > ~3e3
+        # (r7 zero-vector sweep) — ANSI Spark errors instead of wrapping.
+        # Two-path on the square (r7 verdict #2): q*q in double is exact
+        # while |q| < 2^26.5 (|component| < ~94), so the hot path skips
+        # the per-row BigDecimal multiply; both branches yield the same
+        # integer. The cross-row sums stay decimal — no per-row bound
+        # can prove a cross-row total.
         F.round(F.col("v") * 1e6).cast("decimal(38,0)").alias("q"),
+        F.when(
+            F.abs(F.round(F.col("v") * 1e6)) < 9.0e7,
+            (F.round(F.col("v") * 1e6) * F.round(F.col("v") * 1e6)).cast(
+                "decimal(38,0)"
+            ),
+        )
+        .otherwise(
+            F.round(F.col("v") * 1e6).cast("decimal(38,0)")
+            * F.round(F.col("v") * 1e6).cast("decimal(38,0)")
+        )
+        .alias("qq"),
     )
     n = F.count(F.lit(1))
     s1 = F.sum("q")
-    s2 = F.sum(F.col("q") * F.col("q"))
+    s2 = F.sum(F.col("qq"))
     mean = s1 / 1e6 / n
     return (
         ex.groupBy("dim")

@@ -268,3 +268,45 @@ def test_kmeans_centroids_shape_and_ivf(clustered_emb):
     assert [(r.vec_id, r.rank) for r in ivf.orderBy("rank").collect()] == [
         (r.vec_id, r.rank) for r in bf.orderBy("rank").collect()
     ]
+
+
+def test_exact_sq_fold_two_path_parity(spark):
+    """exact_sq_fold's double fast path and DECIMAL(38,0) slow path must
+    produce identical values (r7 verdict #2: the two-path rewrite of the
+    ANSI-safe k folds). Vectors straddle the 2^53 bound: unit-scale
+    (fast), |x|=5e3 at dim 64 (terms 2.5e16 > 9e15 -> slow), a mixed
+    frame, NULL element, and empty array."""
+    rows = [
+        (1, [0.3, -0.4, 0.5, 0.1]),            # fast path
+        (2, [5e3] * 64),                        # slow path: term 2.5e16
+        (3, [1e-9, 0.0, -1e-9]),                # fast, rounds to 0 terms
+        (4, [2.0, None, 1.0]),                  # NULL element -> NULL
+        (5, []),                                # empty -> 0
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>").select(
+        "id",
+        F.transform(
+            F.col("v"), lambda x: F.round(x * x * 1e9)
+        ).alias("_t"),
+    )
+    got = {
+        r.id: r.s
+        for r in df.select(
+            "id", SIM.exact_sq_fold(F.col("_t"), 1e9).alias("s")
+        ).collect()
+    }
+    # decimal-only reference fold (the pre-r8 implementation)
+    ref_expr = (
+        F.aggregate(
+            F.transform(F.col("_t"), lambda t: t.cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda a, t: a + t,
+        ).cast("double")
+        / 1e9
+    )
+    ref = {r.id: r.s for r in df.select("id", ref_expr.alias("s")).collect()}
+    assert got == ref
+    assert got[1] == pytest.approx(0.51, abs=1e-12)
+    assert got[2] == pytest.approx(64 * 25e6, rel=1e-15)  # slow path exact
+    assert got[3] == 0.0 and got[5] == 0.0
+    assert got[4] is None
