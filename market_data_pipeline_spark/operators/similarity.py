@@ -410,8 +410,9 @@ def ivf_assign(
       only pays off when each cell still holds many vectors): centroids
       are collected once (bounded — they are the broadcast side by
       construction) and inlined as an array-of-structs literal; each
-      corpus row picks its best centroid with ``array_max`` over
-      (cosine, -centroid_id) structs inside ONE projection. Map-only,
+      corpus row picks its best centroid with ``array_min`` over
+      (rank, -cosine, centroid_id) structs inside ONE projection —
+      id-type agnostic (no id negation). Map-only,
       ZERO shuffle, multiplicity trivially preserved — strictly better
       than the old crossJoin + groupBy shape, which exchanged |V| rows.
     - **join argmax** (huge centroid pools, where a multi-MB literal
@@ -446,7 +447,16 @@ def ivf_assign(
             *carry,
         ).filter(F.lit(False))
 
-    if len(cent_rows) * len(cent_rows[0]["_cvec"]) <= _LITERAL_ARGMAX_TERMS:
+    # The literal path builds F.lit() from the collected vectors, which
+    # raises driver-side on a NULL vector / NULL component; the join
+    # path already handles those gracefully (NULL cosine loses the
+    # argmax), so degenerate pools route there (r7 ADVICE #1).
+    literal_ok = all(
+        r["_cvec"] is not None and None not in r["_cvec"] for r in cent_rows
+    ) and (
+        len(cent_rows) * len(cent_rows[0]["_cvec"]) <= _LITERAL_ARGMAX_TERMS
+    )
+    if literal_ok:
         cent_arr = F.array(
             *[
                 F.struct(
@@ -461,26 +471,34 @@ def ivf_assign(
             s = cosine(F.col(vec_col), cvec)
             return F.round(s, round_digits) if round_digits is not None else s
 
-        # NULL cosine (zero-norm centroid or query) must LOSE the argmax:
-        # struct comparison sorts NULL greatest, so one all-zero centroid
-        # otherwise swallows the entire corpus assignment (r7 zero-vector
-        # sweep). -inf in the ordering key, NULL restored on output —
-        # matching the oracle's ORDER BY cosine DESC (NULLS LAST).
-        neg_inf = F.lit(float("-inf"))
-        best = F.array_max(
-            F.transform(
-                cent_arr,
-                lambda c: F.struct(
-                    F.coalesce(_sim(c["cvec"]), neg_inf).alias("cosine"),
-                    (-c["cid"]).alias("_negc"),
-                    c["cid"].alias("cid"),
-                ),
+        # Ordering key: cosine DESC with NaN first and NULL last —
+        # exactly a descending double scan (and DuckDB's ORDER BY cosine
+        # DESC), encoded for array_MIN as (rank, -cosine, cid): NULL
+        # cosine (zero-norm centroid or query) must LOSE the argmax (r7
+        # zero-vector sweep: one all-zero centroid otherwise swallows
+        # the whole corpus), and the tie-break ascends on cid WITHOUT
+        # negating it, so non-numeric centroid ids analyze fine (r7
+        # ADVICE #2 — the semantic_dedup idiom). The winner's original
+        # cosine rides along as a non-ordering struct field.
+        def _key(c):
+            s = _sim(c["cvec"])
+            return F.struct(
+                F.when(F.isnan(s), 0)
+                .when(s.isNotNull(), 1)
+                .otherwise(2)
+                .alias("_r"),
+                F.when(s.isNotNull() & ~F.isnan(s), -s)
+                .otherwise(F.lit(0.0))
+                .alias("_n"),
+                c["cid"].alias("cid"),
+                s.alias("cosine"),
             )
-        )
+
+        best = F.array_min(F.transform(cent_arr, _key))
         return embeddings.select(
             F.col(id_col),
             best["cid"].alias(centroid_id_col),
-            F.when(best["cosine"] != neg_inf, best["cosine"]).alias("cosine"),
+            best["cosine"].alias("cosine"),
             *carry,
         )
 
@@ -493,14 +511,25 @@ def ivf_assign(
     scored = embeddings.crossJoin(F.broadcast(c)).select(
         F.col(id_col), F.col(vec_col), F.col(centroid_id_col), sim.alias("cosine")
     )
-    # coalesce to -inf in the ORDERING key only (see the literal path):
-    # a NULL cosine would otherwise win max_by's struct comparison
+    # same (rank, -cosine, cid) MIN ordering as the literal path: NaN
+    # first, NULL cosine last (a NULL would otherwise win the struct
+    # comparison — r7 zero-vector sweep), cid tie-break un-negated so
+    # non-numeric centroid ids work (r7 ADVICE #2)
     ord_key = F.struct(
-        F.coalesce(F.col("cosine"), F.lit(float("-inf"))).alias("_c"),
-        (-F.col(centroid_id_col)).alias("_negc"),
+        F.when(F.isnan(F.col("cosine")), 0)
+        .when(F.col("cosine").isNotNull(), 1)
+        .otherwise(2)
+        .alias("_r"),
+        F.when(
+            F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")),
+            -F.col("cosine"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_n"),
+        F.col(centroid_id_col).alias("_cid"),
     )
     grouped = scored.groupBy(id_col, vec_col).agg(
-        F.max_by(centroid_id_col, ord_key).alias(centroid_id_col),
+        F.min_by(centroid_id_col, ord_key).alias(centroid_id_col),
         F.max("cosine").alias("cosine"),
         # each distinct (id, vec) row scored |C| times per input copy;
         # count/|C| recovers how many identical input rows it stands for

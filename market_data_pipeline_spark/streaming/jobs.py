@@ -514,6 +514,10 @@ STATS_STATE = T.StructType(
         # |value| ~ 9.6e8 over a single row (cents^2), and an int64
         # state wraps silently (r7 extremes sweep). 38 digits hold
         # cents^2 sums for any ledger whose LINEAR sum fits s_cents.
+        # COMPATIBILITY (r7 ADVICE #3): this widened ssq from LongType;
+        # a streaming_running_stats checkpoint written before the change
+        # fails state-schema validation on restart — upgrading a live
+        # query requires a NEW checkpoint directory (state reset).
         T.StructField("ssq", T.DecimalType(38, 0)),
     ]
 )

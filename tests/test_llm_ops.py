@@ -310,3 +310,47 @@ def test_exact_sq_fold_two_path_parity(spark):
     assert got[2] == pytest.approx(64 * 25e6, rel=1e-15)  # slow path exact
     assert got[3] == 0.0 and got[5] == 0.0
     assert got[4] is None
+
+
+def test_ivf_assign_string_ids_both_paths(spark, monkeypatch):
+    """Non-numeric centroid ids must analyze on BOTH argmax paths (r7
+    ADVICE #2: the old key negated the id). Ties break on the LOWEST id
+    in string order."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [("b", [1.0, 0.0]), ("a", [1.0, 0.0]), ("c", [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    expect = {0: "a", 1: "c", 2: "a"}  # tie between a/b -> a
+    lit_out = {r.vec_id: r.centroid_id for r in SIM.ivf_assign(emb, cents).collect()}
+    monkeypatch.setattr(SIM, "_LITERAL_ARGMAX_TERMS", 0)
+    join_out = {r.vec_id: r.centroid_id for r in SIM.ivf_assign(emb, cents).collect()}
+    assert lit_out == expect and join_out == expect
+
+
+def test_ivf_assign_null_centroid_vectors_route_to_join_path(spark):
+    """A NULL centroid vector or NULL component crashed the literal
+    path's driver-side F.lit() construction while the join path handled
+    it (r7 ADVICE #1): degenerate pools now route to the join path and
+    the NULL-cosine centroid loses the argmax."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    schema = "vec_id long, embedding array<double>"
+    for bad in ([(10, None)], [(10, [None, 1.0])]):
+        cents = spark.createDataFrame(
+            [(20, [1.0, 0.0]), (21, [0.0, 1.0])] + bad, schema
+        )
+        out = {
+            r.vec_id: (r.centroid_id, r.cosine)
+            for r in SIM.ivf_assign(emb, cents).collect()
+        }
+        assert out == {0: (20, 1.0), 1: (21, 1.0)}
+    # NULL vector FIRST in the pool: the old regime check raised
+    # TypeError on len(None) before even choosing a path
+    cents = spark.createDataFrame([(10, None), (20, [1.0, 0.0])], schema)
+    out = {r.vec_id: r.centroid_id for r in SIM.ivf_assign(emb, cents).collect()}
+    assert out == {0: 20, 1: 20}
