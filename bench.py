@@ -28,6 +28,48 @@ def sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def family_diff(
+    current: dict[str, float],
+    previous: dict[str, float],
+    threshold: float = 1.3,
+    min_sec: float = 1.0,
+) -> list[dict]:
+    """Per-family regression flags vs the previous round's bench (r7
+    verdict #7: the k-family decimal-fold cost was only caught by
+    self-report — make the budget mechanical). A family is flagged when
+    its subtotal grew past ``threshold``x AND by at least ``min_sec``
+    (sub-second families swing on session noise alone). New families
+    (no previous entry) are never flagged — they are registrations,
+    not regressions."""
+    flags = []
+    for fam, cur in sorted(current.items()):
+        prev = previous.get(fam)
+        if not prev or prev <= 0:
+            continue
+        if cur >= prev * threshold and cur - prev >= min_sec:
+            flags.append(
+                {"family": fam, "prev": prev, "cur": cur, "ratio": round(cur / prev, 2)}
+            )
+    return flags
+
+
+def load_prev_families(repo_dir: str) -> tuple[str, dict[str, float]]:
+    """Newest BENCH_r*.json's family subtotals (name, families) — the
+    baseline for family_diff. Returns ("", {}) when no usable file."""
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True):
+        try:
+            data = json.load(open(path))
+            # driver files wrap the parsed line under "parsed" or store it raw
+            for cand in (data.get("parsed") if isinstance(data, dict) else None, data):
+                if isinstance(cand, dict) and isinstance(cand.get("families"), dict):
+                    return os.path.basename(path), cand["families"]
+        except Exception:
+            continue
+    return "", {}
+
+
 def main() -> None:
     # The driver parses stdout as JSON; anything the JVM launcher or a
     # stray library prints to fd 1 breaks that (BENCH_r01 recorded
@@ -84,6 +126,26 @@ def main() -> None:
     for name, t in timings.items():
         fam = re.match(r"[a-z]+", name).group(0)
         families[fam] = round(families.get(fam, 0.0) + t, 2)
+    # machine-generated family budget (r7 verdict #7): diff vs the
+    # previous round's recorded bench, flag >1.3x + >=1s growth. Table
+    # goes to stderr (stdout is reserved for the parseable JSON lines);
+    # flags ride in both JSON lines so the driver records them too.
+    prev_name, prev_families = load_prev_families(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    regressions = family_diff(families, prev_families) if prev_families else []
+    if prev_families:
+        print(f"\n== family diff vs {prev_name} ==", file=sys.stderr)
+        for fam in sorted(families):
+            p = prev_families.get(fam)
+            flag = " <-- REGRESSION" if any(
+                r["family"] == fam for r in regressions
+            ) else ""
+            print(
+                f"  {fam:10s} {p if p is not None else '-':>8} -> "
+                f"{families[fam]:>8.2f}{flag}",
+                file=sys.stderr,
+            )
     line = json.dumps(
         {
             "metric": "total_query_wall_time",
@@ -92,6 +154,7 @@ def main() -> None:
             "sf": sf_from_dir(SF_DIR),
             "n_queries": len(timings),
             "families": families,
+            "family_regressions": regressions,
             "queries": timings,
         },
         separators=(",", ":"),
@@ -114,6 +177,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf_from_dir(SF_DIR),
                 "families": families,
+                "family_regressions": regressions,
             },
             separators=(",", ":"),
         ),

@@ -1,0 +1,49 @@
+"""The mechanical bench family budget (r7 verdict #7): bench.py diffs
+per-family subtotals against the previous round's recorded BENCH JSON
+and flags regressions — the k-family decimal-fold cost in r7 was only
+caught by self-report."""
+
+from __future__ import annotations
+
+import json
+
+from bench import family_diff, load_prev_families
+
+
+def test_flags_synthetic_regression():
+    prev = {"k": 27.7, "ts": 45.0, "tx": 24.0}
+    cur = {"k": 38.8, "ts": 45.6, "tx": 25.2}  # k blown 1.4x
+    flags = family_diff(cur, prev)
+    assert [f["family"] for f in flags] == ["k"]
+    assert flags[0]["ratio"] == 1.4
+    # the ACTUAL r6->r7 k move (+24%) sat under the 1.3x flag — that is
+    # the documented blind spot: the budget catches blowups, BENCHNOTES
+    # still owns the narrative for sub-1.3x drift
+    assert family_diff({"k": 34.3}, {"k": 27.7}) == []
+
+
+def test_threshold_and_floor():
+    # >1.3x but sub-second growth: noise, not flagged
+    assert family_diff({"o": 0.6}, {"o": 0.4}) == []
+    # big absolute growth below 1.3x: not flagged either
+    assert family_diff({"ts": 50.0}, {"ts": 45.0}) == []
+    # both conditions met -> flagged
+    assert family_diff({"dd": 40.0}, {"dd": 28.0}) == [
+        {"family": "dd", "prev": 28.0, "cur": 40.0, "ratio": 1.43}
+    ]
+
+
+def test_new_family_never_flagged():
+    assert family_diff({"zz": 99.0}, {"k": 1.0}) == []
+    assert family_diff({"k": 99.0}, {}) == []
+
+
+def test_load_prev_families_reads_driver_file(tmp_path):
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": {"families": {"k": 1.5}, "bench_total_sec": 1.5}})
+    )
+    (tmp_path / "BENCH_r04.json").write_text("not json at all")
+    name, fams = load_prev_families(str(tmp_path))
+    # newest unparseable file is skipped, not fatal
+    assert name == "BENCH_r03.json" and fams == {"k": 1.5}
+    assert load_prev_families(str(tmp_path / "nowhere")) == ("", {})
