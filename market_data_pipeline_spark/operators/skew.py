@@ -53,3 +53,53 @@ def salted_join(
         .drop("_salt_arr")
     )
     return big_s.join(small_s, [*on, "_salt"], how).drop("_salt")
+
+
+def salted_group_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str] | None = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-proof grouped count/sum: two-phase aggregation through a
+    deterministic salt — groupBy(key..., salt) partials, then
+    groupBy(key...) finals — value-identical to the plain groupBy.
+
+    Spark's hash aggregate already map-side-combines, which absorbs
+    most group skew; what it can NOT absorb is a hot key whose partials
+    still concentrate on one reduce task when the aggregation carries
+    wide state (collect_list/set, exact distinct structures) or when
+    the partial-combine is defeated by high upstream parallelism. The
+    salt spreads ONE key's reduce work across ``salt_buckets`` tasks;
+    the second shuffle is |keys| x buckets rows — trivially small.
+    The salt is ``xxhash64(whole row) % buckets`` (deterministic under
+    stage retries, unlike rand()).
+
+    SUM exactness: each sum_col is summed as DECIMAL(38,6) in BOTH
+    phases, so the two-phase result is bit-identical to the one-phase
+    (and to any engine's) decimal sum regardless of row order; callers
+    cast back as needed.
+    Returns (key_cols..., n_rows, sum_<col>...).
+    """
+    sum_cols = sum_cols or []
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_pn"),
+            *[
+                F.sum(F.col(c).cast("decimal(38,6)")).alias(f"_ps_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_pn").cast("long").alias("n_rows"),
+        *[
+            F.sum(F.col(f"_ps_{c}")).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )

@@ -40,7 +40,15 @@ from market_data_pipeline_spark.storage.table import ParquetTable
 
 def with_audit_cols(df: DataFrame, now: dt.datetime | None = None) -> DataFrame:
     """F10 — create_dt/update_dt writer columns; ``now`` is injectable so
-    golden outputs are deterministic (SURVEY §7 hard-point 5)."""
+    golden outputs are deterministic (SURVEY §7 hard-point 5).
+
+    A NAIVE ``now`` is a UTC wall value by contract: F.lit(naive
+    datetime) would otherwise convert through the PYTHON PROCESS'S
+    local zone, silently shifting the audit instant on any non-UTC
+    workstation (found by scripts/tz_sweep.py, r8 — the only
+    divergence in the registry-wide America/New_York run)."""
+    if now is not None and now.tzinfo is None:
+        now = now.replace(tzinfo=dt.timezone.utc)
     ts = F.lit(now) if now is not None else F.current_timestamp()
     out = df
     if "create_dt" not in df.columns:
