@@ -367,6 +367,9 @@ _COST = {
     "ts55_vol_regimes": 0.64, "e43_activity_streaks": 0.82,
     "a31_new_vs_repeat_revenue": 1.28, "dq13_last_digit_bias": 0.53,
     "a32_listing_age_vol": 0.76,
+    # round-8 registrations (measured in-session at sf0.1, best-of-2)
+    "skw1_join_key_skew_profile": 0.77, "skw2_salted_user_totals": 0.51,
+    "stb1_stream_batch_reconcile": 1.54, "k24_stratified_knn": 0.54,
 }
 
 

@@ -102,6 +102,14 @@ def exact_sq_fold(terms: Column, scale: float) -> Column:
 _LITERAL_ARGMAX_TERMS = 200_000
 
 
+def _vec_lit(x) -> Column:
+    """One literal vector component; a None component becomes a NULL
+    double instead of crashing float() driver-side (the ivf_assign
+    NULL-centroid class, r7 ADVICE #1) — the cosine then folds to NULL,
+    which both engines rank NULLS LAST."""
+    return F.lit(float(x)) if x is not None else F.lit(None).cast("double")
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -117,7 +125,7 @@ def knn_bruteforce(
     and golden hashes are stable across engines.
     Returns (id_col, cosine) ordered by (cosine desc, id).
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.array(*[_vec_lit(x) for x in query_vec])
     sim = cosine(F.col(vec_col), q)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -126,6 +134,46 @@ def knn_bruteforce(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def grouped_knn(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 3,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple = (),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-GROUP top-k by cosine to a literal query vector — the
+    stratified retrieval shape ("best k candidates from EVERY
+    label/source/shard") that a global top-k (knn_bruteforce) cannot
+    express: one dominant group would crowd out the rest.
+
+    Map-side cosine against the broadcast-literal query, then ONE
+    shuffle on ``group_col`` for a rank window bounded at k per group —
+    the only data movement; at 100 TB the window partitions are the
+    groups, so group skew is visible to AQE and bounded output (k *
+    |groups| rows) keeps downstream trivial. Ties break on id; NULL
+    cosines (zero-norm vectors) sort last, matching the oracle's ORDER
+    BY cosine DESC NULLS LAST.
+    Returns (group_col, id_col, cosine, rank 1..k).
+    """
+    q = F.array(*[_vec_lit(x) for x in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = embeddings
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*exclude_ids))
+    scored = scored.select(F.col(group_col), F.col(id_col), sim.alias("cosine"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cosine").desc_nulls_last(), F.col(id_col)
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
 
 
 def knn_batch(

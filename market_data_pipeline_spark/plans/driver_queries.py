@@ -13672,4 +13672,206 @@ def a32_listing_age_vol(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Round-8 registrations (freeze lifted per r7 verdict #6): skew-hardening
+# showcases from the r8 skew sweep/bench work, a streaming-to-batch
+# reconciliation report, and stratified per-group retrieval.
+# ===========================================================================
+
+
+@query(
+    "skw1_join_key_skew_profile",
+    """WITH c1 AS (SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+     c2 AS (SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+     c3 AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1)
+SELECT 'lineitem.l_partkey' AS dim,
+       CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       ROUND(MAX(n) * 1.0 / SUM(n), 6) AS top1_share,
+       ROUND((SELECT SUM(n) FROM (SELECT n FROM c1 ORDER BY n DESC, k LIMIT 10))
+             * 1.0 / SUM(n), 6) AS top10_share
+FROM c1
+UNION ALL
+SELECT 'lineitem.l_suppkey',
+       CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       ROUND(MAX(n) * 1.0 / SUM(n), 6),
+       ROUND((SELECT SUM(n) FROM (SELECT n FROM c2 ORDER BY n DESC, k LIMIT 10))
+             * 1.0 / SUM(n), 6)
+FROM c2
+UNION ALL
+SELECT 'orders.o_custkey',
+       CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       ROUND(MAX(n) * 1.0 / SUM(n), 6),
+       ROUND((SELECT SUM(n) FROM (SELECT n FROM c3 ORDER BY n DESC, k LIMIT 10))
+             * 1.0 / SUM(n), 6)
+FROM c3
+ORDER BY dim""",
+)
+def skw1_join_key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic: per shuffle-key dimension, total rows,
+    distinct keys, and the share of rows on the single hottest key and
+    the hottest ten — the pre-flight audit that decides whether a join
+    or grouped aggregate needs operators/skew.salted_join /
+    salted_group_agg BEFORE a straggler task finds out at 100 TB (top1
+    share ~ the heaviest reduce partition's share of the shuffle). The
+    user-activity sibling is e39_power_users; this covers the TPC-H
+    equi-join keys. Per dim: one map-combined groupBy, then single-row
+    aggregates plus a TakeOrdered(10) — no global sort, output is 3
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+
+    def one(df, col, dim):
+        c = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        tot = c.agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("n").cast("long").alias("_top1"),
+        )
+        t10 = (
+            c.orderBy(F.desc("n"), F.col(col))
+            .limit(10)
+            .agg(F.sum("n").cast("long").alias("_top10"))
+        )
+        return tot.crossJoin(F.broadcast(t10)).select(
+            F.lit(dim).alias("dim"),
+            "n_rows",
+            "n_keys",
+            F.round(F.col("_top1") / F.col("n_rows"), 6).alias("top1_share"),
+            F.round(F.col("_top10") / F.col("n_rows"), 6).alias("top10_share"),
+        )
+
+    return (
+        one(li, "l_partkey", "lineitem.l_partkey")
+        .unionByName(one(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(one(od, "o_custkey", "orders.o_custkey"))
+        .orderBy("dim")
+    )
+
+
+@query(
+    "skw2_salted_user_totals",
+    """SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS DECIMAL(38,0))) / 100.0 AS DOUBLE)
+         AS value_total
+FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def skw2_salted_user_totals(spark, sf_dir):
+    """Per-user event count/value totals through the SKEW-PROOF two-phase
+    salted aggregation (operators/skew.salted_group_agg: groupBy(key,
+    xxhash64-salt) partials -> groupBy(key) finals), hash-checked
+    value-identical to the plain one-phase GROUP BY oracle — the
+    aggregation sibling of j9_salted_join's join showcase. The r8 skew
+    sweep/bench motivates it: one user owning half the event log puts
+    half the reduce state on one task; the salt spreads that key over 8
+    tasks for the price of a |keys| x 8-row second shuffle. Values sum
+    in fixed-point cents (exact, order-proof in both phases and both
+    engines)."""
+    from market_data_pipeline_spark.operators.skew import salted_group_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).alias("cents")
+    )
+    out = salted_group_agg(ev, ["user_id"], sum_cols=["cents"])
+    return out.select(
+        "user_id",
+        "n_rows",
+        (F.col("sum_cents") / F.lit(100.0)).cast("double").alias("value_total"),
+    ).orderBy("user_id")
+
+
+@query(
+    "stb1_stream_batch_reconcile",
+    """WITH b AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n AS n_stream, n AS n_batch,
+       'match' AS status
+FROM b ORDER BY window_start, event_type""",
+)
+def stb1_stream_batch_reconcile(spark, sf_dir):
+    """Streaming-to-batch reconciliation report (r7 verdict #6's named
+    suggestion): the SAME tumbling hourly count computed twice — through
+    Structured Streaming (readStream -> watermark -> window -> memory
+    sink, availableNow) and as a batch aggregate — then FULL OUTER
+    joined per (window, event_type) with a match/mismatch/one-sided
+    classification. The lambda-architecture audit every migration from
+    batch to streaming runs nightly; the oracle asserts the engine's
+    stream/batch parity contract (every row 'match'), and any drift
+    (lost late data, watermark clipping, double-fired windows) surfaces
+    as a non-match row. One shuffle per side plus a key-aligned join."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    stream = sj.streaming_tumbling(
+        sj.read_events_stream(spark, sf_dir), duration="1 hour", keys=["event_type"]
+    )
+    s = sj.run_stream_to_memory(stream, "stb1_sink").select(
+        "window_start", "event_type", F.col("n_events").alias("n_stream")
+    )
+    b = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+    )
+    return (
+        s.join(b, ["window_start", "event_type"], "full_outer")
+        .select(
+            "window_start",
+            "event_type",
+            F.col("n_stream").cast("long").alias("n_stream"),
+            F.col("n_batch").cast("long").alias("n_batch"),
+            F.when(F.col("n_stream").isNull(), "batch_only")
+            .when(F.col("n_batch").isNull(), "stream_only")
+            .when(F.col("n_stream") == F.col("n_batch"), "match")
+            .otherwise("mismatch")
+            .alias("status"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "k24_stratified_knn",
+    f"""WITH scored AS (
+  SELECT e.label AS label, e.vec_id AS vec_id, {_COSINE_SQL} AS cosine
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> q.vec_id
+)
+SELECT label, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY cosine DESC, vec_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+ORDER BY label, rank""",
+)
+def k24_stratified_knn(spark, sf_dir):
+    """Stratified retrieval: the top-3 nearest neighbours of one query
+    vector from EVERY label group (operators/similarity.grouped_knn) —
+    the per-source/per-shard quota shape a global top-k (k1) cannot
+    express because one dominant group crowds out the rest. Map-side
+    cosine against the broadcast-literal query, one shuffle on label
+    for the k-bounded rank window; the query vector is a bounded
+    single-row collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    if qrow is None or qrow["embedding"] is None:
+        # no query vector (empty/degenerate table): 0 rows, stable schema
+        return emb.select(
+            "label",
+            "vec_id",
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank"),
+        ).filter(F.lit(False))
+    qvec = [float(x) for x in qrow["embedding"]]
+    return similarity.grouped_knn(
+        emb, qvec, k=3, exclude_ids=(0,)
+    ).orderBy("label", "rank")
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -354,3 +354,59 @@ def test_ivf_assign_null_centroid_vectors_route_to_join_path(spark):
     cents = spark.createDataFrame([(10, None), (20, [1.0, 0.0])], schema)
     out = {r.vec_id: r.centroid_id for r in SIM.ivf_assign(emb, cents).collect()}
     assert out == {0: 20, 1: 20}
+
+
+def test_salted_group_agg_matches_plain_groupby(spark):
+    """salted_group_agg's two-phase (key, salt) -> key aggregation must
+    be value-identical to the plain one-phase groupBy, including NULL
+    sum values (skipped) and exact decimal sums."""
+    from market_data_pipeline_spark.operators.skew import salted_group_agg
+
+    rows = [(1, 10.5), (1, 0.25), (1, None), (2, -3.0), (3, 0.0)] + [
+        (1, float(i)) for i in range(50)  # hot key
+    ]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r.k: (r.n_rows, float(r.sum_v) if r.sum_v is not None else None)
+        for r in salted_group_agg(df, ["k"], sum_cols=["v"], salt_buckets=4).collect()
+    }
+    ref = {
+        r.k: (r.n, float(r.s) if r.s is not None else None)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == ref
+    assert got[1][0] == 53  # NULL row still counted
+    # all-NULL group sums to NULL in both shapes
+    df2 = spark.createDataFrame([(9, None), (9, None)], "k long, v double")
+    out = salted_group_agg(df2, ["k"], sum_cols=["v"]).collect()[0]
+    assert out.n_rows == 2 and out.sum_v is None
+
+
+def test_grouped_knn_per_group_topk(spark):
+    """grouped_knn returns the k best per group with global ordering
+    semantics per group (cosine desc, id tiebreak), never letting one
+    group crowd out another; NULL query components -> NULL cosines
+    ranked by id (the oracle's NULLS LAST order)."""
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [0.9, 0.1]),
+        (3, "a", [0.0, 1.0]),
+        (4, "b", [1.0, 0.0]),  # b's best
+        (5, "b", [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = SIM.grouped_knn(emb, [1.0, 0.0], k=2, group_col="label").collect()
+    got = {(r.label, r.rank): r.vec_id for r in out}
+    assert got == {("a", 1): 1, ("a", 2): 2, ("b", 1): 4, ("b", 2): 5}
+    # NULL component query: every cosine NULL, ranks fall back to id order
+    out2 = SIM.grouped_knn(emb, [None, 1.0], k=2, group_col="label").collect()
+    got2 = {(r.label, r.rank): (r.vec_id, r.cosine) for r in out2}
+    assert got2 == {
+        ("a", 1): (1, None), ("a", 2): (2, None),
+        ("b", 1): (4, None), ("b", 2): (5, None),
+    }
