@@ -530,34 +530,143 @@ def blocked_name_pairs(
     name_col: str,
     max_dist: int = 2,
     max_block_size: int | None = None,
+    deletion_max_len: int = 48,
+    deletion_min_rows: int = 5000,
 ) -> DataFrame:
     """Blocked entity resolution: candidate duplicate pairs whose names are
     within ``max_dist`` Levenshtein edits, compared only WITHIN a blocking
     key (nation, market, first-token, ...).
 
-    The unblocked formulation is an O(N^2) cross join with a string-edit
-    predicate — a nested-loop plan no optimizer can save. Blocking turns it
-    into one groupBy shuffle on the block key plus in-group pair expansion
-    (``pairs_within_groups``), i.e. sum over blocks of k^2 instead of N^2;
-    block-size skew is the operator's knob, same as every LSH family op
-    here. ``F.levenshtein`` runs JVM-side in codegen.
+    Candidate generation is SymSpell-style DELETION NEIGHBORHOODS (the
+    r8 §G-100x finding): every name emits its (<= max_dist)-deletion
+    variants, and any pair within ``max_dist`` edits provably shares a
+    common deletion core (an optimal alignment with i inserts, d
+    deletes, s substitutions, i+d+s <= tau reaches the same core by
+    deleting d+s chars from one side and i+s from the other), so an
+    equi-join on (block, core-hash) is an EXACT superset of the true
+    pairs; F.levenshtein then verifies candidates only. The previous
+    plan expanded ALL in-block pairs — sum over blocks of k^2, which is
+    quadratic in corpus size whenever the block key has FIXED
+    cardinality (nation: 25 values). The 10x rehearsal's "7.4x wall"
+    was core slack hiding 100x comparisons; at 100x the old plan ground
+    2-task stages for 20+ minutes while this one is a bounded-bucket
+    join. Everything stays JVM-side: nested array transforms build the
+    variant arrays, xxhash64 buckets the cores (hash collisions only
+    ADD candidates, never drop true pairs — verification keeps the
+    output exact).
 
+    Cost model: ~(1 + L + L(L-1)/2) variants per name at max_dist=2 —
+    232 rows exploded per 21-char name. Names longer than
+    ``deletion_max_len`` (or max_dist > 3) fall back to the quadratic
+    in-block expansion, which is the right plan for a HANDFUL of long
+    strings but not for entity names. The regime check is one bounded
+    single-row aggregate.
+
+    ``max_block_size`` drops oversized NAME BLOCKS entirely before pair
+    generation in both regimes (identical semantics to the historical
+    cap). Rows with NULL names pair with nothing in either regime
+    (levenshtein(x, NULL) is NULL). Assumes (id, name) rows are unique
+    within a block, as in any entity table — exact-duplicate rows
+    collapse to one candidate here where the quadratic path would emit
+    a duplicated pair.
     Returns (block_col, id_a, id_b, edit_dist) with id_a < id_b.
     """
     from market_data_pipeline_spark.operators.util import pairs_within_groups
 
-    pairs = pairs_within_groups(
-        df.select(block_col, id_col, name_col), [block_col], id_col, [name_col],
-        max_group_size=max_block_size,
+    base = df.select(block_col, id_col, name_col)
+    if max_block_size is not None:
+        w = Window.partitionBy(block_col)
+        base = (
+            base.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_block_size)
+            .drop("_bsz")
+        )
+
+    # bounded single-row regime statistic: longest name + corpus size.
+    # Small corpora keep the quadratic expansion — its k^2-per-block cost
+    # is trivial below ~5k rows and avoids the deletion path's ~L^2/2-per
+    # -row explode (at sf0.1, 4s vs 2s); past that the explode's linear
+    # cost wins by orders of magnitude (the §G-100x measurement).
+    stats = base.agg(
+        F.max(F.length(F.col(name_col))).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    max_len, n_rows = stats["mx"], stats["n"]
+    if (
+        max_dist > 3
+        or max_len is None
+        or max_len > deletion_max_len
+        or n_rows <= deletion_min_rows
+    ):
+        pairs = pairs_within_groups(
+            base, [block_col], id_col, [name_col]
+        )
+        return (
+            pairs.select(
+                F.col(block_col),
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.levenshtein(F.col(f"a.{name_col}"), F.col(f"b.{name_col}"))
+                .cast("long")
+                .alias("edit_dist"),
+            )
+            .filter(F.col("edit_dist") <= max_dist)
+        )
+
+    def _delete_ones(arr):
+        # every single-character deletion of every string in arr
+        return F.flatten(
+            F.transform(
+                arr,
+                lambda v: F.transform(
+                    F.when(
+                        F.length(v) >= 1, F.sequence(F.lit(1), F.length(v))
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda p: F.concat(
+                        v.substr(F.lit(1), p - 1),
+                        v.substr(p + 1, F.length(v)),
+                    ),
+                ),
+            )
+        )
+
+    name = F.col(name_col)
+    cores = F.array(name)
+    layer = F.array(name)
+    for _ in range(max_dist):
+        layer = F.array_distinct(_delete_ones(layer))
+        cores = F.concat(cores, layer)
+    ex = (
+        base.filter(name.isNotNull())
+        .select(block_col, id_col, name_col, F.array_distinct(cores).alias("_c"))
+        .select(
+            F.col(block_col),
+            F.col(id_col),
+            F.col(name_col),
+            F.explode("_c").alias("_core"),
+        )
+        .select(
+            F.col(block_col),
+            F.col(id_col),
+            F.col(name_col),
+            F.xxhash64("_core").alias("_core"),
+        )
     )
+    cand = pairs_within_groups(ex, [block_col, "_core"], id_col, [name_col])
     return (
-        pairs.select(
+        cand.select(
             F.col(block_col),
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.levenshtein(F.col(f"a.{name_col}"), F.col(f"b.{name_col}"))
-            .cast("long")
-            .alias("edit_dist"),
+            F.col(f"a.{name_col}").alias("_na"),
+            F.col(f"b.{name_col}").alias("_nb"),
+        )
+        .distinct()  # a true pair shares MANY cores; count it once
+        .select(
+            F.col(block_col),
+            F.col("id_a"),
+            F.col("id_b"),
+            F.levenshtein(F.col("_na"), F.col("_nb")).cast("long").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= max_dist)
     )

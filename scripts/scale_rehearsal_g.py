@@ -83,36 +83,36 @@ def build_scratch(copies: int) -> None:
 
     li = f"'{SRC}/lineitem.parquet'"
     write("lineitem", copies_union(
-        f"SELECT l_orderkey + {{i}}*10000000 AS l_orderkey, l_partkey, "
-        f"l_suppkey + {{i}}*100000 AS l_suppkey, l_linenumber, l_quantity, "
+        f"SELECT l_orderkey + {{i}}::BIGINT*10000000 AS l_orderkey, l_partkey, "
+        f"l_suppkey + {{i}}::BIGINT*100000 AS l_suppkey, l_linenumber, l_quantity, "
         f"l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
         f"l_shipdate + {{i}} * INTERVAL 2557 DAY AS l_shipdate FROM {li}"
     ))
     write("orders", copies_union(
-        f"SELECT o_orderkey + {{i}}*10000000 AS o_orderkey, "
-        f"o_custkey + {{i}}*1000000 AS o_custkey, o_orderstatus, o_totalprice, "
+        f"SELECT o_orderkey + {{i}}::BIGINT*10000000 AS o_orderkey, "
+        f"o_custkey + {{i}}::BIGINT*1000000 AS o_custkey, o_orderstatus, o_totalprice, "
         f"o_orderdate + {{i}} * INTERVAL 2557 DAY AS o_orderdate, "
         f"o_orderpriority FROM '{SRC}/orders.parquet'"
     ))
     write("supplier", copies_union(
-        f"SELECT s_suppkey + {{i}}*100000 AS s_suppkey, "
+        f"SELECT s_suppkey + {{i}}::BIGINT*100000 AS s_suppkey, "
         f"CASE WHEN {{i}} = 0 THEN s_name ELSE "
         f"array_to_string(list_transform(string_split(s_name, ' '), "
         f"w -> 'c{{i}}' || w), ' ') END AS s_name, "
         f"s_nationkey, s_acctbal FROM '{SRC}/supplier.parquet'"
     ))
     write("customer", copies_union(
-        f"SELECT c_custkey + {{i}}*1000000 AS c_custkey, c_name, c_nationkey, "
+        f"SELECT c_custkey + {{i}}::BIGINT*1000000 AS c_custkey, c_name, c_nationkey, "
         f"c_acctbal, c_mktsegment FROM '{SRC}/customer.parquet'"
     ))
     write("events", copies_union(
-        f"SELECT event_id + {{i}}*100000000 AS event_id, "
+        f"SELECT event_id + {{i}}::BIGINT*100000000 AS event_id, "
         f"ts + {{i}} * INTERVAL 35 DAY AS ts, "
-        f"user_id + {{i}}*10000000 AS user_id, event_type, value, props "
+        f"user_id + {{i}}::BIGINT*10000000 AS user_id, event_type, value, props "
         f"FROM '{SRC}/events.parquet'"
     ))
     write("documents", copies_union(
-        f"SELECT doc_id + {{i}}*10000000 AS doc_id, "
+        f"SELECT doc_id + {{i}}::BIGINT*10000000 AS doc_id, "
         f"CASE WHEN {{i}} = 0 THEN text ELSE "
         f"array_to_string(list_transform(string_split(text, ' '), "
         f"w -> 'c{{i}}' || w), ' ') END AS text, "
@@ -131,6 +131,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("queries", nargs="*", help="subset of QUERIES_G "
+                    "(r7 verdict #5: the 100x pass runs only the three "
+                    "steepest 10x entries)")
     args = ap.parse_args()
 
     if not args.skip_build:
@@ -146,10 +149,11 @@ def main() -> int:
     spark.range(1000).selectExpr("sum(id)").collect()  # warm the JVM
 
     results = {}
-    for name in QUERIES_G:
+    label_big = f"x{args.copies}"
+    for name in (args.queries or QUERIES_G):
         fn = QUERIES[name]
         row = {}
-        for label, sf_dir in (("sf0.1", SRC), ("x10", SCRATCH)):
+        for label, sf_dir in (("sf0.1", SRC), (label_big, SCRATCH)):
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -159,9 +163,11 @@ def main() -> int:
             import gc
 
             gc.collect()
-        row["ratio"] = round(row["x10"] / row["sf0.1"], 1) if row["sf0.1"] else None
+        row["ratio"] = (
+            round(row[label_big] / row["sf0.1"], 1) if row["sf0.1"] else None
+        )
         results[name] = row
-        print(f"{name}: sf0.1={row['sf0.1']}s  x10={row['x10']}s  "
+        print(f"{name}: sf0.1={row['sf0.1']}s  {label_big}={row[label_big]}s  "
               f"ratio={row['ratio']}x")
 
     print("\n" + json.dumps(results))

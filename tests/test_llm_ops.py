@@ -410,3 +410,60 @@ def test_grouped_knn_per_group_topk(spark):
         ("a", 1): (1, None), ("a", 2): (2, None),
         ("b", 1): (4, None), ("b", 2): (5, None),
     }
+
+
+def test_blocked_name_pairs_deletion_path_matches_quadratic(spark):
+    """The SymSpell-style deletion-neighborhood candidate path (r8
+    §G-100x fix: nation-blocked all-pairs is quadratic in corpus size)
+    must produce EXACTLY the quadratic expansion's pairs — including
+    unicode, empty, single-char and NULL names — and the long-name
+    fallback regime must stay reachable."""
+    from market_data_pipeline_spark.operators.util import pairs_within_groups
+
+    rows = [
+        (1, 10, "ab"), (1, 11, "b"), (1, 12, ""), (1, 13, None),
+        (1, 14, "héllo"), (1, 15, "hëllo"), (1, 16, "hello"),
+        (2, 17, "hello"), (1, 18, "x"), (1, 19, "xyz"), (1, 20, "zyx"),
+        (2, 21, "hallo"), (2, 22, "hullo!"),
+    ]
+    df = spark.createDataFrame(rows, "blk int, id long, nm string")
+
+    def quadratic(frame):
+        p = pairs_within_groups(frame.select("blk", "id", "nm"), ["blk"], "id", ["nm"])
+        return (
+            p.select(
+                F.col("blk"),
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.levenshtein(F.col("a.nm"), F.col("b.nm")).cast("long").alias("edit_dist"),
+            ).filter(F.col("edit_dist") <= 2)
+        )
+
+    ref = sorted(map(tuple, quadratic(df).collect()))
+    # deletion_min_rows=0 forces the deletion path on this tiny frame
+    # (the production default keeps small corpora on the quadratic plan)
+    got = sorted(
+        map(tuple, DD.blocked_name_pairs(df, "blk", "id", "nm", deletion_min_rows=0).collect())
+    )
+    assert got == ref and len(ref) >= 5
+    # forcing the fallback regime (deletion_max_len below every name)
+    fb = sorted(
+        map(tuple, DD.blocked_name_pairs(df, "blk", "id", "nm", deletion_max_len=0).collect())
+    )
+    assert fb == ref
+    # max_dist=1 tightens identically on both paths
+    ref1 = sorted(
+        map(tuple, quadratic(df).filter(F.col("edit_dist") <= 1).collect())
+    )
+    got1 = sorted(
+        map(
+            tuple,
+            DD.blocked_name_pairs(df, "blk", "id", "nm", max_dist=1, deletion_min_rows=0).collect(),
+        )
+    )
+    assert got1 == ref1
+    # max_block_size drops oversized blocks entirely in the deletion regime
+    capped = DD.blocked_name_pairs(
+        df, "blk", "id", "nm", max_block_size=3, deletion_min_rows=0
+    ).collect()
+    assert {r.blk for r in capped} == {2}
