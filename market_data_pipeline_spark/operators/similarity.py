@@ -528,8 +528,21 @@ def ivf_assign(
         # negating it, so non-numeric centroid ids analyze fine (r7
         # ADVICE #2 — the semantic_dedup idiom). The winner's original
         # cosine rides along as a non-ordering struct field.
-        def _key(c):
-            s = _sim(c["cvec"])
+        # TWO transforms, not one: the key needs the cosine four times
+        # (NaN test, NULL test, negation, carry), and inlining _sim
+        # into each reference re-folds the whole dot product per
+        # reference — measured 6x on k4 (r8 bench diff). The inner
+        # transform materializes each centroid's cosine ONCE; the key
+        # reads cheap struct fields.
+        scored_arr = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                _sim(c["cvec"]).alias("cosine"), c["cid"].alias("cid")
+            ),
+        )
+
+        def _key(sc):
+            s = sc["cosine"]
             return F.struct(
                 F.when(F.isnan(s), 0)
                 .when(s.isNotNull(), 1)
@@ -538,11 +551,11 @@ def ivf_assign(
                 F.when(s.isNotNull() & ~F.isnan(s), -s)
                 .otherwise(F.lit(0.0))
                 .alias("_n"),
-                c["cid"].alias("cid"),
+                sc["cid"].alias("cid"),
                 s.alias("cosine"),
             )
 
-        best = F.array_min(F.transform(cent_arr, _key))
+        best = F.array_min(F.transform(scored_arr, _key))
         return embeddings.select(
             F.col(id_col),
             best["cid"].alias(centroid_id_col),
