@@ -467,3 +467,31 @@ def test_blocked_name_pairs_deletion_path_matches_quadratic(spark):
         df, "blk", "id", "nm", max_block_size=3, deletion_min_rows=0
     ).collect()
     assert {r.blk for r in capped} == {2}
+
+
+def test_ivf_assign_nan_outranks_inf_both_paths(spark, monkeypatch):
+    """The argmax ordering is exactly a descending double scan: NaN
+    sorts ABOVE +inf (Spark and DuckDB agree), NULL sorts last. The r8
+    (rank, -cosine, cid) key must preserve that even when a NaN-cosine
+    and an inf-cosine centroid coexist — plain negation would collapse
+    them onto the same -inf key."""
+    import math
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [
+            (10, [float("inf"), 1.0]),    # dot=inf, norms inf -> cosine NaN
+            (20, [1e308, 1e308]),          # dot overflows -> cosine inf
+            (30, [1.0, 0.9]),              # ordinary
+            (40, [0.0, 0.0]),              # zero-norm -> NULL, must lose
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for _ in range(2):
+        out = {r.vec_id: r.centroid_id for r in SIM.ivf_assign(emb, cents).collect()}
+        assert out == {0: 10}, out  # NaN beats inf beats finite beats NULL
+        cos = [r.cosine for r in SIM.ivf_assign(emb, cents).collect()]
+        assert len(cos) == 1 and math.isnan(cos[0])
+        monkeypatch.setattr(SIM, "_LITERAL_ARGMAX_TERMS", 0)  # join path
