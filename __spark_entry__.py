@@ -27,167 +27,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return a6_daily_market_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-8 recording order. The driver records only a ~50-row PREFIX of
-# queries() iteration order per round. Round 7 held the registration
-# freeze and drained 44 of the 58-query bank; the 14 most expensive
-# rolled here as the r8 backlog (r7 verdict #1). The r8 window is:
-# tier 0 = those 14 rollers (all independently oracle-PASS already);
-# tier 1 = this round's new registrations (freeze lifted per r7 verdict
-# #6: backlog < window again, new capability only, bank + new <= 50);
-# tier 2 = re-records of the STALE VINTAGE — the 29 oracled queries whose
-# most recent green driver row is round 1 (shared helpers under them
-# changed in r6/r7: ANSI folds, cosine/argmax rewrite, unicode
-# tokenizers), so the driver trail is refreshed oldest-first.
-# 14 + new + 29 <= 50 keeps never-driver-green at 0 after this round.
-_BACKLOG_R8 = frozenset({
-    "a25_volume_volatility_corr", "a26_new_highs_lows", "a27_monthly_hhi",
-    "cdc4_scd2_dimension", "dd22_jaccard_histogram",
-    "dq10_order_price_reconciliation", "f15_doc_feature_matrix",
-    "j14_sourcing_entropy", "k22_quantization_error",
-    "pipeline2_delisted_sync", "ts46_garman_klass_vol", "ts48_kaufman_er",
-    "ts49_variance_ratio", "ts51_downside_beta",
-})
+# Recording order (rolling, machine-derived — r8 verdict #1). The
+# driver records only a ~50-row PREFIX of queries() iteration order per
+# round, so the order IS the re-record policy. From round 9 on it is
+# computed from the CORRECTNESS_r*.json trail itself instead of
+# hand-maintained frozensets (rounds 2-8 drifted those three times):
+#
+#   tier 0 — oracled queries with NO hash-green driver row in ANY
+#            correctness file: never-green backlog and this round's new
+#            registrations alike (a new registration has no row yet).
+#   tier 1 — green queries, OLDEST newest-green round first: the ~50
+#            stalest greens are re-recorded every round, so no green
+#            row ages past ~ceil(|registry| / 50) rounds (~7 at 359).
+#   tier 2 — rows-only queries (no oracle): can never hash-green,
+#            recorded dead last.
+#
+# Within each tier, cheapest-first by the measured sf0.1 cost table so a
+# time-budgeted window covers the most queries.
 
-# Oracled queries whose LATEST green driver row is CORRECTNESS_r01 —
-# the r1 vintage. Recorded again this round so the driver trail reflects
-# the current helpers (the 48 r2-vintage rows are the natural r9 tier).
-_RERECORD_R8 = frozenset({
-    "a5_correlation_matrix", "a6_daily_market_summary", "a8_all_symbols",
-    "dd1_exact_dedup", "dd2_ngram_jaccard", "dd5_cosine_near_dup",
-    "e1_tumbling_window", "e2_sliding_window", "e3_sessionize",
-    "f9_month_buckets", "j1_stock_data", "j3_latest_prices",
-    "j4_backtest_universe", "j5_insert_if_absent", "j7_revenue_by_nation",
-    "k1_knn_topk", "k2_knn_batch", "k4_knn_ivf", "o1_topk_orders",
-    "p2_validate_rows", "p2_validate_stats", "s13_symbol_coverage",
-    "st1_streaming_tumbling", "tx1_quality_stats", "tx2_token_counts",
-    "tx3_detect_language", "u1_union_relaxed", "w1_top_performers",
-    "w2_calculate_returns",
-})
 
-# Queries with a green (hash_match) driver row in any of
-# CORRECTNESS_r01..r07 (renamed from _GREEN_R1_R5 per r7 ADVICE #4 —
-# the set has carried r6/r7 greens since the per-round folds).
-_GREEN_PRIOR = frozenset({
-    "a10_dedup_latest", "a11_modal_priority", "a12_weighted_market_return",
-    "a13_advance_decline", "a14_hhi_concentration", "a15_listing_flows",
-    "a16_monthly_momentum", "a18_turnover_gini", "a19_market_share_trend",
-    "a1_market_summary", "a20_breadth_thrust", "a22_turn_of_month",
-    "a23_high_proximity", "a24_equal_weight_index", "a28_price_dispersion",
-    "a29_return_rates", "a2_stock_count_stats", "a30_margin_health",
-    "a31_new_vs_repeat_revenue", "a32_listing_age_vol",
-    "a3_delisted_report", "a4_table_info", "a5_correlation_matrix",
-    "a6_daily_market_summary", "a7_market_counts", "a8_all_symbols",
-    "apx1_approx_distinct", "apx2_price_quantiles", "apx3_sketch_rollup",
-    "cdc1_snapshot_diff", "cdc2_status_history",
-    "cdc3_point_in_time_status", "cdc5_status_change_rate",
-    "ck1_chunk_documents", "dc1_decontaminate", "dd10_dedup_keep_best",
-    "dd11_incremental_dedup", "dd12_crossdoc_ngram", "dd13_span_dedup",
-    "dd14_crossdoc_sentences", "dd15_prefix_dup_groups",
-    "dd16_source_jaccard", "dd18_shingle_df_profile", "dd19_dedup_savings",
-    "dd1_exact_dedup", "dd20_containment_pairs", "dd21_dup_provenance",
-    "dd2_ngram_jaccard", "dd5_cosine_near_dup", "dd7_dup_clusters",
-    "dd8_capped_dedup_corpus", "dd8_dedup_corpus",
-    "dd9_ngram_jaccard_capped", "dp1_profile_lineitem",
-    "dp2_quantity_drift", "dp3_profile_orders", "dp4_price_histogram",
-    "dp5_column_drift", "dp6_ks_drift", "dq12_status_invariant",
-    "dq13_last_digit_bias", "dq1_lineitem_constraints", "dq2_freshness",
-    "dq3_childless_orders", "dq4_ship_lag", "dq5_benford_digits",
-    "dq6_monthly_coverage", "dq7_orphan_rates",
-    "dq8_natural_key_collisions", "dq9_source_completeness",
-    "e10_conversion_latency", "e11_rfm_scores", "e12_burst_detection",
-    "e13_bounce_rate", "e14_sliding_active_users", "e15_session_paths",
-    "e16_interarrival_stats", "e17_hourly_profile",
-    "e18_first_touch_attribution", "e19_event_type_pairs",
-    "e1_tumbling_window", "e20_stickiness", "e21_dwell_time",
-    "e22_anomalous_days", "e23_funnel_3step", "e25_cohort_ltv",
-    "e26_session_percentiles", "e28_wau_trend", "e2_sliding_window",
-    "e30_hourly_conversion", "e31_new_vs_returning", "e32_session_depth",
-    "e33_daypart_rollup", "e34_active_gap_histogram", "e35_repeat_latency",
-    "e36_second_order_markov", "e37_retention_survival",
-    "e38_event_type_lift", "e39_power_users", "e3_sessionize",
-    "e42_daily_error_rate", "e43_activity_streaks", "e4_json_props",
-    "e5_funnel_users", "e6_retention_cohorts", "e7_cumulative_users",
-    "e8_last_touch_attribution", "e9_markov_transitions",
-    "er1_similar_supplier_names", "f10_time_features",
-    "f11_target_encoding", "f12_feature_binning", "f13_minmax_log_features",
-    "f14_cyclic_time_features", "f16_oof_target_encoding",
-    "f1_normalize_chain", "f9_month_buckets", "fx1_feature_matrix",
-    "fx2_point_in_time_join", "fx3_lagged_features",
-    "fx4_winsorized_returns", "iv1_interval_join",
-    "iv2_concurrent_sessions", "iv3_nearest_event", "iv4_allen_relations",
-    "iv5_interval_coverage", "iv6_activity_span", "iv7_gap_histogram",
-    "iv8_peak_concurrency", "iv9_interval_stabbing", "ivm1_merged_summary",
-    "j10_bloom_semi_join", "j11_band_range_join",
-    "j12_nation_top_customers", "j13_price_elasticity",
-    "j15_supplier_risk_exposure", "j1_stock_data", "j3_latest_prices",
-    "j4_backtest_universe", "j5_insert_if_absent", "j7_revenue_by_nation",
-    "j8_segment_top_orders", "j9_salted_join", "k10_centroid_distances",
-    "k11_norm_stats", "k13_ivf_balance", "k15_label_confusion",
-    "k16_simplified_silhouette", "k17_ivf_recall", "k19_dim_variance",
-    "k1_knn_topk", "k20_label_knn_purity", "k23_split_representativeness",
-    "k2_knn_batch", "k4_knn_ivf", "k6_knn_graph", "k8_radius_search",
-    "k9_label_centroids", "mix1_domain_quota", "mix2_temperature_resample",
-    "o1_topk_orders", "o2_keyset_pagination", "p2_validate_rows",
-    "p2_validate_stats", "pipeline1_daily_update", "pk1_pack_sequences",
-    "pk2_bucketed_batches", "r10_share_of_total", "r11_close_quartiles",
-    "r12_percent_rank", "r1_top3_per_market", "r2_rollup_market_year",
-    "r3_cube_flag_status", "r4_pivot_market_year", "r5_symbol_deciles",
-    "r6_rank_functions", "r7_grouping_sets", "r8_unpivot_ohlc",
-    "r9_pareto_symbols", "s13_symbol_coverage", "sd1_semantic_dedup",
-    "shf1_shuffle_shards", "shf2_interleave_sources",
-    "smp10_es_weighted_sample", "smp11_balanced_downsample",
-    "smp12_proportional_strata", "smp13_kfold_assign",
-    "smp14_anchor_positive_pairs", "smp1_hash_sample", "smp2_stratified",
-    "smp3_group_split", "smp4_weighted_sample", "smp5_negative_sampling",
-    "smp6_quantile_stratified", "smp7_group_reservoir", "smp8_purged_split",
-    "smp9_systematic_sample", "st10_streaming_running_stats",
-    "st11_streaming_burst", "st12_streaming_sliding",
-    "st13_streaming_distinct_users", "st1_streaming_tumbling",
-    "st2_streaming_user_totals", "st3_streaming_sessions",
-    "st4_streaming_dedup", "st5_stream_static_join",
-    "st6_stream_stream_join", "st7_streaming_ingest_dedup",
-    "st8_streaming_ewma", "st9_streaming_windowed_topk",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_delay_priority", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers", "tpch_q19_disjunctive_revenue",
-    "tpch_q1_pricing_summary", "tpch_q20_promotion_suppliers",
-    "tpch_q21_suppliers_waiting", "tpch_q22_idle_balances",
-    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "ts10_zscore_outliers", "ts11_forward_fill", "ts12_linear_trend",
-    "ts13_market_beta", "ts14_ewma", "ts15_calendar_fill",
-    "ts16_rolling_median", "ts17_cusum", "ts18_adjusted_close", "ts19_vwap",
-    "ts1_sma", "ts20_seasonal_baseline", "ts21_robust_scale", "ts22_sharpe",
-    "ts23_donchian", "ts24_return_autocorr", "ts25_xs_momentum",
-    "ts26_amihud_illiquidity", "ts27_candlestick_flags",
-    "ts28_drawdown_duration", "ts29_ulcer_index", "ts2_volatility",
-    "ts30_obv", "ts31_streaks", "ts32_monthly_seasonality",
-    "ts33_weekly_atr", "ts34_calmar", "ts35_rolling_sharpe",
-    "ts36_inverse_vol_weights", "ts37_updown_capture", "ts38_rank_churn",
-    "ts3_drawdown", "ts40_return_moments", "ts41_pain_index",
-    "ts42_up_day_ratio", "ts43_series_gaps", "ts44_parkinson_vol",
-    "ts45_hurst_exponent", "ts47_roll_spread", "ts4_weekly_ohlc",
-    "ts50_sortino", "ts55_vol_regimes", "ts5_asof_prices", "ts6_range_avg",
-    "ts7_bollinger", "ts8_rsi", "ts9_rolling_corr", "tx10_repetition_stats",
-    "tx11_lm_quality", "tx12_bm25", "tx13_bigram_lm", "tx14_sentence_stats",
-    "tx15_zipf_slope", "tx16_quality_gate", "tx17_bpe_pairs",
-    "tx18_charset_stats", "tx19_dup_sentences", "tx1_quality_stats",
-    "tx20_lexical_diversity", "tx21_bigram_entropy",
-    "tx22_keyword_in_context", "tx23_vocab_coverage", "tx24_pii_by_source",
-    "tx25_langid_confusion", "tx26_word_length_profile",
-    "tx27_stopword_profile", "tx28_ngram_novelty", "tx2_token_counts",
-    "tx30_doc_entropy", "tx31_word_burstiness", "tx32_vocab_coverage_curve",
-    "tx33_hapax_by_source", "tx35_doc_length_gini", "tx36_readability",
-    "tx3_detect_language", "tx4_fingerprint", "tx5_vocabulary",
-    "tx6_length_histogram", "tx7_clean_corpus", "tx8_tfidf_terms",
-    "tx9_redact_pii", "u1_union_relaxed", "u4_intersect_symbols",
-    "u5_bag_difference", "u6_symmetric_difference", "u7_bag_intersect",
-    "w1_top_performers", "w2_calculate_returns",
-})
+def _newest_green_round() -> dict[str, int]:
+    """Per query: the newest round whose CORRECTNESS_r*.json has a
+    hash_match=true row — the query's driver-trail vintage."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    newest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue  # a malformed trail file degrades order, not correctness
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest
 
 # Measured driver wall-times (BENCH_r01/r02, sf0.1, seconds) — used only to
 # sort WITHIN each tier cheapest-first, so a time-budgeted recording window
@@ -370,31 +251,25 @@ _COST = {
     # round-8 registrations (measured in-session at sf0.1, best-of-2)
     "skw1_join_key_skew_profile": 0.77, "skw2_salted_user_totals": 0.51,
     "stb1_stream_batch_reconcile": 1.54, "k24_stratified_knn": 0.54,
+    # round-9 registrations (measured in-session at sf0.1, best-of-2)
+    "skw3_sharded_sessions": 1.35,
 }
 
 
-# Registrations banked PAST the r8 window (bank + backlog must stay
-# <= ~50 so round 9 can absorb everything — r7 verdict #6 discipline).
-_BANK_R9 = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    def tier(name: str) -> int:
-        if name in _BACKLOG_R8:
-            return 0  # the 14 r7 rollers — never driver-green yet
-        if name not in ORACLES:
-            return 5  # no-oracle: can never hash-green, record dead last
-        if name in _RERECORD_R8:
-            return 2  # r1-vintage greens being re-recorded this round
-        if name in _GREEN_PRIOR:
-            return 3  # green and fresh enough: past the window
-        if name in _BANK_R9:
-            return 4  # deferred past the window to round 9
-        return 1  # new this round: record before re-records so every
-        # registration gets its first green row in the same round
+    vintage = _newest_green_round()
 
-    ordered = sorted(QUERIES, key=lambda n: (tier(n), _COST.get(n, 1.0), n))
-    return {n: QUERIES[n] for n in ordered}
+    def key(name: str):
+        if name not in ORACLES:
+            return (2, 0, _COST.get(name, 1.0), name)  # rows-only: dead last
+        v = vintage.get(name, 0)
+        if v == 0:
+            return (0, 0, _COST.get(name, 1.0), name)  # never green / new
+        return (1, v, _COST.get(name, 1.0), name)  # stalest green first
+
+    return {n: QUERIES[n] for n in sorted(QUERIES, key=key)}
 
 
 def oracle_sql() -> dict[str, str]:

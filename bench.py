@@ -53,21 +53,50 @@ def family_diff(
     return flags
 
 
-def load_prev_families(repo_dir: str) -> tuple[str, dict[str, float]]:
-    """Newest BENCH_r*.json's family subtotals (name, families) — the
-    baseline for family_diff. Returns ("", {}) when no usable file."""
-    import glob
+def load_prev_families(
+    repo_dir: str, window: int = 3, exclude: tuple[str, ...] = ()
+) -> tuple[str, dict[str, float]]:
+    """Per-family MEDIAN subtotal over the newest ``window`` usable
+    BENCH_r*.json files — the baseline for family_diff.
 
+    Median-of-3, not single-newest (r8 verdict #7): a slow two-round
+    creep can't hide under the 1.3x single-round gate when two older
+    rounds anchor the median. It also defuses the self-comparison
+    no-op (r8 ADVICE #3): if the CURRENT round's recording is already
+    on disk it is at most one of the three files, so the flags still
+    compare against history. Files named in ``exclude`` or in
+    $SPARK_GRAFT_BENCH_EXCLUDE (comma-separated basenames) are
+    skipped outright. Returns ("", {}) when no usable file.
+    """
+    import glob
+    import statistics
+
+    skip = set(exclude) | {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if s
+    }
+    used: list[tuple[str, dict[str, float]]] = []
     for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True):
+        if os.path.basename(path) in skip:
+            continue
         try:
             data = json.load(open(path))
             # driver files wrap the parsed line under "parsed" or store it raw
             for cand in (data.get("parsed") if isinstance(data, dict) else None, data):
                 if isinstance(cand, dict) and isinstance(cand.get("families"), dict):
-                    return os.path.basename(path), cand["families"]
+                    used.append((os.path.basename(path), cand["families"]))
+                    break
         except Exception:
             continue
-    return "", {}
+        if len(used) >= window:
+            break
+    if not used:
+        return "", {}
+    fams: dict[str, float] = {}
+    for fam in {f for _, d in used for f in d}:
+        vals = [d[fam] for _, d in used if fam in d and isinstance(d[fam], (int, float))]
+        if vals:
+            fams[fam] = round(statistics.median(vals), 2)
+    return "median(" + ",".join(n for n, _ in used) + ")", fams
 
 
 def main() -> None:

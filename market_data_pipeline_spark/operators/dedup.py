@@ -532,6 +532,8 @@ def blocked_name_pairs(
     max_block_size: int | None = None,
     deletion_max_len: int = 48,
     deletion_min_rows: int = 5000,
+    regime: str = "auto",
+    max_core_bucket: int | None = None,
 ) -> DataFrame:
     """Blocked entity resolution: candidate duplicate pairs whose names are
     within ``max_dist`` Levenshtein edits, compared only WITHIN a blocking
@@ -569,9 +571,38 @@ def blocked_name_pairs(
     within a block, as in any entity table — exact-duplicate rows
     collapse to one candidate here where the quadratic path would emit
     a duplicated pair.
+
+    Short-name hot cores (r8 ADVICE #4): every name of length <=
+    ``2 * max_dist`` reaches a length-<=``max_dist`` core (ultimately
+    ``""``), so in a corpus with many short names those alphabet-bounded
+    cores collapse into one k^2 bucket and quietly recreate the
+    quadratic plan. Fix is exact, not a cap: names of length <=
+    ``2 * max_dist`` are paired among THEMSELVES by direct in-block
+    expansion (within a block their count is alphabet-bounded, and at
+    those lengths deletion cores have no pruning power anyway), and the
+    deletion join keeps only cores LONGER than ``2*max_dist - max_dist``
+    — still a provable superset for every pair involving one name
+    longer than ``2 * max_dist`` (that side's cores all have length >=
+    len - max_dist > max_dist, and the optimal-alignment core is
+    reachable from both sides). ``max_core_bucket`` additionally caps
+    surviving (block, core) buckets for a bounded-run guarantee on
+    adversarial corpora (many LONG names collapsing onto one genuine
+    core); it is None (exact) by default because with unique in-block
+    names a hot long core implies genuinely similar names, i.e. mostly
+    true pairs — output-bound, not waste.
+
+    ``regime`` pins the plan explicitly: "deletion", "quadratic", or
+    "auto" (default). **auto runs a bounded single-row aggregate — an
+    eager Spark job — at plan-BUILD time** (r8 ADVICE #5: callers that
+    need a fully lazy builder should pick the regime themselves); the
+    probe reads only ``name_col`` (column-pruned scan) after the
+    ``max_block_size`` window filter.
     Returns (block_col, id_a, id_b, edit_dist) with id_a < id_b.
     """
     from market_data_pipeline_spark.operators.util import pairs_within_groups
+
+    if regime not in ("auto", "deletion", "quadratic"):
+        raise ValueError(f"unknown regime {regime!r}")
 
     base = df.select(block_col, id_col, name_col)
     if max_block_size is not None:
@@ -582,25 +613,8 @@ def blocked_name_pairs(
             .drop("_bsz")
         )
 
-    # bounded single-row regime statistic: longest name + corpus size.
-    # Small corpora keep the quadratic expansion — its k^2-per-block cost
-    # is trivial below ~5k rows and avoids the deletion path's ~L^2/2-per
-    # -row explode (at sf0.1, 4s vs 2s); past that the explode's linear
-    # cost wins by orders of magnitude (the §G-100x measurement).
-    stats = base.agg(
-        F.max(F.length(F.col(name_col))).alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    max_len, n_rows = stats["mx"], stats["n"]
-    if (
-        max_dist > 3
-        or max_len is None
-        or max_len > deletion_max_len
-        or n_rows <= deletion_min_rows
-    ):
-        pairs = pairs_within_groups(
-            base, [block_col], id_col, [name_col]
-        )
+    def _quadratic(frame: DataFrame) -> DataFrame:
+        pairs = pairs_within_groups(frame, [block_col], id_col, [name_col])
         return (
             pairs.select(
                 F.col(block_col),
@@ -612,6 +626,28 @@ def blocked_name_pairs(
             )
             .filter(F.col("edit_dist") <= max_dist)
         )
+
+    use_deletion = regime == "deletion"
+    if regime == "auto":
+        # bounded single-row regime statistic: longest name + corpus size
+        # (an EAGER job; see docstring). Small corpora keep the quadratic
+        # expansion — its k^2-per-block cost is trivial below ~5k rows and
+        # avoids the deletion path's ~L^2/2-per-row explode; past that the
+        # explode's linear cost wins by orders of magnitude (the §G-100x
+        # measurement; thresholds from the measured crossover, SCALE.md §C).
+        stats = base.agg(
+            F.max(F.length(F.col(name_col))).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        max_len, n_rows = stats["mx"], stats["n"]
+        use_deletion = not (
+            max_dist > 3
+            or max_len is None
+            or max_len > deletion_max_len
+            or n_rows <= deletion_min_rows
+        )
+    if not use_deletion:
+        return _quadratic(base)
 
     def _delete_ones(arr):
         # every single-character deletion of every string in arr
@@ -631,14 +667,26 @@ def blocked_name_pairs(
         )
 
     name = F.col(name_col)
+    short_cut = 2 * max_dist  # names this short collapse onto tiny cores
+    short_pairs = _quadratic(base.filter(F.length(name) <= short_cut))
+
     cores = F.array(name)
     layer = F.array(name)
     for _ in range(max_dist):
         layer = F.array_distinct(_delete_ones(layer))
         cores = F.concat(cores, layer)
+    # cores of length <= short_cut - max_dist are reachable only when
+    # BOTH pair members are short (a name longer than short_cut can't
+    # delete down to them within max_dist edits) — those pairs are the
+    # quadratic sub-path's job, so pruning the tiny cores pre-explode
+    # drops the alphabet-bounded hot buckets without losing any
+    # short-long or long-long candidate.
+    cores = F.filter(
+        F.array_distinct(cores), lambda c: F.length(c) > short_cut - max_dist
+    )
     ex = (
         base.filter(name.isNotNull())
-        .select(block_col, id_col, name_col, F.array_distinct(cores).alias("_c"))
+        .select(block_col, id_col, name_col, cores.alias("_c"))
         .select(
             F.col(block_col),
             F.col(id_col),
@@ -652,14 +700,23 @@ def blocked_name_pairs(
             F.xxhash64("_core").alias("_core"),
         )
     )
-    cand = pairs_within_groups(ex, [block_col, "_core"], id_col, [name_col])
-    return (
+    cand = pairs_within_groups(
+        ex, [block_col, "_core"], id_col, [name_col],
+        max_group_size=max_core_bucket,
+    )
+    long_pairs = (
         cand.select(
             F.col(block_col),
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{name_col}").alias("_na"),
             F.col(f"b.{name_col}").alias("_nb"),
+        )
+        # short-short pairs already came from the quadratic sub-path;
+        # a long-enough shared core can still surface them here, so
+        # drop them before the union to keep pairs unique
+        .filter(
+            (F.length("_na") > short_cut) | (F.length("_nb") > short_cut)
         )
         .distinct()  # a true pair shares MANY cores; count it once
         .select(
@@ -670,6 +727,7 @@ def blocked_name_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+    return long_pairs.unionByName(short_pairs)
 
 
 # --- duplicate clustering ----------------------------------------------------

@@ -1362,7 +1362,10 @@ def norm_stats(
     return staged.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         (
-            F.sum(F.round(F.col("_nrm") * 1e6).cast("long"))
+            (
+                F.sum(F.round(F.col("_nrm") * 1e6).cast("decimal(38,0)"))
+                .cast("double")
+            )
             / 1e6
             / F.count(F.lit(1))
         ).alias("avg_norm"),

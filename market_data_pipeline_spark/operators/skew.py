@@ -17,6 +17,76 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hot_entities(
+    df: DataFrame,
+    entity_col: str,
+    threshold_rows: int,
+) -> DataFrame:
+    """Entities whose row count exceeds ``threshold_rows`` — the
+    ingest-time audit feeding :func:`cap_hot_entities` (and the policy
+    decision behind it). One map-side-combined groupBy; output is tiny
+    by construction (only over-threshold keys survive).
+    Returns (entity_col, n_rows) ordered by n_rows desc.
+    """
+    return (
+        df.groupBy(entity_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .filter(F.col("n_rows") > threshold_rows)
+        .orderBy(F.desc("n_rows"), entity_col)
+    )
+
+
+def cap_hot_entities(
+    df: DataFrame,
+    entity_col: str,
+    max_rows: int,
+    mode: str = "drop",
+) -> DataFrame:
+    """Ingest-side hot-entity policy for order-dependent downstream
+    operators (r8 verdict #2): an entity with more than ``max_rows``
+    rows (bot account, system user) would serialize onto one task in
+    any per-entity ORDERED window — the skew class neither AQE (joins
+    only) nor salting (breaks order semantics) can fix downstream, so
+    the standard pipeline answer is an upstream cap at ingest.
+
+    ``mode``:
+
+    - ``"drop"``: remove over-cap entities ENTIRELY (bot/system-account
+      policy — their sessions are meaningless anyway). Implemented as
+      one aggregate to find the hot keys (tiny by construction) + a
+      broadcast anti-join, so the big side never shuffles.
+    - ``"sample"``: keep over-cap entities but thin them to ~``max_rows``
+      rows via a DETERMINISTIC hash filter on the whole row
+      (xxhash64 — reruns and stage retries keep identical rows). A
+      "first N by time" cap would itself order-scan the hot entity on
+      one core, recreating the straggler at ingest; the hash sample is
+      map-only and order-free. Under-cap entities pass through intact.
+
+    For keeping hot entities EXACT through sessionization instead, use
+    :func:`market_data_pipeline_spark.operators.events.sessionize_sharded`.
+    Returns df's schema unchanged.
+    """
+    if mode not in ("drop", "sample"):
+        raise ValueError("mode must be 'drop' or 'sample'")
+    hot = hot_entities(df, entity_col, max_rows)
+    if mode == "drop":
+        return df.join(
+            F.broadcast(hot.select(entity_col)), [entity_col], "left_anti"
+        )
+    # sample: per-entity keep-fraction = max_rows / n_rows, applied as a
+    # uniform threshold on a 64-bit row hash (NULL hash inputs fold to a
+    # constant; ties across identical rows keep/drop together, which is
+    # the right dedup-friendly behavior)
+    frac = (F.lit(max_rows).cast("double") / F.col("n_rows")).alias("_keep_frac")
+    hot_frac = hot.select(entity_col, frac)
+    joined = df.join(F.broadcast(hot_frac), [entity_col], "left")
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_000))
+    return joined.filter(
+        F.col("_keep_frac").isNull()
+        | (h < F.col("_keep_frac") * 1_000_000)
+    ).drop("_keep_frac")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -13781,6 +13781,49 @@ def skw2_salted_user_totals(spark, sf_dir):
 
 
 @query(
+    "skw3_sharded_sessions",
+    """WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY 1, 2""",
+)
+def skw3_sharded_sessions(spark, sf_dir):
+    """Hot-entity-proof sessionization (operators/events.
+    sessionize_sharded): the per-user event window runs per (user,
+    6-hour time shard), then shard-local sessions are stitched exactly
+    across shard edges — hash-checked value-identical to the ORACLE'S
+    PLAIN single-pass formulation, which is the whole claim. This is
+    the in-repo mitigation for the one skew class the r8 straggler
+    rehearsal showed neither AQE (joins only) nor salting (breaks order
+    semantics) covers: a bot-grade hot entity serializing an
+    order-dependent window onto one task (e3_sessionize measured 1.26x
+    at 50%-hot/10x; sharded stays flat — scripts/skew_straggler_10x.py).
+    The 4-hour gap with 6-hour shards makes sessions genuinely cross
+    shard edges at this SF, so the stitch pass is exercised, not
+    decorative. Cost: one (user, shard) shuffle over events + one tiny
+    shuffle over session summaries."""
+    return ev.sessionize_sharded(
+        load_table(spark, sf_dir, "events"), gap_minutes=240, shard_hours=6
+    )
+
+
+@query(
     "stb1_stream_batch_reconcile",
     """WITH b AS (
   SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -13860,15 +13903,25 @@ def k24_stratified_knn(spark, sf_dir):
     single-row collect."""
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).head()
-    if qrow is None or qrow["embedding"] is None:
-        # no query vector (empty/degenerate table): 0 rows, stable schema
+    if qrow is None:
+        # vec_id=0 absent: the oracle's cross join against an empty
+        # subquery yields no rows — 0 rows, stable schema
         return emb.select(
             "label",
             "vec_id",
             F.lit(None).cast("double").alias("cosine"),
             F.lit(None).cast("int").alias("rank"),
         ).filter(F.lit(False))
-    qvec = [float(x) for x in qrow["embedding"]]
+    raw = qrow["embedding"]
+    # NULL components (or a fully NULL embedding) pass through as None:
+    # grouped_knn's _vec_lit folds them to NULL cosines, which both
+    # engines rank NULLS LAST — the oracle still emits rank<=3 rows per
+    # label in that degenerate class (r8 ADVICE #1).
+    qvec = (
+        [None]
+        if raw is None
+        else [float(x) if x is not None else None for x in raw]
+    )
     return similarity.grouped_knn(
         emb, qvec, k=3, exclude_ids=(0,)
     ).orderBy("label", "rank")

@@ -51,6 +51,16 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster is
     configured; on a real cluster pass ``None`` with a pre-set master URL in
     the environment and this is a no-op.
+
+    **Session-defaults contract** (tests/test_session_contract.py): every
+    timestamp result in the engine assumes a UTC session timezone at plan
+    BUILD time — Spark resolves tz-aware expressions during analysis, so
+    the zone in force when a DataFrame is constructed is baked into the
+    plan. This factory pins UTC for sessions it builds; externally-built
+    sessions are re-pinned by ``sources.catalog.ensure_session_defaults``,
+    which every public entry path (``load_table``, the streaming jobs)
+    routes through. Don't bypass ``load_table`` with a raw
+    ``spark.read.parquet`` in query code.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     _export_pythonpath()

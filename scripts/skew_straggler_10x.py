@@ -9,11 +9,13 @@ Builds two frames from the §G 10x/100x scratch recipe's events table:
 
 Measures e3_sessionize / e14_sliding_active_users / e11_rfm_scores and
 skw2's salted aggregation on both, best-of-2 noop-write. The expected
-result IS the straggler: one task owns a 5M-row session window. That
-number justifies (a) skw1's pre-flight audit and (b) the documented
-guidance that order-dependent per-user operators need upstream
-hot-entity handling (bot/system-account filtering or per-entity
-sharding at ingest) — salting cannot preserve sessionization semantics.
+result IS the straggler: one task owns a 5M-row session window — and
+(round 9) skw3_sharded_sessions is the in-repo fix: its (user, shard)
+window bounds any task at the hot entity's per-shard rows, so its
+skew/uniform ratio should stay ~flat where e3's shows the slope.
+That pairing justifies (a) skw1's pre-flight audit, (b) the
+cap_hot_entities ingest policy, and (c) sessionize_sharded as the
+exact-semantics path — salting cannot preserve sessionization order.
 
 Usage: python scripts/skew_straggler_10x.py
 """
@@ -30,7 +32,8 @@ sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
 SCRATCH = os.path.join(REPO, ".scratch", "skew_straggler")
-QUERIES_S = ["e3_sessionize", "e14_sliding_active_users", "e11_rfm_scores",
+QUERIES_S = ["e3_sessionize", "skw3_sharded_sessions",
+             "e14_sliding_active_users", "e11_rfm_scores",
              "skw2_salted_user_totals"]
 
 

@@ -45,5 +45,38 @@ def test_load_prev_families_reads_driver_file(tmp_path):
     (tmp_path / "BENCH_r04.json").write_text("not json at all")
     name, fams = load_prev_families(str(tmp_path))
     # newest unparseable file is skipped, not fatal
-    assert name == "BENCH_r03.json" and fams == {"k": 1.5}
+    assert name == "median(BENCH_r03.json)" and fams == {"k": 1.5}
     assert load_prev_families(str(tmp_path / "nowhere")) == ("", {})
+
+
+def test_load_prev_families_trailing_median(tmp_path):
+    """r8 verdict #7: the baseline is the per-family MEDIAN of the
+    newest 3 usable files, so a slow two-round creep can't reset the
+    yardstick each round, and (r8 ADVICE #3) the current round's own
+    recording being on disk can't turn the diff into a self-compare."""
+    for rnd, k in [(5, 10.0), (6, 10.5), (7, 11.0), (8, 30.0)]:
+        (tmp_path / f"BENCH_r0{rnd}.json").write_text(
+            json.dumps({"parsed": {"families": {"k": k, f"only{rnd}": 1.0}}})
+        )
+    name, fams = load_prev_families(str(tmp_path))
+    # newest three files (r6, r7, r8); r8's inflated 30.0 is outvoted
+    assert name == "median(BENCH_r08.json,BENCH_r07.json,BENCH_r06.json)"
+    assert fams["k"] == 11.0
+    # a family present in only one window file still gets a baseline
+    assert fams["only8"] == 1.0 and "only5" not in fams
+    # creep check: 13.0 vs median 11.0 sub-1.3x -> unflagged, but vs a
+    # single-newest baseline of 30.0 it would even have looked like a win
+    assert family_diff({"k": 15.0}, fams) == [
+        {"family": "k", "prev": 11.0, "cur": 15.0, "ratio": 1.36}
+    ]
+
+
+def test_load_prev_families_exclude(tmp_path, monkeypatch):
+    for rnd in (7, 8):
+        (tmp_path / f"BENCH_r0{rnd}.json").write_text(
+            json.dumps({"parsed": {"families": {"k": float(rnd)}}})
+        )
+    name, fams = load_prev_families(str(tmp_path), exclude=("BENCH_r08.json",))
+    assert name == "median(BENCH_r07.json)" and fams == {"k": 7.0}
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_EXCLUDE", "BENCH_r08.json,BENCH_r07.json")
+    assert load_prev_families(str(tmp_path)) == ("", {})

@@ -22,6 +22,24 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) >= 30
 
 
+def test_recording_order_is_rolling_vintage():
+    """r8 verdict #1: the driver records a ~50-row prefix of queries()
+    order, so the order must be (never-green oracled first, then greens
+    stalest-vintage first, rows-only dead last) — computed from the
+    CORRECTNESS trail, not hand-maintained sets."""
+    qs, oras = E.queries(), E.oracle_sql()
+    vint = E._newest_green_round()
+    names = list(qs)
+    oracled = [n for n in names if n in oras]
+    rows_only = [n for n in names if n not in oras]
+    assert names == oracled + rows_only
+    nevers = [n for n in oracled if vint.get(n, 0) == 0]
+    greens = [n for n in oracled if vint.get(n, 0) > 0]
+    assert oracled[: len(nevers)] == nevers
+    vs = [vint[n] for n in greens]
+    assert vs == sorted(vs)
+
+
 def test_every_query_builds_plan(spark, sf_dir):
     """Building the DataFrame (analysis phase) must succeed for every
     query; execution is covered by scripts/check_oracle.py and bench."""

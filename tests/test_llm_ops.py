@@ -469,6 +469,60 @@ def test_blocked_name_pairs_deletion_path_matches_quadratic(spark):
     assert {r.blk for r in capped} == {2}
 
 
+def test_blocked_name_pairs_short_name_hot_core(spark):
+    """r8 ADVICE #4: a corpus dense in short names used to collapse onto
+    the alphabet-bounded tiny cores (every <=2-char name shares the ''
+    core) and recreate the k^2 bucket inside the deletion regime. The
+    fix routes short names through the exact in-block expansion and
+    prunes cores of length <= max_dist, so the result stays EXACTLY the
+    quadratic reference — short-short, short-long and long-long pairs
+    alike — while no (block, core) bucket holds the short names."""
+    from market_data_pipeline_spark.operators.util import pairs_within_groups
+
+    # 30 short names (<=4 chars at max_dist=2) + long names within 2
+    # edits of some short ones (cross-regime pairs must survive)
+    rows = [(1, i, s) for i, s in enumerate(
+        ["a", "b", "ab", "ba", "abc", "bc", "c", "cd", "abcd", "bcd",
+         "x", "xy", "xyz", "yz", "z", "q", "qr", "qrs", "rs", "r",
+         "m", "mn", "mno", "no", "o", "k", "kl", "klm", "lm", "l"]
+    )]
+    rows += [(1, 100, "abcde"), (1, 101, "abcdef"), (1, 102, "xyzzy"),
+             (1, 103, "qrstu"), (1, 104, "mnopq")]
+    df = spark.createDataFrame(rows, "blk int, id long, nm string")
+
+    def quadratic(frame):
+        p = pairs_within_groups(frame.select("blk", "id", "nm"), ["blk"], "id", ["nm"])
+        return (
+            p.select(
+                F.col("blk"),
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.levenshtein(F.col("a.nm"), F.col("b.nm")).cast("long").alias("edit_dist"),
+            ).filter(F.col("edit_dist") <= 2)
+        )
+
+    ref = sorted(map(tuple, quadratic(df).collect()))
+    got = sorted(map(tuple, DD.blocked_name_pairs(
+        df, "blk", "id", "nm", regime="deletion"
+    ).collect()))
+    assert got == ref and len(ref) > 30
+    # pinned regimes bypass the eager auto probe and agree
+    quad = sorted(map(tuple, DD.blocked_name_pairs(
+        df, "blk", "id", "nm", regime="quadratic"
+    ).collect()))
+    assert quad == ref
+    # max_core_bucket only drops candidates from oversized CORE buckets
+    # (recall knob): output is a subset of the exact result
+    sub = sorted(map(tuple, DD.blocked_name_pairs(
+        df, "blk", "id", "nm", regime="deletion", max_core_bucket=2
+    ).collect()))
+    assert set(sub) <= set(ref)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DD.blocked_name_pairs(df, "blk", "id", "nm", regime="bogus")
+
+
 def test_ivf_assign_nan_outranks_inf_both_paths(spark, monkeypatch):
     """The argmax ordering is exactly a descending double scan: NaN
     sorts ABOVE +inf (Spark and DuckDB agree), NULL sorts last. The r8
