@@ -252,7 +252,7 @@ _COST = {
     "skw1_join_key_skew_profile": 0.77, "skw2_salted_user_totals": 0.51,
     "stb1_stream_batch_reconcile": 1.54, "k24_stratified_knn": 0.54,
     # round-9 registrations (measured in-session at sf0.1, best-of-2)
-    "skw3_sharded_sessions": 1.35,
+    "skw3_sharded_sessions": 1.35, "pipeline3_daily_master_update": 10.41,
 }
 
 

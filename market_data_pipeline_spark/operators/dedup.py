@@ -530,8 +530,8 @@ def blocked_name_pairs(
     name_col: str,
     max_dist: int = 2,
     max_block_size: int | None = None,
-    deletion_max_len: int = 48,
-    deletion_min_rows: int = 5000,
+    deletion_max_len: int = 96,
+    deletion_min_rows: int = 8000,
     regime: str = "auto",
     max_core_bucket: int | None = None,
 ) -> DataFrame:
@@ -563,6 +563,22 @@ def blocked_name_pairs(
     in-block expansion, which is the right plan for a HANDFUL of long
     strings but not for entity names. The regime check is one bounded
     single-row aggregate.
+
+    Threshold provenance (r8 verdict #3 — MEASURED, scripts/
+    dd7_crossover.py, table in SCALE.md §C): on 25-block supplier-shaped
+    corpora the quadratic/deletion wall-time crossover interpolates to
+    ~8.6k rows (quadratic 2.48s vs deletion 4.28s at 5k; 9.54 vs 8.39
+    at 10k; 250 vs 42 at 50k), so ``deletion_min_rows=8000`` — set a
+    shade under the crossover because the deletion side's penalty below
+    it is a bounded constant while the quadratic side's above it is
+    unbounded growth. The length sweep shows deletion's margin GROWS
+    with name length (2.6x at L=48, 3.9x at 96, 5.3x at 144 — both
+    plans' per-comparison cost is ~L^2, but the quadratic plan does
+    k^2/25 of them); ``deletion_max_len=96`` is therefore a
+    memory-safety bound on the per-row variant explode (~4.7k rows per
+    name at 96), not a speed crossover — deletion measured winning
+    through L=144; raise the knob or pass regime="deletion" for longer
+    names.
 
     ``max_block_size`` drops oversized NAME BLOCKS entirely before pair
     generation in both regimes (identical semantics to the historical

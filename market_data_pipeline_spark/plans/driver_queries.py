@@ -11248,6 +11248,25 @@ def pipeline1_daily_update(spark, sf_dir):
     from market_data_pipeline_spark.plans import pipelines as PL
     from market_data_pipeline_spark.storage.table import stock_master_table
 
+    per_market, raw_new, raw_delisted = _daily_update_inputs(spark, sf_dir)
+    path = _pipeline_scratch("mdps_pipeline1_") + "/master"
+    master = stock_master_table(spark, path)
+    PL.run_daily_update(
+        master,
+        per_market,
+        raw_new,
+        raw_delisted,
+        now=_dt.datetime(2024, 6, 1, 2, 0, 0),
+    )
+    return master.read_current().orderBy("symbol")
+
+
+def _daily_update_inputs(spark, sf_dir):
+    """The deterministic crawl-shaped §3.1 input frames shared by
+    pipeline1 (master surface) and pipeline3 (re-run + report surface):
+    suppliers = KOSPI listings, customers = KOSDAQ, parts = KONEX new
+    listings with format-rotating dates and Korean number fields, every
+    7th supplier delists."""
     sup = load_table(spark, sf_dir, "supplier")
     cust = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
@@ -11285,17 +11304,87 @@ def pipeline1_daily_update(spark, sf_dir):
         ).alias("delisting_reason"),
         F.lit("KOSPI").alias("market"),
     )
+    return {"KOSPI": kospi, "KOSDAQ": kosdaq}, raw_new, raw_delisted
 
-    path = _pipeline_scratch("mdps_pipeline1_") + "/master"
+
+@query(
+    "pipeline3_daily_master_update",
+    """WITH listed AS (
+  SELECT CAST(100000 + s_suppkey AS VARCHAR) AS symbol, 'KOSPI' AS market
+  FROM supplier
+  UNION ALL
+  SELECT CAST(200000 + c_custkey AS VARCHAR), 'KOSDAQ'
+  FROM customer
+), newl AS (
+  SELECT CAST(400000 + p_partkey AS VARCHAR) AS symbol, 'KONEX' AS market
+  FROM part WHERE p_partkey <= 400
+), del AS (
+  SELECT CAST(100000 + s_suppkey AS VARCHAR) AS symbol,
+         CASE CAST(s_suppkey % 3 AS INTEGER)
+           WHEN 0 THEN DATE '2023-12-31'
+           WHEN 1 THEN DATE '2023-10-25'
+           ELSE DATE '2023-11-30' END AS ddate
+  FROM supplier WHERE s_suppkey % 7 = 0
+), m AS (
+  SELECT l.market,
+         CASE WHEN d.symbol IS NULL THEN 1 ELSE 0 END AS is_active,
+         d.ddate
+  FROM (SELECT * FROM listed UNION ALL SELECT * FROM newl) l
+  LEFT JOIN del d ON l.symbol = d.symbol
+)
+SELECT market,
+       CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(SUM(is_active) AS BIGINT) AS active,
+       CAST(SUM(1 - is_active) AS BIGINT) AS delisted,
+       MIN(ddate) AS earliest_delisting,
+       MAX(ddate) AS latest_delisting
+FROM m GROUP BY market ORDER BY market""",
+)
+def pipeline3_daily_master_update(spark, sf_dir):
+    """The reference's §3.1 daily batch run as OPERATIONS runs it —
+    TWICE, day after day, against the same upstream crawl — closing
+    with the per-market daily REPORT (reference:
+    scripts/daily_stock_master_update.py:333-367 ends by printing
+    exactly these stats). pipeline1 proves the single-run master;
+    pipeline2 proves the §3.2 delisted report from its own bootstrap;
+    this query is the missing composition: crawl-shaped inputs ->
+    validate -> per-market upsert -> new-listing sync -> delisted sync
+    -> compact -> RE-RUN the whole batch for day 2 -> report. The
+    oracle models ONE logical application of the net semantics, so the
+    hash match IS the idempotence proof: the second day's run must
+    insert nothing, re-delist nothing new, and leave every reported
+    count and date identical (insert-if-absent anti-joins + keyed
+    version compaction are the mechanisms under test; audit columns
+    move to day 2 but are deliberately not part of the report, exactly
+    like the reference's printed stats)."""
+    import datetime as _dt
+
+    from market_data_pipeline_spark.plans import pipelines as PL
+    from market_data_pipeline_spark.storage.table import stock_master_table
+
+    per_market, raw_new, raw_delisted = _daily_update_inputs(spark, sf_dir)
+    path = _pipeline_scratch("mdps_pipeline3_") + "/master"
     master = stock_master_table(spark, path)
-    PL.run_daily_update(
-        master,
-        {"KOSPI": kospi, "KOSDAQ": kosdaq},
-        raw_new,
-        raw_delisted,
-        now=_dt.datetime(2024, 6, 1, 2, 0, 0),
+    for day in (1, 2):  # day 2 is the idempotence re-run
+        PL.run_daily_update(
+            master,
+            per_market,
+            raw_new,
+            raw_delisted,
+            now=_dt.datetime(2024, 6, day, 2, 0, 0),
+        )
+    return (
+        master.read_current()
+        .groupBy("market")
+        .agg(
+            F.count("*").cast("long").alias("total"),
+            F.sum("is_active").cast("long").alias("active"),
+            F.sum(1 - F.col("is_active")).cast("long").alias("delisted"),
+            F.min("delisting_date").alias("earliest_delisting"),
+            F.max("delisting_date").alias("latest_delisting"),
+        )
+        .orderBy("market")
     )
-    return master.read_current().orderBy("symbol")
 
 
 # TPC-H-style extension queries register themselves into QUERIES/ORACLES on

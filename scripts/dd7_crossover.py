@@ -11,16 +11,18 @@ are provenance-backed numbers, not guesses:
   replicated with digit-perturbed copies so near-dup pairs exist),
   25-value block key (the nation shape), name length ~18 — both
   regimes timed.
-- **length sweep**: n=20k corpora with names padded to L in
+- **length sweep**: n=10k corpora with names padded to L in
   {18, 48, 96, 144} — both regimes timed (the deletion explode grows
-  ~L^2; the quadratic path's levenshtein verify grows ~L^2 too but
-  only on k^2/25 pairs).
+  ~L^2; the quadratic path's levenshtein verify grows ~L^2 too, on
+  k^2/25 pairs — which is why long names do NOT rescue the quadratic
+  plan at data scale; n=10k single-shot because the 20k quadratic run
+  at L>=96 is tens of minutes, the result already unambiguous).
 
-Timings are best-of-2 noop writes on a warmed local[32] session.
-Results land in SCALE.md §C; the thresholds in operators/dedup.py cite
-this script.
+Row-sweep timings are best-of-2 noop counts on a warmed local[32]
+session; the length sweep is single-shot. Results land in SCALE.md §C;
+the thresholds in operators/dedup.py cite this script.
 
-Usage: python scripts/dd7_crossover.py
+Usage: python scripts/dd7_crossover.py [rows|length]
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ SCRATCH = os.path.join(REPO, ".scratch", "dd7_crossover")
 
 ROWS_SWEEP = [1_000, 2_000, 5_000, 10_000, 20_000, 50_000]
 LEN_SWEEP = [18, 48, 96, 144]
-LEN_SWEEP_ROWS = 20_000
+LEN_SWEEP_ROWS = 10_000
 
 
 def build() -> None:
@@ -73,7 +75,7 @@ def build() -> None:
             f"COPY (SELECT id, block, "
             f"SUBSTR(name || REPEAT('x', {L}) || id::VARCHAR, 1, {L}) AS name "
             f"FROM pool ORDER BY id LIMIT {LEN_SWEEP_ROWS}) "
-            f"TO '{SCRATCH}/len_{L}.parquet' (FORMAT PARQUET)"
+            f"TO '{SCRATCH}/len{LEN_SWEEP_ROWS}_{L}.parquet' (FORMAT PARQUET)"
         )
 
 
@@ -81,22 +83,32 @@ def main() -> int:
     from market_data_pipeline_spark.operators.dedup import blocked_name_pairs
     from market_data_pipeline_spark.session import get_spark
 
-    if not os.path.exists(f"{SCRATCH}/rows_{ROWS_SWEEP[-1]}.parquet"):
+    marker = f"{SCRATCH}/len{LEN_SWEEP_ROWS}_{LEN_SWEEP[-1]}.parquet"
+    if not os.path.exists(marker):
         build()
     spark = get_spark("dd7-crossover")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    def run(path: str, regime: str) -> tuple[float, int]:
+    def run(path: str, regime: str, shots: int = 2) -> tuple[float, int]:
         df = spark.read.parquet(path)
         best, n_pairs = float("inf"), -1
-        for _ in range(2):
+        for _ in range(shots):
             t0 = time.perf_counter()
             out = blocked_name_pairs(df, "block", "id", "name", regime=regime)
             n_pairs = out.count()
             best = min(best, time.perf_counter() - t0)
         return best, n_pairs
 
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which in ("rows", "both"):
+        rows_sweep(run)
+    if which in ("length", "both"):
+        length_sweep(run)
+    return 0
+
+
+def rows_sweep(run) -> None:
     print("## rows sweep (name len ~18-24, 25 blocks)")
     print("| n rows | quadratic (s) | deletion (s) | pairs | winner |")
     print("|---|---|---|---|---|")
@@ -108,17 +120,18 @@ def main() -> int:
         w = "deletion" if td < tq else "quadratic"
         print(f"| {n} | {tq:.2f} | {td:.2f} | {pq} | {w} |")
 
-    print(f"\n## length sweep (n={LEN_SWEEP_ROWS}, 25 blocks)")
+
+def length_sweep(run) -> None:
+    print(f"\n## length sweep (n={LEN_SWEEP_ROWS}, 25 blocks, single-shot)")
     print("| name len | quadratic (s) | deletion (s) | pairs | winner |")
     print("|---|---|---|---|---|")
     for L in LEN_SWEEP:
-        p = f"{SCRATCH}/len_{L}.parquet"
-        tq, pq = run(p, "quadratic")
-        td, pd_ = run(p, "deletion")
+        p = f"{SCRATCH}/len{LEN_SWEEP_ROWS}_{L}.parquet"
+        tq, pq = run(p, "quadratic", shots=1)
+        td, pd_ = run(p, "deletion", shots=1)
         assert pq == pd_, f"regime mismatch at L={L}: {pq} vs {pd_}"
         w = "deletion" if td < tq else "quadratic"
-        print(f"| {L} | {tq:.2f} | {td:.2f} | {pq} | {w} |")
-    return 0
+        print(f"| {L} | {tq:.2f} | {td:.2f} | {pq} | {w} |", flush=True)
 
 
 if __name__ == "__main__":
