@@ -206,7 +206,9 @@ class ParquetTable:
         os.rename(tmp, pdir)
         self.spark.catalog.refreshByPath(self.path)
 
-    def compact(self, partitions: list[str] | None = None) -> None:
+    def compact(
+        self, partitions: list[str] | None = None, max_concurrency: int = 1
+    ) -> None:
         """OPTIMIZE TABLE ... FINAL — keep only latest versions
         (reference: src/clickhouse/client.py:237-251).
 
@@ -216,16 +218,37 @@ class ParquetTable:
         versions of a key never span partitions — and only the affected
         directories are rewritten, the 100 TB discipline the whole layout
         exists for. Unpartitioned (dim) tables rewrite whole.
+
+        ``max_concurrency`` overlaps the per-partition rewrite JOBS: the
+        r9 100x rehearsal (scripts/storage_compaction_100x.py, SCALE.md
+        §A.2) measured a 115-partition full compaction at ~0.44s of
+        fixed job overhead per partition under the sequential loop —
+        at a 10k-partition production table that loop IS the cost, not
+        the bytes. Each partition's stage-and-swap touches only its own
+        directory and Spark schedules jobs from concurrent driver
+        threads natively, so rewrites are safely parallel; exceptions
+        propagate and abort remaining submissions.
         """
         if not self.version_col:
             return
         if not self.partition_col:
             self.overwrite(self.read_current())
             return
-        for value in partitions if partitions is not None else self._partition_values():
-            self._rewrite_partition(
-                value, lambda df: dedup_latest(df, self.key, self.version_col)
-            )
+        values = list(
+            partitions if partitions is not None else self._partition_values()
+        )
+
+        def xform(df: DataFrame) -> DataFrame:
+            return dedup_latest(df, self.key, self.version_col)
+
+        if max_concurrency <= 1 or len(values) <= 1:
+            for value in values:
+                self._rewrite_partition(value, xform)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as ex:
+            list(ex.map(lambda v: self._rewrite_partition(v, xform), values))
 
     def compact_files(
         self, target_bytes: int = 128 * 1024 * 1024, partitions: list[str] | None = None

@@ -358,9 +358,17 @@ def run_stream_to_memory(
     batch-shuffle setting: every stateful operator commits one store per
     partition per micro-batch, so oversized counts turn into pure
     fixed cost (measured at sf0.1: the 4-store stream-stream join at 32
-    partitions 13.5s -> 3.2s at 8). The conf is set for the stream's
-    lifetime and restored afterwards — batch queries in the session are
-    unaffected (each batch execution re-reads the conf).
+    partitions 13.5s -> 3.2s at 8). The default 8 is the measured sf0.1
+    sweet spot for the test topologies; it is NOT a scale constant —
+    the r9 100x rehearsal (SCALE.md §A, st10 at 150k state groups on a
+    single Arrow-stateful store) measured 49.4s at 8 partitions vs
+    15.8s at 32, identical results: once per-store group counts are
+    non-trivial the rule's floor is the executor parallelism term
+    (``max(executors, ceil(peak_state_rows / ~1M))``), so production
+    call sites pass the rule's value, not the default. The conf is set
+    for the stream's lifetime and restored afterwards — batch queries
+    in the session are unaffected (each batch execution re-reads the
+    conf).
     """
     spark = stream_df.sparkSession
     before = spark.conf.get("spark.sql.shuffle.partitions")
