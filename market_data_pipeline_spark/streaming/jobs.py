@@ -360,9 +360,9 @@ def run_stream_to_memory(
     fixed cost (measured at sf0.1: the 4-store stream-stream join at 32
     partitions 13.5s -> 3.2s at 8). The default 8 is the measured sf0.1
     sweet spot for the test topologies; it is NOT a scale constant —
-    the r9 100x rehearsal (SCALE.md §A, st10 at 150k state groups on a
-    single Arrow-stateful store) measured 49.4s at 8 partitions vs
-    15.8s at 32, identical results: once per-store group counts are
+    the r9 100x rehearsal (SCALE.md §A.1, st10 at 150k state groups on
+    a single Arrow-stateful store) measured 63.2s at 8 partitions vs
+    21.8s at 32, identical results: once per-store group counts are
     non-trivial the rule's floor is the executor parallelism term
     (``max(executors, ceil(peak_state_rows / ~1M))``), so production
     call sites pass the rule's value, not the default. The conf is set
