@@ -53,6 +53,21 @@ def family_diff(
     return flags
 
 
+def family_subtotals(
+    timings: dict[str, float], exclude: set[str] | frozenset[str] = frozenset()
+) -> dict[str, float]:
+    """Per-family wall subtotals, optionally excluding named queries —
+    the budget diff passes the never-driver-green registrations here so
+    a new member's cost can't masquerade as a family regression."""
+    fams: dict[str, float] = {}
+    for name, t in timings.items():
+        if name in exclude:
+            continue
+        fam = re.match(r"[a-z]+", name).group(0)
+        fams[fam] = round(fams.get(fam, 0.0) + t, 2)
+    return fams
+
+
 def load_prev_families(
     repo_dir: str, window: int = 3, exclude: tuple[str, ...] = ()
 ) -> tuple[str, dict[str, float]]:
@@ -151,18 +166,40 @@ def main() -> None:
     # summary fields FIRST, per-family subtotals next, per-query dict last;
     # compact separators + 2-decimal times keep the whole line well under a
     # 4 KiB tail buffer so it parses end-to-end.
-    families: dict[str, float] = {}
-    for name, t in timings.items():
-        fam = re.match(r"[a-z]+", name).group(0)
-        families[fam] = round(families.get(fam, 0.0) + t, 2)
+    families = family_subtotals(timings)
     # machine-generated family budget (r7 verdict #7): diff vs the
     # previous round's recorded bench, flag >1.3x + >=1s growth. Table
     # goes to stderr (stdout is reserved for the parseable JSON lines);
     # flags ride in both JSON lines so the driver records them too.
+    #
+    # Like-for-like: a query registered THIS round has no cost in any
+    # historical baseline, so its family's subtotal inflates and flags a
+    # "regression" that is really a registration (observed r9: pipeline3
+    # 10.4s flagged the pipeline family at 2.33x). The diff therefore
+    # excludes oracled-but-never-driver-green queries (the tier-0 "new"
+    # set per the CORRECTNESS trail); rows-only queries stay in — they
+    # never turn green, and excluding them would hide their regressions
+    # forever. The RECORDED subtotals keep everything, so next rounds'
+    # baselines include the new members.
+    new_names: set[str] = set()
+    try:
+        from __spark_entry__ import ORACLES, _newest_green_round
+
+        vintage = _newest_green_round()
+        new_names = {n for n in timings if n in ORACLES and n not in vintage}
+    except Exception:
+        pass
+    diff_families = family_subtotals(timings, exclude=new_names)
+    if new_names:
+        print(
+            f"== family budget excludes {len(new_names)} never-green "
+            f"registration(s): {sorted(new_names)}",
+            file=sys.stderr,
+        )
     prev_name, prev_families = load_prev_families(
         os.path.dirname(os.path.abspath(__file__))
     )
-    regressions = family_diff(families, prev_families) if prev_families else []
+    regressions = family_diff(diff_families, prev_families) if prev_families else []
     if prev_families:
         print(f"\n== family diff vs {prev_name} ==", file=sys.stderr)
         for fam in sorted(families):

@@ -221,16 +221,27 @@ def containment_pairs(
     )
 
 
+#: Mersenne prime 2^31-1 — the universal-hash modulus. Products stay
+#: < 2^59 (a < 2^31, base hash < 2^28), so the arithmetic is exact in
+#: BIGINT on every engine: no wraparound in numpy int64, no ANSI
+#: overflow in Spark, no HUGEINT promotion needed in DuckDB.
+MINHASH_P = (1 << 31) - 1
+
+
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
-    """Deterministic universal-hash parameters (odd 31-bit multiplier,
-    31-bit offset): h_i(x) = a_i * (x & 0x7fffffff) + b_i. Operands are
-    sized so the product stays < 2^62 — ANSI mode (Spark 4 default) makes
-    wrapping long arithmetic an error, so the hash must not overflow."""
+    """Deterministic universal-hash parameters for
+    h_i(x) = (a_i * x + b_i) mod 2^31-1 with a_i in [1, p), b_i in
+    [0, p). The modulus is the point: without it, min over grams of the
+    strictly increasing a_i*x + b_i is always attained at the same
+    minimum base hash, making every signature position an affine image
+    of ONE gram hash — all "permutations" perfectly correlated and
+    n_bands_matched degenerately constant (observed: 16/16 on every
+    sf0.01 collision before the fix)."""
     import random
 
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, 1 << 30) * 2 + 1, rng.randrange(0, 1 << 31))
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
         for _ in range(num_hashes)
     ]
 
@@ -245,22 +256,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document.
 
-    Fully map-side, fully Arrow-batched: ONE pandas UDF goes straight
-    from the text column to the signature — tokenize, build distinct
-    word n-grams, crc32 each gram to a 31-bit base hash, then apply all
-    ``num_hashes`` universal multiply-add permutations and their mins as
-    one numpy broadcast over the concatenated hash arrays. No explode,
-    no shuffle, no JVM higher-order functions.
+    Tokenization (lower, trim, ``\\s+`` split, drop empty tokens) is
+    JVM-side codegen; ONE Arrow-batched pandas UDF then goes from the
+    token array to the signature — distinct word n-grams, md5-prefix
+    base hash (first 7 hex digits → 28-bit int), and all ``num_hashes``
+    universal permutations ``(a_i*h + b_i) mod 2^31-1`` with their mins
+    as one numpy broadcast over the concatenated hash arrays. No
+    explode, no shuffle, no JVM higher-order functions.
 
     Why not the JVM expression path: shingling via
     ``transform(sequence(...), array_join(slice(...)))`` is interpreted
     per element (HOF lambdas don't codegen) and measured ~10-15s per
-    full pass at 5k docs x ~50 shingles — the Python loop with C-backed
-    ``str.split``/``zlib.crc32`` is ~50x cheaper. MinHash needs a
-    deterministic base hash, not any particular one (no SQL oracle
-    constrains it — DuckDB couldn't reproduce xxhash64 either), so crc32
-    is as good as xxhash64 here. Jaccard-style operators that ARE
-    SQL-oracled (:func:`ngram_jaccard_pairs`) keep the JVM shingle path.
+    full pass at 5k docs x ~50 shingles — the Python loop is ~50x
+    cheaper. The base hash is an md5 prefix (not crc32/xxhash64)
+    because md5 is the one hash both Spark and DuckDB evaluate
+    identically: every arithmetic step here is integer-exact and
+    reproducible in ANSI SQL, which is what lets dd3_minhash_lsh carry
+    a real value-hash oracle instead of a rows-only pytest.
 
     Documents with no shingles (fewer than ``n`` tokens) get a NULL
     signature; downstream banding drops them (an empty document has no
@@ -269,7 +281,7 @@ def minhash_signatures(
     quadratic).
     Returns (id_col, sig: array<bigint>).
     """
-    import zlib
+    import hashlib
 
     import numpy as np
     import pandas as pd
@@ -281,15 +293,17 @@ def minhash_signatures(
     a_vec = np.asarray([a for a, _ in params], dtype=np.int64)[:, None]
     b_vec = np.asarray([b for _, b in params], dtype=np.int64)[:, None]
 
-    def sig(texts: pd.Series) -> pd.Series:
+    def sig(tok_lists: pd.Series) -> pd.Series:
         doc_hashes = []
-        lens = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = t.split() if isinstance(t, str) else []
-            if len(toks) >= n:
+        lens = np.empty(len(tok_lists), dtype=np.int64)
+        for i, toks in enumerate(tok_lists):
+            if toks is not None and len(toks) >= n:
                 grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
                 hs = np.fromiter(
-                    (zlib.crc32(g.encode("utf-8")) & 0x7FFFFFFF for g in grams),
+                    (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:7], 16)
+                        for g in grams
+                    ),
                     dtype=np.int64,
                     count=len(grams),
                 )
@@ -297,11 +311,11 @@ def minhash_signatures(
                 hs = None
             lens[i] = 0 if hs is None else len(hs)
             doc_hashes.append(hs)
-        out = [None] * len(texts)
+        out = [None] * len(tok_lists)
         nz = np.nonzero(lens)[0]
         if len(nz):
             flat = np.concatenate([doc_hashes[i] for i in nz])
-            vals = a_vec * flat[None, :] + b_vec        # (num_hashes, total)
+            vals = (a_vec * flat[None, :] + b_vec) % MINHASH_P  # (num_hashes, total)
             offsets = np.zeros(len(nz), dtype=np.int64)
             np.cumsum(lens[nz][:-1], out=offsets[1:])
             mins = np.minimum.reduceat(vals, offsets, axis=1)  # (num_hashes, docs)
@@ -309,7 +323,7 @@ def minhash_signatures(
                 out[i] = mins[:, j]
         return pd.Series(out)
 
-    sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    sig.__annotations__ = {"tok_lists": pd.Series, "return": pd.Series}
     # asNondeterministic: the function IS deterministic, but the flag stops
     # Catalyst from duplicating the evaluation. Without it, a downstream
     # filter on the signature (the null-signature drop in banding) is
@@ -319,10 +333,17 @@ def minhash_signatures(
     # dd3's 6.6s at sf0.1; 1.5s after).
     sig_udf = pandas_udf(sig, "array<long>").asNondeterministic()
 
+    # Tokenize in codegen, exactly mirroring the oracle's
+    # list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'), ...):
+    # Java and RE2 agree on ASCII \s, and array_remove drops the empty
+    # tokens a leading/trailing non-space whitespace run produces.
     staged = ensure_parallelism(df, id_col).select(
-        F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_t")
+        F.col(id_col),
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+        ).alias("_toks"),
     )
-    return staged.select(F.col(id_col), sig_udf(F.col("_t")).alias("sig"))
+    return staged.select(F.col(id_col), sig_udf(F.col("_toks")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -355,15 +376,26 @@ def minhash_lsh_pairs(
     from market_data_pipeline_spark.operators.util import pairs_within_groups
 
     rows_per_band = num_hashes // bands
-    # NULL sigs (empty docs) must not band: xxhash64 folds a null slice to
-    # the seed, which would put every empty doc in one global bucket
+    # NULL sigs (empty docs) must not band: a hash of a null slice would
+    # put every empty doc in one global bucket
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).filter(
         F.col("sig").isNotNull()
     )
     band_cols = []
     for b in range(bands):
-        band = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-        band_cols.append(F.struct(F.lit(b).alias("band_id"), F.xxhash64(band).alias("bh")))
+        # Band key = md5 of the comma-joined band values, folded to a
+        # 60-bit BIGINT — an 8-byte shuffle key like the old xxhash64
+        # form, but reproducible in the DuckDB oracle
+        # (('0x' || substr(md5(...), 1, 15))::BIGINT).
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at(F.col("sig"), b * rows_per_band + k + 1).cast("string")
+                for k in range(rows_per_band)
+            ],
+        )
+        bh = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), bh.alias("bh")))
     # explode_outer: the inferred-filter trap again — the band array embeds
     # the full minhash signature expression (see pairs_within_groups)
     buckets = (
@@ -396,24 +428,28 @@ def simhash(
     For each shingle hash, each bit position contributes +1/-1 to a
     per-document tally; the fingerprint sets bits with positive tally.
 
-    One Arrow-batched pandas UDF goes text -> fingerprint: tokenize,
-    distinct word n-grams, a 64-bit hash per gram (two crc32s — plain
-    and salted — packed into one word), then a fully vectorized
-    unpack-bits/segment-sum tally across the whole batch. Same rationale
-    as :func:`minhash_signatures`: the JVM shingling HOFs are
-    interpreted per element and dominated the runtime, and no SQL oracle
-    constrains the hash function — only per-run determinism matters
-    (crc32 is deterministic; Python's builtin ``hash`` is salted and
-    would NOT be).
+    One Arrow-batched pandas UDF goes token-array -> fingerprint:
+    distinct word n-grams, a 64-bit md5-prefix hash per gram (first 16
+    hex digits), then a fully vectorized unpack-bits/segment-sum tally
+    across the whole batch. Tokenization is JVM-side codegen, identical
+    to :func:`minhash_signatures`. The gram hash is an md5 prefix for
+    the same reason as MinHash's base hash: md5 is the one hash both
+    Spark and DuckDB evaluate identically, which makes
+    dd4_simhash_pairs value-hash-checkable end-to-end (bit votes, band
+    values and hamming distances are all exact integers).
 
-    Documents with no shingles keep fingerprint 0.
+    Documents with no shingles (fewer than ``n`` tokens, or NULL text)
+    get a NULL fingerprint; :func:`simhash_near_pairs` drops them. The
+    previous contract (fingerprint 0) made every empty document collide
+    with every other in every band — the same accidental quadratic the
+    MinHash path's NULL-signature drop exists to prevent.
 
     Near-dup detection = hamming distance on fingerprints
     (``bit_count(fp_a ^ fp_b)``), typically via banding the 64 bits into
     4x16-bit keys for an equi-join — same shape as MinHash LSH.
-    Returns (id_col, fingerprint: bigint).
+    Returns (id_col, fingerprint: bigint nullable).
     """
-    import zlib
+    import hashlib
 
     import numpy as np
     import pandas as pd
@@ -423,24 +459,25 @@ def simhash(
 
     shifts = np.arange(64, dtype=np.uint64)[None, :]
 
-    def fp(texts: pd.Series) -> pd.Series:
+    def fp(tok_lists: pd.Series) -> pd.Series:
         hs_list = []
-        lens = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = t.split() if isinstance(t, str) else []
-            if len(toks) >= n:
+        lens = np.zeros(len(tok_lists), dtype=np.int64)
+        for i, toks in enumerate(tok_lists):
+            if toks is not None and len(toks) >= n:
                 grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
-                gb = [g.encode("utf-8") for g in grams]
                 hs = np.fromiter(
-                    ((zlib.crc32(b"\x01" + g) << 32) | zlib.crc32(g) for g in gb),
+                    (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:16], 16)
+                        for g in grams
+                    ),
                     dtype=np.uint64,
-                    count=len(gb),
+                    count=len(grams),
                 )
                 lens[i] = len(hs)
                 hs_list.append(hs)
             else:
                 hs_list.append(None)
-        out = np.zeros(len(texts), dtype=np.int64)
+        out = [None] * len(tok_lists)
         nz = np.nonzero(lens)[0]
         if len(nz):
             flat = np.concatenate([hs_list[i] for i in nz])
@@ -452,17 +489,21 @@ def simhash(
             fps = ((votes > 0).astype(np.uint64) << shifts).sum(
                 axis=1, dtype=np.uint64
             )
-            out[nz] = fps.view(np.int64)
-        return pd.Series(out)
+            for j, i in enumerate(nz):
+                out[i] = int(fps[j].view(np.int64))
+        return pd.Series(out, dtype=object)
 
-    fp.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    fp.__annotations__ = {"tok_lists": pd.Series, "return": pd.Series}
     # see minhash_signatures: prevents duplicate evaluation via pushdown
     fp_udf = pandas_udf(fp, "long").asNondeterministic()
 
     staged = ensure_parallelism(df, id_col).select(
-        F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_t")
+        F.col(id_col),
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+        ).alias("_toks"),
     )
-    return staged.select(F.col(id_col), fp_udf(F.col("_t")).alias("fingerprint"))
+    return staged.select(F.col(id_col), fp_udf(F.col("_toks")).alias("fingerprint"))
 
 
 def simhash_near_pairs(
@@ -482,6 +523,8 @@ def simhash_near_pairs(
 
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
+    # NULL fingerprints (no-shingle docs) must not band — see simhash.
+    fingerprints = fingerprints.filter(F.col("fingerprint").isNotNull())
     bands = (
         fingerprints.select(
             F.col(id_col),

@@ -1572,17 +1572,109 @@ def dd6_cosine_near_dup_lsh(spark, sf_dir):
     )
 
 
-@query("dd3_minhash_lsh")
+def _dd3_perms_values() -> str:
+    """The dd3 oracle's inline universal-hash parameters — generated by
+    the SAME ``dedup._minhash_params(64, 42)`` call the Spark operator
+    uses, so the two sides cannot drift."""
+    return ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup._minhash_params(64, 42))
+    )
+
+
+@query(
+    "dd3_minhash_lsh",
+    rf"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), g0 AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM g0
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 7))::BIGINT AS h FROM grams
+), perms(i, a, b) AS (
+  VALUES {_dd3_perms_values()}
+), sig AS (
+  SELECT doc_id, p.i, MIN((p.a * h.h + p.b) % 2147483647) AS mh
+  FROM hs h CROSS JOIN perms p GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, i // 4 AS band_id,
+         ('0x' || substr(md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)),
+                         1, 15))::BIGINT AS band_hash
+  FROM sig GROUP BY doc_id, i // 4
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_bands_matched
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
 def dd3_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs — xxhash64-based, not SQL-expressible in
-    DuckDB (different hash function); verified structurally by pytest."""
-    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    """MinHash+LSH candidate pairs, hash-gated end-to-end: md5-prefix
+    base hashes and mod-(2^31-1) universal permutations are integer-exact
+    in both engines, so the full signature -> band -> bucket-join
+    pipeline value-matches the DuckDB oracle (which inlines the same
+    seeded (a_i, b_i) parameters). Was rows-only while the base hash was
+    crc32/xxhash64 — and degenerate: without the mod, every signature
+    position was an affine image of one gram hash (see
+    dedup._minhash_params)."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
-@query("dd4_simhash_pairs")
+@query(
+    "dd4_simhash_pairs",
+    r"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), g0 AS (
+  SELECT doc_id, t, unnest(range(1, len(t))) AS i
+  FROM toks WHERE len(t) >= 2
+), grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g FROM g0
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h FROM grams
+), votes AS (
+  SELECT doc_id, u.k,
+         SUM(CASE WHEN (h >> u.k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hs CROSS JOIN (SELECT unnest(range(0, 64)) AS k) u
+  GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, k // 16 AS band_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN 1 << (k % 16) ELSE 0 END) AS BIGINT)
+             AS band_val
+  FROM votes GROUP BY 1, 2
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(bit_count(xor(x.band_val, y.band_val))) AS hamming
+  FROM cands c
+  JOIN bands x ON x.doc_id = c.doc_a
+  JOIN bands y ON y.doc_id = c.doc_b AND y.band_id = x.band_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+FROM ham WHERE hamming <= 10 ORDER BY 1, 2""",
+)
 def dd4_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, hash-gated end-to-end: md5-prefix 64-bit
+    gram hashes make the bit votes, 16-bit band values and hamming
+    distances exact integers both engines compute identically. Was
+    rows-only while the gram hash was a crc32 pack."""
     fp = dedup.simhash(load_table(spark, sf_dir, "documents"))
-    return dedup.simhash_near_pairs(fp, max_hamming=10)
+    return dedup.simhash_near_pairs(fp, max_hamming=10).orderBy("doc_a", "doc_b")
 
 
 @query(

@@ -80,3 +80,18 @@ def test_load_prev_families_exclude(tmp_path, monkeypatch):
     assert name == "median(BENCH_r07.json)" and fams == {"k": 7.0}
     monkeypatch.setenv("SPARK_GRAFT_BENCH_EXCLUDE", "BENCH_r08.json,BENCH_r07.json")
     assert load_prev_families(str(tmp_path)) == ("", {})
+
+
+def test_family_subtotals_excludes_new_registrations():
+    from bench import family_subtotals
+
+    timings = {"pipeline1_daily_update": 5.0, "pipeline3_daily_master_update": 10.4,
+               "skw1_join_key_skew_profile": 0.8, "skw3_sharded_sessions": 1.3}
+    full = family_subtotals(timings)
+    assert full == {"pipeline": 15.4, "skw": 2.1}
+    # a this-round registration's cost must not read as a family
+    # regression: the diff subtotal drops it, the recorded one keeps it
+    diffed = family_subtotals(
+        timings, exclude={"pipeline3_daily_master_update", "skw3_sharded_sessions"}
+    )
+    assert diffed == {"pipeline": 5.0, "skw": 0.8}
