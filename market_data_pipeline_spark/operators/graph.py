@@ -99,6 +99,103 @@ def pagerank(
     return ranks
 
 
+#: Fixed-point scale for :func:`pagerank_fixed` — rank mass carried as
+#: BIGINT multiples of 1e-15. All intermediates stay far inside int64:
+#: ranks sum to <= SCALE, per-edge contributions decompose as
+#: (r div d)*m + ((r mod d)*m) div d with m <= d (multiplicity never
+#: exceeds out-degree), so the largest product is max(r, d*m) — safe
+#: while per-node out-degree stays below ~3e9 edges (d*m <= d^2 < 2^63).
+PAGERANK_SCALE = 10**15
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank with damping 0.85 in EXACT integer fixed-point — the
+    engine-reproducible variant of :func:`pagerank`.
+
+    Same plan shape per iteration (one join + one map-combined
+    aggregate, checkpointed edge invariant, broadcast dangling scalar),
+    but every quantity is a BIGINT multiple of 1e-15 and every division
+    is integral with floor semantics:
+
+        contrib(src->dst) = (r div d) * m + ((r mod d) * m) div d
+                          = floor(r * m / d)          (exact identity)
+        r' = floor(0.15 * SCALE / n)
+             + (17 * (in + dang div n)) div 20        (0.85 = 17/20)
+
+    Integer addition is associative, so the result is independent of
+    partitioning, shuffle order and engine — DuckDB's recursive-CTE
+    oracle reproduces it bit-for-bit, which is what upgrades
+    e24_event_pagerank from rows-only to value-hash-gated. The floor
+    truncations leak <= n*1e-15 mass per iteration, so ranks differ
+    from the float formulation by < 1e-12 after 10 iterations (pinned
+    against the float path and a pure-python integer reference in
+    pytest).
+
+    Returns (node, rank_fp BIGINT); rank = rank_fp / PAGERANK_SCALE.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank_fp", F.lit(None).cast("long"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    norm_edges = (
+        e.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .join(out_deg, "src")
+        .localCheckpoint(eager=False)  # loop invariant: built exactly once
+    )
+    ranks = nodes.select(
+        F.col("node"),
+        F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("rank_fp"),
+    ).localCheckpoint(eager=False)
+
+    base_fp = (15 * PAGERANK_SCALE) // (100 * n_nodes)
+    for i in range(iterations):
+        flowed = (
+            ranks.join(norm_edges, ranks.node == norm_edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.expr("rank_fp DIV _deg") * F.col("_m")
+                    + F.expr("(rank_fp % _deg) * _m DIV _deg")
+                ).alias("_in")
+            )
+        )
+        dangling = (
+            ranks.join(norm_edges.select("src").distinct(),
+                       ranks.node == F.col("src"), "left_anti")
+            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("_d"))
+        )
+        ranks = (
+            nodes.join(flowed, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base_fp)
+                    + F.expr(
+                        f"17 * (coalesce(_in, 0) + _d DIV {n_nodes}) DIV 20"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
 def session_follow_edges(
     events: DataFrame,
     key_col: str = "user_id",

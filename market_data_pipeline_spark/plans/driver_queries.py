@@ -1562,11 +1562,64 @@ def k5_knn_ivf_kmeans(spark, sf_dir):
     )
 
 
-@query("dd6_cosine_near_dup_lsh")
+def _dd6_oracle_sql() -> str:
+    """DuckDB mirror of cosine_near_dup_lsh(dim=64, threshold=0.4,
+    n_bands=16, band_planes=4, seed=42). The same seeded hyperplanes are
+    inlined as full-precision double list literals; vectors are unit-
+    normalized with NULLIF-division (try_divide parity: a zero-norm
+    vector's NULL projections fail every `>= 0` CASE, landing in bucket
+    0 of every band exactly like the numpy path's NaN signs); candidate
+    pairs collide in ANY band (DISTINCT = the Spark side's
+    first-colliding-band dedup); cosines round to 6 dp before the
+    threshold on both sides (dd5's BLAS-ULP argument)."""
+    planes = similarity.random_hyperplanes(64, 16 * 4, 42)
+    band_exprs = []
+    for b in range(16):
+        bits = []
+        for j in range(4):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[b * 4 + j]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(nd, {lit}) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        band_exprs.append("(" + " + ".join(bits) + f") AS b{b}")
+    bucket_cols = ",\n         ".join(band_exprs)
+    any_band = " OR ".join(f"x.b{b} = y.b{b}" for b in range(16))
+    return f"""WITH dv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+  FROM embeddings
+), nv AS (
+  -- whole-list NULL for zero-norm vectors: DuckDB's list_dot_product
+  -- errors on NULL *elements* but propagates a NULL *argument*, and a
+  -- NULL projection fails every `>= 0` CASE exactly like the Spark
+  -- side's NaN signs (try_divide NULL components -> numpy NaN)
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(d, d)) = 0 THEN NULL
+              ELSE list_transform(d, x -> x / sqrt(list_dot_product(d, d)))
+         END AS nd
+  FROM dv
+), bk AS (
+  SELECT vec_id, nd,
+         {bucket_cols}
+  FROM nv
+), cand AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         ROUND(list_dot_product(x.nd, y.nd), 6) AS cosine
+  FROM bk x JOIN bk y ON x.vec_id < y.vec_id AND ({any_band})
+)
+SELECT vec_a, vec_b, cosine FROM cand
+WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
+
+
+@query("dd6_cosine_near_dup_lsh", _dd6_oracle_sql())
 def dd6_cosine_near_dup_lsh(spark, sf_dir):
-    """Sign-LSH-banded near-dup pairs — random-hyperplane bucketing is not
-    reproducible in DuckDB SQL; recall vs the exact dd5 pairs is asserted
-    in pytest instead."""
+    """Sign-LSH-banded near-dup pairs, hash-gated end-to-end: seeded
+    hyperplanes are deterministic literals in both plans, normalization
+    is bit-identical (sequential sum of squares + one division), sign
+    buckets agree through the NULL/NaN zero-vector path, and 6 dp
+    cosine rounding absorbs BLAS accumulation ULPs (see
+    _dd6_oracle_sql). Recall vs the exact dd5 pairs additionally
+    asserted in pytest."""
     return similarity.cosine_near_dup_lsh(
         load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4, n_bands=16, band_planes=4
     )
@@ -1699,10 +1752,54 @@ def tx4_fingerprint(spark, sf_dir):
     )
 
 
-@query("k3_knn_lsh")
+def _k3_bucket_sql(col: str) -> str:
+    """Sign-LSH bucket id in DuckDB for the SAME seeded hyperplanes the
+    Spark operator builds (similarity.random_hyperplanes(64, 6, 42)).
+    Each plane is inlined as a full-precision double list literal, so
+    list_dot_product reproduces the Spark side's sequential-double
+    projection bit-for-bit (same argument as _cos_sql) and the sign
+    bits agree exactly."""
+    planes = similarity.random_hyperplanes(64, 6, 42)
+    d = f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({d}, {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+@query(
+    "k3_knn_lsh",
+    f"""WITH c AS (
+  SELECT vec_id, embedding, {_k3_bucket_sql('embedding')} AS b FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, {_k3_bucket_sql('embedding')} AS b
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         {_cos_sql('c.embedding', 'q.qe')} AS cosine
+  FROM c JOIN q ON c.b = q.b AND c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY query_id, rank""",
+)
 def k3_knn_lsh(spark, sf_dir):
+    """Sign-LSH approximate top-k, hash-gated end-to-end: the seeded
+    hyperplanes are deterministic float literals in BOTH plans (the
+    oracle inlines the same generator's output), projections accumulate
+    sequentially in double on both engines, and cosines round to 6 dp —
+    so bucket ids, candidate sets and ranks match exactly. Was
+    rows-only while the buckets were assumed non-reproducible."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_lsh(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=6)
+    return similarity.knn_lsh(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=6
+    ).orderBy("query_id", "rank")
 
 
 # ===========================================================================
@@ -7905,7 +8002,44 @@ def apx6_hll_day_overlap(spark, sf_dir):
     )
 
 
-@query("e24_event_pagerank")
+@query(
+    "e24_event_pagerank",
+    """WITH RECURSIVE raw AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS src,
+         event_type AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, COUNT(*) AS m FROM raw WHERE src IS NOT NULL GROUP BY 1, 2
+), deg AS (
+  SELECT src, SUM(m) AS d FROM e GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+pr(iter, node, r) AS (
+  SELECT 0, node, 1000000000000000 // (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT it.iter + 1, n.node,
+     (15 * 1000000000000000) // (100 * (SELECT n FROM nn))
+     + (17 * (COALESCE(f.infp, 0) + dg.dang // (SELECT n FROM nn))) // 20
+  FROM (SELECT MAX(iter) AS iter FROM pr) it
+  CROSS JOIN nodes n
+  LEFT JOIN (
+    SELECT ee.dst,
+           SUM((p2.r // dd.d) * ee.m + ((p2.r % dd.d) * ee.m) // dd.d) AS infp
+    FROM pr p2 JOIN e ee ON ee.src = p2.node JOIN deg dd ON dd.src = p2.node
+    GROUP BY 1
+  ) f ON f.dst = n.node
+  CROSS JOIN (
+    SELECT COALESCE(SUM(p3.r), 0) AS dang
+    FROM pr p3 LEFT JOIN deg d3 ON d3.src = p3.node WHERE d3.src IS NULL
+  ) dg
+  WHERE it.iter < 10
+)
+SELECT node, ROUND(r / 1e15, 6) AS rank
+FROM pr WHERE iter = 10 ORDER BY rank DESC, node""",
+)
 def e24_event_pagerank(spark, sf_dir):
     """PageRank over the event-type follow graph (which event type
     accumulates attention mass under random-surfer dynamics) — the
@@ -7915,18 +8049,26 @@ def e24_event_pagerank(spark, sf_dir):
     checkpointed every 3 iterations to bound plan depth, dangling mass
     redistributed via a broadcast scalar. The type graph here is small;
     the operator is node-count-agnostic (nothing driver-side but the
-    iteration counter). No oracle (iterative fixed point is not
-    SQL-expressible); parity vs a dense numpy power iteration is pinned
-    by pytest to 1e-9. See operators.graph.pagerank."""
+    iteration counter).
+
+    Arithmetic is exact integer fixed-point (graph.pagerank_fixed), so
+    the iterative fixed point IS oracle-checkable: a DuckDB recursive
+    CTE replays the same integer recurrence bit-for-bit. Was rows-only
+    under the float formulation (order-dependent double sums); float
+    parity is still pinned by pytest."""
     from market_data_pipeline_spark.operators.graph import (
-        pagerank,
+        PAGERANK_SCALE,
+        pagerank_fixed,
         session_follow_edges,
     )
 
     edges = session_follow_edges(load_table(spark, sf_dir, "events"))
     return (
-        pagerank(edges, iterations=10)
-        .select("node", F.round("rank", 6).alias("rank"))
+        pagerank_fixed(edges, iterations=10)
+        .select(
+            "node",
+            F.round(F.col("rank_fp") / F.lit(float(PAGERANK_SCALE)), 6).alias("rank"),
+        )
         .orderBy(F.desc("rank"), "node")
     )
 

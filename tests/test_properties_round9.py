@@ -203,3 +203,42 @@ def test_hot_entities_audit(spark):
     df = spark.createDataFrame(rows, "user_id long, value double")
     hot = SK.hot_entities(df, "user_id", threshold_rows=5).collect()
     assert [(r.user_id, r.n_rows) for r in hot] == [(1, 20)]
+
+
+def test_pagerank_fixed_exact_integer_reference(spark):
+    """pagerank_fixed equals a pure-python integer replay of the same
+    recurrence EXACTLY (the engine-reproducibility claim behind e24's
+    recursive-CTE oracle), and stays within 1e-6 of the float pagerank
+    (the truncation-leak bound)."""
+    from collections import Counter
+
+    from market_data_pipeline_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+        pagerank_fixed,
+    )
+
+    edge_list = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed(edges, iterations=10).collect()
+    }
+
+    n = 4
+    cnt = Counter(edge_list)
+    deg = Counter(s for s, _ in edge_list)
+    r = {i: PAGERANK_SCALE // n for i in range(n)}
+    base = (15 * PAGERANK_SCALE) // (100 * n)
+    for _ in range(10):
+        inn = {i: 0 for i in range(n)}
+        for (s, t), m in cnt.items():
+            d = deg[s]
+            inn[t] += (r[s] // d) * m + ((r[s] % d) * m) // d
+        dang = sum(r[i] for i in range(n) if i not in deg)
+        r = {i: base + (17 * (inn[i] + dang // n)) // 20 for i in range(n)}
+    assert got == r  # bit-exact
+
+    flt = {x["node"]: x["rank"] for x in pagerank(edges, iterations=10).collect()}
+    for i in range(n):
+        assert abs(got[i] / PAGERANK_SCALE - flt[i]) < 1e-6
