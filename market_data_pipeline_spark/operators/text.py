@@ -1321,10 +1321,13 @@ def hashed_embedding(
     text_col: str = "text",
 ) -> DataFrame:
     """Feature-hashed bag-of-words embedding: tokens hash into ``dim``
-    buckets (xxhash64 mod dim, sign from a second hash bit) and the
-    signed counts are L2-normalized — the model-free text vectorizer
-    (Weinberger et al.'s hashing trick) that turns any corpus into
-    ANN-ready ``array<double>`` vectors with zero vocabulary state.
+    buckets (md5-prefix mod dim, sign from the parity of the next md5
+    hex digit) and the signed counts are L2-normalized — the model-free
+    text vectorizer (Weinberger et al.'s hashing trick) that turns any
+    corpus into ANN-ready ``array<double>`` vectors with zero vocabulary
+    state. The hash is an md5 prefix (not xxhash64) because md5 is the
+    one hash both Spark and DuckDB evaluate identically — it is what
+    makes k18_text_ann_end_to_end value-hash oracle-checkable.
 
     Entirely JVM expressions: explode tokens -> per-(doc, bucket) signed
     counts (one map-combined shuffle, the same shape as the TF pass) ->
@@ -1340,8 +1343,13 @@ def hashed_embedding(
     ex = docs.select(F.col(id_col), F.explode_outer(toks).alias("_t")).filter(
         F.col("_t").isNotNull()
     )
-    bucket = F.pmod(F.xxhash64("_t"), F.lit(dim)).cast("int")
-    sign = F.when(F.pmod(F.xxhash64("_t", F.lit(1)), F.lit(2)) == 0, 1).otherwise(-1)
+    h = F.conv(F.substring(F.md5("_t"), 1, 7), 16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(dim)).cast("int")
+    sign = (
+        F.when(
+            F.conv(F.substring(F.md5("_t"), 8, 1), 16, 10).cast("int") % 2 == 0, 1
+        ).otherwise(-1)
+    )
     per_bucket = (
         ex.select(F.col(id_col), bucket.alias("_b"), sign.alias("_s"))
         .groupBy(id_col, "_b")

@@ -9885,16 +9885,60 @@ def dd19_dedup_savings(spark, sf_dir):
     )
 
 
-@query("k18_text_ann_end_to_end")
+@query(
+    "k18_text_ann_end_to_end",
+    rf"""WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(trim(text, ' ')), '\s+'),
+           x -> x <> '')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 7))::BIGINT % 64 AS INTEGER) AS b,
+         CASE WHEN ('0x' || substr(md5(t), 8, 1))::INTEGER % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+), per_bucket AS (
+  SELECT doc_id, b, CAST(SUM(s) AS DOUBLE) AS v FROM hashed GROUP BY 1, 2
+), dims AS (SELECT unnest(range(0, 64)) AS i),
+grid AS (
+  SELECT d.doc_id, dims.i, COALESCE(p.v, 0.0) AS v
+  FROM (SELECT DISTINCT doc_id FROM per_bucket) d
+  CROSS JOIN dims
+  LEFT JOIN per_bucket p ON p.doc_id = d.doc_id AND p.b = dims.i
+), dense AS (
+  SELECT doc_id, list(v ORDER BY i) AS dv FROM grid GROUP BY 1
+), unit AS (
+  SELECT doc_id AS vec_id,
+         list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv))) AS e
+  FROM dense WHERE list_dot_product(dv, dv) > 0
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         ROUND(list_dot_product(c.e, q.e) /
+               (sqrt(list_dot_product(c.e, c.e)) *
+                sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+  FROM unit c JOIN unit q ON q.vec_id IN (0, 1, 2) AND c.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 3 ORDER BY query_id, rank""",
+)
 def k18_text_ann_end_to_end(spark, sf_dir):
     """Model-free text-to-ANN pipeline end to end: documents ->
     feature-hashed unit vectors (the hashing trick, pure JVM
     expressions, zero vocabulary state) -> cosine top-3 neighbors for
     three probe documents. Closes the gap between the text family and
     the similarity family without an embedding model in the container.
-    No oracle (the xxhash64 bucket assignment is engine-internal);
-    determinism, unit-norm, and ANN-composition are pinned by pytest.
-    See operators.text.hashed_embedding."""
+
+    Hash-gated end-to-end since the bucket/sign hashes moved to md5
+    prefixes (engine-identical): signed counts are exact integers, the
+    dense reassembly and L2 normalization are the same sequential
+    double arithmetic on both sides, and cosines round to 6 dp. Was
+    rows-only under xxhash64 bucketing. Determinism, unit-norm, and
+    ANN-composition remain pinned by pytest. See
+    operators.text.hashed_embedding."""
     from market_data_pipeline_spark.operators.text import hashed_embedding
 
     docs = load_table(spark, sf_dir, "documents")
@@ -9902,7 +9946,7 @@ def k18_text_ann_end_to_end(spark, sf_dir):
     probes = emb.filter(F.col("vec_id").isin([0, 1, 2]))
     return similarity.knn_batch(emb, probes, k=3).select(
         "query_id", "vec_id", "cosine", "rank"
-    )
+    ).orderBy("query_id", "rank")
 
 
 # ===========================================================================
