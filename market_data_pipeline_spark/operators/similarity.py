@@ -1399,18 +1399,34 @@ def mmr_select(
     over that BOUNDED pool driver-side in numpy — the iteration is
     inherently sequential (step i depends on the i-1 selection), and
     pool is tens of rows, so distributing it would ship more plan than
-    data. Ties break on id for determinism.
+    data.
+
+    Scoring is exact integer fixed-point on the rounded-cosine grid:
+    with ``lam`` = a/10, score_fp = a*rel_fp - (10-a)*pen_fp where
+    rel_fp/pen_fp are the 6-dp cosines scaled to integers. Float
+    scoring needed a 1e-12 epsilon tie-break (0.7*x - 0.3*y collides
+    to within ULPs for algebraically equal grid points), which is not
+    a total order and not engine-reproducible; the integer form has
+    exact ties broken on id, so the greedy chain is replayed verbatim
+    by k12's unrolled SQL oracle. Zero-norm/NULL-cosine rows are
+    excluded from the pool (a NaN relevance previously sorted FIRST
+    and the float loop's None-init could emit it as rank 1).
     Returns (rank 1..k, id_col, relevance, mmr_score).
     """
     import numpy as np
 
+    if not (0 < lam < 1) or round(lam * 10) != lam * 10:
+        raise ValueError("lam must be a multiple of 0.1 in (0, 1) for exact scoring")
+    lam_n = int(round(lam * 10))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    rel_col = F.round(cosine(F.col(vec_col), q), round_digits)
     cand = (
         embeddings.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("_v"),
-            F.round(cosine(F.col(vec_col), q), round_digits).alias("_rel"),
+            rel_col.alias("_rel"),
         )
+        .filter(F.col("_rel").isNotNull() & ~F.isnan(F.col("_rel")))
         .orderBy(F.desc("_rel"), id_col)
         .limit(pool)
         .collect()  # bounded: exactly `pool` rows with their vectors
@@ -1420,11 +1436,19 @@ def mmr_select(
         return spark.createDataFrame(
             [], f"rank long, {id_col} long, relevance double, mmr_score double"
         )
+    scale = 10**round_digits
     ids = [r[id_col] for r in cand]
-    rel = np.array([r["_rel"] for r in cand])
+    rel_fp = [int(round(r["_rel"] * scale)) for r in cand]
     mat = np.array([r["_v"] for r in cand])
     unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    pair = unit @ unit.T  # pool x pool cosine, tiny
+    # 6-dp rounded pairwise cosines as integers: BLAS accumulation ULPs
+    # are absorbed by the rounding (dd5 argument), after which the
+    # greedy arithmetic is exact in int64. Half-away-from-zero
+    # explicitly — np.round is banker's, Spark/DuckDB ROUND are not.
+    raw = unit @ unit.T * scale
+    pair_fp = np.where(
+        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+    ).astype(np.int64)
     chosen: list[int] = []
     out_rows = []
     for rank in range(1, min(k, len(ids)) + 1):
@@ -1432,12 +1456,12 @@ def mmr_select(
         for i in range(len(ids)):
             if i in chosen:
                 continue
-            penalty = max((pair[i][j] for j in chosen), default=0.0)
-            score = lam * rel[i] - (1 - lam) * penalty
+            penalty = max((int(pair_fp[i][j]) for j in chosen), default=0)
+            score = lam_n * rel_fp[i] - (10 - lam_n) * penalty
             if (
                 best_score is None
-                or score > best_score + 1e-12
-                or (abs(score - best_score) <= 1e-12 and ids[i] < ids[best_i])
+                or score > best_score
+                or (score == best_score and ids[i] < ids[best_i])
             ):
                 best_i, best_score = i, score
         chosen.append(best_i)
@@ -1445,8 +1469,8 @@ def mmr_select(
             (
                 rank,
                 int(ids[best_i]),
-                float(rel[best_i]),
-                round(float(best_score), round_digits),
+                rel_fp[best_i] / scale,
+                best_score / (10 * scale),
             )
         )
     spark = embeddings.sparkSession

@@ -7465,21 +7465,79 @@ def a14_hhi_concentration(spark, sf_dir):
     )
 
 
-@query("k12_mmr_diverse")
+def _k12_oracle_sql(k: int = 5, pool: int = 50) -> str:
+    """DuckDB replay of mmr_select(k=5, pool=50, lam=0.7) with the
+    greedy chain UNROLLED into k stages. Sound because the operator's
+    scoring is exact integer fixed-point on the 6-dp cosine grid
+    (sfp = 7*relfp - 3*max_pen_fp): every stage's argmax has exact
+    integer ties broken on vec_id, so ORDER BY sfp DESC, vec_id LIMIT 1
+    is the greedy step verbatim. Pool and pairwise cosines round to
+    6 dp before scaling (the dd5 BLAS-ULP argument)."""
+    rel = _cos_sql("e.embedding", "q.qe")
+    raw_pair = (
+        "list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))"
+    )
+    stages = [
+        "s1 AS (SELECT vec_id, relfp, 7 * relfp AS sfp FROM pool "
+        "ORDER BY sfp DESC, vec_id LIMIT 1)",
+        "sel1 AS (SELECT vec_id FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        stages.append(
+            f"s{i} AS (SELECT p.vec_id, p.relfp, 7 * p.relfp - 3 * ("
+            f"SELECT MAX(pr.pfp) FROM pairs pr WHERE pr.ia = p.vec_id "
+            f"AND pr.ib IN (SELECT vec_id FROM sel{i-1})) AS sfp "
+            f"FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i-1}) "
+            f"ORDER BY sfp DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            stages.append(
+                f"sel{i} AS (SELECT vec_id FROM sel{i-1} "
+                f"UNION ALL SELECT vec_id FROM s{i})"
+            )
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, relfp / 1e6 AS relevance, "
+        f"sfp / 1e7 AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id = 0
+), pool AS (
+  SELECT e.vec_id,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+         CAST(ROUND({rel} * 1e6) AS BIGINT) AS relfp
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0 AND {rel} IS NOT NULL AND NOT isnan({rel})
+  ORDER BY relfp DESC, vec_id LIMIT {pool}
+), pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(ROUND(({raw_pair}) * 1e6) AS BIGINT) AS pfp
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+), {", ".join(stages)}
+{unions}
+ORDER BY rank"""
+
+
+@query("k12_mmr_diverse", _k12_oracle_sql())
 def k12_mmr_diverse(spark, sf_dir):
     """MMR diverse top-5 for a literal query vector: distributed cosine
     top-50 pool, then the inherently-sequential greedy re-rank over that
-    BOUNDED pool driver-side (the IVF re-rank discipline). No oracle —
-    the greedy argmax chain is not SQL-expressible; determinism and the
-    diversity property (pairwise similarity of the MMR set <= plain
-    top-k's) are pinned by pytest. See operators.similarity.mmr_select."""
+    BOUNDED pool driver-side (the IVF re-rank discipline). Hash-gated:
+    mmr_select's integer fixed-point scoring makes every greedy step an
+    exact argmax that the unrolled SQL oracle replays verbatim (see
+    _k12_oracle_sql). Was rows-only under float scoring, whose 1e-12
+    epsilon tie-break was not a total order. Diversity property
+    (pairwise similarity of the MMR set <= plain top-k's) remains
+    pinned by pytest. See operators.similarity.mmr_select."""
     emb = load_table(spark, sf_dir, "embeddings")
     qrows = (
         emb.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>"))
         .collect()
     )
-    if not qrows:  # empty corpus: no query vector, empty result page
+    if not qrows or qrows[0][0] is None:  # no/NULL query vector: empty page
         return spark.createDataFrame(
             [], "rank long, vec_id long, relevance double, mmr_score double"
         )
