@@ -90,11 +90,11 @@ _COST = {
     "j8_segment_top_orders": 0.86, "tpch_q9_product_profit": 0.87,
     "tpch_q8_market_share": 0.88, "iv1_interval_join": 0.96,
     "j7_revenue_by_nation": 1.01, "tpch_q18_large_volume_customers": 1.05,
-    "r3_cube_flag_status": 1.15, "ivm1_merged_summary": 1.17, "k3_knn_lsh": 1.18,
+    "r3_cube_flag_status": 1.15, "ivm1_merged_summary": 1.17, "k3_knn_lsh": 1.16,
     "st1_streaming_tumbling": 1.20, "r2_rollup_market_year": 1.28, "ts3_drawdown": 1.36,
     "st5_stream_static_join": 1.39, "k4_knn_ivf": 1.43, "apx2_price_quantiles": 1.49,
     "mm5_audio_stats": 1.53, "f9_month_buckets": 1.57, "mm1_image_stats": 1.62,
-    "r4_pivot_market_year": 1.68, "mm4_image_knn": 1.73, "dd6_cosine_near_dup_lsh": 1.78,
+    "r4_pivot_market_year": 1.68, "mm4_image_knn": 1.73, "dd6_cosine_near_dup_lsh": 1.25,
     "r5_symbol_deciles": 1.81, "tpch_q1_pricing_summary": 1.81, "r1_top3_per_market": 1.89,
     "st3_streaming_sessions": 1.87, "st2_streaming_user_totals": 2.00,
     "apx1_approx_distinct": 2.00, "ts5_asof_prices": 2.20,
@@ -103,7 +103,7 @@ _COST = {
     "mm2_resize_roundtrip": 4.19,
     # round-2 measurements / estimates (CC queries assume the round-3
     # edge-checkpoint fix)
-    "dd3_minhash_lsh": 1.70, "dd4_simhash_pairs": 1.50,
+    "dd3_minhash_lsh": 1.70, "dd4_simhash_pairs": 1.02,
     "tx8_tfidf_terms": 0.97, "tx9_redact_pii": 0.87, "ck1_chunk_documents": 0.38,
     "pk1_pack_sequences": 0.27, "smp3_group_split": 0.15,
     "dd9_ngram_jaccard_capped": 1.22, "st6_stream_stream_join": 2.50,
@@ -177,7 +177,7 @@ _COST = {
     "k13_ivf_balance": 0.84, "fx4_winsorized_returns": 0.27,
     "e22_anomalous_days": 0.31, "e23_funnel_3step": 0.54,
     "r12_percent_rank": 1.80, "apx6_hll_day_overlap": 0.27,
-    "e24_event_pagerank": 3.01,
+    "e24_event_pagerank": 3.64,
     # round-5 bank, now MEASURED at sf0.1 (r5 verdict #4): 34 values from
     # the BENCH_r05 driver run's per-query tail, 4 re-measured in-session
     # (smp10/ts35/ts36 were clipped from the tail; k9 was re-timed after
@@ -200,7 +200,7 @@ _COST = {
     "smp12_proportional_strata": 0.20, "e31_new_vs_returning": 0.69,
     "a19_market_share_trend": 2.46, "e32_session_depth": 0.79,
     "ts42_up_day_ratio": 1.76, "dd19_dedup_savings": 0.43,
-    "k18_text_ann_end_to_end": 6.34,
+    "k18_text_ann_end_to_end": 1.77,
     # round-6 registrations (measured in-session at sf0.1, best-of-2)
     "dd20_containment_pairs": 1.75, "tx26_word_length_profile": 0.55,
     "iv8_peak_concurrency": 0.72, "e33_daypart_rollup": 0.54,
