@@ -242,3 +242,30 @@ def test_pagerank_fixed_exact_integer_reference(spark):
     flt = {x["node"]: x["rank"] for x in pagerank(edges, iterations=10).collect()}
     for i in range(n):
         assert abs(got[i] / PAGERANK_SCALE - flt[i]) < 1e-6
+
+
+def test_minhash_band_matches_are_not_degenerate(spark):
+    """Regression pin for the missing-modulus bug: without the mod in
+    (a*h + b) mod p, every signature position is an affine image of the
+    single minimum gram hash, so any colliding pair matches ALL bands
+    (observed 16/16 on every sf0.01 collision). Near-duplicate (not
+    identical) docs must be able to collide on SOME but not all bands."""
+    from market_data_pipeline_spark.operators import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for i in range(12):
+        # each doc shares most of the base but swaps a few tokens
+        toks = list(base)
+        toks[i % len(toks)] = f"swap{i}"
+        toks[(i * 7) % len(toks)] = f"alt{i}"
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.minhash_lsh_pairs(docs).collect()
+    assert got, "near-dup corpus must produce candidate pairs"
+    n_bands = sorted({r["n_bands_matched"] for r in got})
+    assert any(n < 16 for n in n_bands), (
+        f"every pair matched all 16 bands ({n_bands}) — the degenerate "
+        "affine-permutation signature is back"
+    )
