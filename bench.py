@@ -68,6 +68,55 @@ def family_subtotals(
     return fams
 
 
+def load_baselines(
+    repo_dir: str, window: int = 3, exclude: tuple[str, ...] = ()
+) -> list[dict]:
+    """The newest ``window`` usable BENCH_r*.json baselines, newest first.
+
+    Each entry: {"name", "round", "families", "queries"} — ``queries`` is
+    the full per-query timing dict from the sibling BENCHQ_r{N}.json when
+    one exists (written by this script since round 10; the driver's own
+    BENCH tail head-clips the per-query dict, r9 verdict #2), else None.
+    Files named in ``exclude`` or in $SPARK_GRAFT_BENCH_EXCLUDE
+    (comma-separated basenames) are skipped outright.
+    """
+    import glob
+
+    skip = set(exclude) | {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if s
+    }
+    used: list[dict] = []
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True):
+        base = os.path.basename(path)
+        if base in skip:
+            continue
+        m = re.search(r"_r(\d+)\.json$", base)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            data = json.load(open(path))
+            # driver files wrap the parsed line under "parsed" or store it raw
+            for cand in (data.get("parsed") if isinstance(data, dict) else None, data):
+                if isinstance(cand, dict) and isinstance(cand.get("families"), dict):
+                    queries = None
+                    qpath = os.path.join(repo_dir, f"BENCHQ_r{rnd:02d}.json")
+                    try:
+                        qdata = json.load(open(qpath))
+                        if isinstance(qdata.get("queries"), dict):
+                            queries = qdata["queries"]
+                    except Exception:
+                        pass
+                    used.append(
+                        {"name": base, "round": rnd,
+                         "families": cand["families"], "queries": queries}
+                    )
+                    break
+        except Exception:
+            continue
+        if len(used) >= window:
+            break
+    return used
+
+
 def load_prev_families(
     repo_dir: str, window: int = 3, exclude: tuple[str, ...] = ()
 ) -> tuple[str, dict[str, float]]:
@@ -79,39 +128,70 @@ def load_prev_families(
     rounds anchor the median. It also defuses the self-comparison
     no-op (r8 ADVICE #3): if the CURRENT round's recording is already
     on disk it is at most one of the three files, so the flags still
-    compare against history. Files named in ``exclude`` or in
-    $SPARK_GRAFT_BENCH_EXCLUDE (comma-separated basenames) are
-    skipped outright. Returns ("", {}) when no usable file.
+    compare against history. Returns ("", {}) when no usable file.
     """
-    import glob
     import statistics
 
-    skip = set(exclude) | {
-        s for s in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if s
-    }
-    used: list[tuple[str, dict[str, float]]] = []
-    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True):
-        if os.path.basename(path) in skip:
-            continue
-        try:
-            data = json.load(open(path))
-            # driver files wrap the parsed line under "parsed" or store it raw
-            for cand in (data.get("parsed") if isinstance(data, dict) else None, data):
-                if isinstance(cand, dict) and isinstance(cand.get("families"), dict):
-                    used.append((os.path.basename(path), cand["families"]))
-                    break
-        except Exception:
-            continue
-        if len(used) >= window:
-            break
+    used = load_baselines(repo_dir, window, exclude)
     if not used:
         return "", {}
     fams: dict[str, float] = {}
-    for fam in {f for _, d in used for f in d}:
-        vals = [d[fam] for _, d in used if fam in d and isinstance(d[fam], (int, float))]
+    for fam in {f for b in used for f in b["families"]}:
+        vals = [
+            b["families"][fam]
+            for b in used
+            if isinstance(b["families"].get(fam), (int, float))
+        ]
         if vals:
             fams[fam] = round(statistics.median(vals), 2)
-    return "median(" + ",".join(n for n, _ in used) + ")", fams
+    return "median(" + ",".join(b["name"] for b in used) + ")", fams
+
+
+def diff_exclusions(
+    current_names, baselines: list[dict], first_seen: dict[str, int]
+) -> set[str]:
+    """Query names to drop from the like-for-like family diff.
+
+    A query with no cost in the baselines inflates its family's current
+    subtotal and flags a "regression" that is really a registration
+    (BENCH_r09 false-flagged `pipeline 2.59x` on pipeline3's by-design
+    10.4s — r9 verdict "what's wrong" #1: the old never-green exclusion
+    was empty because the driver records correctness BEFORE bench, so
+    this round's registrations were already green).
+
+    Exact path: when every baseline carries a per-query dict (BENCHQ
+    sibling), keep only names present in ALL baselines — set
+    intersection is the definition of like-for-like, no vintage
+    heuristics. Fallback (pre-r10 baselines have no BENCHQ): drop names
+    whose FIRST driver-trail appearance (any recorded row, hash-green or
+    rows-only) is newer than the second-newest baseline round — the
+    median-of-3 only prices a query present in >=2 of its 3 files.
+    Rows-only queries never reach the trail (tier-2, recorded dead
+    last), so a name with NO trail row stays priced as long as some
+    baseline BENCHQ lists it. The fallback still over-excludes a
+    recently-CONVERTED old query (first hash row is new, registration
+    is not — dd3 et al. in r10); that direction under-counts the
+    current subtotal and can only mask, never false-flag, and it ages
+    out once three real BENCHQ files exist (r12) and the exact path
+    takes over.
+    """
+    if not baselines:
+        return set()
+    qsets = [set(b["queries"]) for b in baselines if b["queries"]]
+    if len(qsets) == len(baselines):
+        common = set.intersection(*qsets)
+        return {n for n in current_names if n not in common}
+    rounds = sorted(b["round"] for b in baselines)
+    anchor = rounds[-2] if len(rounds) >= 2 else rounds[-1]
+    priced_somewhere = set().union(*qsets) if qsets else set()
+    out = set()
+    for n in current_names:
+        if n in first_seen:
+            if first_seen[n] > anchor:
+                out.add(n)
+        elif n not in priced_somewhere:
+            out.add(n)
+    return out
 
 
 def main() -> None:
@@ -168,37 +248,29 @@ def main() -> None:
     # 4 KiB tail buffer so it parses end-to-end.
     families = family_subtotals(timings)
     # machine-generated family budget (r7 verdict #7): diff vs the
-    # previous round's recorded bench, flag >1.3x + >=1s growth. Table
-    # goes to stderr (stdout is reserved for the parseable JSON lines);
-    # flags ride in both JSON lines so the driver records them too.
-    #
-    # Like-for-like: a query registered THIS round has no cost in any
-    # historical baseline, so its family's subtotal inflates and flags a
-    # "regression" that is really a registration (observed r9: pipeline3
-    # 10.4s flagged the pipeline family at 2.33x). The diff therefore
-    # excludes oracled-but-never-driver-green queries (the tier-0 "new"
-    # set per the CORRECTNESS trail); rows-only queries stay in — they
-    # never turn green, and excluding them would hide their regressions
-    # forever. The RECORDED subtotals keep everything, so next rounds'
-    # baselines include the new members.
+    # median of the last three recorded benches, flag >1.3x + >=1s
+    # growth. Table goes to stderr (stdout is reserved for the parseable
+    # JSON lines); flags ride in both JSON lines so the driver records
+    # them too. The diff subtotal drops queries the baselines never
+    # priced (see diff_exclusions); the RECORDED subtotals keep
+    # everything, so next rounds' baselines include the new members.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    baselines = load_baselines(repo_dir)
     new_names: set[str] = set()
     try:
-        from __spark_entry__ import ORACLES, _newest_green_round
+        from __spark_entry__ import _first_seen_round
 
-        vintage = _newest_green_round()
-        new_names = {n for n in timings if n in ORACLES and n not in vintage}
+        new_names = diff_exclusions(timings, baselines, _first_seen_round())
     except Exception:
         pass
     diff_families = family_subtotals(timings, exclude=new_names)
     if new_names:
         print(
-            f"== family budget excludes {len(new_names)} never-green "
-            f"registration(s): {sorted(new_names)}",
+            f"== family budget excludes {len(new_names)} "
+            f"not-in-baseline name(s): {sorted(new_names)}",
             file=sys.stderr,
         )
-    prev_name, prev_families = load_prev_families(
-        os.path.dirname(os.path.abspath(__file__))
-    )
+    prev_name, prev_families = load_prev_families(repo_dir)
     regressions = family_diff(diff_families, prev_families) if prev_families else []
     if prev_families:
         print(f"\n== family diff vs {prev_name} ==", file=sys.stderr)
@@ -212,6 +284,36 @@ def main() -> None:
                 f"{families[fam]:>8.2f}{flag}",
                 file=sys.stderr,
             )
+    # Full per-query timings survive OUTSIDE the driver's tail buffer
+    # (r9 verdict #2: BENCH_r*.json head-clips the 361-entry dict to ~90
+    # entries). Named for the round the driver is about to record:
+    # newest existing BENCH round + 1 — stable whether this is the
+    # builder's in-session run or the driver's own (both happen before
+    # BENCH_r{N}.json lands on disk). __spark_entry__._COST loads the
+    # newest of these, replacing the hand-grown literal (r9 verdict #3).
+    import glob as _glob
+
+    bench_rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    this_round = max(bench_rounds, default=0) + 1
+    with open(os.path.join(repo_dir, f"BENCHQ_r{this_round:02d}.json"), "w") as fh:
+        json.dump(
+            {
+                "round": this_round,
+                "source": "bench.py best-of-2 noop-write wall times",
+                "sf": sf_from_dir(SF_DIR),
+                "n_queries": len(timings),
+                "total_sec": total,
+                "queries": timings,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
     line = json.dumps(
         {
             "metric": "total_query_wall_time",

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import json
 
-from bench import family_diff, load_prev_families
+from bench import diff_exclusions, family_diff, load_baselines, load_prev_families
 
 
 def test_flags_synthetic_regression():
@@ -80,6 +80,80 @@ def test_load_prev_families_exclude(tmp_path, monkeypatch):
     assert name == "median(BENCH_r07.json)" and fams == {"k": 7.0}
     monkeypatch.setenv("SPARK_GRAFT_BENCH_EXCLUDE", "BENCH_r08.json,BENCH_r07.json")
     assert load_prev_families(str(tmp_path)) == ("", {})
+
+
+def test_diff_exclusions_first_seen_fallback():
+    """r9 verdict "what's wrong" #1 / r10 #2: a query REGISTERED this
+    round must not read as a family regression even though the driver
+    records correctness (making it green) BEFORE bench runs. The old
+    never-green exclusion was empty by bench time; the fix keys on the
+    FIRST driver-trail appearance vs the baseline rounds instead."""
+    baselines = [
+        {"name": f"BENCH_r0{r}.json", "round": r, "families": {}, "queries": None}
+        for r in (9, 8, 7)
+    ]
+    first_seen = {
+        "pipeline3_daily_master_update": 9,  # the r9 false-flag case
+        "pipeline4_corpus_prep": 10,         # first green == current round
+        "pipeline1_daily_update": 6,
+        "a1_market_summary": 1,              # re-recorded every ~7 rounds
+    }
+    current = list(first_seen) + ["mm1_image_stats", "brand_new_rows_only"]
+    excl = diff_exclusions(current, baselines, first_seen)
+    # median-of-3 over (r7,r8,r9) only prices queries present in >=2
+    # files, i.e. first seen <= r8: both recent registrations drop out,
+    # long-standing queries stay in regardless of re-record vintage.
+    # Names with NO trail row at all (rows-only tier-2 queries are
+    # never driver-recorded) drop too when no BENCHQ prices them.
+    assert excl == {
+        "pipeline3_daily_master_update",
+        "pipeline4_corpus_prep",
+        "mm1_image_stats",
+        "brand_new_rows_only",
+    }
+    # ...but a trail-absent name listed in some baseline's BENCHQ dict
+    # stays priced: long-registered rows-only queries keep their costs
+    # in the family diff
+    baselines[0]["queries"] = {"mm1_image_stats": 1.6}
+    excl = diff_exclusions(current, baselines, first_seen)
+    assert "mm1_image_stats" not in excl and "brand_new_rows_only" in excl
+    assert diff_exclusions(current, [], first_seen) == set()
+
+
+def test_diff_exclusions_per_query_intersection():
+    """Once every baseline carries a BENCHQ per-query dict, the diff is
+    the exact set intersection — no vintage heuristics."""
+    baselines = [
+        {"name": "BENCH_r09.json", "round": 9, "families": {},
+         "queries": {"a": 1.0, "b": 2.0, "c": 3.0}},
+        {"name": "BENCH_r08.json", "round": 8, "families": {},
+         "queries": {"a": 1.0, "b": 2.0}},
+    ]
+    # c is only in r9's baseline; d is brand new this round
+    excl = diff_exclusions(["a", "b", "c", "d"], baselines, {"c": 2, "d": 10})
+    assert excl == {"c", "d"}
+    # one baseline lacking per-query data -> whole diff falls back to
+    # the first-seen rule (anchor = second-newest round = 8)
+    baselines[1]["queries"] = None
+    excl = diff_exclusions(["a", "c", "d"], baselines, {"a": 1, "c": 2, "d": 10})
+    assert excl == {"d"}
+
+
+def test_load_baselines_reads_benchq_sibling(tmp_path):
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"parsed": {"families": {"k": 1.5}}})
+    )
+    (tmp_path / "BENCHQ_r09.json").write_text(
+        json.dumps({"round": 9, "queries": {"k1": 1.5}})
+    )
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"parsed": {"families": {"k": 1.0}}})
+    )
+    got = load_baselines(str(tmp_path))
+    assert [(b["round"], b["queries"]) for b in got] == [
+        (9, {"k1": 1.5}),
+        (8, None),
+    ]
 
 
 def test_family_subtotals_excludes_new_registrations():
