@@ -67,7 +67,7 @@ def shingled(
     from market_data_pipeline_spark.operators.util import ensure_parallelism
 
     df = ensure_parallelism(df, id_col)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+")
     staged = df.select(F.col(id_col), *[F.col(c) for c in extra_cols], toks.alias("_toks"))
     return staged.select(
         F.col(id_col),
@@ -256,7 +256,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document.
 
-    Tokenization (lower, trim, ``\\s+`` split, drop empty tokens) is
+    Tokenization (lower, trim, ``[ \\t\\n\\x0B\\f\\r]+`` split, drop empty tokens) is
     JVM-side codegen; ONE Arrow-batched pandas UDF then goes from the
     token array to the signature — distinct word n-grams, md5-prefix
     base hash (first 7 hex digits → 28-bit int), and all ``num_hashes``
@@ -334,13 +334,14 @@ def minhash_signatures(
     sig_udf = pandas_udf(sig, "array<long>").asNondeterministic()
 
     # Tokenize in codegen, exactly mirroring the oracle's
-    # list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'), ...):
-    # Java and RE2 agree on ASCII \s, and array_remove drops the empty
-    # tokens a leading/trailing non-space whitespace run produces.
+    # list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'), ...):
+    # the explicit class sidesteps the Java-vs-RE2 ``\s`` gap (Java
+    # includes \x0B, RE2 does not — r9 ADVICE #1); array_remove drops the
+    # empty tokens a leading/trailing non-space whitespace run produces.
     staged = ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.array_remove(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+            F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+"), ""
         ).alias("_toks"),
     )
     return staged.select(F.col(id_col), sig_udf(F.col("_toks")).alias("sig"))
@@ -500,7 +501,7 @@ def simhash(
     staged = ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.array_remove(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+            F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+"), ""
         ).alias("_toks"),
     )
     return staged.select(F.col(id_col), fp_udf(F.col("_toks")).alias("fingerprint"))
@@ -988,7 +989,7 @@ def incremental_dedup(
     """
     if fingerprint_col is None:
         fingerprint_col = F.md5(
-            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").cast(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+", " ").cast(
                 "binary"
             )
         )

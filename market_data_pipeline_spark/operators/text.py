@@ -19,12 +19,12 @@ STOPWORDS = {
     "zh": ["的", "是", "了", "在", "和", "有", "我"],
 }
 
-TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]"
 
 
 def tokens(text_col: Column) -> Column:
     """Whitespace tokens of trimmed, lowercased text."""
-    return F.split(F.lower(F.trim(text_col)), r"\s+")
+    return F.split(F.lower(F.trim(text_col)), r"[ \t\n\x0B\f\r]+")
 
 
 def token_count(text_col: Column) -> Column:
@@ -61,7 +61,7 @@ def quality_stats(
         F.col(id_col),
         F.length(F.col(text_col)).alias("char_count"),
         tokens(F.col(text_col)).alias("_toks"),
-        F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")).alias("punct_count"),
+        F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9 \t\n\x0B\f\r]", "")).alias("punct_count"),
     ).select(
         F.col(id_col),
         "char_count",
@@ -123,7 +123,7 @@ def fingerprint(
     fingerprint robust to formatting-only edits — the practical use of the
     reference's exact dedup generalized to content identity.
     Returns (id_col, fingerprint)."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+", " ")
     return df.select(F.col(id_col), F.xxhash64(normalized).alias("fingerprint"))
 
 
@@ -368,14 +368,15 @@ def repetition_stats(
     guarantees single evaluation — CollapseProject expands a
     deterministic struct UDF once per projected field.
 
-    Tokenization is ``re.split(r"\s+", ..., re.ASCII)`` of the trimmed
+    Tokenization is ``re.split(r"[ \t\n\x0B\f\r]+", ..., re.ASCII)`` of the trimmed
     lowercased text — identical to :func:`tokens` and the DuckDB
     oracle's ``string_split_regex`` (including the [''] result on empty
     text), so counts and integer-ratio fractions hash-match the oracle
-    exactly. ``re.ASCII`` is load-bearing: Python ``\s`` is otherwise
-    UNICODE whitespace (NBSP, U+2028, U+3000 split here but nowhere
-    else), while JVM ``F.split`` and RE2 both treat ``\s`` as ASCII —
-    found by scripts/unicode_sweep.py.
+    exactly. The explicit ``[ \t\n\x0B\f\r]`` class is load-bearing:
+    Python ``\s`` is UNICODE whitespace (NBSP, U+2028, U+3000 split
+    there but nowhere else — found by scripts/unicode_sweep.py), and
+    RE2's ASCII ``\s`` lacks ``\x0B`` while Java's includes it (r9
+    ADVICE #1), so every engine gets the same literal class.
     Returns (id, n_tokens, n_2grams, dup_2gram_frac, top_2gram_frac,
     top_token_frac) with NULL fractions for degenerate (<=1 token) docs.
     """
@@ -385,7 +386,7 @@ def repetition_stats(
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
-    ws = _re.compile(r"\s+", _re.ASCII)
+    ws = _re.compile(r"[ \t\n\x0B\f\r]+", _re.ASCII)
 
     def stats(pdf_iter):
         for pdf in pdf_iter:
@@ -972,7 +973,7 @@ def sentence_stats(
         F.size("_sents") >= 1
     )
     tok_counts = F.transform(
-        F.col("_sents"), lambda s: F.size(F.split(s, r"\s+"))
+        F.col("_sents"), lambda s: F.size(F.split(s, r"[ \t\n\x0B\f\r]+"))
     )
     return staged.select(
         F.col(id_col),
@@ -1158,7 +1159,7 @@ def quality_gate(
         F.length(F.col(text_col)).alias("_chars"),
         tokens(F.col(text_col)).alias("_toks"),
         F.length(
-            F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")
+            F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9 \t\n\x0B\f\r]", "")
         ).alias("_punct"),
     ).select(
         F.col(id_col),
@@ -1393,7 +1394,7 @@ def hashed_embedding(
     staged = ensure_parallelism(docs, id_col).select(
         F.col(id_col),
         F.array_remove(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+            F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+"), ""
         ).alias("_toks"),
     )
     return staged.select(

@@ -729,7 +729,7 @@ def dd1_exact_dedup(spark, sf_dir):
 @query(
     "dd2_ngram_jaccard",
     r"""WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -760,7 +760,7 @@ def dd2_ngram_jaccard(spark, sf_dir):
 @query(
     "dd9_ngram_jaccard_capped",
     r"""WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -808,7 +808,7 @@ _EN_STOPS = ",".join(f"'{w}'" for w in tx.STOPWORDS["en"])
 @query(
     "tx1_quality_stats",
     rf"""WITH t AS (
-  SELECT doc_id, text, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks FROM documents
+  SELECT doc_id, text, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS toks FROM documents
 )
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS char_count,
@@ -817,9 +817,9 @@ SELECT doc_id,
        CAST(len(list_filter(toks, x -> x IN ({_EN_STOPS}))) AS INTEGER) AS stop_count,
        CAST(len(list_filter(toks, x -> x IN ({_EN_STOPS}))) AS DOUBLE) / len(toks)
            AS stop_ratio,
-       CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS INTEGER)
+       CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS INTEGER)
            AS punct_count,
-       CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+       CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
            / length(text) AS punct_ratio
 FROM t""",
 )
@@ -833,7 +833,7 @@ def tx1_quality_stats(spark, sf_dir):
 @query(
     "tx2_token_counts",
     rf"""SELECT doc_id,
-       CAST(len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS INTEGER) AS ws_tokens,
+       CAST(len(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS INTEGER) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '{tx.TOKEN_PATTERN}')) AS INTEGER) AS bpe_ish_tokens
 FROM documents""",
 )
@@ -857,7 +857,7 @@ def _lang_score_sql(lang: str) -> str:
 @query(
     "tx3_detect_language",
     rf"""WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS toks FROM documents
 ), scored AS (
   SELECT doc_id,
          {", ".join(f"CAST({_lang_score_sql(lang)} AS INTEGER) AS {lang}_score" for lang in tx.STOPWORDS)}
@@ -1165,7 +1165,7 @@ def smp1_hash_sample(spark, sf_dir):
 @query(
     "tx5_vocabulary",
     r"""WITH toks AS (
-  SELECT unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS token FROM documents
+  SELECT unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS token FROM documents
 )
 SELECT token, COUNT(*) AS freq
 FROM toks
@@ -1179,7 +1179,7 @@ def tx5_vocabulary(spark, sf_dir):
     hash-agg shuffle with map-side partial aggregation, TakeOrdered."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode_outer(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+        F.explode_outer(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("token")
     ).filter(F.col("token").isNotNull() & (F.col("token") != ""))
     return (
         toks.groupBy("token")
@@ -1321,7 +1321,7 @@ def smp2_stratified(spark, sf_dir):
     "tx7_clean_corpus",
     rf"""WITH t AS (
   SELECT doc_id, lang, n_chars, text,
-         string_split_regex(lower(trim(text, ' ')), '\s+') AS toks
+         string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS toks
   FROM documents
 ), feat AS (
   SELECT doc_id, lang, n_chars, text,
@@ -1343,7 +1343,7 @@ def tx7_clean_corpus(spark, sf_dir):
     shuffles (dedup groupBy + final sort); the feature computation stays
     in one projection pass."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")
     feat = docs.select(
         "doc_id",
         "lang",
@@ -1639,7 +1639,7 @@ def _dd3_perms_values() -> str:
     "dd3_minhash_lsh",
     rf"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), g0 AS (
@@ -1685,7 +1685,7 @@ def dd3_minhash_lsh(spark, sf_dir):
     "dd4_simhash_pairs",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), g0 AS (
@@ -1734,7 +1734,7 @@ def dd4_simhash_pairs(spark, sf_dir):
     "tx4_fingerprint",
     r"""SELECT doc_id,
        md5(lower(trim(text, ' '))) AS fingerprint,
-       CAST(len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS INT) AS n_tokens
+       CAST(len(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS INT) AS n_tokens
 FROM documents""",
 )
 def tx4_fingerprint(spark, sf_dir):
@@ -1748,7 +1748,7 @@ def tx4_fingerprint(spark, sf_dir):
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
-        F.size(F.split(norm, r"\s+")).alias("n_tokens"),
+        F.size(F.split(norm, r"[ \t\n\x0B\f\r]+")).alias("n_tokens"),
     )
 
 
@@ -2883,7 +2883,7 @@ def iv1_interval_join(spark, sf_dir):
 @query(
     "dd8_dedup_corpus",
     r"""WITH RECURSIVE toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -2941,7 +2941,7 @@ def dd8_dedup_corpus(spark, sf_dir):
 @query(
     "dd8_capped_dedup_corpus",
     r"""WITH RECURSIVE toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -3055,7 +3055,7 @@ def r6_rank_functions(spark, sf_dir):
 @query(
     "tx8_tfidf_terms",
     r"""WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
@@ -3101,7 +3101,7 @@ def tx9_redact_pii(spark, sf_dir):
 @query(
     "ck1_chunk_documents",
     r"""WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t FROM documents
 ), starts AS (
   SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 48)) AS start
   FROM toks
@@ -3127,7 +3127,7 @@ def ck1_chunk_documents(spark, sf_dir):
     r"""WITH d AS (
   SELECT doc_id,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-         CAST(len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS BIGINT)
+         CAST(len(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS BIGINT)
              AS n_tokens
   FROM documents
 )
@@ -3172,7 +3172,7 @@ def smp3_group_split(spark, sf_dir):
 @query(
     "dc1_decontaminate",
     r"""WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -3272,7 +3272,7 @@ def sd1_semantic_dedup(spark, sf_dir):
   -- COALESCE: the Spark operator tokenizes NULL text as '' (the
   -- documented [''] convention shared with tokens()); raw NULL would
   -- instead propagate to NULL stats here and diverge
-  SELECT doc_id, string_split_regex(lower(trim(COALESCE(text, ''), ' ')), '\s+') AS toks
+  SELECT doc_id, string_split_regex(lower(trim(COALESCE(text, ''), ' ')), '[ \t\n\x0B\f\r]+') AS toks
   FROM documents
 ), b AS (
   SELECT doc_id, toks,
@@ -3462,7 +3462,7 @@ def e6_retention_cohorts(spark, sf_dir):
     r"""WITH fp AS (
   SELECT doc_id, lang, source, n_chars,
          md5(array_to_string(
-             (string_split_regex(lower(trim(text, ' ')), '\s+'))[1:10], ' ')) AS fpr
+             (string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'))[1:10], ' ')) AS fpr
   FROM documents
 )
 SELECT n.doc_id, n.lang, n.source, n.n_chars
@@ -3480,7 +3480,7 @@ def dd11_incremental_dedup(spark, sf_dir):
     corpus. Left anti on the hash via the fingerprint-store pattern; text
     never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")
     head_fp = F.md5(F.array_join(F.slice(toks, 1, 10), " ").cast("binary"))
     new_batch = docs.filter(F.col("doc_id") % 5 == 0)
     seen = docs.filter(F.col("doc_id") % 5 != 0)
@@ -3612,7 +3612,7 @@ def iv2_concurrent_sessions(spark, sf_dir):
     r"""WITH fp AS (
   SELECT doc_id, lang, source, n_chars,
          md5(array_to_string(
-             (string_split_regex(lower(trim(text, ' ')), '\s+'))[1:10], ' ')) AS fpr
+             (string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'))[1:10], ' ')) AS fpr
   FROM documents
 )
 SELECT n.doc_id, n.lang, n.source, n.n_chars
@@ -3636,7 +3636,7 @@ def st7_streaming_ingest_dedup(spark, sf_dir):
         F.col("doc_id") % 5 == 0
     )
     seen = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")
     head_fp = F.md5(F.array_join(F.slice(toks, 1, 10), " ").cast("binary"))
     survivors = dedup.incremental_dedup(
         docs_stream, seen, fingerprint_col=head_fp
@@ -3862,7 +3862,7 @@ def j9_salted_join(spark, sf_dir):
     "tx11_lm_quality",
     r"""WITH toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS term
+         unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS term
   FROM documents
 ), t2 AS (
   SELECT doc_id, term FROM toks WHERE term <> ''
@@ -4012,7 +4012,7 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 @query(
     "tx12_bm25",
     rf"""WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                              x -> x <> '') AS t
   FROM documents
 ), stats AS (
@@ -4047,7 +4047,7 @@ def tx12_bm25(spark, sf_dir):
 @query(
     "dd12_crossdoc_ngram",
     r"""WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                              x -> x <> '') AS t
   FROM documents
 ), grams AS (
@@ -4433,7 +4433,7 @@ def apx3_sketch_rollup(spark, sf_dir):
 @query(
     "tx13_bigram_lm",
     r"""WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                              x -> x <> '') AS t
   FROM documents
 ), bg AS (
@@ -4738,7 +4738,7 @@ def dp2_quantity_drift(spark, sf_dir):
 @query(
     "dd13_span_dedup",
     r"""WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                              x -> x <> '') AS t
   FROM documents
 ), docs AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
@@ -5360,10 +5360,10 @@ def e12_burst_detection(spark, sf_dir):
 SELECT doc_id,
        CAST(len(sents) AS BIGINT) AS n_sentences,
        CAST(list_sum(list_transform(sents,
-                x -> len(string_split_regex(x, '\s+')))) AS BIGINT)
+                x -> len(string_split_regex(x, '[ \t\n\x0B\f\r]+')))) AS BIGINT)
            / CAST(len(sents) AS BIGINT) AS avg_sentence_tokens,
        CAST(list_max(list_transform(sents,
-                x -> len(string_split_regex(x, '\s+')))) AS BIGINT)
+                x -> len(string_split_regex(x, '[ \t\n\x0B\f\r]+')))) AS BIGINT)
            AS max_sentence_tokens
 FROM s WHERE len(sents) >= 1 ORDER BY doc_id""",
 )
@@ -5380,7 +5380,7 @@ def tx14_sentence_stats(spark, sf_dir):
 @query(
     "tx15_zipf_slope",
     r"""WITH toks AS (
-  SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+  SELECT lang, unnest(list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                                   x -> x <> '')) AS t
   FROM documents
 ), freqs AS (
@@ -5872,15 +5872,15 @@ def e14_sliding_active_users(spark, sf_dir):
     "pk2_bucketed_batches",
     r"""WITH staged AS (
   SELECT doc_id,
-         CASE WHEN len(list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         CASE WHEN len(list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                                    x -> x <> '')) <= 32 THEN 32
-              WHEN len(list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+              WHEN len(list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                                    x -> x <> '')) <= 64 THEN 64
-              WHEN len(list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+              WHEN len(list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                                    x -> x <> '')) <= 128 THEN 128
               ELSE 1073741824 END AS length_bucket,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-         CAST(len(string_split_regex(lower(trim(text, ' ')), '\s+')) AS BIGINT)
+         CAST(len(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS BIGINT)
              AS n_tokens
   FROM documents
 )
@@ -5906,10 +5906,10 @@ def pk2_bucketed_batches(spark, sf_dir):
     r"""WITH staged AS (
   SELECT doc_id,
          length(text) AS chars,
-         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS toks0,
-         string_split_regex(lower(trim(text, ' ')), '\s+') AS toks,
-         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+         string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS punct
   FROM documents
 ), feats AS (
   SELECT doc_id,
@@ -6159,7 +6159,7 @@ def f10_time_features(spark, sf_dir):
 @query(
     "tx17_bpe_pairs",
     r"""WITH toks AS (
-  SELECT list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+  SELECT list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), idx AS (
@@ -6238,7 +6238,7 @@ def apx4_heavy_hitters(spark, sf_dir):
     toks = docs.select(
         F.explode_outer(
             F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"),
                 lambda t: t != "",
             )
         ).alias("token")
@@ -7578,7 +7578,7 @@ def mm7_scene_changes(spark, sf_dir):
     "tx20_lexical_diversity",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS t
   FROM documents
 )
@@ -7596,7 +7596,7 @@ def tx20_lexical_diversity(spark, sf_dir):
     higher-order array expressions, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
     )
     staged = docs.select("doc_id", toks.alias("_t"))
     return staged.select(
@@ -8257,7 +8257,7 @@ def ts36_inverse_vol_weights(spark, sf_dir):
     "dd16_source_jaccard",
     r"""WITH toks AS (
   SELECT source,
-         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), idx AS (
@@ -8287,7 +8287,7 @@ def dd16_source_jaccard(spark, sf_dir):
     as event_type_pairs; only overlapping pairs are emitted."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
     )
     staged = docs.select("source", toks.alias("_t")).filter(F.size("_t") >= 3)
     grams = F.transform(
@@ -8479,7 +8479,7 @@ def iv7_gap_histogram(spark, sf_dir):
     "tx21_bigram_entropy",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), idx AS (
@@ -8508,7 +8508,7 @@ def tx21_bigram_entropy(spark, sf_dir):
     aggregate + one per-doc reduction."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
     )
     staged = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") >= 2)
     grams = F.transform(
@@ -8711,7 +8711,7 @@ def dp4_price_histogram(spark, sf_dir):
     "tx22_keyword_in_context",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), hit AS (
@@ -8730,7 +8730,7 @@ def tx22_keyword_in_context(spark, sf_dir):
     engines by construction."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
     )
     staged = docs.select("doc_id", toks.alias("_t")).select(
         "doc_id", "_t", F.array_position("_t", "customer").alias("pos")
@@ -9022,7 +9022,7 @@ def smp11_balanced_downsample(spark, sf_dir):
     "tx23_vocab_coverage",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), ex AS (
@@ -9049,7 +9049,7 @@ def tx23_vocab_coverage(spark, sf_dir):
     tokens — one corpus aggregate + one map-side membership join."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
     )
     ex = docs.select("doc_id", F.explode_outer(toks).alias("term")).filter(
         F.col("term").isNotNull()
@@ -9516,7 +9516,7 @@ def a18_turnover_gini(spark, sf_dir):
   -- as 'unknown' (the Spark operator's behavior); raw NULL would
   -- propagate through GREATEST to the ELSE branch and mislabel as 'zh'
   SELECT doc_id, lang,
-         list_filter(string_split_regex(lower(trim(COALESCE(text, ''), ' ')), '\s+'),
+         list_filter(string_split_regex(lower(trim(COALESCE(text, ''), ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), scores AS (
@@ -9640,7 +9640,7 @@ def e30_hourly_conversion(spark, sf_dir):
     "dd18_shingle_df_profile",
     r"""WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS t
   FROM documents
 ), idx AS (
@@ -9667,7 +9667,7 @@ def dd18_shingle_df_profile(spark, sf_dir):
     histogram; the gram key is hashed text, never full documents."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
     )
     staged = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") >= 3)
     grams = F.transform(
@@ -9947,7 +9947,7 @@ def dd19_dedup_savings(spark, sf_dir):
     "k18_text_ann_end_to_end",
     rf"""WITH toks AS (
   SELECT doc_id, unnest(list_filter(
-           string_split_regex(lower(trim(text, ' ')), '\s+'),
+           string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
            x -> x <> '')) AS t
   FROM documents
 ), hashed AS (
@@ -10018,7 +10018,7 @@ def k18_text_ann_end_to_end(spark, sf_dir):
 @query(
     "dd20_containment_pairs",
     r"""WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -10060,7 +10060,7 @@ def dd20_containment_pairs(spark, sf_dir):
 @query(
     "tx26_word_length_profile",
     r"""WITH w AS (
-  SELECT source, unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS word
+  SELECT source, unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents
 ), nz AS (SELECT source, length(word) AS wl FROM w WHERE word <> '')
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -10081,7 +10081,7 @@ def tx26_word_length_profile(spark, sf_dir):
             "source",
             F.explode_outer(
                 F.filter(
-                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"),
                     lambda t: t != "",
                 )
             ).alias("word"),
@@ -10685,7 +10685,7 @@ def smp13_kfold_assign(spark, sf_dir):
     "tx27_stopword_profile",
     r"""WITH w AS (
   SELECT lang, doc_id,
-         unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS word
+         unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents
 ), nz AS (
   SELECT lang, doc_id,
@@ -11269,7 +11269,7 @@ def e36_second_order_markov(spark, sf_dir):
 @query(
     "tx28_ngram_novelty",
     r"""WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t FROM documents
 ), sh0 AS (
   SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks
 ), sh AS (
@@ -11416,7 +11416,7 @@ def tx29_bpe_merges(spark, sf_dir):
     "f15_doc_feature_matrix",
     r"""WITH base AS (
   SELECT doc_id, lang, source, n_chars,
-         string_split_regex(lower(trim(text, ' ')), '\s+') AS t
+         string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ), w AS (
   SELECT b.doc_id, b.lang, unnest(b.t) AS word FROM base b
@@ -11467,7 +11467,7 @@ def f15_doc_feature_matrix(spark, sf_dir):
             "lang",
             F.explode_outer(
                 F.filter(
-                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"),
                     lambda t: t != "",
                 )
             ).alias("word"),
@@ -12008,7 +12008,7 @@ def a23_high_proximity(spark, sf_dir):
 @query(
     "tx30_doc_entropy",
     r"""WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS w
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS w
   FROM documents
 ), wc AS (
   SELECT doc_id, w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY 1, 2
@@ -12035,7 +12035,7 @@ def tx30_doc_entropy(spark, sf_dir):
         docs.select(
             "doc_id",
             F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")
             ).alias("w"),
         )
         .filter(F.col("w") != "")
@@ -12239,7 +12239,7 @@ def ts48_kaufman_er(spark, sf_dir):
 @query(
     "dd22_jaccard_histogram",
     r"""WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '\s+') AS t
+  SELECT doc_id, lang, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ), sh0 AS (
   SELECT doc_id, lang, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
@@ -12455,7 +12455,7 @@ def ts49_variance_ratio(spark, sf_dir):
 @query(
     "tx31_word_burstiness",
     r"""WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS w
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS w
   FROM documents
 ), wc AS (
   SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
@@ -12483,7 +12483,7 @@ def tx31_word_burstiness(spark, sf_dir):
     wc = (
         docs.select(
             "doc_id",
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("w"),
         )
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
@@ -12755,7 +12755,7 @@ def a25_volume_volatility_corr(spark, sf_dir):
 @query(
     "tx32_vocab_coverage_curve",
     r"""WITH toks AS (
-  SELECT unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS w
+  SELECT unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS w
   FROM documents
 ), wc AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks WHERE w <> '' GROUP BY 1
@@ -12791,7 +12791,7 @@ def tx32_vocab_coverage_curve(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         docs.select(
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -13027,7 +13027,7 @@ def a26_new_highs_lows(spark, sf_dir):
     "tx33_hapax_by_source",
     r"""WITH toks AS (
   SELECT source,
-         unnest(string_split_regex(lower(trim(text, ' ')), '\s+')) AS w
+         unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS w
   FROM documents
 ), wc AS (
   SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
@@ -13055,7 +13055,7 @@ def tx33_hapax_by_source(spark, sf_dir):
     wc = (
         docs.select(
             "source",
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias(
                 "w"
             ),
         )
@@ -13190,7 +13190,7 @@ def a27_monthly_hhi(spark, sf_dir):
     "tx36_readability",
     r"""WITH m AS (
   SELECT source,
-         len(list_filter(string_split_regex(lower(trim(text, ' ')), '\s+'),
+         len(list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
                          x -> x <> '')) AS words,
          GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
          len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
@@ -13226,7 +13226,7 @@ def tx36_readability(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     words = F.size(
         F.filter(
-            F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+            F.split(F.lower(F.trim("text")), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
         )
     )
     sentences = F.greatest(

@@ -66,7 +66,7 @@ def prepare_corpus(
         q = q.filter(kept >= min_ascii_ratio * F.length(F.col("text")))
     if min_ttr is not None:
         toks = F.filter(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+            F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
         )
         q = q.filter(
             F.size(F.array_distinct(toks)) >= min_ttr * F.size(toks)

@@ -56,6 +56,10 @@ SUFFIX = (
     " caf\u00e9\u00a0na\u00efve \u4e2d\u6587\u5206\u8bcd"
     " \U0001f469\u200d\U0001f4bb \u3000Istanbul stra\u00dfe"
     " line\u2028sep para\u2029sep tab\there \uff11\uff12\u00a0"
+    # VERTICAL TAB (\x0B): inside Java's ASCII \s but outside RE2's —
+    # r9 ADVICE #1 moved every tokenizer to the explicit class
+    # [ \t\n\x0B\f\r]+ and this token pins that the engines agree on it
+    " vt\x0Bsplit"
 )
 
 

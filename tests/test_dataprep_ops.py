@@ -261,7 +261,7 @@ def test_incremental_dedup_custom_fingerprint(spark):
     )
     two_tok = SF.md5(
         SF.array_join(
-            SF.slice(SF.split(SF.lower(SF.trim(SF.col("text"))), r"\s+"), 1, 2), " "
+            SF.slice(SF.split(SF.lower(SF.trim(SF.col("text"))), r"[ \t\n\x0B\f\r]+"), 1, 2), " "
         ).cast("binary")
     )
     out = DD.incremental_dedup(new, seen, fingerprint_col=two_tok).collect()

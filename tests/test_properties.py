@@ -421,7 +421,7 @@ def test_repetition_stats_matches_python_reference(spark, texts):
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
     for i, t in enumerate(texts):
-        toks = re.split(r"\s+", t.strip().lower())
+        toks = re.split(r"[ \t\n\x0B\f\r]+", t.strip().lower())
         n = len(toks)
         bgs = [f"{toks[j]} {toks[j+1]}" for j in range(n - 1)]
         row = got[i]
@@ -546,7 +546,7 @@ def test_decontaminate_matches_python_reference(spark, corpus_texts, bench_texts
     from market_data_pipeline_spark.operators.dedup import decontaminate
 
     def sh(t):
-        toks = re.split(r"\s+", t.strip().lower())
+        toks = re.split(r"[ \t\n\x0B\f\r]+", t.strip().lower())
         return {
             " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
         } if len(toks) >= 3 else set()

@@ -183,7 +183,7 @@ def test_streaming_ingest_dedup_equals_batch(spark, sf_dir):
     from market_data_pipeline_spark.streaming import jobs as sj
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")
     fp = F.md5(F.array_join(F.slice(toks, 1, 10), " ").cast("binary"))
     seen = docs.filter(F.col("doc_id") % 5 != 0)
 
