@@ -1413,7 +1413,6 @@ def mmr_select(
     and the float loop's None-init could emit it as rank 1).
     Returns (rank 1..k, id_col, relevance, mmr_score).
     """
-    import numpy as np
 
     if not (0 < lam < 1) or round(lam * 10) != lam * 10:
         raise ValueError("lam must be a multiple of 0.1 in (0, 1) for exact scoring")
@@ -1439,16 +1438,36 @@ def mmr_select(
     scale = 10**round_digits
     ids = [r[id_col] for r in cand]
     rel_fp = [int(round(r["_rel"] * scale)) for r in cand]
-    mat = np.array([r["_v"] for r in cand])
-    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    # 6-dp rounded pairwise cosines as integers: BLAS accumulation ULPs
-    # are absorbed by the rounding (dd5 argument), after which the
-    # greedy arithmetic is exact in int64. Half-away-from-zero
-    # explicitly — np.round is banker's, Spark/DuckDB ROUND are not.
-    raw = unit @ unit.T * scale
-    pair_fp = np.where(
-        raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
-    ).astype(np.int64)
+    # 6-dp rounded pairwise cosines as integers, computed with the SAME
+    # sequential formula as the oracle's
+    # list_dot_product(a,b) / (sqrt(list_dot_product(a,a)) *
+    # sqrt(list_dot_product(b,b))): left-to-right double accumulation
+    # over the RAW vectors, divide, then round half-away-from-zero.
+    # A BLAS matmul of pre-normalized vectors was "equal to within
+    # ULPs", but a ULP at a 0.5e-6 rounding boundary flips one pair_fp
+    # integer and the divergence cascades through the whole greedy
+    # chain (r9 ADVICE #3) — the pool is only `pool` rows, so the
+    # vectorization loss is noise. Zero norms cannot reach here: the
+    # pool filter already dropped NULL/NaN-relevance rows.
+    import math
+
+    vecs = [[float(x) for x in r["_v"]] for r in cand]
+
+    def _sdot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    norms = [math.sqrt(_sdot(v, v)) for v in vecs]
+    n = len(vecs)
+    pair_fp = [[0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            # the sequential dot is exactly symmetric, so mirror it
+            c = _sdot(vecs[i], vecs[j]) / (norms[i] * norms[j]) * scale
+            fp = int(math.floor(c + 0.5) if c >= 0 else math.ceil(c - 0.5))
+            pair_fp[i][j] = pair_fp[j][i] = fp
     chosen: list[int] = []
     out_rows = []
     for rank in range(1, min(k, len(ids)) + 1):

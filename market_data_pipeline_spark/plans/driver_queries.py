@@ -7471,8 +7471,10 @@ def _k12_oracle_sql(k: int = 5, pool: int = 50) -> str:
     scoring is exact integer fixed-point on the 6-dp cosine grid
     (sfp = 7*relfp - 3*max_pen_fp): every stage's argmax has exact
     integer ties broken on vec_id, so ORDER BY sfp DESC, vec_id LIMIT 1
-    is the greedy step verbatim. Pool and pairwise cosines round to
-    6 dp before scaling (the dd5 BLAS-ULP argument)."""
+    is the greedy step verbatim. The operator computes the pairwise
+    cosines with this oracle's exact sequential formula (raw-vector
+    left-to-right dot / product of sequential norms) before rounding,
+    so pair_fp is bit-identical, not merely ULP-close (r9 ADVICE #3)."""
     rel = _cos_sql("e.embedding", "q.qe")
     raw_pair = (
         "list_dot_product(a.ev, b.ev) / "
