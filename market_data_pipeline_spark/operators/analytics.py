@@ -721,3 +721,83 @@ def heavy_hitters(
         .orderBy(F.desc("count_lower"), F.col("item"))
         .limit(k)
     )
+
+
+def deterministic_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    capacity: int = 8,
+    shards: int = 2,
+) -> DataFrame:
+    """Weighted Misra-Gries in its deterministic RE-AGGREGATION form:
+    exact map-combined counts per item first, md5-sharded, then one
+    weighted-MG fold per shard over the canonical (count DESC, item)
+    order — insert each item with its full count; on overflow subtract
+    the minimum counter from all (one round suffices: the minimum dies)
+    and add it to the shard's deficit. Global error_bound = sum of
+    shard deficits; an item with count_lower > error_bound is GUARANTEED
+    a true heavy hitter.
+
+    Engine-exact by construction (r10 conversion, the r9 md5/fixed-point
+    recipe): shard assignment is an md5-prefix integer mod ``shards``
+    (cross-engine stable, unlike Murmur), the fold order is a total
+    order, and all arithmetic is integer — so a DuckDB recursive CTE
+    replays the folds verbatim and the apx4 oracle hash-gates it.
+
+    Scale split vs :func:`heavy_hitters` (the streaming sketch): this
+    form's fold input is the COUNTS frame (vocab-sized, not the
+    stream), grouped per shard through ``applyInPandas`` — right when
+    you can afford one exact aggregation and need an auditable,
+    reproducible summary. The single-pass, partitioning-dependent
+    sketch remains the 100 TB hot path.
+    """
+    import pandas as pd
+
+    counts = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(F.col(item_col).cast("string").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "shard",
+            (
+                F.conv(F.substring(F.md5(F.col("item").cast("binary")), 1, 7), 16, 10)
+                .cast("long")
+                % shards
+            ).cast("int"),
+        )
+    )
+
+    def mg_fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ctr: dict = {}
+        deficit = 0
+        ordered = pdf.sort_values(["c", "item"], ascending=[False, True])
+        for item, c in zip(ordered["item"], ordered["c"]):
+            ctr[item] = ctr.get(item, 0) + int(c)
+            if len(ctr) > capacity:
+                m = min(ctr.values())
+                ctr = {t: v - m for t, v in ctr.items() if v - m > 0}
+                deficit += m
+        rows = [(t, int(v)) for t, v in ctr.items()]
+        rows.append((None, int(deficit)))  # audit row: shard deficit
+        return pd.DataFrame(rows, columns=["item", "w"])
+
+    summaries = counts.groupBy("shard").applyInPandas(
+        lambda _key, pdf: mg_fold(pdf), "item string, w long"
+    )
+    err = summaries.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("error_bound")
+    )
+    return (
+        summaries.filter(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(err))
+        .select(
+            F.col("item"),
+            F.col("w").alias("count_lower"),
+            F.col("error_bound"),
+            (F.col("w") > F.col("error_bound")).alias("guaranteed"),
+        )
+        .orderBy(F.desc("count_lower"), F.col("item"))
+        .limit(k)
+    )

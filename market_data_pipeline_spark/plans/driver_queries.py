@@ -6222,17 +6222,66 @@ def k9_label_centroids(spark, sf_dir):
 # ===========================================================================
 
 
-@query("apx4_heavy_hitters")
+@query(
+    "apx4_heavy_hitters",
+    r"""WITH RECURSIVE toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c,
+         CAST(('0x' || substr(md5(tok), 1, 7))::BIGINT % 2 AS INTEGER) AS shard
+  FROM toks WHERE tok <> '' GROUP BY 1
+), items AS (
+  SELECT tok, c, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY c DESC, tok) AS rn
+  FROM counts
+), fold AS (
+  SELECT DISTINCT shard, CAST(0 AS BIGINT) AS step,
+         CAST([] AS STRUCT(item VARCHAR, c BIGINT)[]) AS ctr,
+         CAST(0 AS BIGINT) AS d
+  FROM items
+  UNION ALL
+  SELECT shard, step,
+         list_filter(list_transform(app, x -> {'item': x.item, 'c': x.c - m}),
+                     x -> x.c > 0) AS ctr,
+         d + m AS d
+  FROM (
+    SELECT i.shard, f.step + 1 AS step,
+           list_append(f.ctr, {'item': i.tok, 'c': i.c}) AS app, f.d,
+           CASE WHEN len(f.ctr) + 1 > 8
+                THEN list_min(list_transform(
+                       list_append(f.ctr, {'item': i.tok, 'c': i.c}), x -> x.c))
+                ELSE 0 END AS m
+    FROM fold f JOIN items i ON i.shard = f.shard AND i.rn = f.step + 1
+  )
+), final AS (
+  SELECT shard, ctr, d FROM fold f
+  WHERE step = (SELECT max(step) FROM fold f2 WHERE f2.shard = f.shard)
+), deficit AS (
+  SELECT CAST(COALESCE(SUM(d), 0) AS BIGINT) AS err FROM final
+), flat AS (
+  SELECT r.item AS item, r.c AS count_lower
+  FROM (SELECT unnest(ctr) AS r FROM final)
+)
+SELECT item, count_lower, err AS error_bound, count_lower > err AS guaranteed
+FROM flat, deficit
+ORDER BY count_lower DESC, item
+LIMIT 20""",
+)
 def apx4_heavy_hitters(spark, sf_dir):
-    """Token heavy hitters over the document corpus via mergeable
-    Misra-Gries summaries: one bounded-memory Arrow pass per partition
-    (<= capacity+1 rows reach the merge shuffle — the sketch, never the
-    stream), map-combined merge, lower-bound counts with a global error
-    bound and a per-item presence GUARANTEE flag. No oracle: counts are
-    partitioning-dependent lower bounds by design; the MG guarantees
-    (bound correctness, guaranteed-presence of true heavy items) are
-    pinned by pytest against exact counts."""
-    from market_data_pipeline_spark.operators.analytics import heavy_hitters
+    """Token heavy hitters via weighted Misra-Gries in its
+    deterministic re-aggregation form (r10 conversion of the rows-only
+    streaming sketch, per the r9 verdict's recipe): exact map-combined
+    token counts, md5-prefix sharding (cross-engine stable), one
+    integer weighted-MG fold per shard in canonical (count DESC, token)
+    order. Every step is engine-exact, so the DuckDB oracle replays the
+    folds verbatim with a recursive CTE and hash-gates lower-bound
+    counts, the global error bound, and the guarantee flags. The
+    streaming partitioning-dependent sketch (`heavy_hitters`) remains
+    the 100 TB hot path, pinned by pytest against exact counts."""
+    from market_data_pipeline_spark.operators.analytics import (
+        deterministic_heavy_hitters,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -6243,7 +6292,7 @@ def apx4_heavy_hitters(spark, sf_dir):
             )
         ).alias("token")
     ).filter(F.col("token").isNotNull())
-    return heavy_hitters(toks, "token", k=20, capacity=128)
+    return deterministic_heavy_hitters(toks, "token", k=20, capacity=8, shards=2)
 
 
 # ===========================================================================

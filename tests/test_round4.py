@@ -588,6 +588,38 @@ def test_heavy_hitters_guarantees(spark):
             assert exact[r["item"]] > 0
 
 
+def test_deterministic_heavy_hitters_skewed(spark):
+    """The r10 oracle-replayable re-aggregation form: on a SKEWED
+    corpus the heavy item survives with guaranteed=True (the uniform
+    gate corpus never exercises that branch), bounds hold vs exact
+    counts, and the result is invariant to input partitioning."""
+    from collections import Counter
+
+    from market_data_pipeline_spark.operators.analytics import (
+        deterministic_heavy_hitters,
+    )
+
+    items = (["hot"] * 500 + ["warm"] * 120 + ["mild"] * 40
+             + [f"tail{i}" for i in range(60) for _ in range(2)])
+    exact = Counter(items)
+    df = spark.createDataFrame([(v,) for v in items], "item string")
+    out = deterministic_heavy_hitters(df, "item", k=10, capacity=4, shards=2).collect()
+    got = {r["item"]: r for r in out}
+    err = out[0]["error_bound"]
+    assert err > 0, "capacity 4 over 63 distinct items must decrement"
+    for r in out:
+        assert r["count_lower"] <= exact[r["item"]]
+        assert r["guaranteed"] == (r["count_lower"] > err)
+    # the dominant item must be present, near-exact, and guaranteed
+    assert got["hot"]["guaranteed"] and got["hot"]["count_lower"] <= 500
+    # partitioning invariance: md5 sharding + canonical fold order make
+    # the summary a pure function of the multiset
+    again = deterministic_heavy_hitters(
+        df.repartition(7), "item", k=10, capacity=4, shards=2
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
 def test_heavy_hitters_no_decrement_is_exact(spark):
     from market_data_pipeline_spark.operators.analytics import heavy_hitters
 
