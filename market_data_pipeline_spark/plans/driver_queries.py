@@ -14403,4 +14403,158 @@ def k24_stratified_knn(spark, sf_dir):
     ).orderBy("label", "rank")
 
 
+# ===========================================================================
+# Round-10: pipeline4 — the LLM-side end-to-end composition proof (r9
+# verdict #7), mirroring what pipeline3 does for the §3.1 market chain.
+# ===========================================================================
+
+
+def _pipeline4_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE corpus-prep composition
+    (plans.pipelines.prepare_corpus): quality floor -> exact dedup ->
+    MinHash-LSH + connected components + keep-longest survivors ->
+    3-gram decontamination -> 64/16 chunking -> md5 shuffle-sharding ->
+    per-shard 256-token packing. Every stage reuses its own green
+    oracle fragment (ck1/dd3/dc1/shf1/pk1 shapes); connected components
+    is an exact transitive closure (recursive CTE with UNION dedup) —
+    equal to the operator's converged min-label propagation. What unit
+    oracles cannot see — operator-BOUNDARY bugs like dd4's empty-doc
+    collision — only surfaces composed, which is this query's job."""
+    return rf"""WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+), benchdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+), q AS (  -- stage 1: quality floor (whitespace token count >= 5)
+  SELECT doc_id, text FROM corpus
+  WHERE len(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) >= 5
+), q2 AS (  -- stage 2: exact dedup, min doc_id per identical text
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS keep FROM q)
+  WHERE doc_id = keep
+), toks3 AS (  -- stage 3: minhash LSH pairs (dd3 oracle over q2, cap 200)
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS t
+  FROM q2
+), g0 AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+  FROM toks3 WHERE len(t) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM g0
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 7))::BIGINT AS h FROM grams
+), perms(i, a, b) AS (
+  VALUES {_dd3_perms_values()}
+), sig AS (
+  SELECT doc_id, p.i, MIN((p.a * h.h + p.b) % 2147483647) AS mh
+  FROM hs h CROSS JOIN perms p GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, i // 4 AS band_id,
+         ('0x' || substr(md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)),
+                         1, 15))::BIGINT AS band_hash
+  FROM sig GROUP BY doc_id, i // 4
+), bsize AS (
+  SELECT band_id, band_hash, COUNT(*) AS c FROM bands GROUP BY 1, 2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band_id = a.band_id AND s.band_hash = a.band_hash
+              AND s.c <= 200
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (  -- transitive closure -> min reachable label
+  SELECT s AS node, d AS lbl FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.lbl
+), comp AS (
+  SELECT node, LEAST(node, MIN(lbl)) AS component FROM reach GROUP BY node
+), clustered AS (
+  SELECT q2.doc_id, q2.text, c.component FROM q2
+  LEFT JOIN comp c ON c.node = q2.doc_id
+), surv AS (  -- keep longest (token count DESC, doc_id) per cluster
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, ROW_NUMBER() OVER (
+      PARTITION BY COALESCE('c:' || CAST(component AS VARCHAR),
+                            'd:' || CAST(doc_id AS VARCHAR))
+      ORDER BY len(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) DESC,
+               doc_id) AS rk
+    FROM clustered)
+  WHERE rk = 1
+), ssh0 AS (  -- stage 4: decontamination (3-gram overlap >= 2 vs benchmark)
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t
+        FROM surv)
+), ssh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM ssh0
+), bsh AS (
+  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t,
+               unnest(range(1, greatest(len(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+')) - 1, 1))) AS i
+        FROM benchdocs) z(t, i)
+), ov AS (
+  SELECT s.doc_id, COUNT(*) AS n_overlap
+  FROM ssh s JOIN bsh b USING (shingle) GROUP BY 1
+), clean AS (
+  SELECT s.doc_id, s.text FROM surv s
+  LEFT JOIN ov o USING (doc_id)
+  WHERE COALESCE(o.n_overlap, 0) < 2
+), ctoks AS (  -- stage 5: chunking (64-token windows, stride 48)
+  SELECT doc_id, string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0B\f\r]+') AS t FROM clean
+), starts AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 48)) AS start
+  FROM ctoks
+), chunks AS (
+  SELECT doc_id,
+         CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+         array_to_string(list_slice(t, start, start + 63), ' ') AS chunk_text,
+         CAST(least(64, len(t) - start + 1) AS BIGINT) AS n_tokens
+  FROM starts
+), keyed AS (  -- stage 6: deterministic shuffle-shard on chunk_key
+  SELECT *, CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR) AS ck,
+         md5('42:' || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)) AS hv
+  FROM chunks
+), sharded AS (
+  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         CAST(NTILE(8) OVER (ORDER BY hv, ck) AS BIGINT) AS shard,
+         hv, ck
+  FROM keyed
+), positioned AS (
+  SELECT doc_id, chunk_idx, chunk_text, n_tokens, shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hv, ck) AS BIGINT) AS pos
+  FROM sharded
+)
+SELECT doc_id, chunk_idx, chunk_text, n_tokens, shard, pos,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 256.0) AS BIGINT) AS pack_no
+FROM positioned
+ORDER BY doc_id, chunk_idx"""
+
+
+@query("pipeline4_corpus_prep", _pipeline4_oracle_sql())
+def pipeline4_corpus_prep(spark, sf_dir):
+    """End-to-end training-corpus preparation, hash-gated as ONE chain:
+    the exact composition `scripts/corpus_prep.py` runs (library entry
+    `plans.pipelines.prepare_corpus`), with every 20th document playing
+    the held-out benchmark (dc1's convention). Output is the final
+    loader table: (doc_id, chunk_idx, chunk_text, n_tokens, shard, pos,
+    pack_no). Composition cost is real work run eagerly (stage counts +
+    localCheckpoints), the same by-design shape as pipeline3's
+    idempotence proof. Reference parity: the reference has no LLM
+    pipeline; this is the §LLM extension's capstone composition."""
+    from market_data_pipeline_spark.plans.pipelines import prepare_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    out, _counts = prepare_corpus(
+        spark,
+        docs.filter(F.col("doc_id") % 20 != 0),
+        benchmark=docs.filter(F.col("doc_id") % 20 == 0),
+    )
+    return out.orderBy("doc_id", "chunk_idx")
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

@@ -27,127 +27,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def prepare_corpus(
-    spark,
-    docs,
-    benchmark=None,
-    min_tokens: int = 5,
-    jaccard_bands: int = 16,
-    chunk_tokens: int = 64,
-    overlap: int = 16,
-    n_shards: int = 8,
-    min_ascii_ratio: float | None = None,
-    min_ttr: float | None = None,
-    max_dup_sentence_ratio: float | None = None,
-):
-    """Run the full prep pipeline on a documents DataFrame.
-
-    Returns (chunks_df_with_shards, stage_counts dict). Library entry so
-    tests drive the identical composition the CLI runs.
-
-    The optional round-5 gates are OFF by default (None): a minimum
-    printable-ASCII ratio (binary-spill / mojibake floor — leave off for
-    intentionally multilingual corpora), a minimum type-token ratio
-    (template/repetition floor), and a maximum within-doc duplicate-
-    sentence ratio (boilerplate floor). All three are map-only column
-    expressions folded into the same quality scan.
-    """
-    from pyspark.sql import functions as F
-
-    from market_data_pipeline_spark.operators import dedup, text as tx
-
-    counts = {"input": docs.count()}
-
-    # 1. quality floor: drop empty/ultra-short docs (permissive default —
-    # quality scoring is advisory, hard floors only remove degenerate rows)
-    q = docs.filter(tx.token_count(F.col("text")) >= min_tokens)
-    if min_ascii_ratio is not None:
-        kept = F.length(F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", ""))
-        q = q.filter(kept >= min_ascii_ratio * F.length(F.col("text")))
-    if min_ttr is not None:
-        toks = F.filter(
-            F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
-        )
-        q = q.filter(
-            F.size(F.array_distinct(toks)) >= min_ttr * F.size(toks)
-        )
-    if max_dup_sentence_ratio is not None:
-        sents = F.filter(
-            F.transform(
-                F.split(F.trim(F.col("text")), r"[.!?]+"), lambda s: F.trim(s)
-            ),
-            lambda s: s != "",
-        )
-        q = q.filter(
-            (F.size(sents) == 0)
-            | (
-                F.size(sents) - F.size(F.array_distinct(sents))
-                <= max_dup_sentence_ratio * F.size(sents)
-            )
-        )
-    # the survivor set feeds four downstream consumers (exact dedup,
-    # minhash, cluster survivor join, chunking) — materialize once
-    q = q.localCheckpoint(eager=False)
-    counts["after_quality"] = q.count()
-
-    # 2. exact dedup (first occurrence per identical text)
-    exact_keep = dedup.exact_dedup(q).select("doc_id")
-    q2 = q.join(exact_keep, "doc_id", "left_semi").localCheckpoint(eager=False)
-    counts["after_exact_dedup"] = q2.count()
-
-    # 3. near-dup clusters -> keep the LONGEST member per cluster
-    pairs = dedup.minhash_lsh_pairs(q2, bands=jaccard_bands, max_bucket_size=200)
-    comp = dedup.connected_components(pairs)
-    clustered = q2.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-    from pyspark.sql import Window
-
-    # Survivor pick partitions by a key that gives every NON-clustered doc
-    # (component NULL — typically the vast majority of the corpus) its own
-    # singleton window partition. Partitioning by bare "component" would
-    # funnel all NULLs into ONE window partition — the single-task global
-    # window shape the plan-audit tests forbid, and a guaranteed straggler
-    # at 100 TB even though the when() discards the value. The prefixes
-    # keep a singleton whose doc_id happens to equal a cluster's
-    # representative id (CC components are min-node doc_ids) from being
-    # merged into that cluster's partition, which bare
-    # coalesce(component, doc_id) would do.
-    part_key = F.coalesce(
-        F.concat(F.lit("c:"), F.col("component").cast("string")),
-        F.concat(F.lit("d:"), F.col("doc_id").cast("string")),
-    )
-    w = Window.partitionBy(part_key).orderBy(
-        F.desc(tx.token_count(F.col("text"))), "doc_id"
-    )
-    survivors = (
-        clustered.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "component")
-    )
-    survivors = survivors.localCheckpoint(eager=False)
-    counts["after_near_dedup"] = survivors.count()
-
-    # 4. optional decontamination against a benchmark table
-    if benchmark is not None:
-        flags = dedup.decontaminate(survivors, benchmark)
-        clean_ids = flags.filter(~F.col("contaminated")).select("doc_id")
-        survivors = survivors.join(clean_ids, "doc_id", "left_semi")
-        survivors = survivors.localCheckpoint(eager=False)
-        counts["after_decontaminate"] = survivors.count()
-
-    # 5. context chunking + shard assignment (chunk key rides along so a
-    # loader worker reads exactly its shard, in a deterministic order)
-    chunks = tx.chunk_documents(
-        survivors, chunk_tokens=chunk_tokens, overlap=overlap
-    ).withColumn(
-        "chunk_key",
-        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_idx")),
-    )
-    shards = tx.shuffle_shards(chunks, key_col="chunk_key", n_shards=n_shards)
-    out = chunks.join(shards, "chunk_key").select(
-        "doc_id", "chunk_idx", "chunk_text", "n_tokens", "shard", "pos"
-    )
-    counts["chunks"] = out.count()
-    return out, counts
+# prepare_corpus moved to plans.pipelines (r10): plans own compositions,
+# scripts stay thin. Re-exported here so existing imports keep working.
+from market_data_pipeline_spark.plans.pipelines import prepare_corpus  # noqa: E402,F401
 
 
 def main() -> int:

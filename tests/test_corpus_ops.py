@@ -139,3 +139,48 @@ def test_prepare_corpus_round5_gates(spark):
         max_dup_sentence_ratio=0.5,
     )
     assert counts["after_quality"] == 1
+
+
+def test_prepare_corpus_end_to_end_invariants(spark):
+    """pipeline4's composition (r10): dedup really deduplicates, the
+    benchmark leaks nothing, and the per-shard pack stage is the greedy
+    concat assignment recomputed in plain python."""
+    from market_data_pipeline_spark.plans.pipelines import prepare_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " iota"),          # near/exact dups
+         (4, "one two three four five six seven eight nine ten " * 8),
+         (5, "completely different words here about spark engines"),
+         (6, "short")],                                      # fails min_tokens 5? no: 1 token
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "completely different words here about spark engines")],
+        "doc_id long, text string",
+    )
+    out, counts = prepare_corpus(
+        spark, docs, benchmark=bench, min_tokens=5,
+        chunk_tokens=8, overlap=2, n_shards=2, pack_budget=16,
+    )
+    rows = out.collect()
+    kept_docs = {r.doc_id for r in rows}
+    # doc 6 fails the quality floor; doc 2 is an exact dup of 1; doc 3
+    # near-dups 1 (shared 3-gram shingles) and is LONGER so it survives
+    # instead; doc 5 is contaminated (identical to the benchmark text)
+    assert 6 not in kept_docs and 2 not in kept_docs and 5 not in kept_docs
+    assert 3 in kept_docs and 4 in kept_docs and 1 not in kept_docs
+    assert counts["after_exact_dedup"] == counts["after_quality"] - 1
+    # pack stage: recompute greedy per-shard assignment from (pos, n_tokens)
+    by_shard: dict = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.pos)):
+        cum = by_shard.get(r.shard, 0) + r.n_tokens
+        by_shard[r.shard] = cum
+        assert r.pack_no == (cum - r.n_tokens) // 16
+    # chunking honors the 8/2 window: every chunk but a doc's last has 8
+    last_idx = {}
+    for r in rows:
+        last_idx[r.doc_id] = max(last_idx.get(r.doc_id, -1), r.chunk_idx)
+    for r in rows:
+        if r.chunk_idx < last_idx[r.doc_id]:
+            assert r.n_tokens == 8
