@@ -723,6 +723,46 @@ def heavy_hitters(
     )
 
 
+def monthly_cents_totals(
+    price: DataFrame,
+    keys: list[str],
+    amount_col: str = "amount",
+    date_col: str = "trade_date",
+) -> DataFrame:
+    """Aggregate-first monthly turnover totals in exact integer cents —
+    the shared scaffold of the monthly concentration/share queries
+    (a19, a27; r9 verdict #6 extraction). One map-combined aggregate to
+    (*keys, month); everything downstream works on the shrunk frame.
+    Returns (*keys, month, cents)."""
+    return price.groupBy(
+        *keys, F.date_format(date_col, "yyyy-MM").alias("month")
+    ).agg(F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("cents"))
+
+
+def fixed_point_hhi(
+    df: DataFrame, part_col: str, cents_col: str = "cents"
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration per ``part_col`` over exact
+    integer ``cents_col`` totals, with each squared share fixed-pointed
+    to 1e-12 before summing so the index is engine-identical (the
+    a14/a27 arithmetic, extracted per r9 verdict #6). The share window
+    partitions on ``part_col`` over the POST-aggregation frame — bounded
+    by the universe per partition value, never the fact table.
+    Returns (part_col, n_symbols, hhi)."""
+    w = Window.partitionBy(part_col)
+    share = F.col(cents_col) / F.sum(cents_col).over(w)
+    return (
+        df.select(
+            part_col, F.round(share * share * 1e12).cast("long").alias("_s2")
+        )
+        .groupBy(part_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_symbols"),
+            (F.sum("_s2") / 1e12).alias("hhi"),
+        )
+    )
+
+
 def deterministic_heavy_hitters(
     df: DataFrame,
     item_col: str,

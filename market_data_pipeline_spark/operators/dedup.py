@@ -347,6 +347,59 @@ def minhash_signatures(
     return staged.select(F.col(id_col), sig_udf(F.col("_toks")).alias("sig"))
 
 
+def distinct_ngrams(
+    df: DataFrame,
+    carry_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct (carry, raw word-n-gram) membership frame over FILTERED
+    tokens (empty tokens dropped before gram construction — unlike
+    :func:`shingled`, whose unfiltered form dd3/tx28 mirror) — the
+    shared scaffold of the df-profile/source-similarity audits
+    (dd16, dd18; r9 verdict #6 extraction). Grams stay raw strings
+    because these consumers aggregate over the gram itself.
+    Returns (carry_col, g)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+"),
+        lambda x: x != "",
+    )
+    staged = df.select(carry_col, toks.alias("_t")).filter(F.size("_t") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.col("_t")[i + k] for k in range(n)]
+        ),
+    )
+    return (
+        staged.select(carry_col, F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+
+
+def shingle_hash_docfreq(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared novelty / document-frequency scaffold (tx28, f15; r9
+    verdict #6 extraction): the corpus's distinct (id, shingle-hash)
+    membership frame plus the per-shingle docfreq aggregate. Shingle
+    hashes shuffle (8-byte xxhash64 keys), document text never does;
+    the docfreq table is aggregated before any join back.
+    Returns (membership (id_col, shingle), docfreq (shingle, docfreq))."""
+    sh = (
+        shingled(df, id_col, text_col, n)
+        .select(id_col, F.explode_outer("shingles").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(id_col, F.xxhash64("_s").alias("shingle"))
+        .distinct()
+    )
+    return sh, sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("docfreq"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

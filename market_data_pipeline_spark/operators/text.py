@@ -43,6 +43,36 @@ def stopword_count(text_col: Column, stopwords: list[str]) -> Column:
     return F.size(F.filter(tokens(text_col), lambda t: t.isin(*stopwords)))
 
 
+def exploded_words(
+    df: DataFrame, text_col: str = "text", carry_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """One row per non-empty lowercased whitespace token, carrying
+    ``carry_cols`` — the shared explode scaffold of the word-level
+    profile queries (tx26, f15; r9 verdict #6 extraction). Map-only;
+    NULL-text rows vanish (explode_outer emits a NULL word, filtered).
+    Returns (*carry_cols, word)."""
+    return df.select(
+        *carry_cols,
+        F.explode_outer(
+            F.filter(tokens(F.col(text_col)), lambda t: t != "")
+        ).alias("word"),
+    ).filter(F.col("word").isNotNull())
+
+
+def own_language_stopword_flag(
+    lang_col: str = "lang", word_col: str = "word"
+) -> Column:
+    """Boolean Column: the word is a stopword of the row's OWN language
+    (rows whose language has no list score False) — shared by the
+    stopword-density features (tx27's profile, f15's matrix)."""
+    flag = F.lit(False)
+    for lang, words_ in STOPWORDS.items():
+        flag = F.when(F.col(lang_col) == lang, F.col(word_col).isin(*words_)).otherwise(
+            flag
+        )
+    return flag
+
+
 def quality_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1438,21 +1468,10 @@ def stopword_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     aggregate; the ratio is exact-BIGINT division.
     Returns (lang, n_docs, n_tokens, n_stop, stop_ratio).
     """
-    stop_expr = F.lit(False)
-    for lang, words in STOPWORDS.items():
-        stop_expr = F.when(F.col("lang") == lang, F.col("_w").isin(*words)).otherwise(
-            stop_expr
-        )
-    toks = (
-        df.select(
-            "lang",
-            F.col("doc_id"),
-            F.explode_outer(
-                F.filter(tokens(F.col(text_col)), lambda t: t != "")
-            ).alias("_w"),
-        )
-        .filter(F.col("_w").isNotNull())
-        .select("lang", "doc_id", stop_expr.alias("_is_stop"))
+    toks = exploded_words(df, text_col, carry_cols=("lang", "doc_id")).select(
+        "lang",
+        "doc_id",
+        own_language_stopword_flag(word_col="word").alias("_is_stop"),
     )
     return (
         toks.groupBy("lang")

@@ -7499,19 +7499,12 @@ def a14_hhi_concentration(spark, sf_dir):
     r10's share-of-total completed into the standard concentration
     index. Shares are exact cent ratios; their squares are fixed-pointed
     to 1e-12 before summing so the index is engine-identical."""
-    w = Window.partitionBy("market")
-    cents = F.round(F.col("total_amount") * 100).cast("long")
-    share = cents / F.sum(cents).over(w)
-    return (
-        _symbol_totals(spark, sf_dir)
-        .select("market", (F.round(share * share * 1e12)).cast("long").alias("_s2"))
-        .groupBy("market")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_symbols"),
-            (F.sum("_s2") / 1e12).alias("hhi"),
-        )
-        .orderBy("market")
+    from market_data_pipeline_spark.operators.analytics import fixed_point_hhi
+
+    totals = _symbol_totals(spark, sf_dir).select(
+        "market", F.round(F.col("total_amount") * 100).cast("long").alias("cents")
     )
+    return fixed_point_hhi(totals, "market").orderBy("market")
 
 
 def _k12_oracle_sql(k: int = 5, pool: int = 50) -> str:
@@ -8336,22 +8329,10 @@ def dd16_source_jaccard(spark, sf_dir):
     vocabulary (a gram in s sources emits C(s,2) <= C(|sources|,2)
     pairs), never by document count — the same vocabulary-bound argument
     as event_type_pairs; only overlapping pairs are emitted."""
+    from market_data_pipeline_spark.operators.dedup import distinct_ngrams
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
-    )
-    staged = docs.select("source", toks.alias("_t")).filter(F.size("_t") >= 3)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("_t") - 3),
-        lambda i: F.concat_ws(
-            " ", F.col("_t")[i], F.col("_t")[i + 1], F.col("_t")[i + 2]
-        ),
-    )
-    sh = (
-        staged.select("source", F.explode_outer(grams).alias("g"))
-        .filter(F.col("g").isNotNull())
-        .distinct()
-    )
+    sh = distinct_ngrams(docs, "source")
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col("source").alias("source_a"), "g")
     b = sh.select(F.col("source").alias("source_b"), "g")
@@ -9716,22 +9697,10 @@ def dd18_shingle_df_profile(spark, sf_dir):
     tail on this histogram is exactly the mass the cap refuses to
     pair-expand. Distinct (doc, gram) -> per-gram df -> constant-size
     histogram; the gram key is hashed text, never full documents."""
+    from market_data_pipeline_spark.operators.dedup import distinct_ngrams
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
-    )
-    staged = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") >= 3)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("_t") - 3),
-        lambda i: F.concat_ws(
-            " ", F.col("_t")[i], F.col("_t")[i + 1], F.col("_t")[i + 2]
-        ),
-    )
-    sh = (
-        staged.select("doc_id", F.explode_outer(grams).alias("g"))
-        .filter(F.col("g").isNotNull())
-        .distinct()
-    )
+    sh = distinct_ngrams(docs, "doc_id")
     df = sh.groupBy("g").agg(F.count(F.lit(1)).alias("doc_freq"))
     return (
         df.groupBy(
@@ -9846,21 +9815,17 @@ def a19_market_share_trend(spark, sf_dir):
     Exact integer cents throughout — the share's window denominator
     partitions by month over one POST-AGGREGATION row per (market,
     month), bounded by markets x calendar."""
+    from market_data_pipeline_spark.operators.analytics import monthly_cents_totals
+
     p = price_frame(spark, sf_dir)
     mast = master_frame(spark, sf_dir).select("symbol", "market")
-    m = (
-        p.join(F.broadcast(mast), "symbol")
-        .groupBy(
-            "market", F.date_format("trade_date", "yyyy-MM").alias("month")
-        )
-        .agg(F.sum(F.round(F.col("amount") * 100).cast("long")).alias("_cents"))
-    )
+    m = monthly_cents_totals(p.join(F.broadcast(mast), "symbol"), ["market"])
     wm = Window.partitionBy("month")
     return m.select(
         "market",
         "month",
-        (F.col("_cents").cast("double") / 100).alias("turnover"),
-        (F.col("_cents") * 1.0 / F.sum("_cents").over(wm)).alias("market_share"),
+        (F.col("cents").cast("double") / 100).alias("turnover"),
+        (F.col("cents") * 1.0 / F.sum("cents").over(wm)).alias("market_share"),
     ).orderBy("market", "month")
 
 
@@ -10127,18 +10092,8 @@ def tx26_word_length_profile(spark, sf_dir):
     corpus intake gate reads before training. Map-only explode + one
     map-combined aggregate; the mean is exact-BIGINT division."""
     docs = load_table(spark, sf_dir, "documents")
-    wl = (
-        docs.select(
-            "source",
-            F.explode_outer(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"),
-                    lambda t: t != "",
-                )
-            ).alias("word"),
-        )
-        .filter(F.col("word").isNotNull())
-        .select("source", F.length("word").alias("wl"))
+    wl = tx.exploded_words(docs, carry_cols=("source",)).select(
+        "source", F.length("word").alias("wl")
     )
     return (
         wl.groupBy("source")
@@ -11344,17 +11299,10 @@ def tx28_ngram_novelty(spark, sf_dir):
     (a doc whose shingles all exist elsewhere adds nothing even if no
     single document duplicates it). Shingle hashes shuffle, text does
     not; the docfreq table is aggregated before the join back."""
-    docs = load_table(spark, sf_dir, "documents")
-    from market_data_pipeline_spark.operators.dedup import shingled
+    from market_data_pipeline_spark.operators.dedup import shingle_hash_docfreq
 
-    sh = (
-        shingled(docs, "doc_id", "text", 3)
-        .select("doc_id", F.explode_outer("shingles").alias("_s"))
-        .filter(F.col("_s").isNotNull())
-        .select("doc_id", F.xxhash64("_s").alias("shingle"))
-        .distinct()
-    )
-    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("docfreq"))
+    docs = load_table(spark, sf_dir, "documents")
+    sh, df_ = shingle_hash_docfreq(docs)
     n = F.count(F.lit(1))
     uniq = F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0))
     return (
@@ -11511,42 +11459,20 @@ def f15_doc_feature_matrix(spark, sf_dir):
     tx26/tx27/tx28 building blocks end-to-end (each already oracled
     alone); two explode passes over text, hash-only shuffles for the
     novelty join, exact-integer ratios throughout."""
+    from market_data_pipeline_spark.operators.dedup import shingle_hash_docfreq
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.explode_outer(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"),
-                    lambda t: t != "",
-                )
-            ).alias("word"),
-        )
-        .filter(F.col("word").isNotNull())
-        .select("doc_id", "lang", "word", F.length("word").alias("wl"))
+    toks = tx.exploded_words(docs, carry_cols=("doc_id", "lang")).select(
+        "doc_id", "lang", "word", F.length("word").alias("wl")
     )
-    stop_expr = F.lit(False)
-    for lang, words_ in tx.STOPWORDS.items():
-        stop_expr = F.when(
-            F.col("lang") == lang, F.col("word").isin(*words_)
-        ).otherwise(stop_expr)
+    stop_expr = tx.own_language_stopword_flag()
     n = F.count(F.lit(1))
     tok = toks.groupBy("doc_id").agg(
         n.cast("long").alias("n_tokens"),
         (F.sum("wl") / n).alias("mean_word_len"),
         (F.sum(F.when(stop_expr, 1).otherwise(0)) / n).alias("stop_ratio"),
     )
-    from market_data_pipeline_spark.operators.dedup import shingled
-
-    sh = (
-        shingled(docs, "doc_id", "text", 3)
-        .select("doc_id", F.explode_outer("shingles").alias("_s"))
-        .filter(F.col("_s").isNotNull())
-        .select("doc_id", F.xxhash64("_s").alias("shingle"))
-        .distinct()
-    )
-    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("docfreq"))
+    sh, df_ = shingle_hash_docfreq(docs)
     nov = (
         sh.join(df_, "shingle")
         .groupBy("doc_id")
@@ -12841,11 +12767,8 @@ def tx32_vocab_coverage_curve(spark, sf_dir):
     the cap raised — documented, not silent: the cap IS the top-k."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
-        docs.select(
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .groupBy("w")
+        tx.exploded_words(docs, carry_cols=())
+        .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
@@ -12854,12 +12777,12 @@ def tx32_vocab_coverage_curve(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("vocab"),
     )
     top = (
-        wc.orderBy(F.col("c").desc(), "w")
+        wc.orderBy(F.col("c").desc(), "word")
         .limit(10000)
         .select(
             "c",
             F.row_number()
-            .over(Window.orderBy(F.col("c").desc(), "w"))
+            .over(Window.orderBy(F.col("c").desc(), "word"))
             .alias("rnk"),
         )
     )
@@ -13216,25 +13139,13 @@ def a27_monthly_hhi(spark, sf_dir):
     fixed-pointed to 1e-12 before summing so the index is
     engine-identical; one (month, symbol) aggregate, one month-key
     window over the shrunk frame, one month-key aggregate."""
-    p = price_frame(spark, sf_dir)
-    mo = F.date_format("trade_date", "yyyy-MM").alias("month")
-    m = p.groupBy(mo, "symbol").agg(
-        F.sum(F.round(F.col("amount") * 100).cast("long")).alias("_c")
+    from market_data_pipeline_spark.operators.analytics import (
+        fixed_point_hhi,
+        monthly_cents_totals,
     )
-    w = Window.partitionBy("month")
-    share = F.col("_c") / F.sum("_c").over(w)
-    return (
-        m.select(
-            "month",
-            F.round(share * share * 1e12).cast("long").alias("_s2"),
-        )
-        .groupBy("month")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_symbols"),
-            (F.sum("_s2") / 1e12).alias("hhi"),
-        )
-        .orderBy("month")
-    )
+
+    m = monthly_cents_totals(price_frame(spark, sf_dir), ["symbol"])
+    return fixed_point_hhi(m, "month").orderBy("month")
 
 
 @query(

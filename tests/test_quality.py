@@ -75,3 +75,44 @@ def test_profile_columns_long_form(spark):
     assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
     assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+
+
+def test_shared_scaffold_helpers(spark):
+    """r10 registry-hygiene extraction: the shared explode/shingle/HHI
+    scaffolds behave at their edges (NULL text, empty tokens, short
+    docs) exactly as the inline forms they replaced."""
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.operators import text as TX
+    from market_data_pipeline_spark.operators.analytics import fixed_point_hhi
+    from market_data_pipeline_spark.operators.dedup import (
+        distinct_ngrams,
+        shingle_hash_docfreq,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "\tThe  quick the", ), (2, "en", None), (3, "de", "und")],
+        "doc_id long, lang string, text string",
+    )
+    words = TX.exploded_words(docs, carry_cols=("doc_id", "lang")).collect()
+    # NULL text vanishes; leading tab yields no empty token; lowercased
+    assert sorted((r.doc_id, r.word) for r in words) == [
+        (1, "quick"), (1, "the"), (1, "the"), (3, "und")]
+    flags = [
+        r["f"] for r in TX.exploded_words(docs, carry_cols=("lang",))
+        .select(TX.own_language_stopword_flag().alias("f")).collect()
+    ]
+    assert sum(flags) == 3  # 'the' x2 (en), 'und' (de); 'quick' is not
+
+    # distinct_ngrams: docs shorter than n produce nothing; grams distinct
+    ng = distinct_ngrams(docs, "doc_id", n=3).collect()
+    assert [(r.doc_id, r.g) for r in ng] == [(1, "the quick the")]
+    sh, df_ = shingle_hash_docfreq(docs)
+    assert df_.count() == sh.select("shingle").distinct().count()
+
+    # fixed_point_hhi: a 60/40 split -> 0.52 exactly on the 1e-12 grid
+    t = spark.createDataFrame(
+        [("m", 6000), ("m", 4000)], "market string, cents long"
+    )
+    row = fixed_point_hhi(t, "market").first()
+    assert row.n_symbols == 2 and abs(row.hhi - 0.52) < 1e-12
