@@ -14464,6 +14464,7 @@ def pipeline4_corpus_prep(spark, sf_dir):
         spark,
         docs.filter(F.col("doc_id") % 20 != 0),
         benchmark=docs.filter(F.col("doc_id") % 20 == 0),
+        audit_counts=False,  # the CLI's audit actions are dead weight here
     )
     return out.orderBy("doc_id", "chunk_idx")
 

@@ -249,6 +249,7 @@ def prepare_corpus(
     min_ascii_ratio: float | None = None,
     min_ttr: float | None = None,
     max_dup_sentence_ratio: float | None = None,
+    audit_counts: bool = True,
 ):
     """Run the full prep pipeline on a documents DataFrame.
 
@@ -268,7 +269,12 @@ def prepare_corpus(
 
     from market_data_pipeline_spark.operators import dedup, text as tx
 
-    counts = {"input": docs.count()}
+    # ``audit_counts=False`` skips the five per-stage .count() actions —
+    # the CLI wants the audit trail, the pipeline4 gate query does not.
+    # Measured effect on a warm local[32] session: ~neutral (the final
+    # write materializes the same lazy checkpoints either way); on a
+    # cluster each skipped count is one fewer scheduler round-trip
+    counts = {"input": docs.count()} if audit_counts else {}
 
     # 1. quality floor: drop empty/ultra-short docs (permissive default —
     # quality scoring is advisory, hard floors only remove degenerate rows)
@@ -300,12 +306,14 @@ def prepare_corpus(
     # the survivor set feeds four downstream consumers (exact dedup,
     # minhash, cluster survivor join, chunking) — materialize once
     q = q.localCheckpoint(eager=False)
-    counts["after_quality"] = q.count()
+    if audit_counts:
+        counts["after_quality"] = q.count()
 
     # 2. exact dedup (first occurrence per identical text)
     exact_keep = dedup.exact_dedup(q).select("doc_id")
     q2 = q.join(exact_keep, "doc_id", "left_semi").localCheckpoint(eager=False)
-    counts["after_exact_dedup"] = q2.count()
+    if audit_counts:
+        counts["after_exact_dedup"] = q2.count()
 
     # 3. near-dup clusters -> keep the LONGEST member per cluster
     pairs = dedup.minhash_lsh_pairs(q2, bands=jaccard_bands, max_bucket_size=200)
@@ -336,7 +344,8 @@ def prepare_corpus(
         .drop("_rk", "component")
     )
     survivors = survivors.localCheckpoint(eager=False)
-    counts["after_near_dedup"] = survivors.count()
+    if audit_counts:
+        counts["after_near_dedup"] = survivors.count()
 
     # 4. optional decontamination against a benchmark table
     if benchmark is not None:
@@ -344,7 +353,8 @@ def prepare_corpus(
         clean_ids = flags.filter(~F.col("contaminated")).select("doc_id")
         survivors = survivors.join(clean_ids, "doc_id", "left_semi")
         survivors = survivors.localCheckpoint(eager=False)
-        counts["after_decontaminate"] = survivors.count()
+        if audit_counts:
+            counts["after_decontaminate"] = survivors.count()
 
     # 5. context chunking + shard assignment (chunk key rides along so a
     # loader worker reads exactly its shard, in a deterministic order)
@@ -375,5 +385,6 @@ def prepare_corpus(
             (F.sum("n_tokens").over(wp) - F.col("n_tokens")) / pack_budget
         ).cast("long"),
     )
-    counts["chunks"] = out.count()
+    if audit_counts:
+        counts["chunks"] = out.count()
     return out, counts
