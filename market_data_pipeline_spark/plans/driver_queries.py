@@ -3989,8 +3989,11 @@ SELECT p.* FROM (
 )
 def dp1_profile_lineitem(spark, sf_dir):
     """First-contact data profile of the fact table (null/distinct/range
-    per column, long form) — one Expand+aggregate pass for all columns,
-    one shuffle total; see operators.quality.profile_columns."""
+    per column, long form) — all hash-aggregated: a keyless basic agg
+    plus one Expand->distinct pass where strings are grouping keys,
+    never agg buffers (the old mixed form forced SortAggregate over the
+    expanded fact; 4.1s -> 1.2s at sf0.1). See
+    operators.quality.profile_columns."""
     from market_data_pipeline_spark.operators.quality import profile_columns
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -7337,10 +7340,10 @@ SELECT p.* FROM (
 )
 def dp3_profile_orders(spark, sf_dir):
     """Orders-table first-contact profile (dp1's companion on the order
-    dimension): null/distinct/range per column in long form, one
-    Expand+aggregate pass — one shuffle regardless of column count.
+    dimension): null/distinct/range per column in long form, fully
+    hash-aggregated (see dp1 / operators.quality.profile_columns).
     Profiled columns keep engine-stable string renderings (ints,
-    strings, dates); see operators.quality.profile_columns."""
+    strings, dates)."""
     from market_data_pipeline_spark.operators.quality import profile_columns
 
     o = load_table(spark, sf_dir, "orders").select(
