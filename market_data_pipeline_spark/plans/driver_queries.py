@@ -80,7 +80,35 @@ def price_frame(
     groupBy but the cast blocks parquet predicate pushdown, so the scan
     reads every row group; ``l_partkey IN (...)`` reaches the footer stats
     — at 100 TB that is the difference between scanning the table and
-    scanning the few row groups holding those keys."""
+    scanning the few row groups holding those keys.
+
+    The FULL-universe frame (symbols=None) is memoized per (session,
+    sf_dir) behind a lazy localCheckpoint — the returns_frame pattern
+    (r9, measured 2x) extended to its upstream (r10): ~54 registry
+    queries derive from this exact stage, and re-running the lineitem
+    scan + (symbol, day) aggregation per query is recompute, not
+    measurement. This is the "stage the derived fact once" shape; on a
+    cluster the same role is played by materializing the price fact as
+    a table (storage/table.py). Symbol-FILTERED calls bypass the cache
+    on purpose: at 100 TB you want the pushed-down key scan, not a
+    materialization of the whole universe."""
+    if symbols is not None:
+        return _price_agg(spark, sf_dir, symbols)
+    key = (spark, sf_dir)
+    if key not in _PRICE_CACHE:
+        _PRICE_CACHE[key] = _price_agg(spark, sf_dir, None).localCheckpoint(
+            eager=False
+        )
+    return _PRICE_CACHE[key]
+
+
+def _price_agg(
+    spark: SparkSession, sf_dir: str, symbols: list[str] | None
+) -> DataFrame:
+    """The raw declarative price aggregation — what price_frame stages.
+    Kept separate so the plan-quality tests can assert the UNCACHED
+    shape (key pushdown reaching the parquet footer, 4-column pruning)
+    independently of the session cache."""
     li = load_table(spark, sf_dir, "lineitem")
     if symbols is not None:
         li = li.filter(F.col("l_partkey").isin([int(s) for s in symbols]))
@@ -90,8 +118,13 @@ def price_frame(
     ).agg(
         F.max("l_extendedprice").alias("close_price"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("long").alias("volume"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("amount"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("amount"),
     )
+
+
+_PRICE_CACHE: dict = {}
 
 
 _RETURNS_CACHE: dict = {}
@@ -474,8 +507,11 @@ WHERE p.symbol IN ({",".join(f"'{s}'" for s in STOCK_SYMBOLS)})
 ORDER BY symbol, trade_date""",
 )
 def j1_stock_data(spark, sf_dir):
+    # symbols= takes the UNCACHED pushdown path on purpose: a selective
+    # key predicate belongs in the parquet footer scan, not applied to
+    # a staged full-universe frame (the 100 TB argument in price_frame)
     return analytics.get_stock_data(
-        price_frame(spark, sf_dir),
+        price_frame(spark, sf_dir, symbols=STOCK_SYMBOLS),
         master_frame(spark, sf_dir),
         symbols=STOCK_SYMBOLS,
         start_date="1996-01-01",
