@@ -127,6 +127,19 @@ def _price_agg(
 _PRICE_CACHE: dict = {}
 
 
+def clear_frame_caches() -> None:
+    """Drop the memoized derived-frame checkpoints (price_frame,
+    returns_frame). The caches assume the source tables under a given
+    (session, sf_dir) are IMMUTABLE — true for the driver gate, bench,
+    and sweeps (each adversarial clone gets its own directory), false
+    for property tests that rewrite a tmp_path table between hypothesis
+    examples. Any test that rewrites a table it already queried must
+    call this (found the hard way in r10: a stale staged price frame
+    served example 1's lineitem to example 2)."""
+    _PRICE_CACHE.clear()
+    _RETURNS_CACHE.clear()
+
+
 _RETURNS_CACHE: dict = {}
 
 

@@ -402,7 +402,7 @@ def test_log_index_compounds_mean_returns(spark, tmp_path):
     log level after d days = ln(100) + d*ln(1.01) (to fixed-point)."""
     from market_data_pipeline_spark.plans.driver_queries import (
         a24_equal_weight_index,
-        _RETURNS_CACHE,
+        clear_frame_caches,
     )
 
     rows = []
@@ -419,7 +419,7 @@ def test_log_index_compounds_mean_returns(spark, tmp_path):
         "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
     )
     li.write.parquet(f"{tmp_path}/lineitem.parquet")
-    _RETURNS_CACHE.clear()  # tmp_path reuses keys only within a test
+    clear_frame_caches()  # tmp_path reuses keys only within a test
     out = a24_equal_weight_index(spark, str(tmp_path)).collect()
     assert [r["n_symbols"] for r in out] == [2, 2, 2]
     for d, r in enumerate(out, start=1):
@@ -454,7 +454,7 @@ def test_sortino_all_positive_is_null_and_sign(spark, tmp_path):
     losses -> finite value with the sign of the mean return."""
     from market_data_pipeline_spark.plans.driver_queries import (
         ts50_sortino,
-        _RETURNS_CACHE,
+        clear_frame_caches,
     )
 
     d0 = dt.date(2024, 1, 1)
@@ -464,7 +464,7 @@ def test_sortino_all_positive_is_null_and_sign(spark, tmp_path):
         for i in range(40)
     ]
     _li_frame(spark, tmp_path, {1: up, 2: mixed})
-    _RETURNS_CACHE.clear()
+    clear_frame_caches()
     out = {r["symbol"]: r for r in ts50_sortino(spark, str(tmp_path)).collect()}
     assert out["1"]["sortino"] is None
     assert out["2"]["sortino"] is not None
@@ -516,7 +516,7 @@ def test_downside_beta_scaled_series_is_one(spark, tmp_path):
     are whole integers so the DECIMAL(18,2) index average is exact."""
     from market_data_pipeline_spark.plans.driver_queries import (
         ts51_downside_beta,
-        _RETURNS_CACHE,
+        clear_frame_caches,
     )
 
     d0 = dt.date(2024, 1, 1)
@@ -530,7 +530,7 @@ def test_downside_beta_scaled_series_is_one(spark, tmp_path):
         tmp_path,
         {1: path, 2: [(d, c / 2) for d, c in path]},
     )
-    _RETURNS_CACHE.clear()
+    clear_frame_caches()
     out = {
         r["symbol"]: r
         for r in ts51_downside_beta(spark, str(tmp_path)).collect()
@@ -632,7 +632,7 @@ def test_monthly_hhi_two_months(spark, tmp_path):
     """Jan: shares 75/25 -> HHI 0.625; Feb: 50/50 -> HHI 0.5 exactly."""
     from market_data_pipeline_spark.plans.driver_queries import (
         a27_monthly_hhi,
-        _RETURNS_CACHE,
+        clear_frame_caches,
     )
 
     jan, feb = dt.date(2024, 1, 10), dt.date(2024, 2, 10)
@@ -641,7 +641,7 @@ def test_monthly_hhi_two_months(spark, tmp_path):
         tmp_path,
         {1: [(jan, 75.0), (feb, 40.0)], 2: [(jan, 25.0), (feb, 40.0)]},
     )
-    _RETURNS_CACHE.clear()
+    clear_frame_caches()
     out = {r["month"]: r for r in a27_monthly_hhi(spark, str(tmp_path)).collect()}
     assert (out["2024-01"]["n_symbols"], out["2024-01"]["hhi"]) == (2, 0.625)
     assert (out["2024-02"]["n_symbols"], out["2024-02"]["hhi"]) == (2, 0.5)
@@ -944,7 +944,7 @@ def test_vol_regimes_tercile_split(spark, tmp_path):
     all up-shares 1.0 (monotone-up paths)."""
     from market_data_pipeline_spark.plans.driver_queries import (
         ts55_vol_regimes,
-        _RETURNS_CACHE,
+        clear_frame_caches,
     )
 
     series = []
@@ -955,7 +955,7 @@ def test_vol_regimes_tercile_split(spark, tmp_path):
             series.append((dt.date(2024, k, day), c))
             c *= 1 + 0.01 * k
     _li_frame(spark, tmp_path, {1: series})
-    _RETURNS_CACHE.clear()
+    clear_frame_caches()
     out = ts55_vol_regimes(spark, str(tmp_path)).collect()
     assert [r["regime"] for r in out] == ["calm", "normal", "turbulent"]
     assert all(r["n_months"] == 2 for r in out)
@@ -1047,7 +1047,7 @@ def test_listing_age_vol_buckets(spark, tmp_path):
     so master assigns listing ages in different year buckets."""
     from market_data_pipeline_spark.plans.driver_queries import (
         a32_listing_age_vol,
-        _RETURNS_CACHE,
+        clear_frame_caches,
     )
 
     d0 = dt.date(2024, 1, 1)
@@ -1060,7 +1060,7 @@ def test_listing_age_vol_buckets(spark, tmp_path):
         [(1, "n1", "B"), (901, "n2", "B")],
         "p_partkey long, p_name string, p_brand string",
     ).write.parquet(f"{tmp_path}/part.parquet")
-    _RETURNS_CACHE.clear()
+    clear_frame_caches()
     out = {
         r["age_years"]: r
         for r in a32_listing_age_vol(spark, str(tmp_path)).collect()
