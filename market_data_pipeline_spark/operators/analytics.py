@@ -823,9 +823,11 @@ def deterministic_heavy_hitters(
         rows.append((None, int(deficit)))  # audit row: shard deficit
         return pd.DataFrame(rows, columns=["item", "w"])
 
+    # two consumers (error-bound aggregate + the main select) — stage
+    # the tiny summary frame once, don't re-run the corpus count + folds
     summaries = counts.groupBy("shard").applyInPandas(
         lambda _key, pdf: mg_fold(pdf), "item string, w long"
-    )
+    ).localCheckpoint(eager=False)
     err = summaries.filter(F.col("item").isNull()).agg(
         F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("error_bound")
     )

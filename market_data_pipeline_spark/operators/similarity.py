@@ -1424,8 +1424,23 @@ def mmr_select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("_v"),
             rel_col.alias("_rel"),
+            # sequential sum of squares, same fold order as the oracle's
+            # list_dot_product(ev, ev)
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            ).alias("_n2"),
         )
         .filter(F.col("_rel").isNotNull() & ~F.isnan(F.col("_rel")))
+        # overflow guard (r10 review): a vector whose self-dot overflows
+        # to inf has a FINITE relevance (finite/inf = 0), passes the NaN
+        # filter, and then crashes the greedy loop with inf/inf = NaN at
+        # int() time (the old BLAS path silently emitted garbage instead).
+        # Drop non-finite-norm vectors BEFORE the pool limit, mirrored in
+        # the oracle (isfinite(list_dot_product)) so pool membership
+        # stays engine-identical. inf < inf and NaN < x are both false.
+        .filter(F.col("_n2") < F.lit(float("inf")))
         .orderBy(F.desc("_rel"), id_col)
         .limit(pool)
         .collect()  # bounded: exactly `pool` rows with their vectors

@@ -94,6 +94,7 @@ def price_frame(
     materialization of the whole universe."""
     if symbols is not None:
         return _price_agg(spark, sf_dir, symbols)
+    _purge_dead_sessions(_PRICE_CACHE)
     key = (spark, sf_dir)
     if key not in _PRICE_CACHE:
         _PRICE_CACHE[key] = _price_agg(spark, sf_dir, None).localCheckpoint(
@@ -127,6 +128,22 @@ def _price_agg(
 _PRICE_CACHE: dict = {}
 
 
+def _purge_dead_sessions(cache: dict) -> None:
+    """Evict cache entries keyed by a stopped SparkSession — a process
+    that creates several sessions over its lifetime (test harnesses,
+    in-process driver restarts) must not accumulate checkpointed frames
+    of dead sessions (r10 review). Cheap: the caches hold a handful of
+    keys."""
+    for key in list(cache):
+        sess = key[0]
+        try:
+            dead = sess.sparkContext._jsc is None
+        except Exception:
+            dead = True
+        if dead:
+            del cache[key]
+
+
 def clear_frame_caches() -> None:
     """Drop the memoized derived-frame checkpoints (price_frame,
     returns_frame). The caches assume the source tables under a given
@@ -153,6 +170,7 @@ def returns_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, and (for a12/ts26) the same lag window. The checkpoint
     materializes once on first action and later queries read its blocks
     (the ``_symbol_totals``-reuse pattern r9 measured at 2x)."""
+    _purge_dead_sessions(_RETURNS_CACHE)
     key = (spark, sf_dir)
     if key not in _RETURNS_CACHE:
         p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
@@ -6318,7 +6336,7 @@ def k9_label_centroids(spark, sf_dir):
 SELECT item, count_lower, err AS error_bound, count_lower > err AS guaranteed
 FROM flat, deficit
 ORDER BY count_lower DESC, item
-LIMIT 20""",
+LIMIT 16""",
 )
 def apx4_heavy_hitters(spark, sf_dir):
     """Token heavy hitters via weighted Misra-Gries in its
@@ -6344,7 +6362,9 @@ def apx4_heavy_hitters(spark, sf_dir):
             )
         ).alias("token")
     ).filter(F.col("token").isNotNull())
-    return deterministic_heavy_hitters(toks, "token", k=20, capacity=8, shards=2)
+    # k == the summary's structural maximum (capacity x shards): asking
+    # for more would silently return fewer rows than the contract names
+    return deterministic_heavy_hitters(toks, "token", k=16, capacity=8, shards=2)
 
 
 # ===========================================================================
@@ -7606,6 +7626,10 @@ def _k12_oracle_sql(k: int = 5, pool: int = 50) -> str:
          CAST(ROUND({rel} * 1e6) AS BIGINT) AS relfp
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> 0 AND {rel} IS NOT NULL AND NOT isnan({rel})
+    AND isfinite(list_dot_product(list_transform(e.embedding,
+                                                 x -> CAST(x AS DOUBLE)),
+                                  list_transform(e.embedding,
+                                                 x -> CAST(x AS DOUBLE))))
   ORDER BY relfp DESC, vec_id LIMIT {pool}
 ), pairs AS (
   SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -12061,14 +12085,8 @@ def tx30_doc_entropy(spark, sf_dir):
     before summing so the per-doc sum is accumulation-order-proof."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")
-            ).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .groupBy("doc_id", "w")
+        tx.exploded_words(docs, carry_cols=("doc_id",))
+        .groupBy("doc_id", F.col("word").alias("w"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     wdoc = Window.partitionBy("doc_id")
@@ -12510,12 +12528,8 @@ def tx31_word_burstiness(spark, sf_dir):
     top-20 is TakeOrdered with a total order (total DESC, word)."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .groupBy("doc_id", "w")
+        tx.exploded_words(docs, carry_cols=("doc_id",))
+        .groupBy("doc_id", F.col("word").alias("w"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     s = wc.groupBy("w").agg(
@@ -13079,14 +13093,8 @@ def tx33_hapax_by_source(spark, sf_dir):
     leave the executor un-aggregated."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
-        docs.select(
-            "source",
-            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias(
-                "w"
-            ),
-        )
-        .filter(F.col("w") != "")
-        .groupBy("source", "w")
+        tx.exploded_words(docs, carry_cols=("source",))
+        .groupBy("source", F.col("word").alias("w"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     return (

@@ -26,7 +26,9 @@ rehearsed) in the fact tables.
 Measured per scale: day-1 wall (bootstrap + upserts + delist + compact),
 day-2 wall (the idempotent re-run), report wall. Asserted per scale, not
 just timed: day 2 inserts NOTHING (listed and new-listing upserts both
-0) and the post-day-2 report equals post-day-1's.
+0), the scalar stats match across days, and the full PER-MARKET report
+after day 2 equals the one after day 1 (a redistribution between
+markets would slip past the scalar totals).
 
 The design claim under test: pipeline cost = a fixed number of small
 storage jobs (measured ~0.9x at 10x for pipeline1, i.e. pure scheduling
@@ -110,7 +112,19 @@ def rehearse(spark, label: str, n_sup: int, n_cust: int, n_new: int,
     )
     master = stock_master_table(spark, path)
 
-    walls, days = [], []
+    def per_market_report():
+        return {
+            r["market"]: r.asDict()
+            for r in master.read_current()
+            .groupBy("market")
+            .agg(
+                F.count("*").cast("long").alias("total"),
+                F.sum("is_active").cast("long").alias("active"),
+            )
+            .collect()
+        }
+
+    walls, days, reports = [], [], []
     for day in (1, 2):
         t0 = time.perf_counter()
         stats = PL.run_daily_update(
@@ -122,19 +136,16 @@ def rehearse(spark, label: str, n_sup: int, n_cust: int, n_new: int,
         )
         walls.append(round(time.perf_counter() - t0, 2))
         days.append(stats)
+        reports.append(per_market_report())
 
     t0 = time.perf_counter()
-    report = {
-        r["market"]: r.asDict()
-        for r in master.read_current()
-        .groupBy("market")
-        .agg(
-            F.count("*").cast("long").alias("total"),
-            F.sum("is_active").cast("long").alias("active"),
-        )
-        .collect()
-    }
+    report = per_market_report()
     report_wall = round(time.perf_counter() - t0, 2)
+
+    # the PER-MARKET report must be identical after day 1 and day 2 —
+    # the scalar stats alone would miss a re-run that redistributes
+    # rows between markets (r10 review)
+    assert reports[0] == reports[1] == report, (reports, report)
 
     # idempotence ASSERTED at scale, not just timed
     assert days[1]["inserted_listed"] == 0, days[1]

@@ -214,6 +214,19 @@ def test_streaming_distinct_users_matches_batch_within_horizon(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_mmr_excludes_overflow_vectors(spark):
+    """r10 review: a vector whose self-dot overflows to inf has FINITE
+    relevance (finite/inf = 0) and used to crash the greedy loop with
+    int(NaN); the finite-norm pool guard must drop it, not crash."""
+    from market_data_pipeline_spark.operators.similarity import mmr_select
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [1e160, 1e160]), (4, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_select(df, [1.0, 0.0], k=4, pool=10).collect()
+    assert [r.vec_id for r in out] == [1, 2, 4]  # 3 excluded, no ValueError
+    assert out[0].relevance == 1.0
+
+
 def test_mmr_more_diverse_than_topk(spark):
     """The MMR-selected set's max pairwise cosine must not exceed plain
     top-k's (diversity is the whole point), and the top-1 must be the
