@@ -84,8 +84,18 @@ def _cost_table() -> dict[str, float]:
     import json
     import os
 
+    import re
+
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCHQ_r*.json")), reverse=True):
+
+    def _round_num(p: str) -> int:
+        # numeric, not lexical: BENCHQ_r100 must beat BENCHQ_r99
+        m = re.search(r"BENCHQ_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCHQ_r*.json")), key=_round_num, reverse=True
+    ):
         try:
             data = json.load(open(path))
             queries = data.get("queries")

@@ -85,13 +85,21 @@ def load_baselines(
     skip = set(exclude) | {
         s for s in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if s
     }
+    def _round_num(p: str) -> int:
+        # numeric, not lexical: BENCH_r100 must sort after BENCH_r99
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
     used: list[dict] = []
-    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), reverse=True):
+    for path in sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+        key=_round_num,
+        reverse=True,
+    ):
         base = os.path.basename(path)
         if base in skip:
             continue
-        m = re.search(r"_r(\d+)\.json$", base)
-        rnd = int(m.group(1)) if m else 0
+        rnd = max(_round_num(path), 0)
         try:
             data = json.load(open(path))
             # driver files wrap the parsed line under "parsed" or store it raw
@@ -192,6 +200,34 @@ def diff_exclusions(
         elif n not in priced_somewhere:
             out.add(n)
     return out
+
+
+def write_benchq(repo_dir: str, this_round: int, payload: dict) -> str:
+    """Write the per-query timing artifact without destroying a prior
+    same-round run (r10 verdict #6: the driver's slower-day run
+    overwrote the builder's closed-code BENCHQ_r10; the 312s best run
+    survived only in prose). Collision rule: the run with the LOWER
+    total_sec keeps the canonical ``BENCHQ_r{N}.json`` (consistent with
+    the per-query best-of-2 semantics); the other lands in
+    ``BENCHQ_r{N}_rerun.json``. Returns the path the new payload was
+    written to."""
+    canonical = os.path.join(repo_dir, f"BENCHQ_r{this_round:02d}.json")
+    rerun = os.path.join(repo_dir, f"BENCHQ_r{this_round:02d}_rerun.json")
+    target = canonical
+    if os.path.exists(canonical):
+        try:
+            prior = json.load(open(canonical))
+            prior_total = float(prior.get("total_sec", float("inf")))
+        except Exception:
+            prior_total = float("inf")
+        if float(payload.get("total_sec", float("inf"))) >= prior_total:
+            target = rerun  # prior run was faster — keep it canonical
+        else:
+            os.replace(canonical, rerun)  # demote the slower prior run
+    with open(target, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return target
 
 
 def main() -> None:
@@ -299,21 +335,18 @@ def main() -> None:
         if (m := re.search(r"_r(\d+)\.json$", p))
     ]
     this_round = max(bench_rounds, default=0) + 1
-    with open(os.path.join(repo_dir, f"BENCHQ_r{this_round:02d}.json"), "w") as fh:
-        json.dump(
-            {
-                "round": this_round,
-                "source": "bench.py best-of-2 noop-write wall times",
-                "sf": sf_from_dir(SF_DIR),
-                "n_queries": len(timings),
-                "total_sec": total,
-                "queries": timings,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
-        fh.write("\n")
+    write_benchq(
+        repo_dir,
+        this_round,
+        {
+            "round": this_round,
+            "source": "bench.py best-of-2 noop-write wall times",
+            "sf": sf_from_dir(SF_DIR),
+            "n_queries": len(timings),
+            "total_sec": total,
+            "queries": timings,
+        },
+    )
     line = json.dumps(
         {
             "metric": "total_query_wall_time",

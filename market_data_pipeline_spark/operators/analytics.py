@@ -40,6 +40,24 @@ def exact_avg(c: Column) -> Column:
     return exact_sum(c) / F.count(c)
 
 
+def fp_sum(c: Column, digits: int = 9) -> Column:
+    """Order-independent float sum on a fixed-point grid: round each
+    term to ``digits`` decimals, accumulate as LONG (associative —
+    partition- and engine-order free), descale once at the end. The
+    registry's standard cross-engine float recipe (r9), extracted in
+    r11 from ~50 inline copies. Use :func:`exact_sum` for money (cents
+    are already a grid); use this for returns/ratios/log terms."""
+    scale = float(10**digits)
+    return F.sum(F.round(c * scale).cast("long")) / scale
+
+
+def fp_avg(c: Column, digits: int = 9) -> Column:
+    """Order-independent mean on the :func:`fp_sum` grid; the final
+    double division is a single deterministic IEEE op. The denominator
+    counts NON-NULL terms of ``c`` (matching ``AVG`` semantics)."""
+    return fp_sum(c, digits) / F.count(c)
+
+
 def get_stock_data(
     price: DataFrame,
     master: DataFrame,
@@ -791,8 +809,19 @@ def deterministic_heavy_hitters(
     you can afford one exact aggregation and need an auditable,
     reproducible summary. The single-pass, partitioning-dependent
     sketch remains the 100 TB hot path.
+
+    ``k`` may not exceed ``capacity * shards`` — the folds keep at most
+    ``capacity`` survivors per shard, so a larger ``k`` would silently
+    return fewer rows than requested (r10 advice: enforce the contract
+    where it lives).
     """
     import pandas as pd
+
+    if k > capacity * shards:
+        raise ValueError(
+            f"k={k} exceeds the structural maximum capacity*shards="
+            f"{capacity * shards}; raise capacity/shards or lower k"
+        )
 
     counts = (
         df.filter(F.col(item_col).isNotNull())

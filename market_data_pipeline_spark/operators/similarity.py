@@ -1282,6 +1282,48 @@ def group_centroids(
     )
 
 
+def label_centroid_sq_distances(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every vector scored against EVERY label centroid with the exact
+    fixed-point squared distance — the shared staging under the
+    nearest-centroid confusion matrix (k15) and the simplified
+    silhouette (k16), extracted r11 (registry hygiene). Centroids are
+    :func:`group_centroids` outputs (vocab-sized) and broadcast; the
+    per-vector scoring is one map-side pass (the ivf_assign shape), and
+    the squared distance goes through :func:`exact_sq_fold` (double
+    fold under the provable 2^53 bound, DECIMAL(38,0) past it — ANSI-
+    safe at |x| ~ 3e3 without per-element BigDecimal on benign data,
+    r7 verdict #2). Quadratic only in |labels|.
+    Returns (id_col, true_label, cand, _sq)."""
+    cents = group_centroids(embeddings, label_col).select(
+        F.col(label_col).alias("cand"), "centroid"
+    )
+    terms = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("centroid"),
+        lambda x, y: F.round((x - y) * (x - y) * 1e9),
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            F.col(label_col).alias("true_label"),
+            "cand",
+            terms.alias("_t"),
+        )
+        .select(
+            id_col,
+            "true_label",
+            "cand",
+            exact_sq_fold(F.col("_t"), 1e9).alias("_sq"),
+        )
+    )
+
+
 def centroid_distances(
     embeddings: DataFrame,
     group_col: str,
@@ -1481,6 +1523,15 @@ def mmr_select(
         for j in range(i + 1, n):
             # the sequential dot is exactly symmetric, so mirror it
             c = _sdot(vecs[i], vecs[j]) / (norms[i] * norms[j]) * scale
+            # r10 advice: the pool guard checks SELF-dots only; two
+            # individually finite-norm vectors (each self-dot just
+            # under DBL_MAX) can still overflow the PAIRWISE dot to
+            # +/-inf (c = inf) or the norm product to inf (c = NaN),
+            # crashing int() below. Clamp the pair's cosine to 0 —
+            # deterministic, and unreachable for unit-scale embeddings
+            # so the k12 oracle chain is unaffected.
+            if not math.isfinite(c):
+                c = 0.0
             fp = int(math.floor(c + 0.5) if c >= 0 else math.ceil(c - 0.5))
             pair_fp[i][j] = pair_fp[j][i] = fp
     chosen: list[int] = []

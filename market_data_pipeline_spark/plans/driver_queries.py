@@ -37,8 +37,12 @@ from market_data_pipeline_spark.operators import (
     upsert,
     validate as val,
 )
+from market_data_pipeline_spark.operators.analytics import fp_sum
 from market_data_pipeline_spark.operators.setops import union_relaxed
-from market_data_pipeline_spark.sources.catalog import load_table
+from market_data_pipeline_spark.sources.catalog import (
+    ensure_session_defaults,
+    load_table,
+)
 
 # Scratch roots created by the pipeline composites, removed at
 # interpreter exit: each invocation needs a FRESH empty master dir (the
@@ -92,14 +96,20 @@ def price_frame(
     a table (storage/table.py). Symbol-FILTERED calls bypass the cache
     on purpose: at 100 TB you want the pushed-down key scan, not a
     materialization of the whole universe."""
+    # re-pin session defaults even on a cache HIT: the hit path skips
+    # load_table, but the CALLER's downstream tz-aware expressions still
+    # resolve against the session zone at analysis time (latent until a
+    # batch ordering populated the cache before the session-contract
+    # tests flipped the zone — r11)
+    ensure_session_defaults(spark)
     if symbols is not None:
         return _price_agg(spark, sf_dir, symbols)
-    _purge_dead_sessions(_PRICE_CACHE)
     key = (spark, sf_dir)
     if key not in _PRICE_CACHE:
         _PRICE_CACHE[key] = _price_agg(spark, sf_dir, None).localCheckpoint(
             eager=False
         )
+    _purge_dead_sessions(_PRICE_CACHE)
     return _PRICE_CACHE[key]
 
 
@@ -128,12 +138,32 @@ def _price_agg(
 _PRICE_CACHE: dict = {}
 
 
+_FRAME_CACHE_MAX_DIRS = 4  # sf_dirs kept per cache; excess evicted oldest-first
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort free of a lazily-localCheckpoint'd frame's executor
+    blocks. The persisted RDD is the internal one the LogicalRDD wraps,
+    so unpersist must go through queryExecution().toRdd() — a plain
+    Dataset.unpersist() only touches the cache manager and leaves the
+    checkpoint blocks alive. Building toRdd plans but never executes,
+    so an unmaterialized lazy checkpoint stays unmaterialized."""
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _purge_dead_sessions(cache: dict) -> None:
     """Evict cache entries keyed by a stopped SparkSession — a process
     that creates several sessions over its lifetime (test harnesses,
     in-process driver restarts) must not accumulate checkpointed frames
-    of dead sessions (r10 review). Cheap: the caches hold a handful of
-    keys."""
+    of dead sessions (r10 review). Also bounds live entries to the
+    newest ``_FRAME_CACHE_MAX_DIRS`` sf_dirs (insertion order; dicts
+    preserve it), releasing evicted frames' checkpoint blocks — one
+    long-lived session touching many directories (sweep clones,
+    tmp_path tests) must not accumulate a checkpoint per directory
+    (r10 advice). Cheap: the caches hold a handful of keys."""
     for key in list(cache):
         sess = key[0]
         try:
@@ -142,6 +172,9 @@ def _purge_dead_sessions(cache: dict) -> None:
             dead = True
         if dead:
             del cache[key]
+    while len(cache) > _FRAME_CACHE_MAX_DIRS:
+        oldest = next(iter(cache))
+        _release_checkpoint(cache.pop(oldest))
 
 
 def clear_frame_caches() -> None:
@@ -153,8 +186,10 @@ def clear_frame_caches() -> None:
     examples. Any test that rewrites a table it already queried must
     call this (found the hard way in r10: a stale staged price frame
     served example 1's lineitem to example 2)."""
-    _PRICE_CACHE.clear()
-    _RETURNS_CACHE.clear()
+    for cache in (_PRICE_CACHE, _RETURNS_CACHE):
+        for df in cache.values():
+            _release_checkpoint(df)
+        cache.clear()
 
 
 _RETURNS_CACHE: dict = {}
@@ -170,7 +205,7 @@ def returns_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, and (for a12/ts26) the same lag window. The checkpoint
     materializes once on first action and later queries read its blocks
     (the ``_symbol_totals``-reuse pattern r9 measured at 2x)."""
-    _purge_dead_sessions(_RETURNS_CACHE)
+    ensure_session_defaults(spark)  # cache-hit path skips load_table
     key = (spark, sf_dir)
     if key not in _RETURNS_CACHE:
         p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
@@ -178,7 +213,29 @@ def returns_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RETURNS_CACHE[key] = p.withColumn(
             "ret", F.col("close_price") / F.lag("close_price").over(w) - 1
         ).localCheckpoint(eager=False)
+    _purge_dead_sessions(_RETURNS_CACHE)
     return _RETURNS_CACHE[key]
+
+
+def index_returns_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-weight market index daily-return series: one groupBy over
+    the staged price frame (decimal-exact average close per date), then
+    the 1-day return over a single-partition lag window — fine because
+    the aggregate has already shrunk the frame to |dates| rows. The
+    CAPM-style conditioning series shared by ts13 (beta), ts51
+    (downside beta) and friends; callers broadcast it into the
+    per-symbol return join. Extracted r11 (registry hygiene)."""
+    from market_data_pipeline_spark.operators.analytics import exact_avg
+
+    price = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
+    idx = price.groupBy("trade_date").agg(
+        exact_avg(F.col("close_price")).alias("idx_close")
+    )
+    iw = Window.orderBy("trade_date")
+    return idx.select(
+        "trade_date",
+        (F.col("idx_close") / F.lag("idx_close").over(iw) - 1.0).alias("mkt_ret"),
+    )
 
 
 PRICE_CTE = """
@@ -3845,19 +3902,9 @@ def ts13_market_beta(spark, sf_dir):
     per-date index-return series is tiny, so the join back to stock
     returns broadcasts. Beta/alpha/corr round to 6dp (moment
     accumulation order is engine-internal)."""
-    price = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
-    from market_data_pipeline_spark.operators.analytics import exact_avg
-
-    idx = price.groupBy("trade_date").agg(
-        exact_avg(F.col("close_price")).alias("idx_close")
+    idx_ret = index_returns_frame(spark, sf_dir).filter(
+        F.col("mkt_ret").isNotNull()
     )
-    iw = Window.orderBy("trade_date")
-    # the index series is |dates| rows — single-partition window is fine
-    # AFTER the aggregate shrinks it; broadcast the result to the join
-    idx_ret = idx.select(
-        "trade_date",
-        (F.col("idx_close") / F.lag("idx_close").over(iw) - 1.0).alias("mkt_ret"),
-    ).filter(F.col("mkt_ret").isNotNull())
     sw = Window.partitionBy("symbol").orderBy("trade_date")
     stk = (
         _ts_series(spark, sf_dir)
@@ -8950,33 +8997,7 @@ def k15_label_confusion(spark, sf_dir):
     training. Centroids broadcast; the per-vector argmin is one
     map-side pass (the ivf_assign shape against label centroids)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.group_centroids(emb, "label").select(
-        F.col("label").alias("cand"), "centroid"
-    )
-    # two-path exact fold (similarity.exact_sq_fold): double fold under
-    # the provable 2^53 bound, DECIMAL(38,0) past it — ANSI-safe at
-    # |x| ~ 3e3 (r7 zero-vector sweep) without paying BigDecimal per
-    # element on benign data (r7 verdict #2)
-    terms = F.zip_with(
-        F.col("embedding").cast("array<double>"),
-        F.col("centroid"),
-        lambda x, y: F.round((x - y) * (x - y) * 1e9),
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            F.col("label").alias("true_label"),
-            "cand",
-            terms.alias("_t"),
-        )
-        .select(
-            "vec_id",
-            "true_label",
-            "cand",
-            similarity.exact_sq_fold(F.col("_t"), 1e9).alias("_sq"),
-        )
-    )
+    scored = similarity.label_centroid_sq_distances(emb)
     best = scored.groupBy("vec_id", "true_label").agg(
         F.min_by("cand", F.struct(F.col("_sq"), F.col("cand"))).alias(
             "nearest_label"
@@ -9227,30 +9248,8 @@ def k16_simplified_silhouette(spark, sf_dir):
     fixed-pointed before the label mean so the grade is
     engine-identical. Quadratic only in |labels|."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.group_centroids(emb, "label").select(
-        F.col("label").alias("cand"), "centroid"
-    )
-    # two-path exact fold: see k15 — double under the 2^53 bound,
-    # DECIMAL(38,0) past it (ANSI-safe without per-element BigDecimal)
-    terms = F.zip_with(
-        F.col("embedding").cast("array<double>"),
-        F.col("centroid"),
-        lambda x, y: F.round((x - y) * (x - y) * 1e9),
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            F.col("label").alias("true_label"),
-            "cand",
-            terms.alias("_t"),
-        )
-        .select(
-            "vec_id",
-            "true_label",
-            "cand",
-            F.sqrt(similarity.exact_sq_fold(F.col("_t"), 1e9)).alias("_d"),
-        )
+    scored = similarity.label_centroid_sq_distances(emb).withColumn(
+        "_d", F.sqrt(F.col("_sq"))
     )
     split = scored.groupBy("vec_id", "true_label").agg(
         F.max(F.when(F.col("cand") == F.col("true_label"), F.col("_d"))).alias("_a"),
@@ -9262,7 +9261,7 @@ def k16_simplified_silhouette(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
             (
-                F.sum(F.round(sil * 1e6).cast("long")) / 1e6 / F.count(F.lit(1))
+                fp_sum(sil, 6) / F.count(F.lit(1))
             ).alias("mean_silhouette"),
         )
         .orderBy("label")
@@ -12101,7 +12100,7 @@ def tx30_doc_entropy(spark, sf_dir):
         staged.groupBy("doc_id", F.col("n").cast("long").alias("n_tokens"), "n_distinct")
         .agg(
             F.round(
-                F.sum(F.round(-p * F.log2(p) * 1e9).cast("long")) / 1e9, 6
+                fp_sum(-p * F.log2(p)), 6
             ).alias("entropy")
         )
         .orderBy("doc_id")
@@ -12265,7 +12264,7 @@ def ts48_kaufman_er(spark, sf_dir):
     r = p.withColumn(
         "chg", F.abs(F.col("close_price") - F.lag("close_price").over(w))
     )
-    denom = F.sum(F.round(F.col("chg") * 1e6).cast("long")) / 1e6
+    denom = fp_sum(F.col("chg"), 6)
     net = F.abs(
         F.max_by("close_price", "trade_date")
         - F.min_by("close_price", "trade_date")
@@ -12658,7 +12657,7 @@ def a24_equal_weight_index(spark, sf_dir):
     d = r.groupBy("trade_date").agg(
         F.count(F.lit(1)).cast("long").alias("n_symbols"),
         (
-            F.sum(F.round(F.col("ret") * 1e9).cast("long")) / 1e9 / F.count(F.lit(1))
+            fp_sum(F.col("ret")) / F.count(F.lit(1))
         ).alias("mret"),
     )
     wcum = Window.orderBy("trade_date").rowsBetween(Window.unboundedPreceding, 0)
@@ -12720,16 +12719,14 @@ def ts50_sortino(spark, sf_dir):
     yield NULL rather than infinity."""
     r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
     n = F.count("ret")
-    mret = F.sum(F.round(F.col("ret") * 1e9).cast("long")) / 1e9 / n
+    mret = fp_sum(F.col("ret")) / n
     dvar = (
-        F.sum(
-            F.round(
-                F.when(F.col("ret") < 0, F.col("ret") * F.col("ret"))
-                .otherwise(F.lit(0.0))
-                * 1e12
-            ).cast("long")
+        fp_sum(
+            F.when(F.col("ret") < 0, F.col("ret") * F.col("ret")).otherwise(
+                F.lit(0.0)
+            ),
+            12,
         )
-        / 1e12
         / n
     )
     s = (
@@ -12968,22 +12965,7 @@ def ts51_downside_beta(spark, sf_dir):
     broadcasts to the per-series return join; one symbol-key aggregate
     with regr_slope. The >= 10 floor drops symbols with too few
     down-day observations for a meaningful slope."""
-    from market_data_pipeline_spark.operators.analytics import exact_avg
-
-    price = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
-    idx = price.groupBy("trade_date").agg(
-        exact_avg(F.col("close_price")).alias("idx_close")
-    )
-    iw = Window.orderBy("trade_date")
-    idx_ret = (
-        idx.select(
-            "trade_date",
-            (F.col("idx_close") / F.lag("idx_close").over(iw) - 1.0).alias(
-                "mkt_ret"
-            ),
-        )
-        .filter(F.col("mkt_ret") < 0)
-    )
+    idx_ret = index_returns_frame(spark, sf_dir).filter(F.col("mkt_ret") < 0)
     stk = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
     joined = stk.join(F.broadcast(idx_ret), "trade_date")
     return (
@@ -13892,11 +13874,11 @@ def ts55_vol_regimes(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_months"),
             (
-                (F.sum(F.round(F.col("avg_abs_ret") * 1e9).cast("long")) / 1e9)
+                (fp_sum(F.col("avg_abs_ret")))
                 / F.count(F.lit(1))
             ).alias("regime_abs_ret"),
             (
-                (F.sum(F.round(F.col("up_share") * 1e9).cast("long")) / 1e9)
+                (fp_sum(F.col("up_share")))
                 / F.count(F.lit(1))
             ).alias("regime_up_share"),
         )
@@ -14111,7 +14093,7 @@ def a32_listing_age_vol(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_symbols"),
             (
-                (F.sum(F.round(F.col("abs_ret") * 1e9).cast("long")) / 1e9)
+                (fp_sum(F.col("abs_ret")))
                 / F.count(F.lit(1))
             ).alias("avg_abs_ret"),
         )

@@ -245,6 +245,7 @@ def prepare_corpus(
     chunk_tokens: int = 64,
     overlap: int = 16,
     n_shards: int = 8,
+    *,
     pack_budget: int = 256,
     min_ascii_ratio: float | None = None,
     min_ttr: float | None = None,

@@ -169,3 +169,67 @@ def test_family_subtotals_excludes_new_registrations():
         timings, exclude={"pipeline3_daily_master_update", "skw3_sharded_sessions"}
     )
     assert diffed == {"pipeline": 5.0, "skw": 0.8}
+
+
+def test_write_benchq_collision_keeps_best_run(tmp_path):
+    """r10 verdict #6: the driver's slower same-round run must not
+    destroy the builder's faster closed-code BENCHQ — the faster run
+    keeps the canonical name, the other lands in *_rerun.json."""
+    from bench import write_benchq
+
+    fast = {"round": 11, "total_sec": 312.2, "queries": {"q": 1.0}}
+    slow = {"round": 11, "total_sec": 384.5, "queries": {"q": 2.0}}
+
+    # fast first, slow second: slow goes to _rerun, canonical untouched
+    assert write_benchq(str(tmp_path), 11, fast).endswith("BENCHQ_r11.json")
+    assert write_benchq(str(tmp_path), 11, slow).endswith("BENCHQ_r11_rerun.json")
+    assert json.load(open(tmp_path / "BENCHQ_r11.json"))["total_sec"] == 312.2
+
+    # slow first, fast second: prior is demoted to _rerun, fast promoted
+    for p in tmp_path.glob("BENCHQ_r11*"):
+        p.unlink()
+    write_benchq(str(tmp_path), 11, slow)
+    assert write_benchq(str(tmp_path), 11, fast).endswith("BENCHQ_r11.json")
+    assert json.load(open(tmp_path / "BENCHQ_r11.json"))["total_sec"] == 312.2
+    assert json.load(open(tmp_path / "BENCHQ_r11_rerun.json"))["total_sec"] == 384.5
+
+
+def test_load_baselines_numeric_round_order(tmp_path):
+    """BENCH_r100 must beat BENCH_r99 (lexical sort would invert them)."""
+    (tmp_path / "BENCH_r99.json").write_text(
+        json.dumps({"parsed": {"families": {"k": 1.0}}})
+    )
+    (tmp_path / "BENCH_r100.json").write_text(
+        json.dumps({"parsed": {"families": {"k": 2.0}}})
+    )
+    got = load_baselines(str(tmp_path), window=1)
+    assert [b["round"] for b in got] == [100]
+
+
+def test_cost_table_numeric_round_order(tmp_path, monkeypatch):
+    """__spark_entry__._cost_table must pick BENCHQ_r100 over r99, and
+    skip *_rerun files while a canonical sibling exists."""
+    import __spark_entry__ as entry
+
+    (tmp_path / "BENCHQ_r99.json").write_text(
+        json.dumps({"round": 99, "queries": {"q": 99.0}})
+    )
+    (tmp_path / "BENCHQ_r100.json").write_text(
+        json.dumps({"round": 100, "queries": {"q": 100.0}})
+    )
+    (tmp_path / "BENCHQ_r100_rerun.json").write_text(
+        json.dumps({"round": 100, "queries": {"q": 0.5}})
+    )
+    # _cost_table imports glob locally; redirect its BENCHQ glob
+    import glob as _glob
+
+    real_glob = _glob.glob
+    monkeypatch.setattr(
+        _glob,
+        "glob",
+        lambda pat: real_glob(str(tmp_path / "BENCHQ_r*.json"))
+        if "BENCHQ_r*" in pat
+        else real_glob(pat),
+    )
+    got = entry._cost_table()
+    assert got == {"q": 100.0}

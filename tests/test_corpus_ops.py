@@ -184,3 +184,23 @@ def test_prepare_corpus_end_to_end_invariants(spark):
     for r in rows:
         if r.chunk_idx < last_idx[r.doc_id]:
             assert r.n_tokens == 8
+
+
+def test_prepare_corpus_gates_are_keyword_only():
+    """r10 advice: prepare_corpus inserted pack_budget before the
+    round-5 quality gates, silently re-binding a stale positional
+    caller's min_ascii_ratio to pack_budget. The gates (and
+    pack_budget) are keyword-only so such a call fails loudly."""
+    import inspect
+
+    from market_data_pipeline_spark.plans.pipelines import prepare_corpus
+
+    sig = inspect.signature(prepare_corpus)
+    for name in (
+        "pack_budget",
+        "min_ascii_ratio",
+        "min_ttr",
+        "max_dup_sentence_ratio",
+        "audit_counts",
+    ):
+        assert sig.parameters[name].kind is inspect.Parameter.KEYWORD_ONLY

@@ -603,7 +603,7 @@ def test_deterministic_heavy_hitters_skewed(spark):
              + [f"tail{i}" for i in range(60) for _ in range(2)])
     exact = Counter(items)
     df = spark.createDataFrame([(v,) for v in items], "item string")
-    out = deterministic_heavy_hitters(df, "item", k=10, capacity=4, shards=2).collect()
+    out = deterministic_heavy_hitters(df, "item", k=8, capacity=4, shards=2).collect()
     got = {r["item"]: r for r in out}
     err = out[0]["error_bound"]
     assert err > 0, "capacity 4 over 63 distinct items must decrement"
@@ -615,9 +615,15 @@ def test_deterministic_heavy_hitters_skewed(spark):
     # partitioning invariance: md5 sharding + canonical fold order make
     # the summary a pure function of the multiset
     again = deterministic_heavy_hitters(
-        df.repartition(7), "item", k=10, capacity=4, shards=2
+        df.repartition(7), "item", k=8, capacity=4, shards=2
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # k beyond the structural maximum capacity*shards raises instead of
+    # silently under-returning (r10 advice)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="structural maximum"):
+        deterministic_heavy_hitters(df, "item", k=10, capacity=4, shards=2)
 
 
 def test_heavy_hitters_no_decrement_is_exact(spark):

@@ -598,3 +598,29 @@ def test_hashed_embedding_properties(spark):
     emb = hashed_embedding(df, dim=16).withColumnRenamed("doc_id", "vec_id")
     top = knn_batch(emb, emb.filter(F.col("vec_id") == 1), k=1).collect()[0]
     assert top["vec_id"] == 2 and top["cosine"] == pytest.approx(1.0)
+
+
+def test_mmr_no_crash_at_double_max_boundary(spark):
+    """r10 advice: the pool guard checks self-dots only; pin that
+    vectors sitting right at the IEEE-double boundary (self-dot within
+    an ulp of DBL_MAX — the only regime where a pairwise dot or norm
+    product could round to inf/NaN) neither crash the greedy loop nor
+    perturb determinism. The pairwise clamp (non-finite cosine -> 0)
+    makes the worst case well-defined."""
+    import math
+
+    from market_data_pipeline_spark.operators.similarity import mmr_select
+
+    a = math.sqrt(1.7976931348623157e308 / 2)  # [a, a] self-dot ~ DBL_MAX
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [a, a]),
+        (3, [math.nextafter(a, 0), a]),
+        (4, [a, math.nextafter(a, 0)]),
+        (5, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out1 = mmr_select(df, [1.0, 0.0], k=5, pool=10).collect()
+    out2 = mmr_select(df.repartition(3), [1.0, 0.0], k=5, pool=10).collect()
+    assert [r.vec_id for r in out1] == [r.vec_id for r in out2]
+    assert out1[0].vec_id == 1 and len(out1) == 5

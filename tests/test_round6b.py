@@ -1072,3 +1072,33 @@ def test_listing_age_vol_buckets(spark, tmp_path):
     # the younger listing (pk=901) is the 3% mover, the older the 1%
     assert young["avg_abs_ret"] == pytest.approx(0.03, abs=1e-6)
     assert old["avg_abs_ret"] == pytest.approx(0.01, abs=1e-6)
+
+
+def test_frame_cache_bounded_per_session(spark, sf_dir):
+    """r10 advice: one long-lived session touching many sf_dirs (sweep
+    clones, tmp_path tests) must not accumulate a checkpointed price
+    frame per directory — the cache keeps only the newest
+    _FRAME_CACHE_MAX_DIRS entries and releases evicted frames' blocks.
+    Path variants of the same directory are distinct cache keys, so no
+    data copies are needed to simulate many directories."""
+    from market_data_pipeline_spark.plans import driver_queries as dq
+
+    dq.clear_frame_caches()
+    variants = [
+        sf_dir,
+        sf_dir + "/",
+        sf_dir + "/.",
+        sf_dir + "//",
+        sf_dir + "/./.",
+        sf_dir + "/.//",
+    ]
+    for v in variants:
+        dq.price_frame(spark, v).limit(1).count()  # materialize each
+    assert len(dq._PRICE_CACHE) == dq._FRAME_CACHE_MAX_DIRS
+    # the SURVIVORS are the newest dirs, and they still compute
+    kept = [k[1] for k in dq._PRICE_CACHE]
+    assert kept == variants[-dq._FRAME_CACHE_MAX_DIRS:]
+    assert dq.price_frame(spark, variants[-1]).count() > 0
+    # an evicted dir re-stages transparently on next request
+    assert dq.price_frame(spark, variants[0]).count() > 0
+    dq.clear_frame_caches()

@@ -42,3 +42,24 @@ def test_get_spark_pins_utc():
 
     spark = get_spark("session-contract-test")
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_repins_utc_on_frame_cache_hit(spark, sf_dir):
+    """r11: the staged price/returns frames skip load_table on a cache
+    HIT, which used to skip the UTC re-pin with it — downstream tz-aware
+    expressions then resolved against whatever zone the session was
+    left in (latent until batch ordering populated the cache before the
+    zone flip). Prime the cache explicitly so the hit path is the one
+    under test."""
+    from market_data_pipeline_spark.plans import driver_queries as dq
+
+    dq.price_frame(spark, sf_dir).limit(1).count()  # prime: next call HITS
+    dq.returns_frame(spark, sf_dir).limit(1).count()
+    qs = E.queries()
+    for name in ("f9_month_buckets", "ts4_weekly_ohlc"):
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            qs[name](spark, sf_dir)
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC", name
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
