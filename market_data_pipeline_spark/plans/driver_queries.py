@@ -14511,4 +14511,45 @@ def pipeline4_corpus_prep(spark, sf_dir):
     return out.orderBy("doc_id", "chunk_idx")
 
 
+@query(
+    "pipeline5_streaming_ingest",
+    """WITH clean AS (
+  SELECT event_id, ts, event_type, value
+  FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL AND value >= 0 AND event_type <> 'error'
+), wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS horizon FROM clean),
+dedup AS (
+  -- the at-least-once source is the clean stream unioned with itself;
+  -- dedup on the idempotency key restores exactly the clean rows
+  SELECT DISTINCT event_id, ts, event_type, value FROM clean
+)
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM dedup, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.horizon
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def pipeline5_streaming_ingest(spark, sf_dir):
+    """§streaming capstone (r10 verdict #4): the full ingest chain —
+    at-least-once source (events unioned with itself, the st4 replay
+    trick) -> quality floor -> dedup repair -> watermarked tumbling
+    per-type sink — as ONE chained streaming query, hash-gated against
+    the batch replay. Append mode (the multiple-stateful-operator
+    contract), so the oracle applies the exact emission rule: windows
+    ending <= max(clean ts) - 2h horizon. The duplicate source rows are
+    provably absorbed: n_events counts each event once or the hash
+    diverges. See streaming.jobs.streaming_ingest_pipeline."""
+    from market_data_pipeline_spark.streaming import jobs as sj
+
+    s1 = sj.read_events_stream(spark, sf_dir)
+    s2 = sj.read_events_stream(spark, sf_dir)
+    stream = sj.streaming_ingest_pipeline(s1.unionByName(s2))
+    return sj.run_stream_to_memory(
+        stream, "pipeline5_sink", output_mode="append"
+    ).orderBy("window_start", "event_type")
+
+
 from market_data_pipeline_spark.plans import tpch  # noqa: E402,F401

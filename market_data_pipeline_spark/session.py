@@ -92,8 +92,15 @@ def get_spark(
         # Long-lived sessions (the 100+-query bench, notebook use)
         # accumulate localCheckpoint blocks and shuffle files whose cleanup
         # waits on a driver JVM GC; force one periodically so the block
-        # manager doesn't balloon across hundreds of queries.
-        .config("spark.cleaner.periodicGC.interval", "60s")
+        # manager doesn't balloon across hundreds of queries. 15s, not the
+        # previous 60s: the r11 aged-session probe (scripts/udf_noise_probe.py,
+        # BENCHNOTES r11) traced the 2-4x per-query bench noise band to
+        # queries landing inside a bloated between-GC window — at 60s,
+        # 4/15 aged-session k16 reps measured 6.0-9.3s vs a 1.5s floor;
+        # at 15s, 0/12 reps exceeded 2.4s on a quiet box. The shorter
+        # tick quarters the garbage-accumulation window; the System.gc()
+        # it costs is a driver-side pause amortized across whole queries.
+        .config("spark.cleaner.periodicGC.interval", "15s")
         # Preload numpy/pandas/pyarrow in the worker daemon so forked
         # workers inherit them copy-on-write: N chained Arrow-python
         # stages x C cores = N*C workers, each otherwise paying the

@@ -672,3 +672,69 @@ def streaming_distinct_users(
         .agg(F.count("*").alias("n_users"))
         .select(F.col("w.start").alias("window_start"), "n_users")
     )
+
+
+def streaming_ingest_pipeline(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The full streaming INGEST CHAIN as one query — the streaming-side
+    analog of the batch corpus pipeline (plans.pipelines.prepare_corpus):
+
+      at-least-once source -> quality floor -> exactly-once repair
+      (dedup) -> watermarked windowed aggregate sink
+
+    Chained in ONE streaming plan (r10 verdict #4: the 13 topologies
+    existed solo; this is the composition proof). Stage semantics:
+
+    - **quality floor** (map-only, stateless): rows must carry an
+      idempotency key (``event_id`` — the dedup stage keys on it, and a
+      NULL key would alias unrelated rows into one state slot), a
+      user/type, and a non-negative value; ``error``-type events are
+      routed out of the analytics path.
+    - **dedup-lite**: ``dropDuplicatesWithinWatermark`` on the
+      idempotency key — state is bounded by keys-per-watermark-horizon,
+      the at-least-once -> exactly-once repair stage (same operator as
+      :func:`streaming_dedup`).
+    - **windowed sink**: tumbling per-type count + decimal-exact value
+      sum (the :func:`streaming_tumbling` aggregate shape).
+
+    Both stateful stages share the event-time watermark (the Spark 3.4+
+    multiple-stateful-operator contract, same as
+    :func:`streaming_distinct_users`), so the query is append-mode:
+    only watermark-closed windows emit, and the batch oracle replays
+    the exact emission rule (windows ending <= max(clean ts) - horizon).
+
+    100 TB posture: every stage is either stateless or watermark-
+    bounded state; state volume is O(keys per horizon) + O(open
+    windows x types), independent of stream length — the §A.1 state
+    partitioning rule applies unchanged.
+    """
+    clean = events.filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.col("value") >= 0)
+        & (F.col("event_type") != "error")
+    )
+    deduped = clean.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.groupBy(
+            F.window(F.col(ts_col), duration).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _exact_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

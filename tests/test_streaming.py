@@ -242,3 +242,84 @@ def test_stateful_folds_skip_null_values(spark, tmp_path):
     assert stats_out["n_events"] == 3
     assert stats_out["mean_value"] == pytest.approx(mean)
     assert stats_out["var_pop"] == pytest.approx(var)
+
+
+def test_streaming_ingest_pipeline_chain(spark, event_dir):
+    """pipeline5's topology (r11): the 4-stage ingest chain — doubled
+    at-least-once source, quality floor, dedup repair, watermarked
+    tumbling sink — run ACROSS micro-batches must equal the batch
+    replay with the append-mode emission rule applied. Also pins the
+    quality floor: the error-type event and a null-id row are dropped
+    BEFORE dedup, so they can neither alias state nor reach the sink."""
+    # the module fixture spans <3h (nothing would clear the 2h horizon);
+    # widen it: same rows pushed to later hours + a null-id row the
+    # quality floor must reject before it can alias dedup state
+    fixture = spark.read.parquet(event_dir)
+    later = [
+        (100 + i, dt.datetime(2024, 1, 1, 5 + i, 10), 3, "click", float(i))
+        for i in range(4)
+    ]
+    extra = spark.createDataFrame(
+        later + [(None, dt.datetime(2024, 1, 1, 0, 40), 9, "click", 3.0)],
+        fixture.schema,
+    )
+    base = fixture.unionByName(extra)
+    import shutil
+    import tempfile
+
+    # files must land in rough TIME ORDER (a real ingest): with
+    # maxFilesPerTrigger=1 the watermark advances per batch, and a
+    # shuffled file order would make earlier hours arrive late and be
+    # legitimately dropped as late data — not the behavior under test
+    lake = tempfile.mkdtemp(prefix="p5lake_")
+    staging = tempfile.mkdtemp(prefix="p5stage_")
+    buckets = [
+        base.filter(F.hour("ts") <= 0),
+        base.filter((F.hour("ts") >= 1) & (F.hour("ts") <= 2)),
+        base.filter(F.hour("ts") >= 5),
+    ]
+    for i, b in enumerate(buckets):
+        d = f"{staging}/{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        import glob as _glob
+
+        src = _glob.glob(f"{d}/*.parquet")[0]
+        shutil.copy(src, f"{lake}/{i:02d}.parquet")
+
+    doubled = _read_stream(spark, lake, max_files=1).unionByName(
+        _read_stream(spark, lake, max_files=1)
+    )
+    got = SJ.run_stream_to_memory(
+        SJ.streaming_ingest_pipeline(doubled),
+        "t_p5_chain",
+        output_mode="append",
+    )
+    rows = sorted(
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in got.collect()
+    )
+    clean = spark.read.parquet(lake).filter(
+        F.col("event_id").isNotNull()
+        & (F.col("value") >= 0)
+        & (F.col("event_type") != "error")
+    )
+    horizon = clean.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("h")
+    ).collect()[0]["h"]
+    want = sorted(
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in clean.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(horizon))
+        .collect()
+    )
+    # equality against the SINGLE-copy batch replay proves the doubled
+    # source was fully absorbed: a missed dedup doubles n_events/total
+    assert rows == want and len(rows) > 0
