@@ -275,6 +275,16 @@ def main() -> None:
         # manager grows monotonically over the 100+-query session and GC
         # pressure inflates the late queries' timings
         gc.collect()
+        # ...and force the DRIVER JVM GC between queries, outside the
+        # timed section: the r11 noise probe traced the residual 2-4x
+        # per-query outliers to queries starting inside a bloated
+        # between-periodic-GC window (BENCHNOTES r11). A synchronous
+        # System.gc() here costs bench wall-clock, never query time, and
+        # removes the lottery from the recorded pins.
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 2)
     # Truncation defense (BENCH_r02 recorded "parsed": null because the

@@ -51,13 +51,6 @@ def fp_sum(c: Column, digits: int = 9) -> Column:
     return F.sum(F.round(c * scale).cast("long")) / scale
 
 
-def fp_avg(c: Column, digits: int = 9) -> Column:
-    """Order-independent mean on the :func:`fp_sum` grid; the final
-    double division is a single deterministic IEEE op. The denominator
-    counts NON-NULL terms of ``c`` (matching ``AVG`` semantics)."""
-    return fp_sum(c, digits) / F.count(c)
-
-
 def get_stock_data(
     price: DataFrame,
     master: DataFrame,
