@@ -213,6 +213,14 @@ def write_benchq(repo_dir: str, this_round: int, payload: dict) -> str:
     written to."""
     canonical = os.path.join(repo_dir, f"BENCHQ_r{this_round:02d}.json")
     rerun = os.path.join(repo_dir, f"BENCHQ_r{this_round:02d}_rerun.json")
+    # never clobber an earlier demoted run either (third+ run same round):
+    # take the first free _rerun slot
+    n = 2
+    while os.path.exists(rerun):
+        rerun = os.path.join(
+            repo_dir, f"BENCHQ_r{this_round:02d}_rerun{n}.json"
+        )
+        n += 1
     target = canonical
     if os.path.exists(canonical):
         try:

@@ -777,7 +777,7 @@ def fixed_point_hhi(
 def deterministic_heavy_hitters(
     df: DataFrame,
     item_col: str,
-    k: int = 20,
+    k: int = 16,  # = default capacity * shards (the structural maximum)
     capacity: int = 8,
     shards: int = 2,
 ) -> DataFrame:

@@ -104,13 +104,15 @@ def price_frame(
     ensure_session_defaults(spark)
     if symbols is not None:
         return _price_agg(spark, sf_dir, symbols)
-    key = (spark, sf_dir)
-    if key not in _PRICE_CACHE:
-        _PRICE_CACHE[key] = _price_agg(spark, sf_dir, None).localCheckpoint(
-            eager=False
-        )
     _purge_dead_sessions(_PRICE_CACHE)
-    return _PRICE_CACHE[key]
+    key = (spark, sf_dir)
+    # pop-and-reinsert: a hit refreshes LRU recency (dict order)
+    frame = _PRICE_CACHE.pop(key, None)
+    if frame is None:
+        frame = _price_agg(spark, sf_dir, None).localCheckpoint(eager=False)
+    _PRICE_CACHE[key] = frame
+    _bound_cache(_PRICE_CACHE)
+    return frame
 
 
 def _price_agg(
@@ -138,32 +140,28 @@ def _price_agg(
 _PRICE_CACHE: dict = {}
 
 
-_FRAME_CACHE_MAX_DIRS = 4  # sf_dirs kept per cache; excess evicted oldest-first
+_FRAME_CACHE_MAX_DIRS = 4  # sf_dirs kept PER SESSION per cache; LRU eviction
 
-
-def _release_checkpoint(df: DataFrame) -> None:
-    """Best-effort free of a lazily-localCheckpoint'd frame's executor
-    blocks. The persisted RDD is the internal one the LogicalRDD wraps,
-    so unpersist must go through queryExecution().toRdd() — a plain
-    Dataset.unpersist() only touches the cache manager and leaves the
-    checkpoint blocks alive. Building toRdd plans but never executes,
-    so an unmaterialized lazy checkpoint stays unmaterialized."""
-    try:
-        df._jdf.queryExecution().toRdd().unpersist(False)
-    except Exception:
-        pass
+# Eviction releases only the PYTHON REFERENCE — deliberately. Dropping
+# the dict entry releases the last strong ref to the checkpointed frame;
+# Spark's ContextCleaner then unpersists the weak-reachable RDD blocks
+# on the next driver GC (<= 15s away under the session default). A
+# forced unpersist here would be either a no-op (queryExecution().toRdd()
+# on a checkpointed Dataset returns a DERIVED wrapper, not the persisted
+# internal RDD — r11 review) or unsafe (the internal RDD may still back
+# an unmaterialized dependent frame, e.g. a cached returns_frame built
+# on an evicted price_frame; reference-tracked cleanup can never free
+# blocks something still points at).
 
 
 def _purge_dead_sessions(cache: dict) -> None:
     """Evict cache entries keyed by a stopped SparkSession — a process
     that creates several sessions over its lifetime (test harnesses,
     in-process driver restarts) must not accumulate checkpointed frames
-    of dead sessions (r10 review). Also bounds live entries to the
-    newest ``_FRAME_CACHE_MAX_DIRS`` sf_dirs (insertion order; dicts
-    preserve it), releasing evicted frames' checkpoint blocks — one
-    long-lived session touching many directories (sweep clones,
-    tmp_path tests) must not accumulate a checkpoint per directory
-    (r10 advice). Cheap: the caches hold a handful of keys."""
+    of dead sessions (r10 review). Runs BEFORE the cache lookup: a dead
+    entry must never be served, and purging after the lookup turned a
+    stopped-session call into a bare KeyError (r11 review). Cheap: the
+    caches hold a handful of keys."""
     for key in list(cache):
         sess = key[0]
         try:
@@ -172,9 +170,22 @@ def _purge_dead_sessions(cache: dict) -> None:
             dead = True
         if dead:
             del cache[key]
-    while len(cache) > _FRAME_CACHE_MAX_DIRS:
-        oldest = next(iter(cache))
-        _release_checkpoint(cache.pop(oldest))
+
+
+def _bound_cache(cache: dict) -> None:
+    """Bound live entries to ``_FRAME_CACHE_MAX_DIRS`` sf_dirs PER
+    SESSION, evicting least-recently-used first (hits refresh recency
+    by re-inserting the key) — one long-lived session touching many
+    directories (sweep clones, tmp_path tests) must not accumulate a
+    checkpoint per directory (r10 advice), and one session's churn must
+    not evict another live session's hot frame (r11 review). Runs AFTER
+    insertion so the bound holds at return."""
+    per_sess: dict = {}
+    for key in cache:
+        per_sess.setdefault(id(key[0]), []).append(key)
+    for keys in per_sess.values():
+        for key in keys[: max(0, len(keys) - _FRAME_CACHE_MAX_DIRS)]:
+            del cache[key]
 
 
 def clear_frame_caches() -> None:
@@ -185,11 +196,10 @@ def clear_frame_caches() -> None:
     for property tests that rewrite a tmp_path table between hypothesis
     examples. Any test that rewrites a table it already queried must
     call this (found the hard way in r10: a stale staged price frame
-    served example 1's lineitem to example 2)."""
-    for cache in (_PRICE_CACHE, _RETURNS_CACHE):
-        for df in cache.values():
-            _release_checkpoint(df)
-        cache.clear()
+    served example 1's lineitem to example 2). Dropping the references
+    is the whole release — see the eviction note above _purge_dead_sessions."""
+    _PRICE_CACHE.clear()
+    _RETURNS_CACHE.clear()
 
 
 _RETURNS_CACHE: dict = {}
@@ -206,15 +216,18 @@ def returns_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes once on first action and later queries read its blocks
     (the ``_symbol_totals``-reuse pattern r9 measured at 2x)."""
     ensure_session_defaults(spark)  # cache-hit path skips load_table
+    _purge_dead_sessions(_RETURNS_CACHE)
     key = (spark, sf_dir)
-    if key not in _RETURNS_CACHE:
+    frame = _RETURNS_CACHE.pop(key, None)  # hit refreshes LRU recency
+    if frame is None:
         p = price_frame(spark, sf_dir).filter(F.col("close_price").isNotNull())
         w = Window.partitionBy("symbol").orderBy("trade_date")
-        _RETURNS_CACHE[key] = p.withColumn(
+        frame = p.withColumn(
             "ret", F.col("close_price") / F.lag("close_price").over(w) - 1
         ).localCheckpoint(eager=False)
-    _purge_dead_sessions(_RETURNS_CACHE)
-    return _RETURNS_CACHE[key]
+    _RETURNS_CACHE[key] = frame
+    _bound_cache(_RETURNS_CACHE)
+    return frame
 
 
 def index_returns_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -193,6 +193,13 @@ def test_write_benchq_collision_keeps_best_run(tmp_path):
     assert json.load(open(tmp_path / "BENCHQ_r11.json"))["total_sec"] == 312.2
     assert json.load(open(tmp_path / "BENCHQ_r11_rerun.json"))["total_sec"] == 384.5
 
+    # a THIRD same-round run must not clobber the demoted record either
+    # (r11 review): it takes the next free _rerun slot
+    mid = {"round": 11, "total_sec": 350.0, "queries": {"q": 1.5}}
+    assert write_benchq(str(tmp_path), 11, mid).endswith("BENCHQ_r11_rerun2.json")
+    assert json.load(open(tmp_path / "BENCHQ_r11_rerun.json"))["total_sec"] == 384.5
+    assert json.load(open(tmp_path / "BENCHQ_r11.json"))["total_sec"] == 312.2
+
 
 def test_load_baselines_numeric_round_order(tmp_path):
     """BENCH_r100 must beat BENCH_r99 (lexical sort would invert them)."""

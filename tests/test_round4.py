@@ -624,6 +624,9 @@ def test_deterministic_heavy_hitters_skewed(spark):
 
     with _pytest.raises(ValueError, match="structural maximum"):
         deterministic_heavy_hitters(df, "item", k=10, capacity=4, shards=2)
+    # the default signature must satisfy its own guard (r11 review:
+    # k=20 against capacity*shards=16 was self-invalidating)
+    assert len(deterministic_heavy_hitters(df, "item").collect()) <= 16
 
 
 def test_heavy_hitters_no_decrement_is_exact(spark):

@@ -1095,10 +1095,26 @@ def test_frame_cache_bounded_per_session(spark, sf_dir):
     for v in variants:
         dq.price_frame(spark, v).limit(1).count()  # materialize each
     assert len(dq._PRICE_CACHE) == dq._FRAME_CACHE_MAX_DIRS
-    # the SURVIVORS are the newest dirs, and they still compute
+    # the SURVIVORS are the most recently USED dirs, and still compute
     kept = [k[1] for k in dq._PRICE_CACHE]
     assert kept == variants[-dq._FRAME_CACHE_MAX_DIRS:]
     assert dq.price_frame(spark, variants[-1]).count() > 0
     # an evicted dir re-stages transparently on next request
     assert dq.price_frame(spark, variants[0]).count() > 0
+    # LRU, not FIFO (r11 review): re-touching the eldest survivor
+    # refreshes it, so the NEXT eviction takes a different key
+    eldest = [k[1] for k in dq._PRICE_CACHE][0]
+    dq.price_frame(spark, eldest).limit(1).count()  # refresh
+    dq.price_frame(spark, variants[1]).limit(1).count()  # insert -> evict
+    assert (spark, eldest) in dq._PRICE_CACHE
+    # a dead-session entry purges without disturbing live ones, and a
+    # live hit right after a purge must not KeyError (r11 review: the
+    # post-lookup purge deleted the entry being returned)
+    class _DeadSess:
+        class _SC:
+            _jsc = None
+        sparkContext = _SC()
+    dq._PRICE_CACHE[(_DeadSess(), "/nowhere")] = None
+    assert dq.price_frame(spark, eldest).count() > 0
+    assert not any(k[1] == "/nowhere" for k in dq._PRICE_CACHE)
     dq.clear_frame_caches()
