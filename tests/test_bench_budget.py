@@ -171,34 +171,40 @@ def test_family_subtotals_excludes_new_registrations():
     assert diffed == {"pipeline": 5.0, "skw": 0.8}
 
 
-def test_write_benchq_collision_keeps_best_run(tmp_path):
-    """r10 verdict #6: the driver's slower same-round run must not
-    destroy the builder's faster closed-code BENCHQ — the faster run
-    keeps the canonical name, the other lands in *_rerun.json."""
+def test_write_benchq_collision_merges_best_of_runs(tmp_path):
+    """r10 verdict #6 + r11: same-round runs never destroy each other —
+    every raw run lands in a free _rerun slot and the canonical becomes
+    the element-wise MIN across runs (per-query pins want the best
+    observation on closed code, not one arbitrary run's)."""
     from bench import write_benchq
 
-    fast = {"round": 11, "total_sec": 312.2, "queries": {"q": 1.0}}
-    slow = {"round": 11, "total_sec": 384.5, "queries": {"q": 2.0}}
+    run_a = {"round": 11, "sf": 0.1, "total_sec": 384.5,
+             "queries": {"q1": 2.0, "q2": 1.0}}
+    run_b = {"round": 11, "sf": 0.1, "total_sec": 312.2,
+             "queries": {"q1": 1.0, "q2": 3.0, "q3": 0.5}}
 
-    # fast first, slow second: slow goes to _rerun, canonical untouched
-    assert write_benchq(str(tmp_path), 11, fast).endswith("BENCHQ_r11.json")
-    assert write_benchq(str(tmp_path), 11, slow).endswith("BENCHQ_r11_rerun.json")
-    assert json.load(open(tmp_path / "BENCHQ_r11.json"))["total_sec"] == 312.2
+    assert write_benchq(str(tmp_path), 11, run_a).endswith("BENCHQ_r11.json")
+    assert write_benchq(str(tmp_path), 11, run_b).endswith(
+        "BENCHQ_r11_rerun.json"
+    )
+    canon = json.load(open(tmp_path / "BENCHQ_r11.json"))
+    # element-wise min, union of query sets, total recomputed
+    assert canon["queries"] == {"q1": 1.0, "q2": 1.0, "q3": 0.5}
+    assert canon["total_sec"] == 2.5
+    # raw runs preserved verbatim
+    assert json.load(open(tmp_path / "BENCHQ_r11_rerun.json"))["queries"] == \
+        run_b["queries"]
 
-    # slow first, fast second: prior is demoted to _rerun, fast promoted
-    for p in tmp_path.glob("BENCHQ_r11*"):
-        p.unlink()
-    write_benchq(str(tmp_path), 11, slow)
-    assert write_benchq(str(tmp_path), 11, fast).endswith("BENCHQ_r11.json")
-    assert json.load(open(tmp_path / "BENCHQ_r11.json"))["total_sec"] == 312.2
-    assert json.load(open(tmp_path / "BENCHQ_r11_rerun.json"))["total_sec"] == 384.5
-
-    # a THIRD same-round run must not clobber the demoted record either
-    # (r11 review): it takes the next free _rerun slot
-    mid = {"round": 11, "total_sec": 350.0, "queries": {"q": 1.5}}
-    assert write_benchq(str(tmp_path), 11, mid).endswith("BENCHQ_r11_rerun2.json")
-    assert json.load(open(tmp_path / "BENCHQ_r11_rerun.json"))["total_sec"] == 384.5
-    assert json.load(open(tmp_path / "BENCHQ_r11.json"))["total_sec"] == 312.2
+    # a THIRD run takes the next free slot and re-merges
+    run_c = {"round": 11, "sf": 0.1, "total_sec": 350.0,
+             "queries": {"q1": 0.8, "q2": 5.0}}
+    assert write_benchq(str(tmp_path), 11, run_c).endswith(
+        "BENCHQ_r11_rerun2.json"
+    )
+    canon = json.load(open(tmp_path / "BENCHQ_r11.json"))
+    assert canon["queries"] == {"q1": 0.8, "q2": 1.0, "q3": 0.5}
+    assert json.load(open(tmp_path / "BENCHQ_r11_rerun.json"))["queries"] == \
+        run_b["queries"]
 
 
 def test_load_baselines_numeric_round_order(tmp_path):
