@@ -380,3 +380,21 @@ def test_tx18_tx20_map_only(plans):
         assert facts["scans"] == 1
         assert facts["smj"] == 0 and facts["bhj"] == 0
         assert facts["max_read_cols"] <= 2
+
+
+def test_label_centroid_scoring_broadcasts(spark):
+    """r11 extraction: label_centroid_sq_distances (the k15/k16 shared
+    staging) must BROADCAST the vocab-sized centroid frame into the
+    per-vector cross join — an edit that drops the broadcast hint turns
+    it into a shuffled cartesian over the embedding corpus, the exact
+    shape that dies at 100 TB."""
+    from market_data_pipeline_spark.operators.similarity import (
+        label_centroid_sq_distances,
+    )
+    from market_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    facts = audit_plan(label_centroid_sq_distances(emb))
+    assert facts["bnlj"] + facts["bhj"] >= 1  # centroids come in broadcast
+    assert facts["smj"] == 0
+    assert facts["scans"] <= 2  # embeddings read for vectors + centroids
