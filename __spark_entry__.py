@@ -39,11 +39,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #   tier 1 — green queries, OLDEST newest-green round first: the ~50
 #            stalest greens are re-recorded every round, so no green
 #            row ages past ~ceil(|registry| / 50) rounds (~7 at 359).
-#   tier 2 — rows-only queries (no oracle): can never hash-green,
-#            recorded dead last.
+#   tier 0.5 — rows-only queries with NO row of ANY kind in the trail
+#            (r11 verdict #1): with 363 queries vs a ~50-row window,
+#            tier-1 re-records fill the window every round and tier-2
+#            was structurally starved FOREVER — 7 registry entries had
+#            literally never been driver-recorded. Reserve up to
+#            _TIER2_RESERVED slots per round for them, cheapest first,
+#            right after tier 0; once the driver records a row the
+#            entry ages into plain tier 2 and frees its slot.
+#   tier 2 — rows-only queries (no oracle) with at least one recorded
+#            row: can never hash-green, recorded dead last.
 #
 # Within each tier, cheapest-first by the measured sf0.1 cost table so a
 # time-budgeted window covers the most queries.
+
+_TIER2_RESERVED = 5
 
 
 def _newest_green_round() -> dict[str, int]:
@@ -89,9 +99,15 @@ def _cost_table() -> dict[str, float]:
     here = os.path.dirname(os.path.abspath(__file__))
 
     def _round_num(p: str) -> int:
-        # numeric, not lexical: BENCHQ_r100 must beat BENCHQ_r99
-        m = re.search(r"BENCHQ_r(\d+)\.json$", os.path.basename(p))
-        return int(m.group(1)) if m else -1
+        # numeric, not lexical: BENCHQ_r100 must beat BENCHQ_r99.
+        # Rerun files rank JUST BELOW their own round's canonical (r11
+        # ADVICE #3): if the newest round's canonical is missing or
+        # corrupt while its reruns exist, the reruns must still beat an
+        # OLDER round's canonical rather than silently losing to it.
+        m = re.search(r"BENCHQ_r(\d+)(_rerun\d*)?\.json$", os.path.basename(p))
+        if not m:
+            return -1
+        return int(m.group(1)) * 10 - (1 if m.group(2) else 0)
 
     for path in sorted(
         glob.glob(os.path.join(here, "BENCHQ_r*.json")), key=_round_num, reverse=True
@@ -146,9 +162,17 @@ _COST = _cost_table()
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vintage = _newest_green_round()
+    ever = _first_seen_round()
+    never_recorded_rows_only = sorted(
+        (n for n in QUERIES if n not in ORACLES and n not in ever),
+        key=lambda n: (_COST.get(n, 1.0), n),
+    )
+    reserved = set(never_recorded_rows_only[:_TIER2_RESERVED])
 
     def key(name: str):
         if name not in ORACLES:
+            if name in reserved:  # reserved first-driver-row slots
+                return (0.5, 0, _COST.get(name, 1.0), name)
             return (2, 0, _COST.get(name, 1.0), name)  # rows-only: dead last
         v = vintage.get(name, 0)
         if v == 0:

@@ -53,6 +53,44 @@ def family_diff(
     return flags
 
 
+def query_pins(baselines: list[dict]) -> dict[str, float]:
+    """Per-query pin: the MINIMUM observed timing across the baseline
+    rounds' BENCHQ dicts. The min, not median, because each BENCHQ
+    canonical is already best-of-runs on closed code — a query's pin is
+    its best reproducible cost, and the regression gate asks "did the
+    plan get structurally slower", not "was the box busier"."""
+    pins: dict[str, float] = {}
+    for b in baselines:
+        for name, t in (b.get("queries") or {}).items():
+            if isinstance(t, (int, float)):
+                pins[name] = min(pins.get(name, float(t)), float(t))
+    return pins
+
+
+def query_diff(
+    current: dict[str, float],
+    pins: dict[str, float],
+    threshold: float = 2.0,
+    min_sec: float = 0.5,
+) -> list[dict]:
+    """Per-QUERY regression flags vs the historical pins (r11 verdict
+    #2: with the adaptive-rep + forced-GC fixes the BENCHQ trail's
+    cross-run p95 ratio is 1.40, so a >2x move on a >=0.5s-growth query
+    is treated as REAL until an isolated best-of-2 probe clears it —
+    the inverse of the old flag-is-probably-noise posture). Queries
+    with no pin (registrations / renames) are never flagged."""
+    flags = []
+    for name, cur in sorted(current.items()):
+        pin = pins.get(name)
+        if not pin or pin <= 0:
+            continue
+        if cur >= pin * threshold and cur - pin >= min_sec:
+            flags.append(
+                {"query": name, "prev": pin, "cur": cur, "ratio": round(cur / pin, 2)}
+            )
+    return flags
+
+
 def family_subtotals(
     timings: dict[str, float], exclude: set[str] | frozenset[str] = frozenset()
 ) -> dict[str, float]:
@@ -223,8 +261,10 @@ def write_benchq(repo_dir: str, this_round: int, payload: dict) -> str:
     try:
         prior = json.load(open(canonical))
         prior_q = dict(prior.get("queries") or {})
+        prior_sf = prior.get("sf")
     except Exception:
         prior_q = {}
+        prior_sf = None
     # preserve the incoming raw run in the first free rerun slot
     n = 1
     while True:
@@ -238,11 +278,28 @@ def write_benchq(repo_dir: str, this_round: int, payload: dict) -> str:
     with open(rerun, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # Cross-sf guard (r11 ADVICE #1): element-wise min across runs at
+    # DIFFERENT scale factors would let the smaller sf win every pin
+    # while stamping the newest sf on the canonical. A rerun under
+    # another SPARK_GRAFT_SF_DIR keeps its raw rerun slot but never
+    # merges into the canonical.
+    if prior_sf is not None and payload.get("sf") != prior_sf:
+        print(
+            f"== BENCHQ: sf mismatch ({payload.get('sf')} vs canonical "
+            f"{prior_sf}); raw run kept at {os.path.basename(rerun)}, "
+            "canonical left untouched",
+            file=sys.stderr,
+        )
+        return rerun
     new_q = dict(payload.get("queries") or {})
-    merged = {
-        name: min(v for v in (prior_q.get(name), new_q.get(name)) if v is not None)
-        for name in set(prior_q) | set(new_q)
-    }
+    # skip keys whose every observation is None (r11 ADVICE #2: min()
+    # over an empty generator raised after the rerun write, before the
+    # canonical update)
+    merged = {}
+    for name in set(prior_q) | set(new_q):
+        vals = [v for v in (prior_q.get(name), new_q.get(name)) if v is not None]
+        if vals:
+            merged[name] = min(vals)
     with open(canonical, "w") as fh:
         json.dump(
             {
@@ -357,6 +414,18 @@ def main() -> None:
         )
     prev_name, prev_families = load_prev_families(repo_dir)
     regressions = family_diff(diff_families, prev_families) if prev_families else []
+    # exact per-query gate (r11 verdict #2): every query vs its best
+    # historical BENCHQ pin; >2x AND >=0.5s growth is flagged as real
+    pins = query_pins(baselines)
+    q_regressions = query_diff(timings, pins)
+    if q_regressions:
+        print("\n== per-query regressions vs BENCHQ pins ==", file=sys.stderr)
+        for r in q_regressions:
+            print(
+                f"  {r['query']:35s} {r['prev']:>7.2f} -> {r['cur']:>7.2f} "
+                f"({r['ratio']}x)",
+                file=sys.stderr,
+            )
     if prev_families:
         print(f"\n== family diff vs {prev_name} ==", file=sys.stderr)
         for fam in sorted(families):
@@ -405,6 +474,7 @@ def main() -> None:
             "n_queries": len(timings),
             "families": families,
             "family_regressions": regressions,
+            "query_regressions": q_regressions,
             "queries": timings,
         },
         separators=(",", ":"),
@@ -428,6 +498,7 @@ def main() -> None:
                 "sf": sf_from_dir(SF_DIR),
                 "families": families,
                 "family_regressions": regressions,
+                "query_regressions": q_regressions,
             },
             separators=(",", ":"),
         ),

@@ -246,3 +246,98 @@ def test_cost_table_numeric_round_order(tmp_path, monkeypatch):
     )
     got = entry._cost_table()
     assert got == {"q": 100.0}
+
+
+def test_query_pins_min_across_baselines():
+    from bench import query_pins
+
+    baselines = [
+        {"round": 11, "queries": {"q1": 2.0, "q2": 1.0}},
+        {"round": 10, "queries": {"q1": 1.5, "q3": 4.0, "bad": "x"}},
+        {"round": 9, "queries": None},
+    ]
+    assert query_pins(baselines) == {"q1": 1.5, "q2": 1.0, "q3": 4.0}
+    assert query_pins([]) == {}
+
+
+def test_query_diff_flags_structural_slowdowns():
+    """r11 verdict #2: any per-query >2x vs its best BENCHQ pin with
+    >=0.5s growth is flagged as a REAL regression (p95 cross-run ratio
+    is 1.40, so 2x is outside the measured noise band)."""
+    from bench import query_diff
+
+    pins = {"dd3": 2.27, "a6": 0.37, "w1": 0.5, "pipeline3": 8.32}
+    cur = {
+        "dd3": 5.0,        # 2.2x and +2.7s -> flagged
+        "a6": 0.9,         # 2.4x but +0.53s... flagged (crosses both gates)
+        "w1": 0.9,         # 1.8x -> under threshold, not flagged
+        "pipeline3": 8.9,  # 1.07x -> fine
+        "brand_new": 9.9,  # no pin -> never flagged
+    }
+    flags = query_diff(cur, pins)
+    assert [f["query"] for f in flags] == ["a6", "dd3"]
+    assert flags[1] == {"query": "dd3", "prev": 2.27, "cur": 5.0, "ratio": 2.2}
+    # sub-threshold growth floor: 2x+ but <0.5s absolute growth is noise
+    assert query_diff({"o1": 0.4}, {"o1": 0.1}) == []
+    assert query_diff({}, pins) == []
+
+
+def test_write_benchq_refuses_cross_sf_merge(tmp_path):
+    """r11 ADVICE #1: a rerun under a different SPARK_GRAFT_SF_DIR must
+    not element-wise-min into the canonical (the smaller sf would win
+    every pin); it keeps its raw rerun slot only."""
+    import json as _json
+
+    from bench import write_benchq
+
+    run_a = {"round": 12, "sf": 0.1, "queries": {"q1": 2.0}}
+    run_b = {"round": 12, "sf": 0.01, "queries": {"q1": 0.1, "q2": 0.2}}
+    write_benchq(str(tmp_path), 12, run_a)
+    out = write_benchq(str(tmp_path), 12, run_b)
+    assert out.endswith("_rerun.json")
+    canon = _json.load(open(tmp_path / "BENCHQ_r12.json"))
+    assert canon == run_a  # untouched
+    assert _json.load(open(out))["sf"] == 0.01
+
+
+def test_write_benchq_all_none_key_skipped(tmp_path):
+    """r11 ADVICE #2: a query whose value is null in BOTH the prior
+    canonical and the new run must be skipped, not crash min()."""
+    import json as _json
+
+    from bench import write_benchq
+
+    run_a = {"round": 12, "sf": 0.1, "queries": {"q1": 2.0, "qnull": None}}
+    run_b = {"round": 12, "sf": 0.1, "queries": {"q1": 1.5, "qnull": None}}
+    write_benchq(str(tmp_path), 12, run_a)
+    write_benchq(str(tmp_path), 12, run_b)
+    canon = _json.load(open(tmp_path / "BENCHQ_r12.json"))
+    assert canon["queries"] == {"q1": 1.5}
+
+
+def test_cost_table_rerun_ranks_below_own_canonical(tmp_path, monkeypatch):
+    """r11 ADVICE #3: when the newest round's canonical BENCHQ is
+    missing/corrupt but its rerun files exist, the rerun must beat an
+    OLDER round's canonical."""
+    import json as _json
+
+    import __spark_entry__ as entry
+
+    (tmp_path / "BENCHQ_r99.json").write_text(
+        _json.dumps({"round": 99, "queries": {"q": 99.0}})
+    )
+    (tmp_path / "BENCHQ_r100.json").write_text("corrupt{{{")
+    (tmp_path / "BENCHQ_r100_rerun.json").write_text(
+        _json.dumps({"round": 100, "queries": {"q": 100.5}})
+    )
+    import glob as _glob
+
+    real_glob = _glob.glob
+    monkeypatch.setattr(
+        _glob,
+        "glob",
+        lambda pat: real_glob(str(tmp_path / "BENCHQ_r*.json"))
+        if "BENCHQ_r*" in pat
+        else real_glob(pat),
+    )
+    assert entry._cost_table() == {"q": 100.5}
