@@ -292,6 +292,19 @@ def write_benchq(repo_dir: str, this_round: int, payload: dict) -> str:
         )
         return rerun
     new_q = dict(payload.get("queries") or {})
+    # Semantic-change reset (r12): the min-merge premise is "best
+    # observation on CLOSED code". When a query's implementation
+    # changed mid-round, its prior same-round observations price the
+    # OLD code and must not win the pin — name it in
+    # $SPARK_GRAFT_BENCHQ_RESET (comma-separated) for the run that
+    # first times the new code.
+    reset = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_BENCHQ_RESET", "").split(",")
+        if s
+    }
+    for name in reset & set(prior_q):
+        del prior_q[name]
     # skip keys whose every observation is None (r11 ADVICE #2: min()
     # over an empty generator raised after the rerun write, before the
     # canonical update)

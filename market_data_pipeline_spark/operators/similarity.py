@@ -655,6 +655,167 @@ def kmeans_centroids(
     )
 
 
+def kmeans_lloyd_exact(
+    embeddings: DataFrame,
+    k: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_hex: int | None = 4,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means, engine-exact end to end
+    (r11 verdict #3: the oracle-replayable alternative to the MLlib fit
+    in :func:`kmeans_centroids`, whose kmeans|| init draws from a JVM
+    RNG no SQL engine can replay).
+
+    Every step is the repo's already-hash-green fixed-point recipe:
+
+    - **seeded sample + init**: rows whose first hex digit of
+      ``md5('{seed}-' || id)`` is < ``sample_hex`` form the fit sample
+      (``sample_hex/16`` of the corpus — KMeans re-scans its input per
+      iteration, so fitting on a sample divides the dominant cost; the
+      md5 draw is the seeded-shuffle both engines replay, unlike
+      ``DataFrame.sample``'s partition-dependent XORShift). The k
+      smallest md5 draws seed the centroids.
+    - **assignment**: exact fixed-point squared distance — the exploded
+      sample equi-joins the broadcast (cid, dim, component) centroid
+      triples on the dimension and sums ``round((x-y)^2 * 1e9)`` as
+      DECIMAL(38,0) per (vector, cid) (the k15 recipe, and EXACTLY the
+      oracle's join-on-dim shape including SUM's skip-NULL semantics);
+      argmin via ``min_by`` with NULL distances ranked last and ties on
+      lowest cid.
+    - **update**: exact per-dim means (``sum(round(v*1e6)::bigint)/1e6
+      / n`` — the :func:`group_centroids` recipe) over the same
+      exploded sample; an empty cluster keeps its previous centroid
+      (MLlib parity).
+
+    The exploded sample is persisted once (Lloyd re-reads its input
+    every iteration — the same ``.cache()`` MLlib's own loop does; at
+    100 TB pick ``sample_hex`` so the sample fits the cluster's storage
+    tier). Centroids are collected per iteration (k x dim doubles,
+    bounded — exactly what MLlib's iteration loop does) and re-injected
+    as a broadcast frame, so each iteration is one flat job over tiny
+    plans, not a 5-deep recursive lineage and not a thousand-literal
+    Catalyst tree (the first cut inlined k x dim literals and spent
+    ~2.8s/iteration in plan compile alone). Python float round-trips
+    IEEE doubles bit-exactly, so the driver hop costs no precision.
+    Returns (id_col = 0..k-1, vec_col = array<double>) — plugs into
+    ``knn_ivf(..., centroids=...)`` unchanged.
+    """
+    spark = embeddings.sparkSession
+    schema = f"{id_col} long, {vec_col} array<double>"
+    draw = F.md5(F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string")))
+    src = embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
+    )
+    if sample_hex is not None and sample_hex < 16:
+        hexdigits = [format(i, "x") for i in range(sample_hex)]
+        src = src.filter(F.substring(draw, 1, 1).isin(hexdigits))
+    # AQE is parked for the whole fit (seed draw + Lloyd loop) and
+    # restored in the finally: every step is a fresh tiny
+    # statically-shaped query, and AQE's per-stage re-planning
+    # roundtrips are pure latency on it (measured ~2x per-iteration
+    # wall on a 500-row sample).
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    exploded = None
+    try:
+        seed_rows = src.orderBy(draw, F.col(id_col)).limit(k).collect()
+        if not seed_rows:
+            return spark.createDataFrame([], schema)
+        cents: list[tuple[int, list]] = [
+            (i, [None if x is None else float(x) for x in r[vec_col]])
+            for i, r in enumerate(seed_rows)
+        ]
+        if max_iter <= 0:
+            return spark.createDataFrame(list(cents), schema)
+        # Pre-partition the persisted sample by VECTOR id:
+        # HashPartitioning on a subset of the grouping keys satisfies
+        # ClusteredDistribution, so the per-(vec, cid) distance agg,
+        # the per-vec argmin, and the means join all reuse this one
+        # partitioning — each Lloyd iteration plans a single small
+        # exchange (the k x dim means) instead of four (measured
+        # 1.5s/iteration of pure shuffle+AQE latency on a 500-row
+        # sample without this). The centroids enter as a broadcast
+        # (cid, dim, component) frame — an inlined per-dim literal
+        # lookup was tried and is ~10x WORSE: Catalyst re-evaluates
+        # the k x dim CreateArray/CreateStruct tree per input row.
+        exploded = (
+            src.select(
+                F.col(id_col), F.posexplode(F.col(vec_col)).alias("_dim", "_v")
+            )
+            .repartition(F.col(id_col))
+            .persist()
+        )
+        sq_term = F.round(
+            (F.col("_v") - F.col("_mv")) * (F.col("_v") - F.col("_mv")) * 1e9
+        ).cast("decimal(38,0)")
+        for _ in range(max_iter):
+            cent_dim = spark.createDataFrame(
+                [(cid, d, mv) for cid, cv in cents for d, mv in enumerate(cv)],
+                "_cid long, _dim int, _mv double",
+            )
+            sq = (
+                exploded.join(F.broadcast(cent_dim), "_dim")
+                .groupBy(id_col, "_cid")
+                .agg((F.sum(sq_term).cast("double") / 1e9).alias("_sq"))
+            )
+            # NULL sq (every term NULL) ranks LAST on both engines —
+            # struct-compare NULL-first would otherwise make a corrupt
+            # row win every argmin (the ivf_assign rank trick)
+            best = sq.groupBy(id_col).agg(
+                F.min_by(
+                    "_cid",
+                    F.struct(
+                        F.when(F.col("_sq").isNotNull(), 1)
+                        .otherwise(2)
+                        .alias("_r"),
+                        F.coalesce(F.col("_sq"), F.lit(0.0)).alias("_s"),
+                        F.col("_cid").alias("_c"),
+                    ),
+                ).alias("_cid")
+            )
+            per_dim = (
+                # merge join: both sides are hash-partitioned by the
+                # vector id already, so SMJ needs zero exchanges and
+                # no broadcast-build stage wave for the computed `best`
+                exploded.join(best.hint("merge"), id_col)
+                .groupBy("_cid", "_dim")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("_n"),
+                    (
+                        F.sum(F.round(F.col("_v") * scale).cast("long"))
+                        / F.lit(scale)
+                    ).alias("_s"),
+                )
+                .select(
+                    "_cid", "_dim", (F.col("_s") / F.col("_n")).alias("_m")
+                )
+            )
+            means: dict[int, dict[int, float]] = {}
+            for r in per_dim.collect():  # bounded: k x dim rows
+                means.setdefault(r["_cid"], {})[r["_dim"]] = r["_m"]
+            cents = [
+                (
+                    cid,
+                    [means[cid].get(d) for d in range(len(prev))]
+                    if cid in means
+                    else prev,  # empty cluster keeps its centroid
+                )
+                for cid, prev in cents
+            ]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+        if exploded is not None:
+            exploded.unpersist()
+    return spark.createDataFrame(list(cents), schema)
+
+
 def knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1679,16 +1679,122 @@ def mm5_audio_stats(spark, sf_dir):
     return mm.audio_stats(_media(spark, sf_dir)).orderBy("media_id")
 
 
-@query("k5_knn_ivf_kmeans")
+def _k5_oracle_sql(k: int = _IVF_CENTROIDS, iters: int = 2, seed: int = 42) -> str:
+    """DuckDB mirror of kmeans_lloyd_exact(k=16, max_iter=2, seed=42,
+    sample_hex=4) + knn_ivf: the Lloyd loop UNROLLS into one
+    (assign, argmin, means, keep-prior) CTE quartet per iteration — the
+    same unrolled-iteration oracle recipe as PageRank/MMR (r9). Every
+    arithmetic step is the k15/k16-validated fixed-point form: HUGEINT
+    sums of round((x-y)^2*1e9) for distances, BIGINT sums of
+    round(v*1e6)/1e6/n for means, md5 draws for the seeded sample and
+    init, (sq IS NULL)-last + lowest-cid ties for the argmin. The
+    search tail is k4's SQL with the learned centroid lists swapped in."""
+    md5_draw = f"md5('{seed}-' || CAST(vec_id AS VARCHAR))"
+    hexes = ", ".join(f"'{format(i, 'x')}'" for i in range(4))
+    parts = [
+        f"""WITH ex AS (
+  SELECT vec_id, CAST(x AS INTEGER) AS dim0,
+         CAST(embedding[CAST(x AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS x
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0)
+), samp AS (
+  SELECT * FROM ex
+  WHERE substring({md5_draw}, 1, 1) IN ({hexes})
+), seeds AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY {md5_draw}, vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM samp)
+  QUALIFY cid < {k}
+), c0 AS (
+  SELECT s.cid, e.dim0, e.v AS mv FROM seeds s JOIN samp e USING (vec_id)
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", d{i} AS (
+  SELECT s.vec_id, c.cid,
+         SUM(CAST(ROUND((s.v - c.mv) * (s.v - c.mv) * 1e9) AS HUGEINT)) / 1e9
+             AS sq
+  FROM samp s JOIN c{i - 1} c ON s.dim0 = c.dim0
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY (sq IS NULL), COALESCE(sq, 0), cid) AS rn
+    FROM d{i}) WHERE rn = 1
+), m{i} AS (
+  SELECT b.cid, s.dim0,
+         (SUM(CAST(ROUND(s.v * 1e6) AS BIGINT)) / 1e6) / COUNT(*) AS mv
+  FROM samp s JOIN b{i} b USING (vec_id) GROUP BY 1, 2
+), c{i} AS (
+  SELECT p.cid, p.dim0, COALESCE(m.mv, p.mv) AS mv
+  FROM c{i - 1} p LEFT JOIN m{i} m ON m.cid = p.cid AND m.dim0 = p.dim0
+)"""
+        )
+    parts.append(
+        f""", cent AS (
+  SELECT cid AS centroid_id, list(mv ORDER BY dim0) AS embedding
+  FROM c{iters} GROUP BY cid
+), q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.centroid_id
+           ) AS rn
+    FROM q, cent c)
+  WHERE rn <= {_IVF_PROBE}
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.embedding')} DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e, cent c)
+  WHERE rn = 1
+), scored AS (
+  SELECT p.query_id, e.vec_id, {_cos_sql('e.embedding', 'q.embedding')} AS cosine
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.centroid_id = a.centroid_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5"""
+    )
+    return "".join(parts)
+
+
+@query("k5_knn_ivf_kmeans", _k5_oracle_sql())
 def k5_knn_ivf_kmeans(spark, sf_dir):
-    """IVF ANN with LEARNED centroids (pyspark.ml KMeans, fixed seed) —
-    the production index path; rows-only (MLlib cluster assignment is not
-    reproducible in DuckDB SQL). The fit runs on a seeded 25% sample —
-    KMeans re-scans its input per iteration, so sampling divides the
-    dominant cost by 4 while the full corpus is still assigned exactly."""
+    """IVF ANN with LEARNED centroids — converted off MLlib onto the
+    repo's own deterministic Lloyd fit (r11 verdict #3:
+    similarity.kmeans_lloyd_exact — md5-seeded 25% sample + init, exact
+    fixed-point assignment/means), so the whole index build + search
+    chain is hash-gated against the unrolled-iteration DuckDB oracle.
+    MLlib's kmeans|| path stays available as
+    similarity.kmeans_centroids for callers that want it; the recall
+    property both fits must satisfy is pinned in tests/test_llm_ops.py.
+    The fit runs on the seeded 25% sample — k-means re-scans its input
+    per iteration, so sampling divides the dominant cost by 4 while the
+    full corpus is still assigned exactly via broadcast centroids.
+    max_iter=2 is a MEASURED choice, not a shortcut: on this corpus the
+    coarse-quantizer quality is probe-bound — recall@5 vs brute force
+    is flat (0.44-0.52) for 1..8 Lloyd iterations AND for the old MLlib
+    fit (0.44), while centroid movement drops 0.81 -> 0.13 by iteration
+    2 (BENCHNOTES r12); extra iterations buy wall-clock, not recall."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(
-        emb, k=_IVF_CENTROIDS, sample_fraction=0.25, max_iter=5
+    cents = similarity.kmeans_lloyd_exact(
+        emb, k=_IVF_CENTROIDS, max_iter=2, seed=42, sample_hex=4
     )
     return similarity.knn_ivf(
         emb,

@@ -341,3 +341,21 @@ def test_cost_table_rerun_ranks_below_own_canonical(tmp_path, monkeypatch):
         else real_glob(pat),
     )
     assert entry._cost_table() == {"q": 100.5}
+
+
+def test_write_benchq_reset_drops_stale_impl_pins(tmp_path, monkeypatch):
+    """r12: a query whose implementation changed mid-round must not keep
+    its old-code observation through the min-merge — the run timing the
+    new code names it in SPARK_GRAFT_BENCHQ_RESET."""
+    import json as _json
+
+    from bench import write_benchq
+
+    run_a = {"round": 12, "sf": 0.1, "queries": {"k5": 4.1, "q1": 1.0}}
+    run_b = {"round": 12, "sf": 0.1, "queries": {"k5": 6.0, "q1": 0.9}}
+    write_benchq(str(tmp_path), 12, run_a)
+    monkeypatch.setenv("SPARK_GRAFT_BENCHQ_RESET", "k5")
+    write_benchq(str(tmp_path), 12, run_b)
+    canon = _json.load(open(tmp_path / "BENCHQ_r12.json"))
+    # k5's old-code 4.1 dropped; q1 still min-merged
+    assert canon["queries"] == {"k5": 6.0, "q1": 0.9}

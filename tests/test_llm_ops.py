@@ -270,6 +270,62 @@ def test_kmeans_centroids_shape_and_ivf(clustered_emb):
     ]
 
 
+def test_kmeans_lloyd_exact_properties(clustered_emb):
+    """The deterministic Lloyd fit (r11 verdict #3: the oracle-replayable
+    replacement for MLlib in k5): same-input determinism, MLlib-grade
+    clustering on the planted fixture, empty-cluster keep-prior, and the
+    knn_ivf recall property the MLlib fit satisfied."""
+    # sample_hex=None: fit on the whole 7-row fixture
+    cents = SIM.kmeans_lloyd_exact(clustered_emb, k=3, max_iter=5, sample_hex=None)
+    rows = sorted((r.vec_id, tuple(r.embedding)) for r in cents.collect())
+    # determinism: a second independent fit is bit-identical
+    again = sorted(
+        (r.vec_id, tuple(r.embedding))
+        for r in SIM.kmeans_lloyd_exact(
+            clustered_emb, k=3, max_iter=5, sample_hex=None
+        ).collect()
+    )
+    assert rows == again
+    assert [cid for cid, _ in rows] == [0, 1, 2]
+    assert all(len(v) == 4 for _, v in rows)
+    # the 3 learned centroids separate the planted structure: one near +x,
+    # one near +y, one at the outlier (each centroid's argmax dim differs)
+    argmax_dims = sorted(v.index(max(v)) for _, v in rows)
+    assert argmax_dims == [0, 1, 2]
+    # recall property (same as the MLlib test): IVF with full probe over
+    # the learned centroids equals brute force
+    q = clustered_emb.filter(F.col("vec_id") == 10)
+    ivf = SIM.knn_ivf(clustered_emb, q, k=3, n_probe=3, centroids=cents)
+    bf = SIM.knn_batch(clustered_emb, q, k=3)
+    assert [(r.vec_id, r.rank) for r in ivf.orderBy("rank").collect()] == [
+        (r.vec_id, r.rank) for r in bf.orderBy("rank").collect()
+    ]
+
+
+def test_kmeans_lloyd_exact_empty_cluster_keeps_prior(spark):
+    """k = n: every point seeds a centroid; after one step two identical
+    points collapse onto one centroid, so another cluster goes empty and
+    must KEEP its previous centroid (MLlib parity), not vanish."""
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    cents = SIM.kmeans_lloyd_exact(emb, k=3, max_iter=3, sample_hex=None)
+    rows = cents.collect()
+    assert len(rows) == 3  # no centroid dropped
+    vecs = sorted(tuple(r.embedding) for r in rows)
+    assert (0.0, 0.0) in vecs and (1.0, 1.0) in vecs
+
+
+def test_kmeans_lloyd_exact_empty_input(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert SIM.kmeans_lloyd_exact(emb, k=4).count() == 0
+    assert (
+        SIM.knn_ivf(emb, emb, centroids=SIM.kmeans_lloyd_exact(emb, k=4)).count()
+        == 0
+    )
+
+
 def test_exact_sq_fold_two_path_parity(spark):
     """exact_sq_fold's double fast path and DECIMAL(38,0) slow path must
     produce identical values (r7 verdict #2: the two-path rewrite of the
