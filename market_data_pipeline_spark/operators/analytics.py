@@ -865,3 +865,257 @@ def deterministic_heavy_hitters(
         .orderBy(F.desc("count_lower"), F.col("item"))
         .limit(k)
     )
+
+
+def listing_flows(master: DataFrame) -> DataFrame:
+    """Monthly listing/delisting flow counts from the symbol master —
+    the market-entry/exit series the reference's KRX sync pipelines
+    feed (new listings in, delistings out). Two pruned aggregates
+    unioned by month; pure date bucketing, exact counts.
+    Returns (month, n_listed, n_delisted)."""
+    listed = (
+        master.filter(F.col("listing_date").isNotNull())
+        .groupBy(F.date_format("listing_date", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_listed"))
+        .withColumn("n_delisted", F.lit(0).cast("long"))
+    )
+    delisted = (
+        master.filter(F.col("delisting_date").isNotNull())
+        .groupBy(F.date_format("delisting_date", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_delisted"))
+        .withColumn("n_listed", F.lit(0).cast("long"))
+    )
+    return (
+        listed.unionByName(delisted)
+        .groupBy("month")
+        .agg(
+            F.sum("n_listed").cast("long").alias("n_listed"),
+            F.sum("n_delisted").cast("long").alias("n_delisted"),
+        )
+    )
+
+
+def return_rates(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Return/refund analytics per brand: the share of order lines
+    returned (l_returnflag = 'R') and the share of DISCOUNTED REVENUE
+    those returns represent (high-ticket returns hurt more than many
+    cheap ones). Broadcast dim join + one brand aggregate; both rates
+    are divisions of exact BIGINTs (cents fixed-point for revenue),
+    IEEE-identical with no rounding.
+    Returns (brand, n_lines, n_returned, line_return_rate,
+    revenue_return_rate)."""
+    p = part.select("p_partkey", F.col("p_brand").alias("brand"))
+    r = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey).select(
+        "brand", r.alias("_r"), cents.alias("_c")
+    )
+    return j.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("_r").cast("long").alias("n_returned"),
+        (F.sum("_r") * 1.0 / F.count(F.lit(1))).alias("line_return_rate"),
+        (
+            F.sum(F.when(F.col("_r") == 1, F.col("_c")).otherwise(0))
+            * 1.0
+            / F.sum("_c")
+        ).alias("revenue_return_rate"),
+    )
+
+
+def margin_health(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Pricing-health audit per part type: the share of order lines
+    sold below the part's retail price and the average realized markup
+    (unit price / retail - 1) — the discounting-discipline view.
+    Broadcast dim join + one type-key aggregate; the below-retail
+    comparison is between identically-derived doubles, per-line markups
+    are 1e-6 fixed-point BIGINTs before the average, and the share is
+    an exact int/int division.
+    Returns (part_type, n_lines, n_below_retail, below_retail_share,
+    avg_markup)."""
+    li = lineitem.filter(F.col("l_quantity") > 0)
+    p = part.filter(F.col("p_retailprice") > 0).select(
+        "p_partkey", F.col("p_type").alias("part_type"), "p_retailprice"
+    )
+    up = F.col("l_extendedprice") / F.col("l_quantity")
+    below = F.when(up < F.col("p_retailprice"), 1).otherwise(0)
+    mk6 = F.round((up / F.col("p_retailprice") - 1.0) * 1e6).cast("long")
+    m = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "part_type", below.alias("_b"), mk6.alias("_m")
+    )
+    return m.groupBy("part_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("_b").cast("long").alias("n_below_retail"),
+        (F.sum("_b") * 1.0 / F.count(F.lit(1))).alias("below_retail_share"),
+        ((F.sum("_m") / 1e6) / F.count(F.lit(1))).alias("avg_markup"),
+    )
+
+
+def sourcing_entropy(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+) -> DataFrame:
+    """Supply-chain diversification per market segment: each customer's
+    Shannon entropy over the supplier-NATION mix of their discounted
+    revenue (0 = single-sourced, ln(|nations|) = perfectly spread),
+    averaged per segment. Four-way join where only lineitem⋈orders is
+    large (co-keyed shuffle equi-join); supplier→nation broadcasts.
+    Revenue is cent-fixed-pointed before the (customer, nation) sum;
+    per-customer entropies (sums of ≤|nations| p*ln p terms) are
+    fixed-pointed to 1e-6 BIGINTs before the segment average (the
+    a14/ts26 engine-exactness idiom).
+    Returns (segment, n_customers, avg_sourcing_entropy)."""
+    o = orders.select("o_orderkey", "o_custkey")
+    sup = supplier.select("s_suppkey", "s_nationkey")
+    nat = nation.select("n_nationkey", "n_name")
+    cust = customer.select("c_custkey", "c_mktsegment")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("n_name"))
+        .agg(F.sum(cents).alias("_c"))
+    )
+    w = Window.partitionBy("cust")
+    p = F.col("_c") * 1.0 / F.sum("_c").over(w)
+    ent = (
+        rev.select("cust", (-p * F.log(p)).alias("_term"))
+        .groupBy("cust")
+        .agg(F.round(F.sum("_term") * 1e6).cast("long").alias("_e6"))
+    )
+    return (
+        ent.join(cust, ent.cust == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            ((F.sum("_e6") / 1e6) / F.count(F.lit(1))).alias(
+                "avg_sourcing_entropy"
+            ),
+        )
+    )
+
+
+def oof_target_mean(
+    assigned: DataFrame,
+    category_col: str = "category",
+    cents_col: str = "cents",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """K-fold out-of-fold target encoding table from a pre-fold-assigned
+    frame (category, cents, fold): for each (category, fold), the
+    target mean computed over the OTHER folds — the leakage guard at
+    the granularity CV training actually joins on. Money sums are exact
+    cents; the out-of-fold subtraction runs on the tiny
+    (category, fold) frame, so the only data-scale pass is one
+    map-side-combined aggregate. A category whose rows ALL land in one
+    fold has no out-of-fold data: the CASE guard yields NULL there
+    (ANSI Spark would otherwise raise DIVIDE_BY_ZERO). The 6-decimal
+    rounding runs in exact INTEGER micro-dollars — round(a/b/100, 6) =
+    ((a*20000 + b) DIV (2*b))/1e6 with a = out-of-fold cents (>= 0:
+    prices are positive) and b = out-of-fold rows; double ROUND(x, 6)
+    above ~1e10 is engine-divergent. Precondition: total corpus cents
+    * 2e4 fits BIGINT, i.e. < ~4.6e14 dollars of turnover.
+    Returns (category, fold, n_in_fold, oof_target_mean)."""
+    f = assigned.groupBy(category_col, fold_col).agg(
+        F.sum(cents_col).cast("long").alias("fc"),
+        F.count(F.lit(1)).cast("long").alias("fn"),
+    )
+    wcat = Window.partitionBy(category_col)
+    return f.select(
+        F.col(category_col).alias("category"),
+        F.col(fold_col).alias("fold"),
+        F.col("fn").alias("n_in_fold"),
+        (F.sum("fc").over(wcat) - F.col("fc")).alias("_a"),
+        (F.sum("fn").over(wcat) - F.col("fn")).alias("_d"),
+    ).select(
+        "category",
+        "fold",
+        "n_in_fold",
+        F.expr(
+            "CASE WHEN _d <> 0 THEN"
+            " CAST((_a * 20000 + _d) DIV (2 * _d) AS DOUBLE) / 1000000.0"
+            " END"
+        ).alias("oof_target_mean"),
+    )
+
+
+def new_vs_repeat_revenue(orders: DataFrame) -> DataFrame:
+    """New-vs-repeat revenue split per month: an order counts as 'new
+    customer' while its customer is in their FIRST order month — the
+    acquisition-vs-retention revenue mix every commerce dashboard leads
+    with. One custkey min-aggregate re-joined co-keyed to orders, then
+    a month rollup; revenue is exact cents, the share an exact int/int
+    division. Returns (month, n_orders, n_new_customer_orders,
+    new_customer_revenue, new_revenue_share)."""
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_date")
+    )
+    mo = F.date_format("o_orderdate", "yyyy-MM")
+    is_new = F.when(mo == F.date_format("first_date", "yyyy-MM"), 1).otherwise(0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    tagged = orders.join(firsts, "o_custkey").select(
+        mo.alias("month"), is_new.alias("_new"), cents.alias("_c")
+    )
+    new_cents = F.sum(F.when(F.col("_new") == 1, F.col("_c")).otherwise(0))
+    return tagged.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("_new").cast("long").alias("n_new_customer_orders"),
+        (new_cents / 100.0).alias("new_customer_revenue"),
+        (new_cents * 1.0 / F.sum("_c")).alias("new_revenue_share"),
+    )
+
+
+def order_price_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Cross-table money reconciliation: does orders.o_totalprice equal
+    the sum of its lineitems' extended charge? Reports, per order
+    status, how many orders reconcile within one cent, how many
+    disagree, and the total absolute drift — the invariant audit a
+    warehouse runs after every load (the TPC-H totalprice identity).
+
+    The lineitem side map-side-combines to one row per orderkey before
+    the join, so the join input is order-cardinality, not
+    lineitem-cardinality; at 100 TB both sides hash-partition on the
+    orderkey (co-partitioned if the tables are bucketed on it) and the
+    final status rollup is a 3-row aggregate. All money stays DECIMAL
+    end to end — each factor is cast to decimal BEFORE multiplying (the
+    sources are generated at <=2/4 dp, so the double->decimal rounding
+    is far from any tie on both engines, and the product/sum stay exact
+    decimal; casting the double PRODUCT instead leaves ulp-ties that
+    drift the corpus total by parts in 1e8 between engines); the output
+    total is cast to DOUBLE only for display.
+    Returns (order_status, n_orders, n_childless, n_reconciled,
+    n_mismatched, total_abs_diff)."""
+    computed = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount")).cast("decimal(8,4)")
+            * (1 + F.col("l_tax")).cast("decimal(8,4)")
+        )
+        .cast("decimal(18,2)")
+        .alias("computed")
+    )
+    j = orders.join(computed, orders.o_orderkey == computed.l_orderkey, "left")
+    diff = F.col("o_totalprice").cast("decimal(18,2)") - F.col("computed")
+    has = F.col("computed").isNotNull()
+    return j.groupBy(F.col("o_orderstatus").alias("order_status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).cast("long").alias("n_childless"),
+        F.sum(F.when(has & (F.abs(diff) <= 0.01), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+        F.sum(F.when(has & (F.abs(diff) > 0.01), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.sum(
+            F.when(has, F.abs(diff)).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("total_abs_diff"),
+    )

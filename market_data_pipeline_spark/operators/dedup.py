@@ -1159,3 +1159,26 @@ def remove_duplicate_spans(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def dedup_savings(docs: DataFrame) -> DataFrame:
+    """Exact-dedup savings report per source: documents vs distinct
+    texts and the bytes a dedup pass would reclaim — the
+    cost-justification number every dedup rollout leads with (and the
+    per-feed duplication scoreboard afterwards). One (source, text-hash)
+    aggregate; at scale the groupBy key is the 128-bit text hash, the
+    text itself never shuffles (lengths ride as ints).
+    Returns (source, n_docs, n_distinct_texts, bytes_before,
+    bytes_after, bytes_saved)."""
+    per_text = docs.groupBy("source", F.md5("text").alias("_h")).agg(
+        F.count(F.lit(1)).alias("copies"), F.max("n_chars").alias("chars")
+    )
+    return per_text.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_texts"),
+        F.sum(F.col("copies") * F.col("chars")).cast("long").alias("bytes_before"),
+        F.sum("chars").cast("long").alias("bytes_after"),
+        F.sum((F.col("copies") - 1) * F.col("chars"))
+        .cast("long")
+        .alias("bytes_saved"),
+    )

@@ -1127,3 +1127,62 @@ def retention_survival(
             round_digits,
         ).alias("survival_rate"),
     )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-calendar-day activity streak per user,
+    rolled into a (streak length -> user count) histogram — the
+    habit-formation / gamification metric. The date-arithmetic islands
+    trick: day minus the per-user day rank is constant exactly within a
+    consecutive run, so one distinct-day dedup plus one user-key window
+    finds every streak without self-joins; all-integer outputs,
+    histogram bounded by the longest streak.
+    Returns (streak_days, n_users)."""
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    best = runs.groupBy("user_id").agg(F.max("len").alias("best_streak"))
+    return best.groupBy(
+        F.col("best_streak").cast("long").alias("streak_days")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+def allen_relation_census(
+    pairs: DataFrame,
+    start_a: str = "start_a",
+    end_a: str = "end_a",
+    start_b: str = "start_b",
+    end_b: str = "end_b",
+) -> DataFrame:
+    """Allen-style interval-relation census over pre-joined interval
+    pairs (equals / contains / during / overlaps / overlapped_by) — the
+    temporal-reasoning summary on top of a bucketed overlap join
+    (:func:`interval_overlap_join` produces the pairs without the
+    naive range self-join). Returns (relation, n_pairs)."""
+    relation = (
+        F.when(
+            (F.col(start_a) == F.col(start_b)) & (F.col(end_a) == F.col(end_b)),
+            F.lit("equals"),
+        )
+        .when(
+            (F.col(start_a) <= F.col(start_b)) & (F.col(end_a) >= F.col(end_b)),
+            F.lit("contains"),
+        )
+        .when(
+            (F.col(start_a) >= F.col(start_b)) & (F.col(end_a) <= F.col(end_b)),
+            F.lit("during"),
+        )
+        .when(F.col(start_a) < F.col(start_b), F.lit("overlaps"))
+        .otherwise(F.lit("overlapped_by"))
+    )
+    return (
+        pairs.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

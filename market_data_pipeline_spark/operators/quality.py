@@ -284,3 +284,27 @@ def population_stability(
         ),
     )
     return shares.withColumn("psi_term", term)
+
+
+def source_completeness(docs: DataFrame) -> DataFrame:
+    """Per-source field-completeness audit (empty/short text, missing
+    language tag, and whether the materialized n_chars column actually
+    equals length(text)) — the intake contract check before a source is
+    admitted to the corpus. One map-combined aggregate.
+    Returns (source, n_docs, n_empty_text, n_short_text,
+    n_missing_lang, n_bad_char_count)."""
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt(F.col("text").isNull() | (F.trim("text") == "")).alias(
+            "n_empty_text"
+        ),
+        cnt(F.length("text") < 20).alias("n_short_text"),
+        cnt(F.col("lang").isNull() | (F.trim("lang") == "")).alias(
+            "n_missing_lang"
+        ),
+        cnt(F.col("n_chars") != F.length("text")).alias("n_bad_char_count"),
+    )

@@ -2004,3 +2004,55 @@ def quantization_error_stats(
             / n
         ).alias("avg_rel_err"),
     )
+
+
+def split_representativeness(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Train/test split-representativeness audit: split each label's
+    vectors by id parity (the deterministic 50/50 split) and report the
+    cosine between the two half-centroids — near 1.0 means either half
+    represents the label's region and an id-hash split is safe; a low
+    value flags ordered or clustered ids leaking structure into the
+    split. Exploded-scalar discipline (the k9 shape): per
+    (label, parity, dim) sums are 1e-6 fixed-point BIGINTs, the means
+    and the per-dim cosine are then identical double arithmetic on any
+    engine, rounded at 6. A zero-norm half-centroid yields NULL via
+    try_divide (matching SQL x/0 semantics — a plain division crashes
+    under Spark ANSI mode on all-zero vectors in one parity).
+    Returns (label, n_even, n_odd, split_cosine)."""
+    ex = embeddings.select(
+        label_col,
+        (F.col(id_col) % 2).cast("int").alias("par"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"),
+    ).select(
+        label_col,
+        "par",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("v") * 1e6).cast("long").alias("v6"),
+    )
+    m = ex.groupBy(label_col, "par", "dim").agg(
+        (F.sum("v6") / 1e6 / F.count(F.lit(1))).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pv = m.groupBy(label_col, "dim").agg(
+        F.max(F.when(F.col("par") == 0, F.col("mean"))).alias("a"),
+        F.max(F.when(F.col("par") == 1, F.col("mean"))).alias("b"),
+        F.max(F.when(F.col("par") == 0, F.col("n"))).alias("ne"),
+        F.max(F.when(F.col("par") == 1, F.col("n"))).alias("no"),
+    )
+    return pv.groupBy(label_col).agg(
+        F.max("ne").cast("long").alias("n_even"),
+        F.max("no").cast("long").alias("n_odd"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("a") * F.col("b")),
+                F.sqrt(F.sum(F.col("a") * F.col("a")))
+                * F.sqrt(F.sum(F.col("b") * F.col("b"))),
+            ),
+            6,
+        ).alias("split_cosine"),
+    )

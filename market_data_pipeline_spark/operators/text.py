@@ -1584,3 +1584,136 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """Per-document coverage by the corpus's top-``top_k`` vocabulary
+    (the cheap OOV-rate proxy: low coverage flags jargon, gibberish, or
+    out-of-domain text). The vocabulary is a bounded top-k
+    (count-ordered, term tiebreak) broadcast against the exploded
+    tokens — one corpus aggregate + one map-side membership join.
+    Returns (doc_id, n_tokens, n_in_vocab, vocab_coverage)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"),
+        lambda x: x != "",
+    )
+    ex = docs.select("doc_id", F.explode_outer(toks).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    top = (
+        ex.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), "term")
+        .limit(top_k)
+        .select("term", F.lit(1).alias("_hit"))
+    )
+    return (
+        ex.join(F.broadcast(top), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            F.round(F.col("n_in_vocab") * 1.0 / F.col("n_tokens"), 6).alias(
+                "vocab_coverage"
+            ),
+        )
+    )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    cap: int = 10000,
+    checkpoints: tuple = (1, 2, 5, 10, 20, 50, 100, 1000, 10000),
+) -> DataFrame:
+    """Tokenizer vocab-sizing curve: what fraction of all corpus tokens
+    the top-k most frequent words cover, at log-spaced checkpoints (and
+    at the full vocabulary) — the first plot drawn when choosing a
+    vocab size or a BPE merge budget. The curve runs on the TOP-``cap``
+    frame only: TakeOrdered bounds the global sort at any corpus size,
+    then the cumulative window covers <= cap rows on one partition
+    (bounded-domain argument); corpus-scale work is a single
+    map-side-combined word count. Checkpoints past the cap would need
+    the cap raised — documented, not silent: the cap IS the top-k.
+    Returns (vocab_size, covered_tokens, total_tokens, coverage)."""
+    wc = (
+        exploded_words(docs, carry_cols=())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = wc.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    top = (
+        wc.orderBy(F.col("c").desc(), "word")
+        .limit(cap)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "word"))
+            .alias("rnk"),
+        )
+    )
+    wcum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = top.select("rnk", F.sum("c").over(wcum).alias("cum_c")).crossJoin(
+        F.broadcast(totals)
+    )
+    return (
+        cum.filter(
+            F.col("rnk").isin(*checkpoints) | (F.col("rnk") == F.col("vocab"))
+        )
+        .select(
+            F.col("rnk").cast("long").alias("vocab_size"),
+            F.col("cum_c").cast("long").alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            F.round(F.col("cum_c").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def doc_feature_matrix(docs: DataFrame) -> DataFrame:
+    """The per-document FEATURE MATRIX a quality classifier trains on —
+    token stats, own-language stopword density, and corpus-level n-gram
+    novelty joined into one wide frame. Composes the exploded-words /
+    stopword-flag / shingle-docfreq building blocks end-to-end; two
+    explode passes over text, hash-only shuffles for the novelty join,
+    exact-integer ratios throughout.
+    Returns (doc_id, lang, source, n_chars, n_tokens, mean_word_len,
+    stop_ratio, novelty)."""
+    from market_data_pipeline_spark.operators.dedup import shingle_hash_docfreq
+
+    toks = exploded_words(docs, carry_cols=("doc_id", "lang")).select(
+        "doc_id", "lang", "word", F.length("word").alias("wl")
+    )
+    stop_expr = own_language_stopword_flag()
+    n = F.count(F.lit(1))
+    tok = toks.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        (F.sum("wl") / n).alias("mean_word_len"),
+        (F.sum(F.when(stop_expr, 1).otherwise(0)) / n).alias("stop_ratio"),
+    )
+    sh, df_ = shingle_hash_docfreq(docs)
+    nov = (
+        sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0)) / n).alias(
+                "novelty"
+            )
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", "source", F.col("n_chars").cast("long"))
+        .join(tok, "doc_id")
+        .join(nov, "doc_id", "left")
+    )

@@ -1313,3 +1313,229 @@ def roll_spread(
             F.lit(2.0) * F.sqrt(F.greatest(F.lit(0.0), -cov)), round_digits
         ).alias("roll_spread"),
     )
+
+
+def breadth_thrust(
+    returns: DataFrame,
+    window_days: int = 10,
+    threshold: float = 0.615,
+    ret_col: str = "ret",
+    date_col: str = "trade_date",
+) -> DataFrame:
+    """Market breadth (advancers / movers) with its sliding-mean SMA and
+    the Zweig breadth-thrust flag (SMA >= ``threshold``). The sliding
+    mean runs over fixed-point ppm INTEGERS so window accumulation order
+    (segment trees vs sequential) cannot change the float result. The
+    unpartitioned window is post-aggregation over the trading CALENDAR —
+    bounded domain (the a16/a20 pattern).
+    Returns (date, adv, dec, breadth_ppm, breadth_sma10, thrust)."""
+    daily = (
+        returns.filter(F.col(ret_col).isNotNull())
+        .groupBy(date_col)
+        .agg(
+            F.sum(F.when(F.col(ret_col) > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("adv"),
+            F.sum(F.when(F.col(ret_col) < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("dec"),
+        )
+        .filter((F.col("adv") + F.col("dec")) > 0)
+    )
+    bp = daily.withColumn(
+        "breadth_ppm",
+        F.round(F.col("adv") / (F.col("adv") + F.col("dec")) * 1e6).cast("long"),
+    )
+    w = Window.orderBy(date_col).rowsBetween(-(window_days - 1), 0)
+    sma_ = F.sum("breadth_ppm").over(w) / 1e6 / F.count(F.lit(1)).over(w)
+    return bp.select(
+        date_col,
+        "adv",
+        "dec",
+        "breadth_ppm",
+        sma_.alias("breadth_sma10"),
+        (sma_ >= threshold).alias("thrust"),
+    )
+
+
+def equal_weight_index(
+    returns: DataFrame,
+    base_level: float = 100.0,
+    ret_col: str = "ret",
+    date_col: str = "trade_date",
+) -> DataFrame:
+    """Chain-linked equal-weight index (base ``base_level``): the daily
+    cross-sectional mean return, compounded in LOG space (base log level
+    = ln(base) + cumsum(ln(1+r))) — how an index vendor builds a
+    benchmark level from constituent returns, kept in logs so the level
+    stays exact at any horizon. Per-day mean is a fixed-point aggregate
+    over the symbol dimension (one date-key shuffle); the compounding
+    cumsum runs over the DATE DOMAIN (bounded, single partition — the
+    a16 argument) with each log term fixed-pointed so the level is
+    reproducible to 6 dp on any engine (the log level, not exp(): this
+    synthetic series compounds past 1e200 where 6-dp rounding on the
+    linear level is meaningless; real deployments exp() at the read
+    edge). Returns (date, n_symbols, log_index_level)."""
+    import math
+
+    from market_data_pipeline_spark.operators.analytics import fp_sum
+
+    d = returns.filter(F.col(ret_col).isNotNull()).groupBy(date_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_symbols"),
+        (fp_sum(F.col(ret_col)) / F.count(F.lit(1))).alias("mret"),
+    )
+    wcum = Window.orderBy(date_col).rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        date_col,
+        "n_symbols",
+        F.round(
+            F.lit(math.log(base_level))
+            + F.sum(
+                F.round(F.log(1 + F.col("mret")) * 1e9).cast("long")
+            ).over(wcum)
+            / 1e9,
+            6,
+        ).alias("log_index_level"),
+    )
+
+
+def rank_churn(
+    price: DataFrame,
+    amount_col: str = "amount",
+    symbol_col: str = "symbol",
+    date_col: str = "trade_date",
+) -> DataFrame:
+    """Month-over-month turnover-rank stability (Spearman via Pearson
+    on ranks): high autocorrelation = a stable leaderboard, drops flag
+    regime changes. Monthly cents totals are decimal-exact so ranks are
+    deterministic (symbol tiebreak); the correlation is rounded (moment
+    accumulation order). Rank windows partition by month — bounded by
+    the universe per month. Returns (month, n_symbols, rank_autocorr)."""
+    m = price.groupBy(
+        symbol_col, F.date_format(date_col, "yyyy-MM").alias("month")
+    ).agg(
+        (F.sum(F.col(amount_col).cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("month").orderBy(F.desc("cents"), symbol_col)
+    rk = m.select(symbol_col, "month", F.row_number().over(w).alias("rnk"))
+    nxt = F.date_format(
+        F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), 1),
+        "yyyy-MM",
+    )
+    a = rk.select(
+        symbol_col, "month", F.col("rnk").alias("r1"), nxt.alias("_next")
+    )
+    b = rk.select(
+        symbol_col, F.col("month").alias("_next"), F.col("rnk").alias("r2")
+    )
+    paired = a.join(b, [symbol_col, "_next"])
+    return (
+        paired.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_symbols"),
+            F.round(F.corr("r1", "r2"), 6).alias("rank_autocorr"),
+        )
+        .filter(F.col("n_symbols") > 1)
+    )
+
+
+def vol_regimes(
+    returns: DataFrame,
+    n_regimes: int = 3,
+    ret_col: str = "ret",
+    date_col: str = "trade_date",
+) -> DataFrame:
+    """Volatility-regime classification: months ranked into terciles by
+    the cross-sectional average |daily return| (calm / normal /
+    turbulent), then per regime the average monthly up-day share — the
+    market-state conditioning table behind regime-aware strategy
+    evaluation. Daily and monthly aggregates shrink the frame to
+    ~|months| rows BEFORE the single bounded NTILE window (a16/r5
+    precedent, ties broken on month); all cross-engine floats go
+    through 1e-9 fixed-point sums.
+    Returns (regime, n_months, regime_abs_ret, regime_up_share),
+    ordered by tercile when sorted on the internal tercile upstream."""
+    from market_data_pipeline_spark.operators.analytics import fp_sum
+
+    r = returns.filter(F.col(ret_col).isNotNull())
+    d = r.groupBy(date_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col(ret_col) > 0, 1).otherwise(0)).alias("nup"),
+        F.sum(F.round(F.abs(ret_col) * 1e9).cast("long")).alias("a9"),
+    )
+    m = d.groupBy(F.date_format(date_col, "yyyy-MM").alias("month")).agg(
+        (F.sum("a9") / 1e9 / F.sum("n")).alias("avg_abs_ret"),
+        (F.sum("nup") * 1.0 / F.sum("n")).alias("up_share"),
+    )
+    t = m.withColumn(
+        "tercile", F.ntile(n_regimes).over(Window.orderBy("avg_abs_ret", "month"))
+    )
+    regime = (
+        F.when(F.col("tercile") == 1, "calm")
+        .when(F.col("tercile") == 2, "normal")
+        .otherwise("turbulent")
+    )
+    return (
+        t.groupBy(regime.alias("regime"), "tercile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            ((fp_sum(F.col("avg_abs_ret"))) / F.count(F.lit(1))).alias(
+                "regime_abs_ret"
+            ),
+            ((fp_sum(F.col("up_share"))) / F.count(F.lit(1))).alias(
+                "regime_up_share"
+            ),
+        )
+        .orderBy("tercile")
+        .drop("tercile")
+    )
+
+
+def listing_age_vol(
+    returns: DataFrame,
+    master: DataFrame,
+    horizon: str = "1998-12-31",
+    min_days: int = 10,
+    ret_col: str = "ret",
+) -> DataFrame:
+    """Seasoning effect: per listing-age bucket (whole years between
+    the master listing_date and the ``horizon`` date), the
+    cross-sectional average |daily return| — the 'do seasoned listings
+    trade calmer?' conditioning table joining the master dimension's
+    listing_date to the return stream. Per-symbol 1e-9 fixed-point
+    means, broadcast master join, integer datediff bucketing, then one
+    bucket aggregate re-fixed-pointing the per-symbol means — every
+    float is fenced. Returns (age_years, n_symbols, avg_abs_ret)."""
+    from market_data_pipeline_spark.operators.analytics import fp_sum
+
+    r = returns.filter(F.col(ret_col).isNotNull())
+    sym = (
+        r.groupBy("symbol")
+        .agg(
+            (
+                F.sum(F.round(F.abs(ret_col) * 1e9).cast("long"))
+                / 1e9
+                / F.count(F.lit(1))
+            ).alias("abs_ret"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= min_days)
+    )
+    m = master.filter(F.col("listing_date").isNotNull()).select(
+        "symbol", "listing_date"
+    )
+    age = F.floor(
+        F.datediff(F.lit(horizon).cast("date"), F.col("listing_date")) / 365.0
+    ).cast("long")
+    return (
+        sym.join(F.broadcast(m), "symbol")
+        .groupBy(age.alias("age_years"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_symbols"),
+            ((fp_sum(F.col("abs_ret"))) / F.count(F.lit(1))).alias(
+                "avg_abs_ret"
+            ),
+        )
+    )

@@ -5267,31 +5267,7 @@ def iv4_allen_relations(spark, sf_dir):
         bucket="1 hour",
         extra_condition=F.col("user_a") < F.col("user_b"),
     )
-    relation = (
-        F.when(
-            (F.col("start_a") == F.col("start_b"))
-            & (F.col("end_a") == F.col("end_b")),
-            F.lit("equals"),
-        )
-        .when(
-            (F.col("start_a") <= F.col("start_b"))
-            & (F.col("end_a") >= F.col("end_b")),
-            F.lit("contains"),
-        )
-        .when(
-            (F.col("start_a") >= F.col("start_b"))
-            & (F.col("end_a") <= F.col("end_b")),
-            F.lit("during"),
-        )
-        .when(F.col("start_a") < F.col("start_b"), F.lit("overlaps"))
-        .otherwise(F.lit("overlapped_by"))
-    )
-    return (
-        pairs.select(relation.alias("relation"))
-        .groupBy("relation")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .orderBy("relation")
-    )
+    return ev.allen_relation_census(pairs).orderBy("relation")
 
 
 # ===========================================================================
@@ -8028,29 +8004,9 @@ def a15_listing_flows(spark, sf_dir):
     """Monthly listing/delisting flow counts from the symbol master —
     the market-entry/exit series the reference's KRX sync pipelines
     feed (new listings in, delistings out). Two pruned aggregates
-    unioned by month; pure date bucketing, exact counts."""
-    m = master_frame(spark, sf_dir)
-    listed = (
-        m.filter(F.col("listing_date").isNotNull())
-        .groupBy(F.date_format("listing_date", "yyyy-MM").alias("month"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_listed"))
-        .withColumn("n_delisted", F.lit(0).cast("long"))
-    )
-    delisted = (
-        m.filter(F.col("delisting_date").isNotNull())
-        .groupBy(F.date_format("delisting_date", "yyyy-MM").alias("month"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_delisted"))
-        .withColumn("n_listed", F.lit(0).cast("long"))
-    )
-    return (
-        listed.unionByName(delisted)
-        .groupBy("month")
-        .agg(
-            F.sum("n_listed").cast("long").alias("n_listed"),
-            F.sum("n_delisted").cast("long").alias("n_delisted"),
-        )
-        .orderBy("month")
-    )
+    unioned by month; pure date bucketing, exact counts. See
+    operators.analytics.listing_flows."""
+    return analytics.listing_flows(master_frame(spark, sf_dir)).orderBy("month")
 
 
 # ===========================================================================
@@ -9048,35 +9004,8 @@ def ts38_rank_churn(spark, sf_dir):
     regime changes. Monthly cents totals are decimal-exact so ranks are
     deterministic (symbol tiebreak); the correlation is rounded (moment
     accumulation order). Rank windows partition by month — bounded by
-    the universe per month."""
-    p = price_frame(spark, sf_dir)
-    m = p.groupBy(
-        "symbol", F.date_format("trade_date", "yyyy-MM").alias("month")
-    ).agg(
-        (F.sum(F.col("amount").cast("decimal(18,2)")) * 100)
-        .cast("long")
-        .alias("cents")
-    )
-    w = Window.partitionBy("month").orderBy(F.desc("cents"), "symbol")
-    rk = m.select("symbol", "month", F.row_number().over(w).alias("rnk"))
-    nxt = F.date_format(
-        F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), 1),
-        "yyyy-MM",
-    )
-    a = rk.select("symbol", "month", F.col("rnk").alias("r1"), nxt.alias("_next"))
-    b = rk.select(
-        "symbol", F.col("month").alias("_next"), F.col("rnk").alias("r2")
-    )
-    paired = a.join(b, ["symbol", "_next"])
-    return (
-        paired.groupBy("month")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_symbols"),
-            F.round(F.corr("r1", "r2"), 6).alias("rank_autocorr"),
-        )
-        .filter(F.col("n_symbols") > 1)
-        .orderBy("month")
-    )
+    the universe per month. See operators.timeseries.rank_churn."""
+    return tseries.rank_churn(price_frame(spark, sf_dir)).orderBy("month")
 
 
 @query(
@@ -9294,37 +9223,10 @@ def tx23_vocab_coverage(spark, sf_dir):
     cheap OOV-rate proxy: low coverage flags jargon, gibberish, or
     out-of-domain text). The vocabulary is a bounded top-k
     (count-ordered, term tiebreak) broadcast against the exploded
-    tokens — one corpus aggregate + one map-side membership join."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
-    )
-    ex = docs.select("doc_id", F.explode_outer(toks).alias("term")).filter(
-        F.col("term").isNotNull()
-    )
-    top = (
-        ex.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .orderBy(F.desc("_c"), "term")
-        .limit(100)
-        .select("term", F.lit(1).alias("_hit"))
-    )
-    return (
-        ex.join(F.broadcast(top), "term", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_in_vocab"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_in_vocab",
-            F.round(F.col("n_in_vocab") * 1.0 / F.col("n_tokens"), 6).alias(
-                "vocab_coverage"
-            ),
-        )
-        .orderBy("doc_id")
+    tokens — one corpus aggregate + one map-side membership join. See
+    operators.text.vocab_coverage."""
+    return tx.vocab_coverage(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
     )
 
 
@@ -10133,23 +10035,10 @@ def dd19_dedup_savings(spark, sf_dir):
     cost-justification number every dedup rollout leads with (and the
     per-feed duplication scoreboard afterwards). One (source, text-hash)
     aggregate; at scale the groupBy key is the 128-bit text hash, the
-    text itself never shuffles (lengths ride as ints)."""
-    docs = load_table(spark, sf_dir, "documents")
-    per_text = docs.groupBy("source", F.md5("text").alias("_h")).agg(
-        F.count(F.lit(1)).alias("copies"), F.max("n_chars").alias("chars")
-    )
-    return (
-        per_text.groupBy("source")
-        .agg(
-            F.sum("copies").cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_distinct_texts"),
-            F.sum(F.col("copies") * F.col("chars")).cast("long").alias("bytes_before"),
-            F.sum("chars").cast("long").alias("bytes_after"),
-            F.sum((F.col("copies") - 1) * F.col("chars"))
-            .cast("long")
-            .alias("bytes_saved"),
-        )
-        .orderBy("source")
+    text itself never shuffles (lengths ride as ints). See
+    operators.dedup.dedup_savings."""
+    return dedup.dedup_savings(load_table(spark, sf_dir, "documents")).orderBy(
+        "source"
     )
 
 
@@ -10723,35 +10612,10 @@ def a20_breadth_thrust(spark, sf_dir):
     fixed-point ppm INTEGERS so window accumulation order (segment trees
     vs sequential) cannot change the float result. The unpartitioned
     window is post-aggregation over the trading CALENDAR — bounded
-    domain, the a16 pattern."""
-    r = returns_frame(spark, sf_dir)
-    daily = (
-        r.filter(F.col("ret").isNotNull())
-        .groupBy("trade_date")
-        .agg(
-            F.sum(F.when(F.col("ret") > 0, 1).otherwise(0))
-            .cast("long")
-            .alias("adv"),
-            F.sum(F.when(F.col("ret") < 0, 1).otherwise(0))
-            .cast("long")
-            .alias("dec"),
-        )
-        .filter((F.col("adv") + F.col("dec")) > 0)
+    domain, the a16 pattern. See operators.timeseries.breadth_thrust."""
+    return tseries.breadth_thrust(returns_frame(spark, sf_dir)).orderBy(
+        "trade_date"
     )
-    bp = daily.withColumn(
-        "breadth_ppm",
-        F.round(F.col("adv") / (F.col("adv") + F.col("dec")) * 1e6).cast("long"),
-    )
-    w = Window.orderBy("trade_date").rowsBetween(-9, 0)
-    sma = F.sum("breadth_ppm").over(w) / 1e6 / F.count(F.lit(1)).over(w)
-    return bp.select(
-        "trade_date",
-        "adv",
-        "dec",
-        "breadth_ppm",
-        sma.alias("breadth_sma10"),
-        (sma >= 0.615).alias("thrust"),
-    ).orderBy("trade_date")
 
 
 # ===========================================================================
@@ -11315,27 +11179,13 @@ def dq9_source_completeness(spark, sf_dir):
     """Per-source field-completeness audit (empty/short text, missing
     language tag, and whether the materialized n_chars column actually
     equals length(text)) — the intake contract check before a source is
-    admitted to the corpus. One map-combined aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
+    admitted to the corpus. One map-combined aggregate. See
+    operators.quality.source_completeness."""
+    from market_data_pipeline_spark.operators import quality as dq
 
-    def cnt(cond):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
-
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            cnt(F.col("text").isNull() | (F.trim("text") == "")).alias(
-                "n_empty_text"
-            ),
-            cnt(F.length("text") < 20).alias("n_short_text"),
-            cnt(F.col("lang").isNull() | (F.trim("lang") == "")).alias(
-                "n_missing_lang"
-            ),
-            cnt(F.col("n_chars") != F.length("text")).alias("n_bad_char_count"),
-        )
-        .orderBy("source")
-    )
+    return dq.source_completeness(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("source")
 
 
 # ===========================================================================
@@ -11652,35 +11502,10 @@ def f15_doc_feature_matrix(spark, sf_dir):
     novelty joined into one wide frame. Integration query: composes the
     tx26/tx27/tx28 building blocks end-to-end (each already oracled
     alone); two explode passes over text, hash-only shuffles for the
-    novelty join, exact-integer ratios throughout."""
-    from market_data_pipeline_spark.operators.dedup import shingle_hash_docfreq
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tx.exploded_words(docs, carry_cols=("doc_id", "lang")).select(
-        "doc_id", "lang", "word", F.length("word").alias("wl")
-    )
-    stop_expr = tx.own_language_stopword_flag()
-    n = F.count(F.lit(1))
-    tok = toks.groupBy("doc_id").agg(
-        n.cast("long").alias("n_tokens"),
-        (F.sum("wl") / n).alias("mean_word_len"),
-        (F.sum(F.when(stop_expr, 1).otherwise(0)) / n).alias("stop_ratio"),
-    )
-    sh, df_ = shingle_hash_docfreq(docs)
-    nov = (
-        sh.join(df_, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            (F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0)) / n).alias(
-                "novelty"
-            )
-        )
-    )
-    return (
-        docs.select("doc_id", "lang", "source", F.col("n_chars").cast("long"))
-        .join(tok, "doc_id")
-        .join(nov, "doc_id", "left")
-        .orderBy("doc_id")
+    novelty join, exact-integer ratios throughout. See
+    operators.text.doc_feature_matrix."""
+    return tx.doc_feature_matrix(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
     )
 
 
@@ -11949,49 +11774,15 @@ def dq10_order_price_reconciliation(spark, sf_dir):
     (co-partitioned if the tables are bucketed on it) and the final
     status rollup is a 3-row aggregate. All money stays DECIMAL end to
     end (per-row 6-dp cast, exact sums, half-up 2-dp recast on both
-    engines); the output total is cast to DOUBLE only for display."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    # each factor is cast to decimal BEFORE multiplying: the sources are
-    # generated at <=2/4 dp, so the double->decimal rounding is far from
-    # any tie on both engines, and the product/sum stay exact decimal —
-    # casting the double PRODUCT instead leaves ulp-ties that drift the
-    # corpus total by parts in 1e8 between engines. The oracle wraps its
-    # final 2-dp recast in ROUND(): DuckDB's decimal->decimal CAST
-    # TRUNCATES while Spark's rounds HALF_UP — ROUND aligns them.
-    computed = li.groupBy("l_orderkey").agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (1 - F.col("l_discount")).cast("decimal(8,4)")
-            * (1 + F.col("l_tax")).cast("decimal(8,4)")
-        )
-        .cast("decimal(18,2)")
-        .alias("computed")
-    )
-    j = orders.join(
-        computed, orders.o_orderkey == computed.l_orderkey, "left"
-    )
-    diff = F.col("o_totalprice").cast("decimal(18,2)") - F.col("computed")
-    has = F.col("computed").isNotNull()
-    return (
-        j.groupBy(F.col("o_orderstatus").alias("order_status"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum(F.when(~has, 1).otherwise(0)).cast("long").alias("n_childless"),
-            F.sum(F.when(has & (F.abs(diff) <= 0.01), 1).otherwise(0))
-            .cast("long")
-            .alias("n_reconciled"),
-            F.sum(F.when(has & (F.abs(diff) > 0.01), 1).otherwise(0))
-            .cast("long")
-            .alias("n_mismatched"),
-            F.sum(
-                F.when(has, F.abs(diff)).otherwise(F.lit(0).cast("decimal(18,2)"))
-            )
-            .cast("double")
-            .alias("total_abs_diff"),
-        )
-        .orderBy("order_status")
-    )
+    engines); the output total is cast to DOUBLE only for display. The
+    oracle wraps its final 2-dp recast in ROUND(): DuckDB's
+    decimal->decimal CAST TRUNCATES while Spark's rounds HALF_UP —
+    ROUND aligns them. See
+    operators.analytics.order_price_reconciliation."""
+    return analytics.order_price_reconciliation(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    ).orderBy("order_status")
 
 
 @query(
@@ -12507,45 +12298,15 @@ def f16_oof_target_encoding(spark, sf_dir):
     the same class of bug the k23 property caught in round 6). The
     6-decimal rounding runs in exact INTEGER micro-dollars on both
     engines — double ROUND(x, 6) above ~1e10 is engine-divergent
-    (found by the r7 extremes sweep)."""
+    (found by the r7 extremes sweep). See
+    operators.analytics.oof_target_mean."""
     o = load_table(spark, sf_dir, "orders")
     t = tx.kfold_assign(o, key_col="o_orderkey", k=5).select(
-        "o_orderpriority",
+        F.col("o_orderpriority").alias("category"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "fold",
     )
-    f = t.groupBy("o_orderpriority", "fold").agg(
-        F.sum("cents").cast("long").alias("fc"),
-        F.count(F.lit(1)).cast("long").alias("fn"),
-    )
-    wcat = Window.partitionBy("o_orderpriority")
-    # Exact half-up micro-dollar rounding in integer space (see the
-    # oracle comment): round(a/b/100, 6) = ((a*20000 + b) DIV (2*b))/1e6
-    # with a = out-of-fold cents (>= 0 here: prices are positive) and
-    # b = out-of-fold rows. The CASE guard keeps ANSI Spark from raising
-    # DIVIDE_BY_ZERO on a category whose rows all land in one fold
-    # (NULL there, matching DuckDB). Precondition: total corpus cents
-    # * 2e4 fits BIGINT, i.e. < ~4.6e14 dollars of turnover.
-    return (
-        f.select(
-            F.col("o_orderpriority").alias("category"),
-            "fold",
-            F.col("fn").alias("n_in_fold"),
-            (F.sum("fc").over(wcat) - F.col("fc")).alias("_a"),
-            (F.sum("fn").over(wcat) - F.col("fn")).alias("_d"),
-        )
-        .select(
-            "category",
-            "fold",
-            "n_in_fold",
-            F.expr(
-                "CASE WHEN _d <> 0 THEN"
-                " CAST((_a * 20000 + _d) DIV (2 * _d) AS DOUBLE) / 1000000.0"
-                " END"
-            ).alias("oof_target_mean"),
-        )
-        .orderBy("category", "fold")
-    )
+    return analytics.oof_target_mean(t).orderBy("category", "fold")
 
 
 @query(
@@ -12771,35 +12532,10 @@ def a24_equal_weight_index(spark, sf_dir):
     cumsum runs over the DATE DOMAIN (bounded, single partition — the
     a16 argument) with each log term fixed-pointed so the level is
     reproducible to 6 dp on any engine. Rides the memoized returns
-    stage shared with a12/ts25/ts26."""
-    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
-    d = r.groupBy("trade_date").agg(
-        F.count(F.lit(1)).cast("long").alias("n_symbols"),
-        (
-            fp_sum(F.col("ret")) / F.count(F.lit(1))
-        ).alias("mret"),
-    )
-    wcum = Window.orderBy("trade_date").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        d.select(
-            "trade_date",
-            "n_symbols",
-            # the LOG level, not exp(): the cumsum of fixed-point log
-            # terms is EXACT, while exp() of a large sum differs in the
-            # last ulp between engines (and this synthetic series
-            # compounds past 1e200, where 6-dp rounding is meaningless).
-            # Real deployments exp() at the read edge if they want the
-            # linear level.
-            F.round(
-                F.lit(math.log(100.0))
-                + F.sum(
-                    F.round(F.log(1 + F.col("mret")) * 1e9).cast("long")
-                ).over(wcum)
-                / 1e9,
-                6,
-            ).alias("log_index_level"),
-        )
-        .orderBy("trade_date")
+    stage shared with a12/ts25/ts26. See
+    operators.timeseries.equal_weight_index."""
+    return tseries.equal_weight_index(returns_frame(spark, sf_dir)).orderBy(
+        "trade_date"
     )
 
 
@@ -12946,47 +12682,11 @@ def tx32_vocab_coverage_curve(spark, sf_dir):
     corpus size, then the cumulative window covers <= 10k rows on one
     partition (bounded-domain argument); corpus-scale work is a single
     map-side-combined word count. Checkpoints past the cap would need
-    the cap raised — documented, not silent: the cap IS the top-k."""
-    docs = load_table(spark, sf_dir, "documents")
-    wc = (
-        tx.exploded_words(docs, carry_cols=())
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    totals = wc.agg(
-        F.sum("c").cast("long").alias("total"),
-        F.count(F.lit(1)).cast("long").alias("vocab"),
-    )
-    top = (
-        wc.orderBy(F.col("c").desc(), "word")
-        .limit(10000)
-        .select(
-            "c",
-            F.row_number()
-            .over(Window.orderBy(F.col("c").desc(), "word"))
-            .alias("rnk"),
-        )
-    )
-    wcum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
-    cum = top.select(
-        "rnk", F.sum("c").over(wcum).alias("cum_c")
-    ).crossJoin(F.broadcast(totals))
-    return (
-        cum.filter(
-            F.col("rnk").isin(1, 2, 5, 10, 20, 50, 100, 1000, 10000)
-            | (F.col("rnk") == F.col("vocab"))
-        )
-        .select(
-            F.col("rnk").cast("long").alias("vocab_size"),
-            F.col("cum_c").cast("long").alias("covered_tokens"),
-            F.col("total").alias("total_tokens"),
-            F.round(F.col("cum_c").cast("double") / F.col("total"), 6).alias(
-                "coverage"
-            ),
-        )
-        .orderBy("vocab_size")
-    )
+    the cap raised — documented, not silent: the cap IS the top-k. See
+    operators.text.vocab_coverage_curve."""
+    return tx.vocab_coverage_curve(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("vocab_size")
 
 
 @query(
@@ -13501,48 +13201,15 @@ def j14_sourcing_entropy(spark, sf_dir):
     supplier→nation broadcasts. Revenue is cent-fixed-pointed before
     the (customer, nation) sum; per-customer entropies (sums of ≤25
     p*ln p terms) are fixed-pointed to 1e-6 BIGINTs before the segment
-    average, the a14/ts26 engine-exactness idiom."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    sup = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    nat = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    rev = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .groupBy(F.col("o_custkey").alias("cust"), F.col("n_name"))
-        .agg(F.sum(cents).alias("_c"))
-    )
-    w = Window.partitionBy("cust")
-    p = F.col("_c") * 1.0 / F.sum("_c").over(w)
-    ent = (
-        rev.select("cust", (-p * F.log(p)).alias("_term"))
-        .groupBy("cust")
-        .agg(F.round(F.sum("_term") * 1e6).cast("long").alias("_e6"))
-    )
-    return (
-        ent.join(cust, ent.cust == cust.c_custkey)
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_customers"),
-            ((F.sum("_e6") / 1e6) / F.count(F.lit(1))).alias(
-                "avg_sourcing_entropy"
-            ),
-        )
-        .orderBy("segment")
-    )
+    average, the a14/ts26 engine-exactness idiom. See
+    operators.analytics.sourcing_entropy."""
+    return analytics.sourcing_entropy(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+    ).orderBy("segment")
 
 
 @query(
@@ -13628,34 +13295,11 @@ def a29_return_rates(spark, sf_dir):
     query reports a return rate (checker: tpch_q10 only totals returned
     revenue per customer). Broadcast dim join + one brand aggregate;
     both rates are divisions of exact BIGINTs (cents fixed-point for
-    revenue), IEEE-identical with no rounding."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", F.col("p_brand").alias("brand")
-    )
-    r = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
-        "brand", r.alias("_r"), cents.alias("_c")
-    )
-    return (
-        j.groupBy("brand")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum("_r").cast("long").alias("n_returned"),
-            (F.sum("_r") * 1.0 / F.count(F.lit(1))).alias(
-                "line_return_rate"
-            ),
-            (
-                F.sum(F.when(F.col("_r") == 1, F.col("_c")).otherwise(0))
-                * 1.0
-                / F.sum("_c")
-            ).alias("revenue_return_rate"),
-        )
-        .orderBy("brand")
-    )
+    revenue), IEEE-identical with no rounding. See
+    operators.analytics.return_rates."""
+    return analytics.return_rates(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    ).orderBy("brand")
 
 
 @query(
@@ -13700,43 +13344,11 @@ def k23_split_representativeness(spark, sf_dir):
     both engines, rounded at 6. A zero-norm half-centroid yields NULL
     via try_divide, matching DuckDB's SQL x/0 semantics — found by
     the hypothesis property (all-zero vectors in one parity crash a
-    plain division under Spark ANSI mode)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "label",
-        (F.col("vec_id") % 2).cast("int").alias("par"),
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim", "v"
-        ),
-    ).select(
-        "label",
-        "par",
-        F.col("dim").cast("long").alias("dim"),
-        F.round(F.col("v") * 1e6).cast("long").alias("v6"),
-    )
-    m = ex.groupBy("label", "par", "dim").agg(
-        (F.sum("v6") / 1e6 / F.count(F.lit(1))).alias("mean"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    pv = m.groupBy("label", "dim").agg(
-        F.max(F.when(F.col("par") == 0, F.col("mean"))).alias("a"),
-        F.max(F.when(F.col("par") == 1, F.col("mean"))).alias("b"),
-        F.max(F.when(F.col("par") == 0, F.col("n"))).alias("ne"),
-        F.max(F.when(F.col("par") == 1, F.col("n"))).alias("no"),
-    )
+    plain division under Spark ANSI mode). See
+    operators.similarity.split_representativeness."""
     return (
-        pv.groupBy("label")
-        .agg(
-            F.max("ne").cast("long").alias("n_even"),
-            F.max("no").cast("long").alias("n_odd"),
-            F.round(
-                F.try_divide(
-                    F.sum(F.col("a") * F.col("b")),
-                    F.sqrt(F.sum(F.col("a") * F.col("a")))
-                    * F.sqrt(F.sum(F.col("b") * F.col("b"))),
-                ),
-                6,
-            ).alias("split_cosine"),
+        similarity.split_representativeness(
+            load_table(spark, sf_dir, "embeddings")
         )
         .orderBy("label")
     )
@@ -13898,29 +13510,11 @@ def a30_margin_health(spark, sf_dir):
     unclaimed). Broadcast dim join + one type-key aggregate; the
     below-retail comparison is between identically-derived doubles,
     per-line markups are 1e-6 fixed-point BIGINTs before the average,
-    and the share is an exact int/int division."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_retailprice") > 0
-    ).select("p_partkey", F.col("p_type").alias("part_type"), "p_retailprice")
-    up = F.col("l_extendedprice") / F.col("l_quantity")
-    below = F.when(up < F.col("p_retailprice"), 1).otherwise(0)
-    mk6 = F.round((up / F.col("p_retailprice") - 1.0) * 1e6).cast("long")
-    m = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
-        "part_type", below.alias("_b"), mk6.alias("_m")
-    )
-    return (
-        m.groupBy("part_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum("_b").cast("long").alias("n_below_retail"),
-            (F.sum("_b") * 1.0 / F.count(F.lit(1))).alias(
-                "below_retail_share"
-            ),
-            ((F.sum("_m") / 1e6) / F.count(F.lit(1))).alias("avg_markup"),
-        )
-        .orderBy("part_type")
-    )
+    and the share is an exact int/int division. See
+    operators.analytics.margin_health."""
+    return analytics.margin_health(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    ).orderBy("part_type")
 
 
 @query(
@@ -13967,43 +13561,9 @@ def ts55_vol_regimes(spark, sf_dir):
     memoized returns stage; daily and monthly aggregates shrink the
     frame to ~|months| rows BEFORE the single bounded NTILE window
     (a16/r5 precedent, ties broken on month); all cross-engine floats
-    go through 1e-9 fixed-point sums."""
-    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
-    d = r.groupBy("trade_date").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("ret") > 0, 1).otherwise(0)).alias("nup"),
-        F.sum(F.round(F.abs("ret") * 1e9).cast("long")).alias("a9"),
-    )
-    m = d.groupBy(
-        F.date_format("trade_date", "yyyy-MM").alias("month")
-    ).agg(
-        (F.sum("a9") / 1e9 / F.sum("n")).alias("avg_abs_ret"),
-        (F.sum("nup") * 1.0 / F.sum("n")).alias("up_share"),
-    )
-    t = m.withColumn(
-        "tercile", F.ntile(3).over(Window.orderBy("avg_abs_ret", "month"))
-    )
-    regime = (
-        F.when(F.col("tercile") == 1, "calm")
-        .when(F.col("tercile") == 2, "normal")
-        .otherwise("turbulent")
-    )
-    return (
-        t.groupBy(regime.alias("regime"), "tercile")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_months"),
-            (
-                (fp_sum(F.col("avg_abs_ret")))
-                / F.count(F.lit(1))
-            ).alias("regime_abs_ret"),
-            (
-                (fp_sum(F.col("up_share")))
-                / F.count(F.lit(1))
-            ).alias("regime_up_share"),
-        )
-        .orderBy("tercile")
-        .drop("tercile")
-    )
+    go through 1e-9 fixed-point sums. See
+    operators.timeseries.vol_regimes."""
+    return tseries.vol_regimes(returns_frame(spark, sf_dir))
 
 
 @query(
@@ -14035,24 +13595,10 @@ def e43_activity_streaks(spark, sf_dir):
     islands trick: day minus the per-user day rank is constant exactly
     within a consecutive run, so one distinct-day dedup plus one
     user-key window finds every streak without self-joins; all-integer
-    outputs, histogram bounded by the longest streak."""
-    events = load_table(spark, sf_dir, "events")
-    days = events.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    isl = days.select(
-        "user_id",
-        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
-    )
-    runs = isl.groupBy("user_id", "grp").agg(
-        F.count(F.lit(1)).alias("len")
-    )
-    best = runs.groupBy("user_id").agg(F.max("len").alias("best_streak"))
-    return (
-        best.groupBy(F.col("best_streak").cast("long").alias("streak_days"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("streak_days")
+    outputs, histogram bounded by the longest streak. See
+    operators.events.activity_streaks."""
+    return ev.activity_streaks(load_table(spark, sf_dir, "events")).orderBy(
+        "streak_days"
     )
 
 
@@ -14086,30 +13632,10 @@ def a31_new_vs_repeat_revenue(spark, sf_dir):
     leads with (checker: e31 splits event USERS, nothing splits order
     REVENUE). One custkey min-aggregate re-joined co-keyed to orders,
     then a month rollup; revenue is exact cents, the share an exact
-    int/int division."""
-    orders = load_table(spark, sf_dir, "orders")
-    firsts = orders.groupBy("o_custkey").agg(
-        F.min("o_orderdate").alias("first_date")
-    )
-    mo = F.date_format("o_orderdate", "yyyy-MM")
-    is_new = F.when(
-        mo == F.date_format("first_date", "yyyy-MM"), 1
-    ).otherwise(0)
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    tagged = orders.join(firsts, "o_custkey").select(
-        mo.alias("month"), is_new.alias("_new"), cents.alias("_c")
-    )
-    new_cents = F.sum(F.when(F.col("_new") == 1, F.col("_c")).otherwise(0))
-    return (
-        tagged.groupBy("month")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("_new").cast("long").alias("n_new_customer_orders"),
-            (new_cents / 100.0).alias("new_customer_revenue"),
-            (new_cents * 1.0 / F.sum("_c")).alias("new_revenue_share"),
-        )
-        .orderBy("month")
-    )
+    int/int division. See operators.analytics.new_vs_repeat_revenue."""
+    return analytics.new_vs_repeat_revenue(
+        load_table(spark, sf_dir, "orders")
+    ).orderBy("month")
 
 
 @query(
@@ -14185,39 +13711,11 @@ def a32_listing_age_vol(spark, sf_dir):
     listing_date (used by a15's flows but never as a RISK conditioner)
     to the return stream. Per-symbol 1e-9 fixed-point means, broadcast
     master join, integer datediff bucketing, then one bucket aggregate
-    re-fixed-pointing the per-symbol means — every float is fenced."""
-    r = returns_frame(spark, sf_dir).filter(F.col("ret").isNotNull())
-    sym = (
-        r.groupBy("symbol")
-        .agg(
-            (
-                F.sum(F.round(F.abs("ret") * 1e9).cast("long"))
-                / 1e9
-                / F.count(F.lit(1))
-            ).alias("abs_ret"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .filter(F.col("_n") >= 10)
-    )
-    m = master_frame(spark, sf_dir).filter(
-        F.col("listing_date").isNotNull()
-    ).select("symbol", "listing_date")
-    age = F.floor(
-        F.datediff(F.lit("1998-12-31").cast("date"), F.col("listing_date"))
-        / 365.0
-    ).cast("long")
-    return (
-        sym.join(F.broadcast(m), "symbol")
-        .groupBy(age.alias("age_years"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_symbols"),
-            (
-                (fp_sum(F.col("abs_ret")))
-                / F.count(F.lit(1))
-            ).alias("avg_abs_ret"),
-        )
-        .orderBy("age_years")
-    )
+    re-fixed-pointing the per-symbol means — every float is fenced. See
+    operators.timeseries.listing_age_vol."""
+    return tseries.listing_age_vol(
+        returns_frame(spark, sf_dir), master_frame(spark, sf_dir)
+    ).orderBy("age_years")
 
 
 # ===========================================================================
