@@ -908,6 +908,13 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
+        # Labels are monotone non-increasing (least of own + neighbor
+        # min), so "changed" is computable ROW-LOCALLY as n_comp <
+        # component — carried as a flag on the checkpointed frame and
+        # counted from the materialized rows, instead of the old
+        # new-vs-old labels JOIN + count per round (r12 opt: one join
+        # and one shuffle fewer per round, identical labels and
+        # convergence behavior; guide §2.4).
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -915,17 +922,13 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
+                (F.col("n_comp") < F.col("component")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("_changed")).count()
         changed_per_round.append(changed)
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             converged = True
             break

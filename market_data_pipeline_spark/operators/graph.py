@@ -156,9 +156,25 @@ def pagerank_fixed(
         .join(out_deg, "src")
         .localCheckpoint(eager=False)  # loop invariant: built exactly once
     )
+    # DANGLING membership (no out-edges) is a loop invariant: compute it
+    # ONCE as a boolean column carried on the node/rank frames, instead
+    # of re-deriving the set inside every iteration (the old loop ran a
+    # distinct + anti-join + aggregate per iteration for a set that
+    # never changes — r12 opt, guide §2.4 "remove shuffles outright").
+    # The per-iteration dangling mass is now a join-free map-combined
+    # conditional aggregate over the ranks frame.
+    nodes = nodes.join(
+        norm_edges.select("src").distinct(),
+        nodes.node == F.col("src"),
+        "left",
+    ).select(
+        "node", F.col("src").isNull().alias("_dang")
+    ).localCheckpoint(eager=False)
+
     ranks = nodes.select(
         F.col("node"),
         F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("rank_fp"),
+        F.col("_dang"),
     ).localCheckpoint(eager=False)
 
     base_fp = (15 * PAGERANK_SCALE) // (100 * n_nodes)
@@ -173,10 +189,10 @@ def pagerank_fixed(
                 ).alias("_in")
             )
         )
-        dangling = (
-            ranks.join(norm_edges.select("src").distinct(),
-                       ranks.node == F.col("src"), "left_anti")
-            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("_d"))
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_dang"), F.col("rank_fp"))), F.lit(0)
+            ).cast("long").alias("_d")
         )
         ranks = (
             nodes.join(flowed, "node", "left")
@@ -189,11 +205,12 @@ def pagerank_fixed(
                         f"17 * (coalesce(_in, 0) + _d DIV {n_nodes}) DIV 20"
                     )
                 ).cast("long").alias("rank_fp"),
+                "_dang",
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks.select("node", "rank_fp")
 
 
 def session_follow_edges(

@@ -120,14 +120,21 @@ def sync_delisted_stocks(
 
     Returns the run-report dict (small driver-side stats only).
     """
-    # idempotence gate (reference :103-117): skip if delisted data exists
-    existing_delisted = (
-        master.read_current().filter(F.col("is_active") == 0).limit(1).count()
-        if master.exists()
-        else 0
-    )
-    if existing_delisted and not force:
-        return {"gate_skipped": True, "reason": "delisted data present; use force=True"}
+    # idempotence gate (reference :103-117): skip if delisted data exists.
+    # Only evaluated when it can matter — ``force=True`` used to pay the
+    # gate's scan job and then ignore its answer (r12 opt: the daily
+    # batch always passes force=True, so this was one dead job per run).
+    if not force:
+        existing_delisted = (
+            master.read_current().filter(F.col("is_active") == 0).limit(1).count()
+            if master.exists()
+            else 0
+        )
+        if existing_delisted:
+            return {
+                "gate_skipped": True,
+                "reason": "delisted data present; use force=True",
+            }
 
     norm = normalize_delisted(raw_delisted)
     shaped = norm.select(
@@ -148,10 +155,12 @@ def sync_delisted_stocks(
         with_audit_cols(valid, now).drop("create_dt"),
     )
     # materialize the stats BEFORE overwriting: their plans scan the
-    # pre-overwrite master files, which the stage-and-swap replaces
+    # pre-overwrite master files, which the stage-and-swap replaces.
+    # One collect, not two: both stats are single-row aggregates with
+    # disjoint columns, so a crossJoin evaluates them in a single job
+    # (r12 opt — the job count, not the bytes, is this path's cost).
     report = {  # single-row aggregates only
-        **vstats.collect()[0].asDict(),
-        **ustats.collect()[0].asDict(),
+        **vstats.crossJoin(ustats).collect()[0].asDict(),
         "gate_skipped": False,
     }
     master.overwrite(with_audit_cols(updated, now))

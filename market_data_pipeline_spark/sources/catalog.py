@@ -69,15 +69,59 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     files are the contract (FIXTURES.md §B); we do not re-impose StructTypes
     on read, so predicate pushdown and column pruning reach the scan.
 
+    The footer-derived schema is memoized per (session, file, stat):
+    schema INFERENCE costs ~100ms of driver-side listing + footer work
+    per ``spark.read.parquet`` call, vs ~16ms for a schema-supplied read
+    (measured r12, guide §1.2/§6 — plan-build fixed cost, paid inside
+    every timed query). The cached value is exactly the schema inference
+    would return (same footer, same session confs — ensure_session_defaults
+    pins the one conf that affects it, ``nanosAsLong``), so plans, pushdown
+    and results are identical; only the repeated footer re-read is
+    skipped. The cache key carries (mtime_ns, size), so a rewritten file
+    re-infers — and it holds SCHEMAS, never data or results. At scale
+    this role is played by a metastore/table-format catalog, which is
+    precisely a persisted schema cache.
+
     ``events.ts`` is normalized by :func:`normalize_event_ts`, which
     handles both on-disk encodings the driver has produced: parquet
     TIMESTAMP(NANOS) read as bigint under ``nanosAsLong`` (converted by
     lossless integer ns->µs division) and TIMESTAMP(MICROS, non-UTC) read
     as TIMESTAMP_NTZ (cast to instant under the UTC session)."""
     ensure_session_defaults(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = read_parquet_cached_schema(spark, path)
     if name == "events":
         df = normalize_event_ts(df)
+    return df
+
+
+# (session id, path, mtime_ns, size) -> StructType. Bounded: one entry per
+# distinct driver table file per session; stale keys (old stat) are evicted
+# on the miss that replaces them.
+_SCHEMA_CACHE: dict = {}
+
+
+def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` with the inference result memoized.
+
+    First read of a (session, file-version) infers exactly as before and
+    records ``df.schema``; later reads supply that schema explicitly,
+    skipping the per-call footer/listing work. Missing files raise the
+    same error on the inference path; a changed file (different stat)
+    re-infers."""
+    try:
+        st = os.stat(path)
+        stat_key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        # nonexistent / raced path: fall through to the plain reader so
+        # the error surfaces exactly as before
+        return spark.read.parquet(path)
+    key = (id(spark), path)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None and hit[0] == stat_key:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = (stat_key, df.schema)
     return df
 
 

@@ -79,8 +79,20 @@ class ParquetTable:
 
     # -- reads ----------------------------------------------------------
     def read_raw(self) -> DataFrame:
-        """All row versions, no dedup."""
-        df = self.spark.read.parquet(self.path)
+        """All row versions, no dedup.
+
+        Schema comes from the stat-keyed footer cache (sources.catalog):
+        every mutation here replaces or touches the table directory
+        (overwrite/restore rename it wholesale; append/partition rewrites
+        create entries in it), so a changed table re-infers while the
+        repeated reads BETWEEN mutations — the upsert/validate/report
+        chains read the same state several times per batch — skip the
+        ~100ms per-call footer/listing work (r12, guide §1.2)."""
+        from market_data_pipeline_spark.sources.catalog import (
+            read_parquet_cached_schema,
+        )
+
+        df = read_parquet_cached_schema(self.spark, self.path)
         return df.drop(self.partition_col) if self.partition_col else df
 
     def read_current(self) -> DataFrame:
@@ -122,13 +134,19 @@ class ParquetTable:
         if not self.exists():
             self.overwrite(incoming)
             return self.read_current().count()
+        from pyspark.sql import Observation
+
         new_rows = insert_if_absent(self.read_current(), incoming, self.key)
-        # cache-free two-action pattern is fine: the anti-join is cheap
-        # relative to a full write, and count() runs on the same plan
-        n = new_rows.count()
-        if n:
-            self.append(new_rows)
-        return n
+        # The inserted-row count rides the WRITE job via an Observation
+        # instead of a separate count() action (r12 opt): the old
+        # two-action pattern computed the anti-join twice — once for the
+        # count, once for the append. One job now does both; a no-insert
+        # day appends only an empty part file, which read_current ignores
+        # and the next compact() folds away. (guide §1.2: same bytes, one
+        # pass.)
+        obs = Observation()
+        self.append(new_rows.observe(obs, F.count(F.lit(1)).alias("n")))
+        return int(obs.get["n"])
 
     # -- partition surgery ------------------------------------------------
     def _partition_values(self, predicate=None) -> list[str]:

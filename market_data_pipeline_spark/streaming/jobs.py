@@ -55,11 +55,12 @@ def read_events_stream(
     from market_data_pipeline_spark.sources.catalog import (
         ensure_session_defaults,
         normalize_event_ts,
+        read_parquet_cached_schema,
     )
 
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = read_parquet_cached_schema(spark, path).schema
     # the file source's basePath must be a directory; events.parquet is a
     # single file in the driver layout, so stream the directory with a
     # glob filter selecting only it
@@ -80,8 +81,12 @@ def read_documents_stream(
     Batch-built operators that are stream-safe (map-only projections,
     stream-static joins like ``dedup.incremental_dedup``) compose onto
     this frame unchanged."""
+    from market_data_pipeline_spark.sources.catalog import (
+        read_parquet_cached_schema,
+    )
+
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = read_parquet_cached_schema(spark, path).schema
     reader = spark.readStream.schema(schema).option(
         "pathGlobFilter", "documents.parquet"
     )
@@ -343,6 +348,7 @@ def run_stream_to_memory(
     output_mode: str = "complete",
     timeout_sec: int = 300,
     state_partitions: int | None = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run a streaming frame to completion (Trigger.AvailableNow) into a
     memory sink and return the sink table as a batch DataFrame.
@@ -369,16 +375,39 @@ def run_stream_to_memory(
     for the stream's lifetime and restored afterwards — batch queries
     in the session are unaffected (each batch execution re-reads the
     conf).
+
+    ``checkpoint_dir``: where offsets/commits/state live. A
+    run-to-completion backfill's checkpoint is SCRATCH — the query is
+    deleted on return — so the default is an ephemeral directory under
+    ``$SPARK_GRAFT_STREAM_SCRATCH`` (else the system tmpdir), removed
+    deterministically on return instead of best-effort by Spark's
+    temp-checkpoint path. Measured r12: an explicit tmpdir checkpoint is
+    at parity-or-better with Spark's implicit temp checkpoint (stb1 1.84
+    vs 2.06, pipeline5 2.77 vs 2.74 isolated best-of-3), while
+    /dev/shm-backed scratch measured ~2x SLOWER for the multi-state-store
+    topologies on this VM (pipeline5 5.3-5.7s) — tmpfs is not
+    automatically faster than the page cache; hence tmpdir, not shm, as
+    the default. A production deployment that needs resume-after-crash
+    passes a DURABLE path here instead.
     """
+    import shutil
+    import tempfile
+
     spark = stream_df.sparkSession
     before = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    scratch = None
+    if checkpoint_dir is None:
+        root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH") or None
+        scratch = tempfile.mkdtemp(prefix="mdps_ckpt_", dir=root)
+        checkpoint_dir = scratch
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
@@ -389,6 +418,8 @@ def run_stream_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", before)
+        if scratch is not None:
+            shutil.rmtree(scratch, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 
