@@ -103,7 +103,14 @@ def apply_delistings(
     for c in ("sector", "industry", "delisting_reason"):
         if c not in master.columns:
             master = master.withColumn(c, F.lit(None).cast("string"))
-    joined = master.join(d, "symbol", "full_outer")
+    # Both consumers of the full-outer join — the returned updated-master
+    # frame (whose action is the table overwrite) and the stats aggregate
+    # (collected for the run report) — share ONE materialization via a
+    # lazy localCheckpoint (r12 opt): without it the join (master read +
+    # shuffle) executed twice, once per action. The stats collect runs
+    # first in the sync flow, materializing the checkpoint from the
+    # PRE-overwrite files; the staged write then reuses the blocks.
+    joined = master.join(d, "symbol", "full_outer").localCheckpoint(eager=False)
     in_master = F.col("is_active").isNotNull()
     is_update = in_master & (F.col("is_active") == 1) & F.col("_d_date").isNotNull()
     is_insert = ~in_master

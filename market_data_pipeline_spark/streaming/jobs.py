@@ -376,41 +376,29 @@ def run_stream_to_memory(
     in the session are unaffected (each batch execution re-reads the
     conf).
 
-    ``checkpoint_dir``: where offsets/commits/state live. A
-    run-to-completion backfill's checkpoint is SCRATCH — the query is
-    deleted on return — so the default is an ephemeral directory under
-    ``$SPARK_GRAFT_STREAM_SCRATCH`` (else the system tmpdir), removed
-    deterministically on return instead of best-effort by Spark's
-    temp-checkpoint path. Measured r12: an explicit tmpdir checkpoint is
-    at parity-or-better with Spark's implicit temp checkpoint (stb1 1.84
-    vs 2.06, pipeline5 2.77 vs 2.74 isolated best-of-3), while
-    /dev/shm-backed scratch measured ~2x SLOWER for the multi-state-store
-    topologies on this VM (pipeline5 5.3-5.7s) — tmpfs is not
-    automatically faster than the page cache; hence tmpdir, not shm, as
-    the default. A production deployment that needs resume-after-crash
-    passes a DURABLE path here instead.
+    ``checkpoint_dir``: optional DURABLE checkpoint path for deployments
+    that need resume-after-crash. Default (None) keeps Spark's implicit
+    temp checkpoint (deleted on stop). This was probed in r12: explicit
+    scratch checkpoints measured at parity in isolation but the
+    benchmark's aged session priced the st-family +30-80% against the
+    implicit path (and /dev/shm-backed scratch was ~2x slower than the
+    page cache for the multi-store topologies) — both variants were
+    reverted; see OPTIMIZATION_r12.md "dead ends".
     """
-    import shutil
-    import tempfile
-
     spark = stream_df.sparkSession
     before = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    scratch = None
-    if checkpoint_dir is None:
-        root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH") or None
-        scratch = tempfile.mkdtemp(prefix="mdps_ckpt_", dir=root)
-        checkpoint_dir = scratch
     try:
-        q = (
+        writer = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
         try:
             q.awaitTermination(timeout_sec)
         finally:
@@ -418,8 +406,6 @@ def run_stream_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", before)
-        if scratch is not None:
-            shutil.rmtree(scratch, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 

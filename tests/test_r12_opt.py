@@ -8,7 +8,7 @@ Pins the semantics of the r12 fixed-cost optimizations:
 - ``ParquetTable.upsert_absent`` still reports exact inserted counts now
   that the count rides the write job via an Observation (including the
   zero-insert day);
-- ``run_stream_to_memory`` cleans up its ephemeral checkpoint scratch;
+- ``run_stream_to_memory`` honors an explicit durable checkpoint path;
 - ``pagerank_fixed``'s join-free dangling aggregation returns exactly
   (node, rank_fp) with the same mass as the per-iteration-join version
   it replaced (value pin on a graph WITH a dangling node).
@@ -16,7 +16,6 @@ Pins the semantics of the r12 fixed-cost optimizations:
 
 from __future__ import annotations
 
-import glob
 import os
 
 import pytest
@@ -71,24 +70,22 @@ def test_upsert_absent_observed_counts(spark, tmp_path):
     assert rows == {1, 2, 3}
 
 
-def test_stream_scratch_checkpoint_cleaned(spark, sf_dir):
+def test_stream_explicit_checkpoint_param(spark, sf_dir, tmp_path):
     from market_data_pipeline_spark.streaming.jobs import (
         read_events_stream,
         run_stream_to_memory,
         streaming_tumbling,
     )
 
-    import tempfile
-
-    root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH") or tempfile.gettempdir()
-    pattern = os.path.join(root, "mdps_ckpt_*")
-    before = set(glob.glob(pattern))
+    ckpt = str(tmp_path / "ckpt")
     out = run_stream_to_memory(
         streaming_tumbling(read_events_stream(spark, sf_dir)),
-        name="t_r12_ckpt_clean",
+        name="t_r12_ckpt_param",
+        checkpoint_dir=ckpt,
     )
     assert out.count() > 0
-    assert set(glob.glob(pattern)) == before  # scratch removed on return
+    # the durable path is used (offsets/commits land there)
+    assert os.path.isdir(os.path.join(ckpt, "offsets"))
 
 
 def test_pagerank_fixed_dangling_mass_join_free(spark):
