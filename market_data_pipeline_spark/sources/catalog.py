@@ -42,6 +42,13 @@ def ensure_session_defaults(spark: SparkSession) -> None:
 
     Both are runtime-settable; failures are swallowed (a locked-down conf
     just leaves the session as-is).
+
+    Deliberately NOT memoized (r12 probe): the per-call cost is two
+    ~0.3ms py4j round-trips, and the session-contract tests
+    (tests/test_session_contract.py) REQUIRE that every entry path
+    re-pins a session whose zone was flipped mid-session — a one-shot
+    memo breaks that designed hostile-session recovery for a negligible
+    saving.
     """
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
