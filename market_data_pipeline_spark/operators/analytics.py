@@ -369,44 +369,61 @@ def global_ntile(
     ``order_cols`` must define a TOTAL order (include a tiebreak key) or
     bucket assignment at boundaries is nondeterministic. Two passes over
     the input are avoided by local-checkpointing the range-partitioned
-    frame: the count pass materializes it, the ranking pass reuses the
-    blocks.
+    frame; both the offsets branch and the ranking branch read the same
+    materialized blocks.
+
+    Fully LAZY (r12 optimization, guide §1.2): the per-partition offsets
+    used to be a driver collect — one blocking job per call, so a query
+    chaining three ntiles (e11) paid three extra job round-trips at plan
+    BUILD time. The offsets (and the NTILE sizing terms q/r, derived from
+    the total row count) now ride a tiny in-plan window over the
+    per-partition counts frame (bounded by partition count, never row
+    count) and come back via the same broadcast join that carried them
+    before. Bucket arithmetic is the exact expression tree the literal
+    version embedded, so assignments are bit-identical. (The lazy
+    localCheckpoint still executes its shuffle stages when the plan is
+    first walked under AQE; the saving is the per-call offsets
+    collect job + driver createDataFrame, pinned as a strict job-count
+    reduction in tests/test_r12_opt.py.)
     """
     sess = df.sparkSession
     p = num_partitions or sess.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(p, *order_cols).localCheckpoint(eager=False)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    total = sum(counts.values())
-    if total == 0:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
     # offsets ride a broadcast join, not a create_map literal — a plan
     # literal sized by partition count would grow with cluster width
     # (see _global_rank_cumsum)
-    acc = 0
-    off_rows = []
-    for pid in sorted(counts):
-        off_rows.append((pid, acc))
-        acc += counts[pid]
-    offs = sess.createDataFrame(off_rows, "_pid int, _cnt_off long")
-    q, r = divmod(total, n)
+    # coalesce(1), not an Exchange SinglePartition: the counts frame is
+    # bounded by the PARTITION count (never row count), and Coalesce's
+    # single output partition already satisfies the global window's
+    # required distribution, so no single-partition shuffle is planned —
+    # the plan-quality gate's no-one-task-stage-over-data contract holds
+    counts = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt")).coalesce(1)
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_cnt_off"),
+        F.sum("_cnt").over(Window.partitionBy()).alias("_total"),
+    ).select(
+        "_pid",
+        "_cnt_off",
+        F.expr(f"_total div {int(n)}").alias("_q"),
+        (F.col("_total") % int(n)).alias("_r"),
+    )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     rn = F.row_number().over(w) + F.col("_cnt_off")
-    big = r * (q + 1)  # rows living in the (q+1)-sized leading buckets
-    if q == 0:
+    # rows living in the (q+1)-sized leading buckets
+    big = F.col("_r") * (F.col("_q") + 1)
+    bucket = (
         # fewer rows than buckets: NTILE gives row i bucket i
-        bucket = rn
-    else:
-        bucket = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
-            r + F.ceil((rn - big) / q)
-        )
+        F.when(F.col("_q") == 0, rn)
+        .when(rn <= big, F.ceil(rn / (F.col("_q") + 1)))
+        .otherwise(F.col("_r") + F.ceil((rn - big) / F.col("_q")))
+    )
     return (
         with_pid.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, bucket.cast("long"))
-        .drop("_pid", "_cnt_off")
+        .drop("_pid", "_cnt_off", "_q", "_r")
     )
 
 
@@ -596,38 +613,45 @@ def _global_rank_cumsum(
 ) -> DataFrame:
     """Shared engine for global_rank/global_cumsum, and the fused form
     (both outputs from ONE range partitioning): a single
-    repartitionByRange + checkpoint + one driver collect carrying BOTH
-    the per-partition row counts and value sums — callers that need rank
-    AND running sum over the same order (Pareto analyses) pay one pass
-    instead of two."""
+    repartitionByRange + checkpoint + one in-plan offsets pass carrying
+    BOTH the per-partition row counts and value sums — callers that need
+    rank AND running sum over the same order (Pareto analyses) pay one
+    pass instead of two.
+
+    In-plan offsets (r12 optimization, guide §1.2): the per-partition
+    offsets used to be a driver collect — one blocking job per call at
+    plan BUILD time. They now ride a tiny in-plan window over the
+    per-partition counts/sums frame (bounded by partition count, never
+    row count) and come back via the same broadcast join as before
+    (same AQE-checkpoint caveat and job-count pin as global_ntile).
+    A partition whose value sum is all-NULL contributes nothing to later
+    offsets (window SUM skips NULLs), exactly as the old ``or 0`` did.
+    """
     sess = df.sparkSession
     p = num_partitions or sess.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(p, *order_cols).localCheckpoint(eager=False)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    aggs = [F.count("*").alias("cnt")]
+    aggs = [F.count("*").alias("_cnt")]
     if value_col is not None:
-        aggs.append(F.sum(value_col).alias("s"))
-    stats = {r["_pid"]: r for r in with_pid.groupBy("_pid").agg(*aggs).collect()}
-    if not stats:
-        out = df
-        for c in (rank_col, cumsum_col):
-            if c:
-                out = out.withColumn(c, F.lit(None).cast("long"))
-        return out
+        aggs.append(F.sum(value_col).alias("_s"))
+    # coalesce(1): see global_ntile — partition-count-bounded frame whose
+    # single partition satisfies the offsets window without a
+    # single-partition shuffle
+    counts = with_pid.groupBy("_pid").agg(*aggs).coalesce(1)
     # per-partition offsets travel as a BROADCAST-joined frame, not a
     # create_map literal: a plan literal sized by partition count is fine
     # at local parallelism but becomes a 200k-element expression on a
     # 100k-partition cluster run; the broadcast join stays O(partitions)
     # off the plan and adds no shuffle (pid side is tiny)
-    acc_c = acc_s = 0
-    off_rows = []
-    for pid in sorted(stats):
-        off_rows.append((pid, acc_c, acc_s))
-        acc_c += stats[pid]["cnt"]
-        if value_col is not None:
-            acc_s += int(stats[pid]["s"] or 0)
-    offs = sess.createDataFrame(
-        off_rows, "_pid int, _cnt_off long, _sum_off long"
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_cnt_off"),
+        (
+            F.coalesce(F.sum("_s").over(w_prev), F.lit(0)).cast("long")
+            if value_col is not None
+            else F.lit(0).cast("long")
+        ).alias("_sum_off"),
     )
     out = with_pid.join(F.broadcast(offs), "_pid")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
@@ -1092,7 +1116,14 @@ def order_price_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFr
     total is cast to DOUBLE only for display.
     Returns (order_status, n_orders, n_childless, n_reconciled,
     n_mismatched, total_abs_diff)."""
-    computed = lineitem.groupBy("l_orderkey").agg(
+    # guide §2.5 input under-split: a single-row-group lineitem scans as
+    # ONE task, serializing the per-order decimal partial agg; a hash
+    # exchange on the grouping key spreads it and is REUSED by the
+    # groupBy (same key), so the exchange count is unchanged. No-op on
+    # many-partition inputs; decimal sums are accumulation-order-free.
+    from market_data_pipeline_spark.operators.util import ensure_parallelism
+
+    computed = ensure_parallelism(lineitem, "l_orderkey").groupBy("l_orderkey").agg(
         F.sum(
             F.col("l_extendedprice").cast("decimal(18,2)")
             * (1 - F.col("l_discount")).cast("decimal(8,4)")

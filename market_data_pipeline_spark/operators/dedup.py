@@ -435,25 +435,31 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).filter(
         F.col("sig").isNotNull()
     )
-    band_cols = []
+    # Band key = md5 of the comma-joined band values, folded to a
+    # 60-bit BIGINT — an 8-byte shuffle key like the old xxhash64
+    # form, but reproducible in the DuckDB oracle
+    # (('0x' || substr(md5(...), 1, 15))::BIGINT).
+    # Built as ONE SQL string parsed in a single py4j round trip: the
+    # former per-band Column loop (bands x ~10 F.* invocations) cost
+    # ~500 py4j round trips of pure plan-BUILD latency per call (r12
+    # census profile: dd3 1681 round trips, most of them here). The
+    # parsed expression tree is the same operators on the same inputs —
+    # values and plan shape unchanged.
+    band_structs = []
     for b in range(bands):
-        # Band key = md5 of the comma-joined band values, folded to a
-        # 60-bit BIGINT — an 8-byte shuffle key like the old xxhash64
-        # form, but reproducible in the DuckDB oracle
-        # (('0x' || substr(md5(...), 1, 15))::BIGINT).
-        joined = F.concat_ws(
-            ",",
-            *[
-                F.element_at(F.col("sig"), b * rows_per_band + k + 1).cast("string")
-                for k in range(rows_per_band)
-            ],
+        parts = ", ".join(
+            f"CAST(element_at(sig, {b * rows_per_band + k + 1}) AS STRING)"
+            for k in range(rows_per_band)
         )
-        bh = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
-        band_cols.append(F.struct(F.lit(b).alias("band_id"), bh.alias("bh")))
+        band_structs.append(
+            f"named_struct('band_id', {b}, 'bh', "
+            f"CAST(conv(substring(md5(concat_ws(',', {parts})), 1, 15), 16, 10) AS BIGINT))"
+        )
+    band_arr = F.expr("array(" + ", ".join(band_structs) + ")")
     # explode_outer: the inferred-filter trap again — the band array embeds
     # the full minhash signature expression (see pairs_within_groups)
     buckets = (
-        sig.select(F.col(id_col), F.explode_outer(F.array(*band_cols)).alias("bucket"))
+        sig.select(F.col(id_col), F.explode_outer(band_arr).alias("bucket"))
         .filter(F.col("bucket").isNotNull())
         .select(
             F.col(id_col),

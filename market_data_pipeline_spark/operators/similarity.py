@@ -906,15 +906,31 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id (bigint) from hyperplane projections."""
-    bucket = F.lit(0).cast("long")
+def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id (bigint) from hyperplane projections of the
+    named array column.
+
+    Built as ONE SQL string parsed in a single py4j round trip (r12
+    census: the former per-plane Column loop invoked ~n_planes x dim
+    ``F.lit`` calls — 4337 py4j round trips of plan-BUILD latency for
+    k3's 6x64 planes). The parsed tree is the same sequential
+    aggregate-over-zip_with double fold per plane (bit-identical
+    projections — the k3 oracle's list_dot_product equivalence argument
+    is unchanged); plane components are inlined with ``repr``, which
+    round-trips doubles exactly, through a string-to-double CAST."""
+    bits = ["CAST(0 AS BIGINT)"]
     for i, p in enumerate(planes):
-        proj = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
-        bucket = bucket.bitwiseOR(
-            F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        arr = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p)
+        proj = (
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-    return bucket
+        bits.append(
+            f"(CASE WHEN ({proj}) >= 0 THEN CAST({1 << i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr("(" + " | ".join(bits) + ")")
 
 
 def knn_lsh(
@@ -939,11 +955,11 @@ def knn_lsh(
     Returns (query_id, vec_id, cosine, rank).
     """
     planes = random_hyperplanes(dim, n_planes, seed)
-    corpus = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    corpus = embeddings.withColumn("_bucket", lsh_bucket(vec_col, planes))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
-    ).withColumn("_bucket", lsh_bucket(F.col("_qvec"), planes))
+    ).withColumn("_bucket", lsh_bucket("_qvec", planes))
     sim = cosine(F.col(vec_col), F.col("_qvec"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)

@@ -95,7 +95,11 @@ def price_frame(
     cluster the same role is played by materializing the price fact as
     a table (storage/table.py). Symbol-FILTERED calls bypass the cache
     on purpose: at 100 TB you want the pushed-down key scan, not a
-    materialization of the whole universe."""
+    materialization of the whole universe — but their PLAN (which embeds
+    the pushed-down IN-list) is memoized per (session, sf_dir, symbols)
+    since r12: dozens of ts/a queries rebuild byte-identical filtered
+    aggregations, ~0.1s of py4j/analysis each, and a shared lazy plan
+    object re-executes the same pushed scan every time (no data cached)."""
     # re-pin session defaults even on a cache HIT: the hit path skips
     # load_table, but the CALLER's downstream tz-aware expressions still
     # resolve against the session zone at analysis time (latent until a
@@ -103,7 +107,14 @@ def price_frame(
     # tests flipped the zone — r11)
     ensure_session_defaults(spark)
     if symbols is not None:
-        return _price_agg(spark, sf_dir, symbols)
+        _purge_dead_sessions(_PRICE_PLAN_CACHE)
+        pkey = (spark, sf_dir, tuple(symbols))
+        plan = _PRICE_PLAN_CACHE.pop(pkey, None)
+        if plan is None:
+            plan = _price_agg(spark, sf_dir, symbols)
+        _PRICE_PLAN_CACHE[pkey] = plan
+        _bound_cache(_PRICE_PLAN_CACHE, max_entries=16)
+        return plan
     _purge_dead_sessions(_PRICE_CACHE)
     key = (spark, sf_dir)
     # pop-and-reinsert: a hit refreshes LRU recency (dict order)
@@ -138,6 +149,9 @@ def _price_agg(
 
 
 _PRICE_CACHE: dict = {}
+# (session, sf_dir, symbols-tuple) -> lazy filtered-price PLAN (r12).
+# Holds no checkpoint/data — eviction or clearing only costs a rebuild.
+_PRICE_PLAN_CACHE: dict = {}
 
 
 _FRAME_CACHE_MAX_DIRS = 4  # sf_dirs kept PER SESSION per cache; LRU eviction
@@ -172,19 +186,23 @@ def _purge_dead_sessions(cache: dict) -> None:
             del cache[key]
 
 
-def _bound_cache(cache: dict) -> None:
-    """Bound live entries to ``_FRAME_CACHE_MAX_DIRS`` sf_dirs PER
-    SESSION, evicting least-recently-used first (hits refresh recency
-    by re-inserting the key) — one long-lived session touching many
-    directories (sweep clones, tmp_path tests) must not accumulate a
-    checkpoint per directory (r10 advice), and one session's churn must
-    not evict another live session's hot frame (r11 review). Runs AFTER
-    insertion so the bound holds at return."""
+def _bound_cache(cache: dict, max_entries: int | None = None) -> None:
+    """Bound live entries to ``max_entries`` (default
+    ``_FRAME_CACHE_MAX_DIRS``) PER SESSION, evicting least-recently-used
+    first (hits refresh recency by re-inserting the key) — one
+    long-lived session touching many directories (sweep clones,
+    tmp_path tests) must not accumulate a checkpoint per directory (r10
+    advice), and one session's churn must not evict another live
+    session's hot frame (r11 review). Runs AFTER insertion so the bound
+    holds at return. Plan-only caches (no checkpoint blocks behind the
+    entries) pass a higher cap — an evicted plan only costs a rebuild,
+    but the r12 plan memos exist precisely to avoid those rebuilds."""
+    cap = _FRAME_CACHE_MAX_DIRS if max_entries is None else max_entries
     per_sess: dict = {}
     for key in cache:
         per_sess.setdefault(id(key[0]), []).append(key)
     for keys in per_sess.values():
-        for key in keys[: max(0, len(keys) - _FRAME_CACHE_MAX_DIRS)]:
+        for key in keys[: max(0, len(keys) - cap)]:
             del cache[key]
 
 
@@ -200,6 +218,9 @@ def clear_frame_caches() -> None:
     is the whole release — see the eviction note above _purge_dead_sessions."""
     _PRICE_CACHE.clear()
     _RETURNS_CACHE.clear()
+    _TS_SERIES_CACHE.clear()
+    _MASTER_CACHE.clear()
+    _PRICE_PLAN_CACHE.clear()
 
 
 _RETURNS_CACHE: dict = {}
@@ -263,13 +284,35 @@ price AS (
 )"""
 
 
+_MASTER_CACHE: dict = {}
+
+
 def master_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symbol dimension derived from part, with deterministic
     listing/delisting attributes mirroring stock_master
     (reference: src/clickhouse/stock_master.py:18-30; invariant
-    is_active=0 <=> delisting_date set, FIXTURES.md A1)."""
+    is_active=0 <=> delisting_date set, FIXTURES.md A1).
+
+    The PLAN is memoized per (session, sf_dir) — 20 registry queries
+    (x2 bench reps) rebuild this byte-identical dim projection; the memo
+    holds the lazy plan only (no checkpoint, no data): execution and
+    column pruning behave exactly as a fresh build (r12, guide §1.2)."""
+    ensure_session_defaults(spark)
+    _purge_dead_sessions(_MASTER_CACHE)
+    ckey = (spark, sf_dir)
+    hit = _MASTER_CACHE.pop(ckey, None)
+    if hit is not None:
+        _MASTER_CACHE[ckey] = hit
+        return hit
     p = load_table(spark, sf_dir, "part")
     pk = F.col("p_partkey")
+    out = _master_projection(p, pk)
+    _MASTER_CACHE[ckey] = out
+    _bound_cache(_MASTER_CACHE)
+    return out
+
+
+def _master_projection(p: DataFrame, pk) -> DataFrame:
     return p.select(
         pk.cast("string").alias("symbol"),
         F.col("p_name").alias("name"),
@@ -2062,12 +2105,31 @@ QUARTER_ENDS = [
 ]
 
 
+_TS_SERIES_CACHE: dict = {}
+
+
 def _ts_series(spark, sf_dir):
-    return price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS).filter(
-        F.col("close_price").isNotNull()
-        & (F.col("trade_date") >= "1996-01-01")
-        & (F.col("trade_date") <= "1998-12-31")
-    ).select("symbol", "trade_date", "close_price")
+    """Shared ts-family input: the RETURN_SYMBOLS price series with the
+    fixed date/null filters. The PLAN is memoized per (session, sf_dir)
+    — 13 ts queries (x2 bench reps) build this byte-identical subtree,
+    ~0.1s of py4j/analysis each (r12 build census). Unlike price_frame's
+    staged full-universe frame this memo holds NO checkpoint: the cached
+    object is the lazy pushed-down plan (symbol keys still reach the
+    parquet footer), so execution re-scans parquet every time — only the
+    plan-BUILD cost is shared."""
+    ensure_session_defaults(spark)  # hit path skips price_frame's re-pin
+    _purge_dead_sessions(_TS_SERIES_CACHE)
+    key = (spark, sf_dir)
+    frame = _TS_SERIES_CACHE.pop(key, None)
+    if frame is None:
+        frame = price_frame(spark, sf_dir, symbols=RETURN_SYMBOLS).filter(
+            F.col("close_price").isNotNull()
+            & (F.col("trade_date") >= "1996-01-01")
+            & (F.col("trade_date") <= "1998-12-31")
+        ).select("symbol", "trade_date", "close_price")
+    _TS_SERIES_CACHE[key] = frame
+    _bound_cache(_TS_SERIES_CACHE)
+    return frame
 
 
 @query(
@@ -3817,10 +3879,19 @@ def iv2_concurrent_sessions(spark, sf_dir):
     runs events.interval_overlap_join — both sides bucketed to covering
     hours, hash join on the bucket, each pair emitted once from the
     bucket holding the overlap's start. At 100 TB add a coarse grouping
-    key (shard/region) to the join to bound per-bucket fan-out."""
+    key (shard/region) to the join to bound per-bucket fan-out.
+
+    The session frame feeds BOTH join sides, and the broadcast build
+    side can't reuse the probe side's exchange (different tree shapes),
+    so without a checkpoint the scan + two sessionize windows execute
+    twice (r12 plan audit: two full parquet→Window→Window chains). The
+    lazy localCheckpoint materializes sessionize once; both sides read
+    its blocks (guide §3.3/§5 — rows identical)."""
     ev_df = load_table(spark, sf_dir, "events")
-    sess = ev.sessionize(ev_df, gap_minutes=30).select(
-        "user_id", "session_start", "session_end"
+    sess = (
+        ev.sessionize(ev_df, gap_minutes=30)
+        .select("user_id", "session_start", "session_end")
+        .localCheckpoint(eager=False)
     )
     a = sess.select(
         F.col("user_id").alias("user_a"),
@@ -5247,10 +5318,14 @@ def iv4_allen_relations(spark, sf_dir):
     """Allen-style interval-relation census over concurrent session
     pairs (equals / contains / during / overlaps / overlapped_by) — the
     temporal-reasoning summary on top of the bucketed overlap join; the
-    oracle states the naive range self-join the engine never runs."""
+    oracle states the naive range self-join the engine never runs.
+    The shared session frame is lazily checkpointed for the same
+    both-join-sides reason as iv2 (sessionize otherwise runs twice)."""
     ev_df = load_table(spark, sf_dir, "events")
-    sess = ev.sessionize(ev_df, gap_minutes=30).select(
-        "user_id", "session_start", "session_end"
+    sess = (
+        ev.sessionize(ev_df, gap_minutes=30)
+        .select("user_id", "session_start", "session_end")
+        .localCheckpoint(eager=False)
     )
     a = sess.select(
         F.col("user_id").alias("user_a"),

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from market_data_pipeline_spark.operators.util import ensure_parallelism
 from market_data_pipeline_spark.plans.driver_queries import query
 from market_data_pipeline_spark.sources.catalog import load_table
 
@@ -63,8 +64,18 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     """Full-fact scan-and-aggregate: one shuffle on a 6-value group key.
     The heavy lifting is the map-side partial agg; at 100 TB this is the
     canonical 'reduce 600B rows to 6' plan and the scan's min/max stats
-    prune nothing (predicate keeps ~all rows) — throughput-bound."""
+    prune nothing (predicate keeps ~all rows) — throughput-bound.
+
+    ensure_parallelism (guide §2.5 input under-split): the driver's
+    testdata is one row group, so the scan — and with it the whole
+    decimal partial aggregation — runs as ONE task at any core count.
+    One cheap hash exchange on l_orderkey spreads the partial agg over
+    the cluster (measured r12 interleaved A/B at sf0.1: 3.11 -> 1.42s
+    best-of-5); at production file layouts the partition-count check
+    short-circuits and the plan is unchanged. Result-safe: every
+    aggregate here accumulates in DECIMAL or COUNT (order-free)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    li = ensure_parallelism(li, "l_orderkey")
     cnt = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast(DEC2)).cast("double").alias("sum_qty"),
@@ -531,8 +542,11 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
 def tpch_q18_large_volume_customers(spark, sf_dir):
     """Customers behind orders totalling >300 units: HAVING-filtered
     agg as a semi-join qualifier, then re-aggregate with the dims.
-    The qualifier frame is tiny post-HAVING → broadcast semi join."""
-    li = load_table(spark, sf_dir, "lineitem")
+    The qualifier frame is tiny post-HAVING → broadcast semi join.
+    ensure_parallelism: single-row-group input otherwise runs BOTH
+    decimal partial aggs in one task (see tpch_q1; no-op at scale,
+    exchange reused by the orderkey groupBy, decimal sums order-free)."""
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC2)).alias("sq"))

@@ -101,6 +101,15 @@ def get_spark(
         # tick quarters the garbage-accumulation window; the System.gc()
         # it costs is a driver-side pause amortized across whole queries.
         .config("spark.cleaner.periodicGC.interval", "15s")
+        # PySpark 4 wraps every DataFrame/Column method to capture the
+        # user call site for error context; with it on, EACH wrapped call
+        # pays getActiveSession + a conf read + a python stack walk + two
+        # JVM thread-local updates (~3-4 py4j round trips). Plan BUILD
+        # time is a per-query fixed cost in this engine (r12 census:
+        # median 0.15s/query, ~25% of it this wrapper), so trade error
+        # ergonomics for build latency. Cached module-wide by
+        # pyspark.errors.utils.is_debugging_enabled on first wrapped call.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Preload numpy/pandas/pyarrow in the worker daemon so forked
         # workers inherit them copy-on-write: N chained Arrow-python
         # stages x C cores = N*C workers, each otherwise paying the

@@ -123,3 +123,156 @@ def test_pagerank_fixed_dangling_mass_join_free(spark):
             v: base + (17 * (contrib[v] + dang // n)) // 20 for v in nodes
         }
     assert got == ranks
+
+
+# --- session-2 optimization invariants (lazy ntile/rank, plan memos) -----
+
+
+def _job_counter(spark) -> int:
+    # DAGScheduler.nextJobId is an AtomicInteger; py4j unboxes .get-less
+    # access to the current int value
+    return spark._jsc.sc().dagScheduler().nextJobId()
+
+
+def test_global_ntile_builds_lazily_and_matches_window(spark):
+    """r12 session-2: global_ntile must not run the per-call driver
+    OFFSETS job at plan-build time (the offsets ride an in-plan window +
+    broadcast join, not a driver collect) and still assign buckets
+    bit-identically to NTILE(). Note: localCheckpoint(eager=False)
+    itself still executes its shuffle stages under AQE when the plan is
+    first walked, so 'lazy' here means 'no more jobs than the old build
+    MINUS its count/collect' — pinned as a strict job-count reduction
+    vs the driver-collect formulation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.operators import analytics as A
+
+    df = spark.createDataFrame(
+        [(f"s{i:03d}", (i * 37) % 19) for i in range(200)], "k string, v int"
+    )
+    j0 = _job_counter(spark)
+    out = A.global_ntile(df, [F.desc("v"), F.col("k")], 7, out_col="b")
+    new_jobs = _job_counter(spark) - j0
+    # the old formulation additionally ran groupBy(_pid).count().collect()
+    j1 = _job_counter(spark)
+    ranged = df.repartitionByRange(4, F.desc("v"), F.col("k")).localCheckpoint(
+        eager=False
+    )
+    ranged.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").agg(
+        F.count("*")
+    ).collect()
+    old_jobs = _job_counter(spark) - j1
+    assert new_jobs < old_jobs, (new_jobs, old_jobs)
+    got = {
+        (r["k"], r["b"])
+        for r in out.select("k", "b").collect()
+    }
+    want = {
+        (r["k"], r["b"])
+        for r in df.withColumn(
+            "b", F.ntile(7).over(Window.orderBy(F.desc("v"), F.col("k"))).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_cumsum_builds_lazily(spark):
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.operators import analytics as A
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 7 + 1) for i in range(100)], "id long, v long"
+    )
+    j0 = _job_counter(spark)
+    out = A.global_rank_cumsum(df, [F.col("id")], "v", "rk", "cs")
+    new_jobs = _job_counter(spark) - j0
+    j1 = _job_counter(spark)
+    ranged = df.repartitionByRange(4, F.col("id")).localCheckpoint(eager=False)
+    ranged.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").agg(
+        F.count("*"), F.sum("v")
+    ).collect()
+    old_jobs = _job_counter(spark) - j1
+    assert new_jobs < old_jobs, (new_jobs, old_jobs)
+    rows = {r["id"]: (r["rk"], r["cs"]) for r in out.collect()}
+    acc = 0
+    for i in range(100):
+        acc += (i * 13) % 7 + 1
+        assert rows[i] == (i + 1, acc)
+
+
+def test_lsh_bucket_single_expr_matches_python(spark):
+    """lsh_bucket is now one parsed SQL expression; its sign pattern must
+    equal the straightforward python dot-product signs."""
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.operators.similarity import (
+        lsh_bucket,
+        random_hyperplanes,
+    )
+
+    dim, n_planes = 8, 5
+    planes = random_hyperplanes(dim, n_planes, seed=7)
+    vecs = [
+        (i, [((i * 31 + j * 17) % 13 - 6) / 3.0 for j in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", lsh_bucket("embedding", planes).alias("b")
+        ).collect()
+    }
+    for i, v in vecs:
+        want = 0
+        for p_i, p in enumerate(planes):
+            acc = 0.0
+            for x, y in zip(v, p):
+                acc += float(x) * float(y)
+            if acc >= 0:
+                want |= 1 << p_i
+        assert got[i] == want, f"vec {i}: {got[i]} != {want}"
+
+
+def test_plan_memos_share_and_clear(spark, sf_dir):
+    """master_frame / filtered price_frame memoize the lazy PLAN per
+    (session, sf_dir[, symbols]) — same object on repeat calls, dropped
+    by clear_frame_caches (the property-test rewrite contract)."""
+    from market_data_pipeline_spark.plans import driver_queries as dq
+
+    dq.clear_frame_caches()
+    m1 = dq.master_frame(spark, sf_dir)
+    m2 = dq.master_frame(spark, sf_dir)
+    assert m1 is m2
+    p1 = dq.price_frame(spark, sf_dir, symbols=["3", "7"])
+    p2 = dq.price_frame(spark, sf_dir, symbols=["3", "7"])
+    assert p1 is p2
+    assert dq.price_frame(spark, sf_dir, symbols=["3"]) is not p1
+    dq.clear_frame_caches()
+    assert dq.master_frame(spark, sf_dir) is not m1
+    dq.clear_frame_caches()
+
+
+def test_load_table_memoizes_relation_until_rewrite(spark, tmp_path):
+    """read_parquet_cached_schema returns the SAME DataFrame for an
+    unchanged file version (plan-object reuse, no data caching) and a
+    FRESH one after the file is replaced."""
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.sources import catalog as cat
+
+    p = str(tmp_path / "memo.parquet")
+    spark.range(5).select(F.col("id").alias("a")).write.parquet(p)
+    d1 = cat.read_parquet_cached_schema(spark, p)
+    d2 = cat.read_parquet_cached_schema(spark, p)
+    assert d1 is d2
+    import shutil
+
+    shutil.rmtree(p)
+    spark.range(3).select(F.col("id").alias("a")).write.parquet(p)
+    spark.catalog.refreshByPath(p)
+    d3 = cat.read_parquet_cached_schema(spark, p)
+    assert d3 is not d1
+    assert d3.count() == 3
