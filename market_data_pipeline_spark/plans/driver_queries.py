@@ -136,6 +136,18 @@ def _price_agg(
     li = load_table(spark, sf_dir, "lineitem")
     if symbols is not None:
         li = li.filter(F.col("l_partkey").isin([int(s) for s in symbols]))
+    else:
+        # full-universe staging only (guide §2.5 input under-split): the
+        # single-row-group testdata scans as ONE task, serializing the
+        # (symbol, day) decimal partial agg that the session cache
+        # materializes; one hash exchange spreads it (measured 2.67 ->
+        # 1.15 s interleaved at sf0.1) and no-ops on multi-partition
+        # inputs. The FILTERED path keeps the bare pushed-key scan —
+        # a handful of post-scan rows gains nothing from an exchange.
+        # All three aggregates are max/decimal (accumulation-order-free).
+        from market_data_pipeline_spark.operators.util import ensure_parallelism
+
+        li = ensure_parallelism(li, "l_partkey")
     return li.groupBy(
         F.col("l_partkey").cast("string").alias("symbol"),
         F.to_date("l_shipdate").alias("trade_date"),
