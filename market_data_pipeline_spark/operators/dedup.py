@@ -202,20 +202,37 @@ def containment_pairs(
         F.col("a.sz").alias("_sza"),
         F.col("b.sz").alias("_szb"),
     ).agg(F.count("*").alias("common"))
-    fwd = und.select(
-        F.col("_ida").alias(id_col),
-        F.col("_idb").alias("other_id"),
-        "common",
-        (F.col("common") / F.col("_sza")).alias("containment"),
-    )
-    rev = und.select(
-        F.col("_idb").alias(id_col),
-        F.col("_ida").alias("other_id"),
-        "common",
-        (F.col("common") / F.col("_szb")).alias("containment"),
+    # Emit both directions via a map-side explode, not a union of two
+    # selects over ``und``: the union's branches each ran the
+    # post-bucket-shuffle pair-emit + aggregation (ReuseExchange deduped
+    # the plan only up to the bucket exchange — measured r12 opt
+    # session 3). Same rows from ONE aggregation; the per-direction
+    # containment divisions are the identical expressions.
+    dirs = und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ida").alias("_id"),
+                    F.col("_idb").alias("other_id"),
+                    F.col("common").alias("common"),
+                    (F.col("common") / F.col("_sza")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("_idb").alias("_id"),
+                    F.col("_ida").alias("other_id"),
+                    F.col("common").alias("common"),
+                    (F.col("common") / F.col("_szb")).alias("containment"),
+                ),
+            )
+        ).alias("_d")
     )
     return (
-        fwd.unionByName(rev)
+        dirs.select(
+            F.col("_d._id").alias(id_col),
+            F.col("_d.other_id").alias("other_id"),
+            F.col("_d.common").alias("common"),
+            F.col("_d.containment").alias("containment"),
+        )
         .filter(F.col("containment") >= threshold)
         .orderBy(id_col, "other_id")
     )
@@ -396,6 +413,12 @@ def shingle_hash_docfreq(
         .filter(F.col("_s").isNotNull())
         .select(id_col, F.xxhash64("_s").alias("shingle"))
         .distinct()
+        # NOT checkpointed (r12 opt session-3 measured): both consumers
+        # walk this frame, but ReuseExchange dedupes the expensive
+        # shingle-explode+distinct up to its exchange, and an explicit
+        # localCheckpoint materialization measured ~0.2-0.3s SLOWER at
+        # sf0.1 (f15 1.61 -> 1.93 isolated best-of-N) than letting the
+        # reused exchange serve both branches.
     )
     return sh, sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("docfreq"))
 
@@ -896,9 +919,23 @@ def connected_components(
     import logging
 
     a, b = F.col(left_col), F.col(right_col)
+    # Symmetrize via a map-side explode of both directions, NOT a union
+    # of two selects over ``pairs``: union branches are separate plan
+    # subtrees, so the whole upstream pair pipeline (shingling → bucket
+    # shuffle → pair explode) would execute TWICE inside the eager
+    # checkpoint's job (r12 opt session 3; guide §2.2 "shuffle fewer
+    # bytes" / §1.2 fixed costs). The explode emits the identical row
+    # multiset from ONE walk of the input.
     edges = (
-        pairs.select(a.alias("src"), b.alias("dst"))
-        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )

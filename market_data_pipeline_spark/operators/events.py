@@ -604,8 +604,13 @@ def rfm_scores(
     """
     from market_data_pipeline_spark.operators.analytics import global_ntile
 
-    anchor = df.agg(F.max(ts_col).alias("_mx"))
-    per_user = (
+    # ONE walk of the event stream: the corpus-max anchor is the max of
+    # the per-user maxes, so it derives from the (tiny, |users|-row)
+    # per-user aggregate instead of a second full scan (r12 opt
+    # session-3 walk census: e11 read events twice). The lazy
+    # localCheckpoint lets the anchor aggregate and the downstream
+    # ntile chain share the materialized per-user frame.
+    per_user_raw = (
         df.groupBy(key_col)
         .agg(
             F.max(ts_col).alias("_last"),
@@ -616,7 +621,11 @@ def rfm_scores(
                 ).cast("decimal(18,2)")
             ).alias("_mon"),
         )
-        .crossJoin(F.broadcast(anchor))
+        .localCheckpoint(eager=False)
+    )
+    anchor = per_user_raw.agg(F.max("_last").alias("_mx"))
+    per_user = (
+        per_user_raw.crossJoin(F.broadcast(anchor))
         .select(
             F.col(key_col),
             F.datediff(F.to_date("_mx"), F.to_date("_last"))

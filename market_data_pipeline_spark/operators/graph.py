@@ -46,21 +46,30 @@ def pagerank(
     stays bounded by the checkpoint interval, not the iteration count.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # ONE aggregation pass over the raw edge plan; nodes and out-degrees
+    # derive from the (small) grouped multiset, not from ``e`` — the old
+    # init walked the full upstream edge pipeline ~4x (nodes union x2,
+    # out_deg, the multiplicity groupBy) before anything was
+    # checkpointed (r12 opt session 3, guide §1.2/§5).
+    grouped = (
+        e.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .localCheckpoint(eager=False)
+    )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        grouped.select(F.col("src").alias("node"))
+        .unionByName(grouped.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(None).cast("double"))
-    # per-(src, dst) edge weight = multiplicity / out-degree(src)
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # per-(src, dst) edge weight = multiplicity / out-degree(src);
+    # out-degree = raw edge count per src = sum of multiplicities
+    out_deg = grouped.groupBy("src").agg(F.sum("_m").alias("_deg"))
     norm_edges = (
-        e.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("_m"))
-        .join(out_deg, "src")
+        grouped.join(out_deg, "src")
         .select("src", "dst", (F.col("_m") / F.col("_deg")).alias("share"))
         .localCheckpoint(eager=False)  # loop invariant: built exactly once
     )
@@ -140,20 +149,27 @@ def pagerank_fixed(
     Returns (node, rank_fp BIGINT); rank = rank_fp / PAGERANK_SCALE.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Same one-pass init as :func:`pagerank`: the grouped multiset is
+    # the only walk of the raw edge plan; nodes/out-degrees derive from
+    # it (r12 opt session 3). out-degree = SUM of integer
+    # multiplicities = the old per-src row count, exactly.
+    grouped = (
+        e.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .localCheckpoint(eager=False)
+    )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        grouped.select(F.col("src").alias("node"))
+        .unionByName(grouped.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank_fp", F.lit(None).cast("long"))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    out_deg = grouped.groupBy("src").agg(F.sum("_m").alias("_deg"))
     norm_edges = (
-        e.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("_m"))
-        .join(out_deg, "src")
+        grouped.join(out_deg, "src")
         .localCheckpoint(eager=False)  # loop invariant: built exactly once
     )
     # DANGLING membership (no out-edges) is a loop invariant: compute it

@@ -1424,13 +1424,26 @@ def rank_churn(
         F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), 1),
         "yyyy-MM",
     )
-    a = rk.select(
-        symbol_col, "month", F.col("rnk").alias("r1"), nxt.alias("_next")
+    # Month-over-month pairing via a per-symbol lead window, not a
+    # self-join of ``rk`` with itself — the self-join's two plan
+    # branches each re-ran the monthly aggregate + rank window, plus a
+    # join shuffle (r12 opt session 3, guide §2.1/§3). lead() over
+    # (symbol ORDER BY month) paired with the equality filter on the
+    # computed next-month string admits exactly the rows the equi-join
+    # matched: a symbol absent from the immediately-following month
+    # yields a lead month != next and is dropped.
+    ws = Window.partitionBy(symbol_col).orderBy("month")
+    paired = (
+        rk.select(
+            symbol_col,
+            "month",
+            F.col("rnk").alias("r1"),
+            nxt.alias("_next"),
+            F.lead("month").over(ws).alias("_lead_month"),
+            F.lead("rnk").over(ws).alias("r2"),
+        )
+        .filter(F.col("_lead_month") == F.col("_next"))
     )
-    b = rk.select(
-        symbol_col, F.col("month").alias("_next"), F.col("rnk").alias("r2")
-    )
-    paired = a.join(b, [symbol_col, "_next"])
     return (
         paired.groupBy("month")
         .agg(

@@ -9402,10 +9402,29 @@ def dq7_orphan_rates(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey")
     )
-    n_orders = o.count()
-    n_lineitems = li.count()
-    childless = o.join(li, "o_orderkey", "left_anti").count()
-    orphans = li.join(o, "o_orderkey", "left_anti").count()
+    # ONE pass per table + one co-keyed full-outer join carries all four
+    # counts (r12 opt session-3 walk census: the old four separate count
+    # actions scanned orders and lineitem 3x each and ran 4 blocking
+    # jobs). Lineitem pre-aggregates to per-key multiplicities, so the
+    # join is keys-vs-keys; childless = order key with no lineitem rows,
+    # orphans = SUM of multiplicities on keys with no order — exactly
+    # the old anti-join row counts. Rates keep the identical driver-side
+    # python round() on the collected single row.
+    li_per_key = li.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("_ln"))
+    om = o.withColumn("_o", F.lit(1))
+    joined = om.join(li_per_key, "o_orderkey", "full_outer")
+    row = joined.agg(
+        F.count("_o").alias("n_orders"),
+        F.count(F.when(F.col("_o").isNotNull() & F.col("_ln").isNull(), 1)).alias(
+            "childless"
+        ),
+        F.coalesce(F.sum("_ln"), F.lit(0)).alias("n_lineitems"),
+        F.coalesce(
+            F.sum(F.when(F.col("_o").isNull(), F.col("_ln"))), F.lit(0)
+        ).alias("orphans"),
+    ).collect()[0]
+    n_orders, childless = row["n_orders"], row["childless"]
+    n_lineitems, orphans = int(row["n_lineitems"]), int(row["orphans"])
     return spark.createDataFrame(
         [
             (

@@ -35,9 +35,11 @@ def test_cc_edges_materialized_once(spark):
     pairs = base.mapInPandas(bump, base.schema)
     out = DD.connected_components(pairs, "doc_a", "doc_b")
     assert {r.component for r in out.collect()} == {1}
-    # 5 pair rows, read once per union side = 10; without the checkpoint
-    # each of the >=5 rounds re-reads both sides (>=50)
-    assert acc.value == 10
+    # 5 pair rows, read exactly ONCE (r12 opt session 3: the symmetrize
+    # is a map-side explode, so there is no second union branch; the
+    # union-era pin was 10 = once per side). Without the checkpoint each
+    # of the >=5 rounds would re-read the source (>=25).
+    assert acc.value == 5
 
 
 def test_cc_audit_converged_flag(spark):
