@@ -235,6 +235,21 @@ def clear_frame_caches() -> None:
     _PRICE_PLAN_CACHE.clear()
 
 
+def materialize_then_sort(df, *keys):
+    """Cut lineage before a FINAL global sort whose child plan contains
+    no shuffle (map-only or broadcast-only upstream): the range
+    exchange's boundary-sampling pass re-EXECUTES the sort's child, and
+    with no shuffle files below it to reuse, the entire pipeline runs
+    TWICE per action (r12 opt session-3 walk census — every flagged
+    single-call-site 2.0x query whose plan had exactly one Exchange was
+    this shape; tx9 measured 1.39 -> 0.82 s isolated with the cut). The
+    lazy localCheckpoint materializes the child once; sampling and the
+    sort both read its blocks. Queries whose plan already ends in a
+    shuffle do NOT need this — their sampling pass reuses shuffle files
+    (which is why the final orderBy only costs ~60-70 ms there)."""
+    return df.localCheckpoint(eager=False).orderBy(*keys)
+
+
 _RETURNS_CACHE: dict = {}
 
 
@@ -3032,7 +3047,9 @@ def dd7_dup_clusters(spark, sf_dir):
     pairs = dedup.blocked_name_pairs(
         sup, block_col="s_nationkey", id_col="s_suppkey", name_col="s_name", max_dist=2
     )
-    return dedup.connected_components(pairs, "id_a", "id_b").orderBy("node")
+    return materialize_then_sort(
+        dedup.connected_components(pairs, "id_a", "id_b"), "node"
+    )
 
 
 @query(
@@ -3248,10 +3265,9 @@ def dd8_dedup_corpus(spark, sf_dir):
     drop = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    return (
-        docs.join(drop, "doc_id", "left_anti")
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
+    return materialize_then_sort(
+        docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source"),
+        "doc_id",
     )
 
 
@@ -3315,10 +3331,9 @@ def dd8_capped_dedup_corpus(spark, sf_dir):
     drop = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    return (
-        docs.join(drop, "doc_id", "left_anti")
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
+    return materialize_then_sort(
+        docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source"),
+        "doc_id",
     )
 
 
@@ -3412,7 +3427,9 @@ def tx9_redact_pii(spark, sf_dir):
     """Regex PII scrubbing (emails, phone-shaped digit runs) — map-only
     codegen; the regexes are restricted to Java-regex ∩ RE2 syntax so the
     oracle executes the identical patterns."""
-    return tx.redact_pii(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+    return materialize_then_sort(
+        tx.redact_pii(load_table(spark, sf_dir, "documents")), "doc_id"
+    )
 
 
 @query(
@@ -3434,9 +3451,13 @@ def ck1_chunk_documents(spark, sf_dir):
     """Context-length chunking: 64-token windows, 16-token overlap
     (stride 48) — the RAG/embedding ingestion reshape. Map-only
     posexplode; output rows ≈ tokens / stride."""
-    return tx.chunk_documents(
-        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
-    ).orderBy("doc_id", "chunk_idx")
+    return materialize_then_sort(
+        tx.chunk_documents(
+            load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+        ),
+        "doc_id",
+        "chunk_idx",
+    )
 
 
 @query(
@@ -3620,8 +3641,8 @@ def tx10_repetition_stats(spark, sf_dir):
     Counter pass, no shuffle. A JVM higher-order-function form was measured
     and rejected as O(distinct x total) per document (quadratic in doc
     length); rationale in ``operators/text.py:351``."""
-    return tx.repetition_stats(load_table(spark, sf_dir, "documents")).orderBy(
-        "doc_id"
+    return materialize_then_sort(
+        tx.repetition_stats(load_table(spark, sf_dir, "documents")), "doc_id"
     )
 
 
@@ -3804,7 +3825,7 @@ def dd11_incremental_dedup(spark, sf_dir):
     return (
         dedup.incremental_dedup(new_batch, seen, fingerprint_col=head_fp)
         .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
+        .transform(lambda d: materialize_then_sort(d, "doc_id"))
     )
 
 
@@ -5213,9 +5234,11 @@ def smp5_negative_sampling(spark, sf_dir):
     per anchor over a range-partitioned exact rank (ids not assumed
     dense; no single-task window); self-draws shift to the next rank —
     see operators.text.negative_sampling."""
-    return tx.negative_sampling(
-        load_table(spark, sf_dir, "documents"), k=4
-    ).orderBy("doc_id", "neg_idx")
+    return materialize_then_sort(
+        tx.negative_sampling(load_table(spark, sf_dir, "documents"), k=4),
+        "doc_id",
+        "neg_idx",
+    )
 
 
 @query(
@@ -5671,8 +5694,8 @@ def tx14_sentence_stats(spark, sf_dir):
     per sentence) — map-only higher-order expressions, no shuffle; the
     average is an exact integer ratio. See
     operators.text.sentence_stats."""
-    return tx.sentence_stats(load_table(spark, sf_dir, "documents")).orderBy(
-        "doc_id"
+    return materialize_then_sort(
+        tx.sentence_stats(load_table(spark, sf_dir, "documents")), "doc_id"
     )
 
 
@@ -5851,10 +5874,11 @@ def dq3_childless_orders(spark, sf_dir):
     keys = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey")
     )
-    return (
-        o.join(keys, "o_orderkey", "left_anti")
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-        .orderBy("o_orderkey")
+    return materialize_then_sort(
+        o.join(keys, "o_orderkey", "left_anti").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        ),
+        "o_orderkey",
     )
 
 
@@ -6060,9 +6084,13 @@ def k8_radius_search(spark, sf_dir):
     fixed k): broadcast queries, one corpus scan, map-side filter — no
     shuffle after the scan. See operators.similarity.radius_search."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.radius_search(
-        emb, emb.filter(F.col("vec_id").isin(0, 1, 2)), threshold=0.15
-    ).orderBy("query_id", "vec_id")
+    return materialize_then_sort(
+        similarity.radius_search(
+            emb, emb.filter(F.col("vec_id").isin(0, 1, 2)), threshold=0.15
+        ),
+        "query_id",
+        "vec_id",
+    )
 
 
 # ===========================================================================
@@ -6235,7 +6263,8 @@ def tx16_quality_gate(spark, sf_dir):
     auditable form of a pretraining filter; the reasons string is what
     a data-quality dashboard aggregates). Map-only, split staged once.
     See operators.text.quality_gate."""
-    return tx.quality_gate(load_table(spark, sf_dir, "documents")).orderBy(
+    return materialize_then_sort(
+        tx.quality_gate(load_table(spark, sf_dir, "documents")),
         "doc_id"
     )
 
@@ -7290,7 +7319,7 @@ def tx18_charset_stats(spark, sf_dir):
     share. Map-only JVM regex counting, fully codegen'd. See
     operators.text.charset_stats."""
     docs = load_table(spark, sf_dir, "documents")
-    return tx.charset_stats(docs).orderBy("doc_id")
+    return materialize_then_sort(tx.charset_stats(docs), "doc_id")
 
 
 # ===========================================================================
@@ -7956,7 +7985,7 @@ def tx20_lexical_diversity(spark, sf_dir):
             F.size("_t") > 0,
             F.round(F.size(F.array_distinct("_t")) * 1.0 / F.size("_t"), 6),
         ).alias("ttr"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: materialize_then_sort(d, "doc_id"))
 
 
 @query(
@@ -9061,7 +9090,7 @@ def tx22_keyword_in_context(spark, sf_dir):
             F.col("pos").cast("long").alias("pos"),
             F.concat_ws(" ", F.slice("_t", lo, n)).alias("context"),
         )
-        .orderBy("doc_id")
+        .transform(lambda d: materialize_then_sort(d, "doc_id"))
     )
 
 
