@@ -6156,11 +6156,21 @@ def mm6_phash_dedup(spark, sf_dir):
         "media_id", F.col("media_id") + F.lit(1_000_000)
     )
     hashes = mm.perceptual_hash(imgs.unionByName(dupes), grid=8)
+    # media_ids is a comma-joined string (numeric sort, then join), not an
+    # array<long>: the driver's canonicalizer sorts row tuples with pandas,
+    # which cannot order list cells (r12 verdict item #2) — a rows-only
+    # query must emit a sortable surface.
     return (
         hashes.groupBy("phash")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_images"),
-            F.sort_array(F.collect_list("media_id")).alias("media_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("media_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("media_ids"),
         )
         .filter(F.col("n_images") >= 2)
         .orderBy("phash")
