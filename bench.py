@@ -466,7 +466,7 @@ def main() -> None:
         if (m := re.search(r"_r(\d+)\.json$", p))
     ]
     this_round = max(bench_rounds, default=0) + 1
-    write_benchq(
+    benchq_path = write_benchq(
         repo_dir,
         this_round,
         {
@@ -499,10 +499,15 @@ def main() -> None:
     print(line, flush=True)
     # Tail-truncation defense (r3 verdict #2): the driver keeps a *tail*
     # buffer of stdout, so a >4 KiB main line gets its HEAD clipped — which
-    # is where r3 put the summary. Emit a second, short, summary-only JSON
-    # line AFTER the main line: the end of the output always parses, and
-    # the totals are recoverable from BENCH_r{N}.json without git
-    # archaeology even when the per-query dict is clipped.
+    # is where r3 put the summary. Emit a second JSON line AFTER the main
+    # line: the end of the output always parses, and the totals are
+    # recoverable from BENCH_r{N}.json without git archaeology even when
+    # the per-query dict is clipped. Per-query contract (r12 verdict #6):
+    # the driver's PERF comparator reads THIS final line, so it now also
+    # carries the compact per-query dict (the driver demonstrably parses
+    # the full final line, not just its 4 KiB tail: BENCH_r12's "parsed"
+    # holds complete families from a tail that clipped them) plus the
+    # name of the per-query sidecar this exact run was preserved in.
     print(
         json.dumps(
             {
@@ -512,6 +517,8 @@ def main() -> None:
                 "families": families,
                 "family_regressions": regressions,
                 "query_regressions": q_regressions,
+                "queries_file": os.path.basename(benchq_path),
+                "queries": timings,
             },
             separators=(",", ":"),
         ),
