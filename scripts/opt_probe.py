@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--top", type=int, default=0, help="probe the N slowest by BENCHQ_r12")
+    ap.add_argument("--plans-dir", default="r13", help="plans/<dir>/ for --tag dumps")
     args = ap.parse_args()
 
     names = list(args.names)
@@ -60,7 +61,9 @@ def main() -> None:
     ).format("noop").save()
 
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        args.plans_dir,
     )
     results = {}
     for name in names:
