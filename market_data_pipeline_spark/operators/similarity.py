@@ -110,6 +110,53 @@ def _vec_lit(x) -> Column:
     return F.lit(float(x)) if x is not None else F.lit(None).cast("double")
 
 
+def _sql_dlit(x) -> str:
+    """One double literal as SQL text, bit-exact.
+
+    ``repr(float)`` is the shortest string that round-trips the IEEE
+    double in Python, and Java's ``Double.parseDouble`` is correctly
+    rounded, so the JVM recovers the identical bits. The ``D`` suffix
+    forces DOUBLE — a bare ``0.1`` literal is DECIMAL(1,1) in Spark SQL.
+    Non-finite values have no bare-literal spelling; CAST from string."""
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _vec_expr(v) -> Column:
+    """A literal ``array<double>`` built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) for x in v])`` costs ~2 py4j round trips per
+    component — a 16x64 centroid pool was measured at 1.8-4.4 s of pure
+    plan-BUILD latency in ivf_assign (the dd3 Column-loop disease, r12
+    S3). One ``F.expr`` string is a single round trip and parses in
+    ~1 ms; ConstantFolding collapses it to the same array literal."""
+    return F.expr("array(" + ",".join(_sql_dlit(x) for x in v) + ")")
+
+
+def _py_norm(v) -> float | None:
+    """Driver-side L2 norm, bit-identical to :func:`_norm`'s fold: the
+    same sequential left fold (acc + x*x in index order) in IEEE
+    doubles — Python floats ARE IEEE doubles — then a correctly-rounded
+    sqrt on both runtimes. Lets a literal centroid's norm be inlined as
+    a plan constant instead of re-folded per corpus row. None when any
+    component is None (the fold's NULL propagation)."""
+    acc = 0.0
+    for x in v:
+        if x is None:
+            return None
+        x = float(x)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -505,18 +552,35 @@ def ivf_assign(
         len(cent_rows) * len(cent_rows[0]["_cvec"]) <= _LITERAL_ARGMAX_TERMS
     )
     if literal_ok:
+        # Each centroid's component array is ONE parsed F.expr (see
+        # _vec_expr: the per-component F.lit loop cost 1.8-4.4 s of
+        # pure py4j plan-build latency at 16x64 — the dominant cost of
+        # k4/k5/k17 at sf0.1), and its L2 norm is precomputed on the
+        # driver (_py_norm — bit-identical to _norm's sequential fold)
+        # so the per-row cosine divides by a literal instead of
+        # re-folding the centroid per corpus row.
         cent_arr = F.array(
             *[
                 F.struct(
                     F.lit(r["_cid"]).cast(cid_type).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in r["_cvec"]]).alias("cvec"),
+                    _vec_expr(r["_cvec"]).alias("cvec"),
+                    F.lit(_py_norm(r["_cvec"])).alias("cnorm"),
                 )
                 for r in cent_rows
             ]
         )
 
-        def _sim(cvec):
-            s = cosine(F.col(vec_col), cvec)
+        # The corpus row's own norm is hoisted to a child projection and
+        # referenced by name, so it folds ONCE per row instead of once
+        # per centroid (CollapseProject keeps non-cheap multiply-used
+        # aliases materialized; codegen CSE would not help here because
+        # higher-order functions are interpreted).
+        row_norm = F.col("_rn")
+
+        def _sim(c):
+            s = F.try_divide(
+                _dot(F.col(vec_col), c["cvec"]), row_norm * c["cnorm"]
+            )
             return F.round(s, round_digits) if round_digits is not None else s
 
         # Ordering key: cosine DESC with NaN first and NULL last —
@@ -537,7 +601,7 @@ def ivf_assign(
         scored_arr = F.transform(
             cent_arr,
             lambda c: F.struct(
-                _sim(c["cvec"]).alias("cosine"), c["cid"].alias("cid")
+                _sim(c).alias("cosine"), c["cid"].alias("cid")
             ),
         )
 
@@ -557,6 +621,8 @@ def ivf_assign(
 
         best = F.array_min(F.transform(scored_arr, _key))
         return embeddings.select(
+            "*", _norm(F.col(vec_col)).alias("_rn")
+        ).select(
             F.col(id_col),
             best["cid"].alias(centroid_id_col),
             best["cosine"].alias("cosine"),
@@ -679,28 +745,32 @@ def kmeans_lloyd_exact(
       md5 draw is the seeded-shuffle both engines replay, unlike
       ``DataFrame.sample``'s partition-dependent XORShift). The k
       smallest md5 draws seed the centroids.
-    - **assignment**: exact fixed-point squared distance — the exploded
-      sample equi-joins the broadcast (cid, dim, component) centroid
-      triples on the dimension and sums ``round((x-y)^2 * 1e9)`` as
-      DECIMAL(38,0) per (vector, cid) (the k15 recipe, and EXACTLY the
-      oracle's join-on-dim shape including SUM's skip-NULL semantics);
-      argmin via ``min_by`` with NULL distances ranked last and ties on
-      lowest cid.
+    - **assignment**: exact fixed-point squared distance — each row
+      folds ``round((x-y)^2 * 1e9)`` as DECIMAL(38,0) over a zip_with
+      against the literal centroid (the k15 recipe; decimal addition is
+      exact and order-free, so the fold equals the oracle's
+      join-on-dim SUM, and the fold's (sum, seen) accumulator pair
+      reproduces SUM's skip-NULL/all-NULL semantics); argmin over the
+      per-centroid struct array with NULL distances ranked last and
+      ties on lowest cid.
     - **update**: exact per-dim means (``sum(round(v*1e6)::bigint)/1e6
-      / n`` — the :func:`group_centroids` recipe) over the same
-      exploded sample; an empty cluster keeps its previous centroid
-      (MLlib parity).
+      / n`` — the :func:`group_centroids` recipe) over the sample
+      exploded under its assignment; an empty cluster keeps its
+      previous centroid (MLlib parity).
 
-    The exploded sample is persisted once (Lloyd re-reads its input
-    every iteration — the same ``.cache()`` MLlib's own loop does; at
-    100 TB pick ``sample_hex`` so the sample fits the cluster's storage
-    tier). Centroids are collected per iteration (k x dim doubles,
-    bounded — exactly what MLlib's iteration loop does) and re-injected
-    as a broadcast frame, so each iteration is one flat job over tiny
-    plans, not a 5-deep recursive lineage and not a thousand-literal
-    Catalyst tree (the first cut inlined k x dim literals and spent
-    ~2.8s/iteration in plan compile alone). Python float round-trips
-    IEEE doubles bit-exactly, so the driver hop costs no precision.
+    The sample is persisted once (Lloyd re-reads its input every
+    iteration — the same ``.cache()`` MLlib's own loop does; at 100 TB
+    pick ``sample_hex`` so the sample fits the cluster's storage tier).
+    Centroids are collected per iteration (k x dim doubles, bounded —
+    exactly what MLlib's iteration loop does) and re-injected as ONE
+    parsed SQL literal-argmin expression, so each iteration is a single
+    map + k x dim groupBy job, not a 5-deep recursive lineage (r12's
+    broadcast-join shape cost ~1.25 s/iteration of fixed overhead —
+    createDataFrame, broadcast build, three aggregation/join stages —
+    per iteration at local[32]; the text-built F.expr costs one py4j
+    round trip where a Column-API literal tree cost ~1100). Python
+    float round-trips IEEE doubles bit-exactly, so the driver hop
+    costs no precision.
     Returns (id_col = 0..k-1, vec_col = array<double>) — plugs into
     ``knn_ivf(..., centroids=...)`` unchanged.
     """
@@ -734,57 +804,65 @@ def kmeans_lloyd_exact(
         ]
         if max_iter <= 0:
             return spark.createDataFrame(list(cents), schema)
-        # Pre-partition the persisted sample by VECTOR id:
-        # HashPartitioning on a subset of the grouping keys satisfies
-        # ClusteredDistribution, so the per-(vec, cid) distance agg,
-        # the per-vec argmin, and the means join all reuse this one
-        # partitioning — each Lloyd iteration plans a single small
-        # exchange (the k x dim means) instead of four (measured
-        # 1.5s/iteration of pure shuffle+AQE latency on a 500-row
-        # sample without this). The centroids enter as a broadcast
-        # (cid, dim, component) frame — an inlined per-dim literal
-        # lookup was tried and is ~10x WORSE: Catalyst re-evaluates
-        # the k x dim CreateArray/CreateStruct tree per input row.
-        exploded = (
-            src.select(
-                F.col(id_col), F.posexplode(F.col(vec_col)).alias("_dim", "_v")
-            )
-            .repartition(F.col(id_col))
-            .persist()
-        )
-        sq_term = F.round(
-            (F.col("_v") - F.col("_mv")) * (F.col("_v") - F.col("_mv")) * 1e9
-        ).cast("decimal(38,0)")
+        # r13: the assignment is MAP-ONLY — each iteration inlines the
+        # current centroids as ONE parsed SQL expression (a zip_with
+        # fold per centroid, built as text so plan build is a single
+        # py4j round trip) and picks the argmin row-locally, then one
+        # groupBy computes the k x dim means. One shuffle + one job per
+        # iteration, versus the r12 shape's per-iteration
+        # createDataFrame + broadcast-build + 3 aggregations/joins
+        # (measured ~1.25 s/iteration of pure fixed cost on a 500-row
+        # sample at local[32]; k5's bench share was 10-18 s). The
+        # DECIMAL(38,0) fixed-point distance is the SAME terms summed
+        # exactly (decimal addition is order-free), with SUM's
+        # skip-NULL/all-NULL semantics reproduced by the fold's
+        # (sum, seen-non-null) accumulator pair, so centroids are
+        # bit-identical to the r12 join shape (A/B'd at two SFs) and
+        # the unrolled DuckDB oracle still hash-matches.
+        sample = src.persist()
+        exploded = sample  # unpersisted in the finally
+        d9 = _sql_dlit(1e9)
+        zero = "CAST(0 AS DECIMAL(38,0))"
+        vc = f"`{vec_col}`"
         for _ in range(max_iter):
-            cent_dim = spark.createDataFrame(
-                [(cid, d, mv) for cid, cv in cents for d, mv in enumerate(cv)],
-                "_cid long, _dim int, _mv double",
-            )
-            sq = (
-                exploded.join(F.broadcast(cent_dim), "_dim")
-                .groupBy(id_col, "_cid")
-                .agg((F.sum(sq_term).cast("double") / 1e9).alias("_sq"))
+            scored_sql = ",".join(
+                "named_struct('sq',aggregate("
+                f"zip_with({vc},array({{arr}}),"
+                f"(x,y)->CAST(round((x-y)*(x-y)*{d9}) AS DECIMAL(38,0))),"
+                f"named_struct('s',{zero},'n',false),"
+                f"(a,t)->named_struct('s',a.s+coalesce(t,{zero}),"
+                "'n',a.n OR t IS NOT NULL),"
+                f"a->IF(a.n,CAST(a.s AS DOUBLE)/{d9},CAST(NULL AS DOUBLE))"
+                "),'cid',{cid}L)".format(
+                    arr=",".join(_sql_dlit(x) for x in cv), cid=cid
+                )
+                for cid, cv in cents
             )
             # NULL sq (every term NULL) ranks LAST on both engines —
             # struct-compare NULL-first would otherwise make a corrupt
             # row win every argmin (the ivf_assign rank trick)
-            best = sq.groupBy(id_col).agg(
-                F.min_by(
-                    "_cid",
-                    F.struct(
-                        F.when(F.col("_sq").isNotNull(), 1)
-                        .otherwise(2)
-                        .alias("_r"),
-                        F.coalesce(F.col("_sq"), F.lit(0.0)).alias("_s"),
-                        F.col("_cid").alias("_c"),
-                    ),
-                ).alias("_cid")
+            best_sql = (
+                f"array_min(transform(array({scored_sql}),"
+                "p->named_struct('r',IF(p.sq IS NOT NULL,1,2),"
+                "'s',coalesce(p.sq,0.0D),'c',p.cid))).c"
+            )
+            # TWO selects, deliberately: a generator and the argmin in
+            # ONE select puts the argmin in the Project ABOVE the
+            # Generate (ExtractGenerator keeps non-generator
+            # expressions in the upper project), re-evaluating the
+            # k x dim interpreted fold once per EXPLODED row — a
+            # dim-fold amplification measured at 41 s vs 2 s on the
+            # sf0.1 sample. Split, the argmin rides Generate's
+            # requiredChildOutput as a computed attribute: once per
+            # input row.
+            assigned = sample.select(
+                F.expr(best_sql).alias("_cid"), F.col(vec_col)
             )
             per_dim = (
-                # merge join: both sides are hash-partitioned by the
-                # vector id already, so SMJ needs zero exchanges and
-                # no broadcast-build stage wave for the computed `best`
-                exploded.join(best.hint("merge"), id_col)
+                assigned.select(
+                    "_cid",
+                    F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+                )
                 .groupBy("_cid", "_dim")
                 .agg(
                     F.count(F.lit(1)).cast("long").alias("_n"),

@@ -75,6 +75,11 @@ def main() -> None:
     TPCH.load_table = counting_load
 
     names = args.names or list(DQ.QUERIES)
+    # r12 advice #3: a typo'd CLI name was a KeyError that aborted the
+    # whole census — validate up front instead.
+    unknown = sorted(set(names) - set(DQ.QUERIES))
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
     report: dict[str, dict] = {}
     flagged: dict[str, list] = {}
     for qname in names:
