@@ -1074,23 +1074,37 @@ def new_vs_repeat_revenue(orders: DataFrame) -> DataFrame:
     """New-vs-repeat revenue split per month: an order counts as 'new
     customer' while its customer is in their FIRST order month — the
     acquisition-vs-retention revenue mix every commerce dashboard leads
-    with. One custkey min-aggregate re-joined co-keyed to orders, then
-    a month rollup; revenue is exact cents, the share an exact int/int
-    division. Returns (month, n_orders, n_new_customer_orders,
+    with. ONE orders walk (r13 walk census; the old min-aggregate
+    re-joined co-keyed to orders walked the table twice): orders
+    map-combine to per-(custkey, month) order counts and cent sums
+    FIRST (guide §2.3 — the shuffle carries one row per customer-month,
+    not one per order), the customer's first month is a MIN window over
+    the custkey partition of that tiny frame (guide §2.4; "yyyy-MM"
+    strings order chronologically, so min month string == month of min
+    date, NULL months skipped by MIN exactly like the old min(date)
+    aggregate), then the month rollup sums the group sums — long
+    arithmetic throughout, so totals are bit-identical to the per-row
+    fold. Returns (month, n_orders, n_new_customer_orders,
     new_customer_revenue, new_revenue_share)."""
-    firsts = orders.groupBy("o_custkey").agg(
-        F.min("o_orderdate").alias("first_date")
-    )
     mo = F.date_format("o_orderdate", "yyyy-MM")
-    is_new = F.when(mo == F.date_format("first_date", "yyyy-MM"), 1).otherwise(0)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    tagged = orders.join(firsts, "o_custkey").select(
-        mo.alias("month"), is_new.alias("_new"), cents.alias("_c")
+    per_cm = orders.groupBy(F.col("o_custkey"), mo.alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(cents).alias("_c"),
+    )
+    first_mo = F.min("month").over(Window.partitionBy("o_custkey"))
+    tagged = per_cm.select(
+        "month",
+        F.when(F.col("month") == first_mo, 1).otherwise(0).alias("_new"),
+        "_n",
+        "_c",
     )
     new_cents = F.sum(F.when(F.col("_new") == 1, F.col("_c")).otherwise(0))
     return tagged.groupBy("month").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("_new").cast("long").alias("n_new_customer_orders"),
+        F.sum("_n").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("_new") == 1, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_new_customer_orders"),
         (new_cents / 100.0).alias("new_customer_revenue"),
         (new_cents * 1.0 / F.sum("_c")).alias("new_revenue_share"),
     )

@@ -286,9 +286,9 @@ def retention_cohorts(
     at every subsequent week offset — the classic cohort-retention matrix
     in long form.
 
-    Two shuffles: the distinct (user, week) pass + min-week cohort agg
-    both hash on the user key (the second reuses the first's partitioning
-    under AQE), then one count-distinct shuffle on (cohort, offset). The
+    One pass: the distinct (user, week) frame carries its cohort week
+    as a MIN window over the user partition, then one count-distinct
+    shuffle on (cohort, offset). The
     week offset is exact integer arithmetic on Monday-truncated dates, so
     the result hash-matches any engine with ISO date_trunc.
     Returns (cohort_week, week_offset, n_users).
@@ -297,12 +297,15 @@ def retention_cohorts(
         F.col(user_col),
         F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
     ).distinct()
-    first = weeks.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    # cohort week = MIN window over the user partition (r13 walk
+    # census: the old min-aggregate joined back onto `weeks` executed
+    # the distinct pass twice; the window is one walk and one user-key
+    # exchange — guide §2.4). Same value per (user, week) row.
+    cohort_week = F.min("week").over(Window.partitionBy(user_col))
     return (
-        weeks.join(first, user_col)
-        .select(
-            "cohort_week",
-            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        weeks.select(
+            cohort_week.alias("cohort_week"),
+            (F.datediff(F.col("week"), cohort_week) / 7)
             .cast("long")
             .alias("week_offset"),
             F.col(user_col),
@@ -385,6 +388,16 @@ def cumulative_distinct_users(
     per day, and running-sum those per-day counts over the bounded
     (type, day) grid. Days with activity but no new users appear with
     new_users=0.
+
+    The two events walks are DELIBERATE (r13 walk census follow-up): a
+    one-walk rewrite tagging each user's first row with row_number over
+    the (type, user) partition was tried and REVERTED — it replaces the
+    map-combined min aggregate (which shuffles ~one row per (type,
+    user) per map partition) with a full-row shuffle + sort of every
+    event (guide §2.3 "aggregate before you shuffle"), and measured
+    2.0x slower isolated at sf0.1 (0.72 -> 1.46 s best-of-reps). The
+    second walk is a column-pruned scan; the extra shuffled bytes at
+    100 TB cost far more than it saves.
     Returns (event_type, day, new_users, cum_users).
     """
     day = F.to_date(F.col(ts_col))

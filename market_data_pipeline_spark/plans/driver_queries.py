@@ -7124,8 +7124,12 @@ FROM d GROUP BY 1 ORDER BY digit""",
 def dq5_benford_digits(spark, sf_dir):
     """Benford first-digit audit of order totals: observed leading-digit
     distribution vs the log10(1+1/d) expectation — the classic
-    fabricated-data / unit-mixup detector. One 9-group aggregate plus a
-    broadcast scalar total; shares are exact count ratios."""
+    fabricated-data / unit-mixup detector. One 9-group aggregate; the
+    scalar total is SUM(n) over the coalesce(1)'d 9-row aggregate (r13
+    walk census: the old separate count + broadcast crossJoin walked
+    orders twice; the in-plan ntile trick — a global window over a
+    single-partition tiny frame, no Exchange SinglePartition — derives
+    the identical total from the groups themselves)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
     digits = o.select(
         F.substring(
@@ -7134,15 +7138,15 @@ def dq5_benford_digits(spark, sf_dir):
         .cast("long")
         .alias("digit")
     )
-    total = digits.agg(F.count(F.lit(1)).alias("_t"))
+    tot = F.sum("n").over(Window.partitionBy())
     return (
         digits.groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .crossJoin(F.broadcast(total))
+        .coalesce(1)
         .select(
             "digit",
             "n",
-            F.round(F.col("n") / F.col("_t"), 6).alias("observed_share"),
+            F.round(F.col("n") / tot, 6).alias("observed_share"),
             F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_share"),
         )
         .orderBy("digit")
@@ -10080,17 +10084,17 @@ GROUP BY 1 ORDER BY d.day""",
 def e31_new_vs_returning(spark, sf_dir):
     """Daily new-vs-returning active split (the acquisition/retention
     decomposition every growth dashboard leads with): first-seen date
-    per user joined back onto distinct daily actives — two user-key
-    aggregates sharing one shuffle, exact counts."""
+    per user as a MIN window over the distinct daily actives (r13 walk
+    census: the old separate first-seen aggregate joined back onto the
+    distinct pass walked events twice; min over the distinct
+    (day, user) rows is the same date — guide §2.4), exact counts."""
     events = load_table(spark, sf_dir, "events")
-    first_seen = events.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("_first")
-    )
     daily = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    first = F.min("day").over(Window.partitionBy("user_id"))
     is_new = F.when(F.col("day") == F.col("_first"), 1).otherwise(0)
     is_ret = F.when(F.col("day") > F.col("_first"), 1).otherwise(0)
     return (
-        daily.join(first_seen, "user_id")
+        daily.select("day", "user_id", first.alias("_first"))
         .groupBy("day")
         .agg(
             F.sum(is_new).cast("long").alias("new_users"),
@@ -13875,16 +13879,18 @@ def dq13_last_digit_bias(spark, sf_dir):
     d = o.select(
         (F.floor(F.col("o_totalprice")).cast("long") % 10).alias("digit")
     )
-    total = d.agg(F.count(F.lit(1)).alias("_t"))
+    # scalar total from the 10-row aggregate itself (the dq5 rewrite):
+    # one orders walk instead of two
+    tot = F.sum("n").over(Window.partitionBy())
     return (
         d.groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .crossJoin(F.broadcast(total))
+        .coalesce(1)
         .select(
             "digit",
             "n",
-            (F.col("n") * 1.0 / F.col("_t")).alias("observed_share"),
-            (F.col("n") * 10.0 / F.col("_t") - 1.0).alias(
+            (F.col("n") * 1.0 / tot).alias("observed_share"),
+            (F.col("n") * 10.0 / tot - 1.0).alias(
                 "uniform_deviation"
             ),
         )
